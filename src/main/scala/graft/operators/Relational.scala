@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Relational breadth over the star schema (SURVEY.md §7.1 step 4).
+  *
+  * The reference has no relational operators at all (SURVEY.md §2.5) —
+  * this module is the "same capabilities, Spark-native" extension surface:
+  * filter/project/aggregate/join/window/top-k/set ops, all declared with
+  * built-ins so Catalyst applies pushdown, pruning, partial aggregation
+  * and picks join strategies (broadcast for the small dimensions).
+  *
+  * Determinism for the DuckDB oracle: money sums go through exact
+  * DECIMAL arithmetic and are cast back to double at the end — double
+  * summation order differs between engines, decimal summation doesn't
+  * (FIXTURES.md §3).
+  */
+object Relational {
+
+  /** Exact money arithmetic: inputs have ≤2 fractional digits. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Sum in decimal (exact, order-independent), surface as double. */
+  private def dsum(c: Column): Column = sum(c).cast("double")
+
+  /** TPC-H Q1 shape: pricing summary over lineitem. One scan, one
+    * partial+final hash aggregation, 6-row result — at 100 TB this is
+    * scan-bound and the filter+pruning reach the parquet reader.
+    */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val discPrice = dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    val charge = discPrice * (lit(1).cast("decimal(3,2)") + dec(col("l_tax")).cast("decimal(3,2)"))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(dec(col("l_quantity"))).as("sum_qty"),
+        dsum(dec(col("l_extendedprice"))).as("sum_base_price"),
+        dsum(discPrice).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        round(dsum(dec(col("l_quantity"))) / count(lit(1)), 4).as("avg_qty"),
+        round(dsum(dec(col("l_extendedprice"))) / count(lit(1)), 4).as("avg_price"),
+        round(dsum(dec(col("l_discount"))) / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: shipping priority. customer is tiny → broadcast;
+    * orders⋈lineitem is the real shuffle, on the join key.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue = dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation for one region/year. The four
+    * dimension tables are broadcast; only the orders⋈lineitem join
+    * shuffles. At scale: dims stay in executor memory, fact tables
+    * co-partition on orderkey.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val revenue = dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    li.join(broadcast(ord.select("o_orderkey", "o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp.select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust.select("c_custkey", "c_nationkey")),
+            col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select("r_regionkey")), col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .groupBy("n_name")
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Top-k with a deterministic tie-break — `orderBy.limit` lets Spark
+    * run TakeOrderedAndProject: per-partition heaps, no full sort.
+    */
+  def topOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Window ranking: top-3 orders per customer. One shuffle on the
+    * partition key, ranking inside the window — no self-join.
+    */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Rollup aggregation (grouping-sets family). */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(dec(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Anti join (NOT EXISTS): customers that never placed a big order.
+    * Broadcast-able build side at small SF; shuffled-hash anti at scale.
+    */
+  def customersWithoutBigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_custkey")
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Set op (EXCEPT): nations with a high-balance customer but no
+    * high-balance supplier.
+    */
+  def customerOnlyNations(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val custNations = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_nationkey").as("n_nationkey"))
+    val suppNations = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9000.0)
+      .select(col("s_nationkey").as("n_nationkey"))
+    custNations.except(suppNations)
+      .join(broadcast(nation), Seq("n_nationkey"))
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** Correlated-style aggregate filter: customers whose account balance
+    * exceeds their nation's average (join against a grouped subquery).
+    */
+  def aboveAvgBalance(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val natAvg = cust.groupBy("c_nationkey")
+      .agg(avg("c_acctbal").as("nat_avg"))
+    cust.join(broadcast(natAvg), Seq("c_nationkey"))
+      .filter(col("c_acctbal") > col("nat_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+              round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+}

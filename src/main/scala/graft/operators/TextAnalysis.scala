@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators over the `documents` table.
+  *
+  * The reference's entire query surface is tokenize→shuffle→aggregate
+  * (word count: reference `mrapps/wc.go:21-44`; inverted index:
+  * `mrapps/indexer.go:20-39`). Here those semantics are declared with
+  * built-in codegen'd functions — `split`/`explode`/`groupBy` — so
+  * Catalyst plans a partial (map-side) aggregation before the exchange,
+  * which the reference lacks (SURVEY.md §2.1: no combiner). At 100 TB
+  * the partial agg collapses the shuffle to ~|vocabulary| rows per
+  * partition, which is what makes word-count-shaped queries scale.
+  */
+object TextAnalysis {
+
+  /** Token = maximal run of Unicode letters; mirrors the reference's
+    * `unicode.IsLetter` tokenizer (`mrapps/wc.go:25-27`). `\p{L}` means
+    * the same class in Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  val TokenSplitRe = "[^\\p{L}]+"
+
+  def tokens(text: Column): Column =
+    filter(split(text, TokenSplitRe), t => length(t) > 0)
+
+  /** Word count (reference app `wc`, `mrapps/wc.go`). */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** Inverted index (reference app `indexer`, `mrapps/indexer.go`):
+    * per word, the count of containing docs and the sorted doc list,
+    * formatted `"N doc1,doc2,..."` exactly as `mrapps/indexer.go:38`.
+    * Map-side distinct (the reference's per-doc set,
+    * `mrapps/indexer.go:21-26`) becomes `collect_set`; value order is
+    * canonicalized with `sort_array` because shuffle arrival order is
+    * nondeterministic (SURVEY.md §5 determinism contract).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("string").as("doc"),
+              explode(array_distinct(tokens(col("text")))).as("word"))
+      .groupBy("word")
+      .agg(concat(count(lit(1)).cast("string"), lit(" "),
+                  concat_ws(",", sort_array(collect_set(col("doc")))))
+             .as("postings"))
+      .orderBy("word")
+
+  /** Per-document token statistics: token count (whitespace-ish),
+    * distinct tokens, mean token length. Plumbing for quality filters.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"), col("n_chars"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        round(aggregate(col("toks"), lit(0L),
+                (acc, t) => acc + length(t)).cast("double")
+              / greatest(size(col("toks")), lit(1)), 4)
+          .as("avg_token_len"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Heuristic quality score in [0,1]: mix of length band, lexical
+    * diversity (type/token ratio) and stopword presence — the standard
+    * cheap pre-filter in LLM-data pipelines. Deterministic closed-form
+    * so the DuckDB oracle can replicate it exactly.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1.0))
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
+    val stopScore = least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0))
+    docs.select(
+        col("doc_id"),
+        round(lenScore, 4).as("len_score"),
+        round(diversity, 4).as("diversity"),
+        round(stopScore, 4).as("stop_score"),
+        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+
+  /** N-gram-frequency language ID. Scores each candidate language by
+    * occurrences of its marker function words, picks the argmax
+    * (deterministic tie-break: language list order). Markers chosen from
+    * standard closed-class words per language.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "fr" -> Seq("le", "et", "la", "les"),
+    "es" -> Seq("el", "los", "las", "una"),
+    "zh" -> Seq("de", "shi", "bu", "le"))
+
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(lower(col("text")))
+    val scoreCols = LangMarkers.map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words: _*))).as(s"score_$lang")
+    }
+    val scored = docs.select(
+      (Seq(col("doc_id"), col("lang").as("lang_true")) ++ scoreCols): _*)
+    // argmax with first-wins tie-break, expressed as a CASE chain with the
+    // exact same shape as the oracle SQL, so results match bit-for-bit:
+    // lang L fires iff score_L > 0 and score_L >= every other score.
+    val langs = LangMarkers.map(_._1)
+    val best = langs.foldRight(lit("und")) { (lang, elseCol) =>
+      val isMax = langs.filter(_ != lang)
+        .map(o => col(s"score_$lang") >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("lang_pred", best)
+      .select(col("doc_id"), col("lang_true"), col("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text.
+    * The canonical exact-dedup key; md5 is available and identical in
+    * Spark and DuckDB so the oracle can verify it.
+    */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normalizedText(col("text"))).as("fp"))
+      .orderBy("doc_id")
+}
