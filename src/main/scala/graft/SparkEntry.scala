@@ -47,6 +47,15 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScore _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
+    // Dedup suite (north star)
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
+    "dedup_minhash_lsh" -> Dedup.minHashLsh _,
+    "dedup_simhash" -> Dedup.simHash _,
+    "embedding_near_dup" -> Dedup.embeddingNearDup _,
+    // Similarity search (north star)
+    "ann_topk" -> Similarity.annTopK _,
+    "ann_ivf" -> Similarity.annIvf _,
   )
 
   // -- oracle SQL ----------------------------------------------------------
@@ -209,7 +218,7 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-  ) ++ qualityLangOracles
+  ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles
 
   /** quality_score + lang_id oracles are built programmatically so the
     * marker lists / weights live in exactly one place (TextAnalysis).
@@ -257,5 +266,120 @@ object SparkEntry {
          |    ELSE 'und' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
     Map("quality_score" -> quality, "lang_id" -> langId)
+  }
+
+  // Shared dedup fragments (mirror Dedup.scala exactly).
+  private val toksLowerSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0)"
+  private val shingleSql =
+    """CASE WHEN len(toks) >= 3
+      |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+      |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+  private val docShinglesSql =
+    s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+       |shx AS (SELECT doc_id, $shingleSql AS sh FROM t)""".stripMargin
+  private val jaccardSql =
+    """round(CAST(len(list_intersect(A.sh, B.sh)) AS DOUBLE)
+      |      / (len(A.sh) + len(B.sh) - len(list_intersect(A.sh, B.sh))), 6)""".stripMargin
+
+  private def dedupOracles: Map[String, String] = {
+    val exact =
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+    val ngram =
+      s"""$docShinglesSql
+         |SELECT A.doc_id AS doc_a, B.doc_id AS doc_b, $jaccardSql AS jaccard
+         |FROM shx A JOIN shx B ON A.doc_id < B.doc_id
+         |WHERE len(A.sh) > 0 AND len(B.sh) > 0
+         |  AND $jaccardSql >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    val n = Dedup.MinHashFns
+    val rows = Dedup.MinHashRows
+    val sigCols = (0 until n)
+      .map(i => s"min(md5('$i:' || s)) AS h$i").mkString(",\n    ")
+    val bandSelects = (0 until Dedup.MinHashBands).map { b =>
+      val key = (0 until rows).map(r => s"h${rows * b + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val minhash =
+      s"""$docShinglesSql,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, $jaccardSql AS jaccard
+         |FROM cand JOIN shx A ON cand.doc_a = A.doc_id
+         |          JOIN shx B ON cand.doc_b = B.doc_id
+         |WHERE $jaccardSql >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    val voteCols = (0 until Dedup.SimHashBits).map { b =>
+      val j = b / 4 + 1
+      val mask = 8 >> (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) & $mask) <> 0 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val bitConcat = (0 until Dedup.SimHashBits)
+      .map(b => s"CASE WHEN v$b >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+    val simhash =
+      s"""WITH tok AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
+         |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+         |v AS (SELECT doc_id,
+         |    $voteCols
+         |  FROM h GROUP BY doc_id)
+         |SELECT doc_id, $bitConcat AS simhash FROM v ORDER BY doc_id""".stripMargin
+    val nearDup =
+      s"""$embNormSql
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a", "b")} AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a", "b")} >= ${Dedup.CosineDupThreshold}
+         |ORDER BY vec_a, vec_b""".stripMargin
+    Map("dedup_exact" -> exact, "dedup_ngram_jaccard" -> ngram,
+        "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
+        "embedding_near_dup" -> nearDup)
+  }
+
+  private val embNormSql =
+    """WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, embedding, v,
+      |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+  private def cosineSql(p: String, c: String): String =
+    s"round(list_sum(list_transform(list_zip($p.v, $c.v), z -> z[1] * z[2])) / ($p.nrm * $c.nrm), 6)"
+
+  private def similarityOracles: Map[String, String] = {
+    val topk =
+      s"""$embNormSql,
+         |s AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM n p JOIN n c ON p.vec_id < ${Similarity.NumProbes} AND p.vec_id <> c.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT probe_id, neighbor_id, sim, rnk FROM r
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    val ivf =
+      s"""$embNormSql,
+         |cells AS (SELECT vec_id, v, nrm,
+         |            CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS cell
+         |          FROM n),
+         |s AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM cells p JOIN cells c
+         |    ON p.cell = c.cell AND p.vec_id < ${Similarity.NumProbes} AND p.vec_id <> c.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT probe_id, neighbor_id, sim, rnk FROM r
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    Map("ann_topk" -> topk, "ann_ivf" -> ivf)
   }
 }
