@@ -56,6 +56,13 @@ object SparkEntry {
     // Similarity search (north star)
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
+    // Multimodal-column plumbing (north star; decode kernel stubbed)
+    "mm_decode" -> Multimodal.decodeMeta _,
+    "mm_chunks" -> Multimodal.chunkPayloads _,
+    // Structured Streaming twins (drained via memory sink for the gate)
+    "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
+    "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
+    "stream_windowed" -> graft.streaming.EventStream.windowedCounts _,
   )
 
   // -- oracle SQL ----------------------------------------------------------
@@ -218,7 +225,8 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
-  ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles
+  ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++
+    multimodalOracles ++ streamingOracles
 
   /** quality_score + lang_id oracles are built programmatically so the
     * marker lists / weights live in exactly one place (TextAnalysis).
@@ -382,4 +390,44 @@ object SparkEntry {
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("ann_topk" -> topk, "ann_ivf" -> ivf)
   }
+
+  private def multimodalOracles: Map[String, String] = Map(
+    "mm_decode" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha,
+        |  CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height,
+        |  CASE octet_length(encode(text)) % 3
+        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_chunks" ->
+      s"""SELECT doc_id,
+         |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,
+         |  CAST(length(substr(text, start, ${Multimodal.ChunkBytes})) AS BIGINT) AS chunk_len,
+         |  md5(substr(text, start, ${Multimodal.ChunkBytes})) AS chunk_md5
+         |FROM (SELECT doc_id, text,
+         |        unnest(generate_series(1, greatest(length(text), 1), ${Multimodal.ChunkBytes})) AS start
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+  )
+
+  private def streamingOracles: Map[String, String] = Map(
+    "stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Append mode emits only watermark-sealed windows: window end + the
+    // 1-hour delay must be <= the max event time seen.
+    "stream_windowed" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+        |FROM events, m
+        |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
 }

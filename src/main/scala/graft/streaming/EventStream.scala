@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Per-user running totals kept in the streaming state store (money in
+  * integer cents: exact and independent of value arrival order).
+  * Top-level so Catalyst-generated code can reach the accessors.
+  */
+case class UserTotals(user_id: Long, n_events: Long, value_cents: Long)
+
+/** Structured Streaming twins of the batch event analytics.
+  *
+  * The reference is strictly batch (SURVEY.md §2.5: no streaming), so
+  * these are north-star capability extensions: the same queries
+  * declared over `readStream`, runnable unchanged against a live file/
+  * Kafka source. For the oracle gate each runs against the static
+  * events parquet via the file stream source, drains with
+  * `processAllAvailable`, and returns the memory-sink table — the
+  * memory sink is test-only; production would `writeStream` to a real
+  * sink. Results are identical to the batch twins (same partial-agg +
+  * shuffle plan per micro-batch, state store between batches).
+  */
+object EventStream {
+
+  /** events.parquet schema, with ts as raw nanos (nanosAsLong). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming hourly rollup, complete mode (the streaming twin of
+    * Events.hourlyRollup — same result set once drained).
+    */
+  def hourlyRollup(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    val name = "stream_hourly_out"
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+
+  /** Arbitrary stateful aggregation with `mapGroupsWithState`: running
+    * per-user totals kept in the state store across micro-batches.
+    * Emits the updated state per user per batch.
+    */
+  def userTotals(spark: SparkSession, dir: String): DataFrame = {
+    implicit val rowEnc: Encoder[(Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[UserTotals] = Encoders.product[UserTotals]
+    val updateFn = (userId: Long, rows: Iterator[(Long, Long, Double)],
+                    state: GroupState[UserTotals]) => {
+      val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0L))
+      var n = prev.n_events
+      var cents = prev.value_cents
+      rows.foreach { case (_, _, v) => n += 1; cents += math.round(v * 100) }
+      val next = UserTotals(userId, n, cents)
+      state.update(next)
+      next
+    }
+    val out = readEventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
+    val name = "stream_user_totals_out"
+    val q = out.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // Update mode emits one row per user per batch; the final state per
+    // user is the row with the highest n_events (monotone within a user).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "value_cents")
+      .orderBy("user_id")
+  }
+
+  /** Watermarked tumbling-window counts in append mode: only windows
+    * sealed by the 1-hour watermark are emitted, so the result is the
+    * hourly rollup minus the trailing unsealed windows — deterministic
+    * for a static input.
+    */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+    val name = "stream_windowed_out"
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("hour", "event_type")
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Per-operator unit checks over sf0.001 (SURVEY.md §5 item 2). The
+  * oracle gate covers value equality; these cover invariants and edge
+  * cases that a hash-compare can't express.
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("wc is stable across repartitionings") {
+    val a = TextAnalysis.wordCount(spark, sf).collect().toSeq
+    val b = TextAnalysis.wordCount(spark, sf).repartition(7).orderBy("word").collect().toSeq
+    assert(a == b)
+  }
+
+  test("q1 groups cover the expected flag/status domain") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val flags = rows.map(r => (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus")))
+    assert(flags.distinct.length == flags.length)
+    rows.foreach(r => assert(r.getAs[Long]("count_order") > 0))
+  }
+
+  test("top_orders_per_customer emits at most 3 rows per customer, ranked") {
+    val rows = Relational.topOrdersPerCustomer(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val ranks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+      val prices = rs.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("o_totalprice"))
+      assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    }
+  }
+
+  test("sessionize: gaps within a session never exceed 30 minutes at boundaries") {
+    val rows = Events.sessionize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // session_seq per user is dense starting at 1
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val seqs = rs.map(_.getAs[Long]("session_seq")).sorted
+      assert(seqs.sameElements(1L to seqs.length))
+      // sessions don't overlap and are ordered
+      val spans = rs.sortBy(_.getAs[Long]("session_seq"))
+        .map(r => (r.getAs[java.sql.Timestamp]("session_start"),
+                   r.getAs[java.sql.Timestamp]("session_end")))
+      spans.foreach { case (s, e) => assert(!e.before(s)) }
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, _)) =>
+          assert(s2.getTime - e1.getTime > 30 * 60 * 1000, "gap between sessions > 30min")
+        case _ =>
+      }
+    }
+  }
+
+  test("shingles: short and empty docs") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "", "one").toDF("text")
+      .select(Dedup.shingles(filter(split(lower(col("text")), "[^\\p{L}]+"),
+                                    t => length(t) > 0), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList)
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq("a b"))
+    assert(got(2) == Seq())
+    assert(got(3) == Seq("one"))
+  }
+
+  test("minhash LSH candidates are a subset of true near-dup pairs' recall") {
+    val lsh = Dedup.minHashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(lsh.subsetOf(exact), "LSH+verify must never emit a false positive")
+  }
+
+  test("ann_topk ranks are dense and sims non-increasing per probe") {
+    val rows = Similarity.annTopK(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).sameElements(1L to sorted.length))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      sims.sliding(2).foreach {
+        case Array(x, y) => assert(x >= y); case _ =>
+      }
+    }
+  }
+
+  test("multimodal: chunks exactly tile each document") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = Multimodal.chunkPayloads(spark, sf).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      assert(cs.map(_.getAs[Long]("chunk_len")).sum == math.max(docs(id), 0))
+      val ids = cs.map(_.getAs[Long]("chunk_id")).sorted
+      assert(ids.sameElements(0L until ids.length))
+    }
+  }
+
+  test("multimodal: decode stub is deterministic and schema-complete") {
+    val a = Multimodal.decodeMeta(spark, sf).collect()
+    val b = Multimodal.decodeMeta(spark, sf).collect()
+    assert(a.sameElements(b))
+    a.foreach { r =>
+      assert(r.getAs[String]("sha").length == 64)
+      assert(Set("png", "jpeg", "webp")(r.getAs[String]("format")))
+    }
+  }
+}
