@@ -37,9 +37,34 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Shingle computation runs as a typed `mapPartitions` pass: the
+    * Column formulation ([[shingles]], kept for composition/tests)
+    * chains three interpreted higher-order functions per row and
+    * dominated the dedup wall time (measured 10-200s at sf0.1 vs <1s
+    * here); a compiled per-partition loop with a precompiled regex is
+    * the right engine-side kernel for this shape. Semantics identical:
+    * lowercase letter-run tokens, distinct 3-grams, whole-text
+    * fallback for short docs.
+    */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(toksLower, 3).as("sh"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
+        it.map { case (id, text) =>
+          val toks = re.split(text.toLowerCase).filter(_.nonEmpty)
+          val sh =
+            if (toks.length >= 3)
+              toks.sliding(3).map(_.mkString(" ")).toArray.distinct
+            else if (toks.nonEmpty) Array(toks.mkString(" "))
+            else Array.empty[String]
+          (id, sh)
+        }
+      }
+      .toDF("doc_id", "sh")
+  }
 
   /** Exact dedup: group by content fingerprint, keep the smallest
     * doc_id. The canonical first pass of any dedup pipeline: one
@@ -57,8 +82,10 @@ object Dedup {
     * candidate pairs only exist where at least one shingle is shared.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // cached: feeds both self-join sides plus the per-doc size agg
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), explode(col("sh")).as("s"))
+      .cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -90,7 +117,9 @@ object Dedup {
     * band-collisions — the whole point vs. the O(n²) alternative.
     */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val shArr = docShingles(spark, dir)
+    // shArr and bands each feed two join sides; cache so the shingle +
+    // signature pipeline runs once, not four times (4x wall measured)
+    val shArr = docShingles(spark, dir).cache()
     val ex = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until MinHashFns).map { i =>
       min(md5(concat_ws(":", lit(i), col("s")))).as(s"h$i")
@@ -104,6 +133,7 @@ object Dedup {
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .cache()
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -124,25 +154,48 @@ object Dedup {
 
   /** 64-bit SimHash per document over token md5s, emitted as a
     * '0'/'1' bit string (portable across engines — no int64 overflow
-    * games). One groupBy with 64 conditional sums: no row blowup, the
-    * partial aggregation keeps the shuffle at |docs| rows.
-    * Bit b comes from hex digit b/4 of the token's md5, mask 8>>(b%4);
-    * the bit is set iff the occurrence-weighted vote is ≥ 0.
+    * games). Bit b comes from bit b of the token's md5 read MSB-first
+    * (equivalently: hex digit b/4, mask 8>>(b%4) — the formulation the
+    * DuckDB oracle uses); the bit is set iff the occurrence-weighted
+    * vote is ≥ 0.
+    *
+    * Runs as a map-only typed kernel: one pass per partition, md5s
+    * memoized per distinct token (vocabularies are tiny relative to
+    * occurrences), NO shuffle at all — at 100 TB this is embarrassingly
+    * parallel, vs. the naive explode-tokens-×-64-aggregates plan whose
+    * shuffle carries every token occurrence.
     */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(toksLower).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val votes = (0 until SimHashBits).map { b =>
-      val digit = conv(substring(col("h"), b / 4 + 1, 1), 16, 10).cast("int")
-      val mask = 8 >> (b % 4)
-      sum(when(digit.bitwiseAND(lit(mask)) > 0, 1).otherwise(-1)).as(s"v$b")
-    }
-    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val bitStr = concat((0 until SimHashBits).map { b =>
-      when(col(s"v$b") >= 0, lit("1")).otherwise(lit("0"))
-    }: _*)
-    agg.select(col("doc_id"), bitStr.as("simhash")).orderBy("doc_id")
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bitCache = scala.collection.mutable.HashMap.empty[String, Array[Int]]
+        it.flatMap { case (id, text) =>
+          val toks = re.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+          if (toks.isEmpty) Iterator.empty // docs with no tokens emit no signature
+          else {
+            val votes = new Array[Long](SimHashBits)
+            toks.foreach { t =>
+              val bits = bitCache.getOrElseUpdate(t, {
+                val d = md.digest(t.getBytes("UTF-8"))
+                Array.tabulate(SimHashBits)(b =>
+                  if ((d(b / 8) & (0x80 >> (b % 8))) != 0) 1 else -1)
+              })
+              var b = 0
+              while (b < SimHashBits) { votes(b) += bits(b); b += 1 }
+            }
+            val sb = new java.lang.StringBuilder(SimHashBits)
+            votes.foreach(v => sb.append(if (v >= 0) '1' else '0'))
+            Iterator.single((id, sb.toString))
+          }
+        }
+      }
+      .toDF("doc_id", "simhash")
+      .orderBy("doc_id")
   }
 
   val CosineDupThreshold = 0.4
@@ -155,15 +208,15 @@ object Dedup {
     * comparison is stable.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(dot / (col("a.norm") * col("b.norm")), 6).as("cosine"))
+        round(dot(spark, col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
       .filter(col("cosine") >= CosineDupThreshold)
       .orderBy("vec_a", "vec_b")
   }

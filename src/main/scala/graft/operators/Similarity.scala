@@ -26,15 +26,14 @@ object Similarity {
   val TopK = 5
   val NumProbes = 10
 
-  private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+  import graft.functions.VectorFunctions.dot
 
-  private val cosine: Column = {
-    val dot = aggregate(zip_with(col("p.v"), col("c.v"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
-    round(dot / (col("p.norm") * col("c.norm")), 6)
-  }
+  private def withNorm(spark: SparkSession, df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+
+  private def cosine(spark: SparkSession): Column =
+    round(dot(spark, col("p.v"), col("c.v")) / (col("p.norm") * col("c.norm")), 6)
 
   /** Exact top-k cosine neighbors for the first [[NumProbes]] vectors.
     * The probe side is broadcast — no shuffle of the corpus; ranking
@@ -42,12 +41,12 @@ object Similarity {
     * deterministic across engines and partitionings.
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(Tables.embeddings(spark, dir))
+    val emb = withNorm(spark, Tables.embeddings(spark, dir))
     val probes = emb.filter(col("vec_id") < NumProbes)
     broadcast(probes).as("p")
       .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
       .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-              cosine.as("sim"))
+              cosine(spark).as("sim"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("probe_id")
           .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
@@ -70,13 +69,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               cell(col("embedding")).as("cell"),
               col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     val probes = base.filter(col("vec_id") < NumProbes)
     broadcast(probes).as("p")
       .join(base.as("c"),
             col("p.cell") === col("c.cell") && col("p.vec_id") =!= col("c.vec_id"))
       .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-              cosine.as("sim"))
+              cosine(spark).as("sim"))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("probe_id")
           .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))

@@ -76,8 +76,11 @@ object TextAnalysis {
     * so the DuckDB oracle can replicate it exactly.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    // materialize tokens once — the score expressions reference them
+    // repeatedly and Catalyst won't CSE the regex split across them
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(col("text"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val diversity = size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1.0))
     val lenScore = least(nTok / lit(50.0), lit(1.0))
@@ -108,8 +111,10 @@ object TextAnalysis {
     "zh" -> Seq("de", "shi", "bu", "le"))
 
   def languageId(spark: SparkSession, dir: String): DataFrame = {
+    // materialize tokens once (see qualityScore)
     val docs = Tables.documents(spark, dir)
-    val toks = tokens(lower(col("text")))
+      .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
+    val toks = col("toks")
     val scoreCols = LangMarkers.map { case (lang, words) =>
       size(filter(toks, t => t.isin(words: _*))).as(s"score_$lang")
     }
