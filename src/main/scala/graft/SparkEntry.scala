@@ -25,6 +25,7 @@ object SparkEntry {
     "inverted_index" -> TextAnalysis.invertedIndex _,
     // Reference apps on the generic typed mapf/reducef surface (§2.3)
     "mr_wc" -> MRApps.wc _,
+    "mr_wc_combining" -> MRApps.wcCombining _,
     "mr_indexer" -> MRApps.indexer _,
     "mr_crash_shape" -> MRApps.crashShape _,
     // Relational breadth (SURVEY.md §7.1 step 4)
@@ -87,6 +88,9 @@ object SparkEntry {
          |FROM (SELECT DISTINCT doc, word FROM ($wordsSub) WHERE length(word) > 0)
          |GROUP BY word ORDER BY word""".stripMargin,
     "mr_wc" ->
+      s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($wordsSub)
+         |WHERE length(word) > 0 GROUP BY word ORDER BY key""".stripMargin,
+    "mr_wc_combining" ->
       s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($wordsSub)
          |WHERE length(word) > 0 GROUP BY word ORDER BY key""".stripMargin,
     "mr_indexer" ->

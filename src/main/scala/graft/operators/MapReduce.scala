@@ -116,6 +116,21 @@ object MRApps {
     out.toDF("key", "value").orderBy("key")
   }
 
+  /** Word count on the combining variant: same mapf, but the count
+    * monoid runs map-side before the shuffle — identical results, the
+    * shuffle carries |vocabulary| rows instead of |occurrences|.
+    */
+  def wcCombining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = runCombining[Long](
+      documentsAsInput(spark, dir),
+      mapf = (_, contents) =>
+        contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
+          .map(w => KeyValue(w, "1")).toSeq,
+      zero = 0L, lift = _ => 1L, merge = _ + _, finish = _.toString)
+    out.toDF("key", "value").orderBy("key")
+  }
+
   /** Inverted index (`mrapps/indexer.go:20-39`): mapf emits (word, doc)
     * once per distinct word per doc; reducef renders
     * `"N doc1,doc2,..."` over the sorted doc list.

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{KeyValue, MapReduce}
+import graft.sources.{KeyValueTextSink, WholeTextInput}
+
+/** The reference's full O1–O8 pipeline end-to-end (SURVEY.md §2.1):
+  * whole-file text scan → mapf → shuffle → group → reducef →
+  * per-partition `"key value"` text sink, compared after a global sort
+  * exactly like `main/test-mr.sh:59-60`. Plus the §2.4 parallelism
+  * probes (mtiming/rtiming), which in Spark reduce to scheduler
+  * parallelism assertions.
+  */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  test("wholetext scan -> wc mapreduce -> text sink matches sequential oracle") {
+    val in = tmpDir("graft-wc-in")
+    val docs = Map(
+      "pg-a.txt" -> "the quick brown fox\njumps over the lazy dog\n",
+      "pg-b.txt" -> "the fox\n",
+      "pg-c.txt" -> "dog dog dog\n")
+    docs.foreach { case (name, text) =>
+      Files.writeString(in.resolve(name), text)
+    }
+    val input = WholeTextInput.read(spark, in.toString + "/*.txt")
+    // filenames arrive as file: URIs; mapf sees the same name the
+    // reference passes (basename is what wc ignores anyway)
+    val mapf = (name: String, contents: String) =>
+      contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
+        .map(w => KeyValue(w, "1")).toSeq
+    val reducef = (k: String, vs: Seq[String]) => vs.length.toString
+    val result = MapReduce.run(input, mapf, reducef)
+
+    val out = tmpDir("graft-wc-out")
+    KeyValueTextSink.write(result.toDF(), out.toString, numPartitions = 3)
+
+    // sequential oracle, like mrsequential.go
+    val expected = docs.values.flatMap(_.split("[^\\p{L}]+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => s"$w ${ws.size}" }.toSeq.sorted
+
+    import scala.jdk.CollectionConverters._
+    val partFiles = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(partFiles.nonEmpty && partFiles.size <= 3 + 1)
+    val got = partFiles.flatMap(p => Files.readAllLines(p).asScala).sorted
+    assert(got == expected)
+  }
+
+  test("all occurrences of a key land in one sink partition (ihash contract)") {
+    import spark.implicits._
+    val kv = (0 until 100).map(i => KeyValue(s"k${i % 7}", i.toString))
+    val out = tmpDir("graft-sink-out")
+    KeyValueTextSink.write(spark.createDataset(kv).toDF(), out.toString, 5)
+    import scala.jdk.CollectionConverters._
+    val keyToFiles = Files.list(out).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala.map(l => (l.split(" ")(0), p)))
+      .toSeq.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+    assert(keyToFiles.values.forall(_ == 1))
+  }
+
+  test("map parallelism probe (mtiming analogue)") {
+    // the reference asserts >=2 concurrent map workers
+    // (main/test-mr.sh:102-129); in Spark that's scheduler parallelism
+    assert(spark.sparkContext.defaultParallelism >= 2)
+    import spark.implicits._
+    val pids = spark.range(0, 8, 1, numPartitions = 4)
+      .mapPartitions(it => Iterator.single(Thread.currentThread().getId))
+      .collect()
+    assert(pids.distinct.length >= 2, "tasks ran on >=2 executor threads")
+  }
+
+  test("reduce parallelism probe (rtiming analogue)") {
+    import spark.implicits._
+    // reduce groups must fan out over >=2 shuffle partitions (thread ids
+    // are unreliable for tiny tasks, and AQE coalescing must be off or
+    // it folds this tiny shuffle into one partition)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val n = spark.createDataset((0 until 1000).map(i => KeyValue(s"k${i % 10}", "1")))
+        .groupByKey(_.key)
+        .mapGroups((k, _) => (k, org.apache.spark.TaskContext.getPartitionId()))
+        .collect()
+      assert(n.map(_._2).distinct.length >= 2, "reduce ran in >=2 partitions")
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+  }
+}
