@@ -35,6 +35,7 @@ object SparkEntry {
     "top_orders" -> Relational.topOrders _,
     "top_orders_per_customer" -> Relational.topOrdersPerCustomer _,
     "rollup_orders" -> Relational.rollupOrders _,
+    "cube_orders" -> Relational.cubeOrders _,
     "customers_without_big_orders" -> Relational.customersWithoutBigOrders _,
     "customer_only_nations" -> Relational.customerOnlyNations _,
     "above_avg_balance" -> Relational.aboveAvgBalance _,
@@ -42,6 +43,7 @@ object SparkEntry {
     "events_hourly" -> Events.hourlyRollup _,
     "events_json" -> Events.jsonExtract _,
     "events_sessionize" -> Events.sessionize _,
+    "events_asof_purchase" -> Events.asofLastPurchase _,
     "events_user_profile" -> Events.userProfile _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
@@ -159,6 +161,19 @@ object SparkEntry {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "events_asof_purchase" ->
+      """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+        |  p.event_id AS last_purchase_id, p.ts AS last_purchase_ts,
+        |  p.value AS last_purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY error_id""".stripMargin,
     "customers_without_big_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

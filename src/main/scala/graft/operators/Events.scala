@@ -59,6 +59,34 @@ object Events {
       .orderBy("user_id", "session_seq")
   }
 
+  /** As-of join, composed from built-ins (preference (a) in the
+    * custom-operator ladder): for each error event, the most recent
+    * preceding purchase by the same user. Implemented as the
+    * sort-merge-friendly carry-forward formulation — tag the purchase
+    * columns, `last(_, ignoreNulls)` over a running window per user —
+    * one shuffle on user_id, no range/cross join, linear in events.
+    * (Event timestamps are unique per user in this schema, so
+    * "(ts, event_id) <" ordering equals the oracle's `e.ts >= p.ts`
+    * ASOF contract.)
+    */
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isPurchase = col("event_type") === "purchase"
+    Tables.events(spark, dir)
+      .withColumn("p_ts", when(isPurchase, col("ts")))
+      .withColumn("p_id", when(isPurchase, col("event_id")))
+      .withColumn("p_value", when(isPurchase, col("value")))
+      .withColumn("last_purchase_ts", last("p_ts", ignoreNulls = true).over(w))
+      .withColumn("last_purchase_id", last("p_id", ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value", last("p_value", ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+              col("ts").as("error_ts"), col("last_purchase_id"),
+              col("last_purchase_ts"), col("last_purchase_value"))
+      .orderBy("error_id")
+  }
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -125,6 +125,13 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(dec(col("o_totalprice"))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Full cube over the same dimensions. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(dec(col("o_totalprice"))).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** Anti join (NOT EXISTS): customers that never placed a big order.
     * Broadcast-able build side at small SF; shuffled-hash anti at scale.
     */
