@@ -24,11 +24,20 @@ object Bench {
         catch { case _: Throwable => }
       }
     }
-    val results = names.map { name =>
+    // Best-of-N per query (default 2), with the rounds INTERLEAVED (all
+    // queries once, then again): the host VM intermittently stalls for
+    // tens of seconds (threads parked, load ~0, wall clock jumps); with
+    // interleaved rounds a stall lands on different queries each round
+    // and the per-query min measures the engine, not the hypervisor.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
+    val times = scala.collection.mutable.Map.empty[String, Double]
+    for (_ <- 0 until reps; name <- names) {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => }
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+    }
+    val results = times.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

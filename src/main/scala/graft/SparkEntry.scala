@@ -50,6 +50,7 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScore _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
+    "doc_winnowing" -> TextAnalysis.winnowing _,
     // Dedup suite (north star)
     "dedup_exact" -> Dedup.exact _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
@@ -66,6 +67,9 @@ object SparkEntry {
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
     "stream_windowed" -> graft.streaming.EventStream.windowedCounts _,
+    "stream_sessionize" -> graft.streaming.EventStream.sessionizeStream _,
+    // SQL-facing API
+    "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
   )
 
   // -- oracle SQL ----------------------------------------------------------
@@ -217,7 +221,7 @@ object SparkEntry {
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                           ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM flagged)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |  min(ts) AS session_start, max(ts) AS session_end,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM sessions GROUP BY user_id, session_seq
@@ -244,6 +248,19 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_winnowing" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |p AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - ${TextAnalysis.WinnowK - 1}, 1))) AS i FROM n),
+         |g AS (SELECT doc_id, i, substr(md5(substr(t, i, ${TextAnalysis.WinnowK})), 1, 8) AS h FROM p),
+         |wm AS (SELECT doc_id, i,
+         |        min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                     ROWS BETWEEN ${TextAnalysis.WinnowW - 1} PRECEDING AND CURRENT ROW) AS fp,
+         |        count(*) OVER (PARTITION BY doc_id) AS npos
+         |       FROM g)
+         |SELECT DISTINCT doc_id, fp FROM wm
+         |WHERE (npos >= ${TextAnalysis.WinnowW} AND i >= ${TextAnalysis.WinnowW})
+         |   OR (npos < ${TextAnalysis.WinnowW} AND i = npos)
+         |ORDER BY doc_id, fp""".stripMargin,
   ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++
     multimodalOracles ++ streamingOracles
 
@@ -440,6 +457,38 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Streaming sessionizer emits only sessions closed by a later event:
+    // batch sessionization minus each user's final (still-open) session.
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM flagged),
+        |agg AS (
+        |  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
+        |    min(ts) AS session_start, max(ts) AS session_end,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS value_cents
+        |  FROM sessions GROUP BY user_id, session_seq)
+        |SELECT * FROM agg a
+        |WHERE session_seq < (SELECT max(session_seq) FROM agg b WHERE b.user_id = a.user_id)
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "sql_revenue_by_priority" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // Append mode emits only watermark-sealed windows: window end + the
     // 1-hour delay must be <= the max event time seen.
     "stream_windowed" ->

@@ -48,8 +48,11 @@ object Dedup {
     */
   private def docShingles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // small single-file inputs arrive as ONE scan partition; fan the
+    // CPU-bound kernel out to the cluster (cheap round-robin of ids+text)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
@@ -169,6 +172,7 @@ object Dedup {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism) // see docShingles
       .as[(Long, String)]
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
@@ -209,8 +213,11 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
+    // repartition: the single-file scan would otherwise leave the whole
+    // O(n^2) nested-loop join on one task
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))

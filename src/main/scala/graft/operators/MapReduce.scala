@@ -93,6 +93,7 @@ object MapReduce {
       Encoders.tuple(Encoders.STRING, Encoders.STRING)
     Tables.documents(spark, dir)
       .select(col("doc_id").cast("string"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism) // one split per map task, not one file
       .as[(String, String)]
   }
 }

@@ -61,6 +61,7 @@ object Multimodal {
     implicit val enc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
     ingestBinary(spark, dir)
       .select("doc_id", "payload")
+      .repartition(spark.sparkContext.defaultParallelism) // single-file scan -> fan out decode
       .mapPartitions { rows: Iterator[Row] =>
         rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
       }

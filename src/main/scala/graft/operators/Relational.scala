@@ -125,6 +125,25 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(dec(col("o_totalprice"))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** SQL-facing API: the same engine over `spark.sql` with the tables
+    * registered as temp views — a user can address every table in ANSI
+    * SQL and Catalyst plans it identically to the DataFrame form.
+    */
+  def sqlRevenueByPriority(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach { t =>
+      Tables.table(spark, dir, t).createOrReplaceTempView(t)
+    }
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Full cube over the same dimensions. */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

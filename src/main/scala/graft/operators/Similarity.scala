@@ -30,6 +30,7 @@ object Similarity {
 
   private def withNorm(spark: SparkSession, df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .repartition(spark.sparkContext.defaultParallelism) // single-file scan -> parallel stream side
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
 
   private def cosine(spark: SparkSession): Column =
@@ -69,6 +70,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
               cell(col("embedding")).as("cell"),
               col("embedding").cast("array<double>").as("v"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     val probes = base.filter(col("vec_id") < NumProbes)
     broadcast(probes).as("p")

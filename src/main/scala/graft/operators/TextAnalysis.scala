@@ -146,4 +146,46 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5(normalizedText(col("text"))).as("fp"))
       .orderBy("doc_id")
+
+  val WinnowK = 8 // k-gram length (chars)
+  val WinnowW = 4 // winnowing window (hashes)
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS-style):
+    * hash every k-char gram of the normalized text, slide a w-hash
+    * window, keep the minimum of each full window, emit the distinct
+    * set per document. Local-similarity-preserving: near-dup documents
+    * share most fingerprints, so a join on `fp` is the candidate
+    * generator for plagiarism-style matching.
+    *
+    * Runs as a map-only typed kernel (no shuffle; ~len md5s per doc).
+    * Hashes are the first 8 hex chars of md5 so the DuckDB oracle
+    * (window-min formulation) reproduces them exactly. Docs shorter
+    * than w positions contribute the min over all their hashes.
+    */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = WinnowK
+    val w = WinnowW
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism) // single-file scan -> fan out the kernel
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h8(s: String): String =
+          md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        it.flatMap { case (id, text) =>
+          val t = text.toLowerCase(java.util.Locale.ROOT)
+            .replaceAll("\\s+", " ").trim
+          val npos = math.max(t.length - (k - 1), 1)
+          val hs = Array.tabulate(npos)(i => h8(t.substring(i, math.min(i + k, t.length))))
+          val fps =
+            if (npos < w) Set(hs.min)
+            else (w to npos).map(i => hs.slice(i - w, i).min).toSet
+          fps.toSeq.sorted.map(fp => (id, fp))
+        }
+      }
+      .toDF("doc_id", "fp")
+      .orderBy("doc_id", "fp")
+  }
 }

@@ -11,6 +11,16 @@ import org.apache.spark.sql.types._
   */
 case class UserTotals(user_id: Long, n_events: Long, value_cents: Long)
 
+/** A session emitted by the streaming sessionizer (timestamps as raw
+  * µs — converted outside the state function). Top-level for codegen.
+  */
+case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
+                         start_us: Long, end_us: Long, value_cents: Long)
+
+/** The per-user state: sessions emitted so far + the open tail. */
+case class OpenSession(start_us: Long, end_us: Long, n_events: Long, cents: Long)
+case class SessState(emitted: Long, open: Option[OpenSession])
+
 /** Structured Streaming twins of the batch event analytics.
   *
   * The reference is strictly batch (SURVEY.md §2.5: no streaming), so
@@ -92,6 +102,67 @@ object EventStream {
       .filter(col("rn") === 1)
       .select("user_id", "n_events", "value_cents")
       .orderBy("user_id")
+  }
+
+  /** Event-time sessionization with `flatMapGroupsWithState`: sessions
+    * close after a 30-minute silence; completed sessions are emitted
+    * as soon as a later event proves the gap, the trailing open
+    * session stays in the state store awaiting more data (so for a
+    * static input the result is the batch sessionization minus each
+    * user's final open session — exactly what a live pipeline would
+    * have emitted so far). Money in integer cents, as in
+    * [[userTotals]].
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    implicit val inEnc: Encoder[(Long, Long, Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[ClosedSession] = Encoders.product[ClosedSession]
+    implicit val stEnc: Encoder[SessState] = Encoders.product[SessState]
+    val gapUs = 30L * 60 * 1000000
+    val fn = (userId: Long,
+              rows: Iterator[(Long, Long, Long, Double)], // user, event_id, ts_us, value
+              state: GroupState[SessState]) => {
+      val st0 = state.getOption.getOrElse(SessState(0L, None))
+      // event-time order within the batch; ties broken by event_id
+      val evs = rows.toArray.sortBy(r => (r._3, r._2))
+      var sessions = List.empty[OpenSession]
+      var open: Option[OpenSession] = st0.open
+      evs.foreach { case (_, _, ts, v) =>
+        val cents = math.round(v * 100)
+        open = open match {
+          case Some(o) if ts - o.end_us <= gapUs =>
+            Some(o.copy(end_us = ts, n_events = o.n_events + 1, cents = o.cents + cents))
+          case Some(closed) =>
+            sessions = closed :: sessions
+            Some(OpenSession(ts, ts, 1L, cents))
+          case None => Some(OpenSession(ts, ts, 1L, cents))
+        }
+      }
+      val closedInOrder = sessions.reverse
+      state.update(SessState(st0.emitted + closedInOrder.length, open))
+      // emit timestamps as raw µs; converted to timestamps outside the
+      // state function (java.sql.Timestamp would truncate to ms)
+      closedInOrder.zipWithIndex.iterator.map { case (s, idx) =>
+        ClosedSession(userId, st0.emitted + idx + 1, s.n_events, s.start_us, s.end_us, s.cents)
+      }
+    }
+    val out = readEventsStream(spark, dir)
+      .select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
+    val name = "stream_sessionize_out"
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+              expr("timestamp_micros(start_us)").as("session_start"),
+              expr("timestamp_micros(end_us)").as("session_end"),
+              col("value_cents"))
+      .orderBy("user_id", "session_seq")
   }
 
   /** Watermarked tumbling-window counts in append mode: only windows
