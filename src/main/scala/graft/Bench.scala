@@ -31,17 +31,30 @@ object Bench {
     // and the per-query min measures the engine, not the hypervisor.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val times = scala.collection.mutable.Map.empty[String, Double]
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     for (_ <- 0 until reps; name <- names) {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => }
-      val dt = (System.nanoTime() - t0) / 1e9
-      times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      // A failed rep does NOT update the per-query min: a crashing query
+      // must not masquerade as a fast one. It lands in "errors" instead.
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+      } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
     }
-    val results = times.toMap
+    // Queries that never succeeded are reported as -1 so the JSON keeps a
+    // stable key set and the failure is visible in the metrics.
+    val results = names.map(n => n -> times.getOrElse(n, -1.0)).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.filterNot(times.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = times.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -228,8 +228,8 @@ object SparkEntry {
         |ORDER BY user_id, session_seq""".stripMargin,
     "events_user_profile" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
         |  min(ts) AS first_seen, max(ts) AS last_seen

@@ -25,6 +25,21 @@ object Dedup {
   private def toksLower: Column =
     filter(split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
 
+  // Cached intermediates can't be unpersisted inside the builders (the
+  // returned DataFrame is lazy — the cache must survive until the
+  // caller's action). Instead each builder retires the PREVIOUS
+  // invocation's caches, bounding storage to one generation in
+  // long-lived sessions (Bench/Verify/test reuse one SparkSession).
+  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private def cacheTracked(df: DataFrame): DataFrame = liveCaches.synchronized {
+    liveCaches += df
+    df.cache()
+  }
+  private def retirePreviousCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist(false))
+    liveCaches.clear()
+  }
+
   /** Distinct word n-gram shingles of a token array; a doc shorter than
     * n tokens contributes its whole text as one shingle.
     */
@@ -85,10 +100,10 @@ object Dedup {
     * candidate pairs only exist where at least one shingle is shared.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    retirePreviousCaches()
     // cached: feeds both self-join sides plus the per-doc size agg
-    val sh = docShingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .cache()
+    val sh = cacheTracked(docShingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s")))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val common = sh.as("a")
       .join(sh.as("b"),
@@ -120,9 +135,10 @@ object Dedup {
     * band-collisions — the whole point vs. the O(n²) alternative.
     */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    retirePreviousCaches()
     // shArr and bands each feed two join sides; cache so the shingle +
     // signature pipeline runs once, not four times (4x wall measured)
-    val shArr = docShingles(spark, dir).cache()
+    val shArr = cacheTracked(docShingles(spark, dir))
     val ex = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val sigCols = (0 until MinHashFns).map { i =>
       min(md5(concat_ws(":", lit(i), col("s")))).as(s"h$i")
@@ -133,10 +149,9 @@ object Dedup {
         concat_ws("|", (0 until MinHashRows).map(r => col(s"h${MinHashRows * b + r}")): _*)
           .as("bkey"))
     }
-    val bands = sigs
+    val bands = cacheTracked(sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .cache()
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -65,15 +65,28 @@ object Events {
     * sort-merge-friendly carry-forward formulation — tag the purchase
     * columns, `last(_, ignoreNulls)` over a running window per user —
     * one shuffle on user_id, no range/cross join, linear in events.
-    * (Event timestamps are unique per user in this schema, so
-    * "(ts, event_id) <" ordering equals the oracle's `e.ts >= p.ts`
-    * ASOF contract.)
+    *
+    * Tie handling: the oracle's ASOF contract is `e.ts >= p.ts`, so a
+    * purchase sharing an error's exact timestamp must be visible to
+    * that error regardless of event_id order. The window therefore
+    * sorts purchases BEFORE non-purchases at equal ts (then event_id),
+    * making the equivalence hold by construction instead of relying on
+    * the data's per-user ts uniqueness (which OperatorsSpec asserts
+    * separately as a canary).
     */
-  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def asofLastPurchase(spark: SparkSession, dir: String): DataFrame =
+    asofLastPurchaseOf(Tables.events(spark, dir))
+
+  /** Core of [[asofLastPurchase]] over any events-shaped frame
+    * (event_id, user_id, ts, event_type, value) — split out so the tie
+    * semantics are unit-testable on synthetic rows.
+    */
+  def asofLastPurchaseOf(events: DataFrame): DataFrame = {
     val isPurchase = col("event_type") === "purchase"
-    Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
       .withColumn("p_ts", when(isPurchase, col("ts")))
       .withColumn("p_id", when(isPurchase, col("event_id")))
       .withColumn("p_value", when(isPurchase, col("value")))

@@ -38,6 +38,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("events: (user_id, ts) is unique — canary for the asof/sessionize oracles") {
+    val dup = Tables.events(spark, sf)
+      .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+    assert(dup == 0, "per-user timestamps must be unique in testdata")
+  }
+
+  test("asof join counts a purchase sharing the error's exact timestamp") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    // purchase id=5 ties error id=2 at t1 with a HIGHER event_id: the
+    // oracle's ASOF contract (e.ts >= p.ts) must still see it.
+    val events = Seq(
+      (1L, 7L, t0, "purchase", 10.0),
+      (2L, 7L, t1, "error", 0.0),
+      (5L, 7L, t1, "purchase", 99.0),
+      (3L, 8L, t0, "error", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val rows = Events.asofLastPurchaseOf(events).collect()
+    val byError = rows.map(r => r.getAs[Long]("error_id") ->
+      Option(r.getAs[java.lang.Long]("last_purchase_id")).map(_.toLong)).toMap
+    assert(byError(2L) == Some(5L), "equal-ts purchase must win")
+    assert(byError(3L).isEmpty, "no preceding purchase -> null")
+  }
+
   test("sessionize: gaps within a session never exceed 30 minutes at boundaries") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.nonEmpty)
