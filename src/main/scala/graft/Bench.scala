@@ -22,6 +22,7 @@ object Bench {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
+        finally graft.operators.Dedup.retireCaches()
       }
     }
     // Best-of-N per query (default 2), with the rounds INTERLEAVED (all
@@ -44,12 +45,17 @@ object Bench {
         case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      } finally {
+        // dedup builders pin SF-sized caches that must not outlive their
+        // query's action — leaking them taxed the whole bench tail 2-4x
+        graft.operators.Dedup.retireCaches()
       }
     }
-    // Queries that never succeeded are reported as -1 so the JSON keeps a
-    // stable key set and the failure is visible in the metrics.
-    val results = names.map(n => n -> times.getOrElse(n, -1.0)).toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Queries that never succeeded appear ONLY in "errors" — a sentinel
+    // in the timings map would poison min/sum across rounds. Iterating
+    // the sorted names keeps the JSON key order deterministic.
+    val qs = names.filter(times.contains)
+      .map(n => "\"" + n + "\":" + times(n))
       .mkString("{", ",", "}")
     val errs = failed.filterNot(times.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")

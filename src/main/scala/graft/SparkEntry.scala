@@ -28,6 +28,7 @@ object SparkEntry {
     "mr_wc_combining" -> MRApps.wcCombining _,
     "mr_indexer" -> MRApps.indexer _,
     "mr_crash_shape" -> MRApps.crashShape _,
+    "sql_mr_wc" -> MRApps.sqlWordCount _,
     // Relational breadth (SURVEY.md §7.1 step 4)
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
@@ -56,7 +57,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh" -> Dedup.minHashLsh _,
     "dedup_simhash" -> Dedup.simHash _,
+    "dedup_simhash_pairs" -> Dedup.simHashPairs _,
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
+    "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh _,
     // Similarity search (north star)
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
@@ -97,6 +100,9 @@ object SparkEntry {
       s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($wordsSub)
          |WHERE length(word) > 0 GROUP BY word ORDER BY key""".stripMargin,
     "mr_wc_combining" ->
+      s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($wordsSub)
+         |WHERE length(word) > 0 GROUP BY word ORDER BY key""".stripMargin,
+    "sql_mr_wc" ->
       s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($wordsSub)
          |WHERE length(word) > 0 GROUP BY word ORDER BY key""".stripMargin,
     "mr_indexer" ->
@@ -372,22 +378,70 @@ object SparkEntry {
     }.mkString(",\n    ")
     val bitConcat = (0 until Dedup.SimHashBits)
       .map(b => s"CASE WHEN v$b >= 0 THEN '1' ELSE '0' END").mkString(" || ")
-    val simhash =
+    // shared signature CTE: dedup_simhash dumps it, dedup_simhash_pairs
+    // bands + verifies over it
+    val sigCte =
       s"""WITH tok AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
          |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
          |v AS (SELECT doc_id,
          |    $voteCols
-         |  FROM h GROUP BY doc_id)
-         |SELECT doc_id, $bitConcat AS simhash FROM v ORDER BY doc_id""".stripMargin
+         |  FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bitConcat AS simhash FROM v)""".stripMargin
+    val simhash = s"$sigCte\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"
+    val shBands = (0 until Dedup.SimHashBands).map { b =>
+      s"SELECT doc_id, $b AS band, substr(simhash, ${b * Dedup.SimHashBandBits + 1}, ${Dedup.SimHashBandBits}) AS bkey FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val hammingSql =
+      s"len(list_filter(generate_series(1, ${Dedup.SimHashBits}), i -> substr(A.simhash, i, 1) <> substr(B.simhash, i, 1)))"
+    val simhashPairs =
+      s"""$sigCte,
+         |bands AS (
+         |  $shBands),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST($hammingSql AS BIGINT) AS hamming
+         |FROM cand JOIN sig A ON doc_a = A.doc_id JOIN sig B ON doc_b = B.doc_id
+         |WHERE $hammingSql <= ${Dedup.SimHashMaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin
     val nearDup =
       s"""$embNormSql
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a", "b")} AS cosine
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosineSql("a", "b")} >= ${Dedup.CosineDupThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin
+    // hyperplane-LSH twin: the ±1 weights are generated once in Scala
+    // (Dedup.hyperplanes) and inlined as literals on BOTH sides, so the
+    // banding is bit-identical across engines
+    val lshBitCols = (0 until Dedup.HyperplaneBits).map { h =>
+      val wl = Dedup.hyperplanes(h).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip(v, $wl), z -> z[1] * z[2])) >= 0 THEN '1' ELSE '0' END AS b$h"
+    }.mkString(",\n    ")
+    val lshBands = (0 until Dedup.HyperplaneBands).map { b =>
+      val key = (0 until Dedup.HyperplaneRows)
+        .map(r => s"b${b * Dedup.HyperplaneRows + r}").mkString(" || ")
+      s"SELECT vec_id, $b AS band, $key AS bkey FROM bits"
+    }.mkString("\n  UNION ALL ")
+    val nearDupLsh =
+      s"""$embNormSql,
+         |bits AS (SELECT vec_id, v, nrm,
+         |    $lshBitCols
+         |  FROM n),
+         |bands AS (
+         |  $lshBands),
+         |cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, ${cosineSql("a", "b")} AS cosine
+         |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
+         |WHERE ${cosineSql("a", "b")} >= ${Dedup.CosineDupThreshold}
+         |ORDER BY vec_a, vec_b""".stripMargin
     Map("dedup_exact" -> exact, "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
-        "embedding_near_dup" -> nearDup)
+        "dedup_simhash_pairs" -> simhashPairs,
+        "embedding_near_dup" -> nearDup,
+        "embedding_near_dup_lsh" -> nearDupLsh)
   }
 
   private val embNormSql =

@@ -27,18 +27,29 @@ object Dedup {
 
   // Cached intermediates can't be unpersisted inside the builders (the
   // returned DataFrame is lazy — the cache must survive until the
-  // caller's action). Instead each builder retires the PREVIOUS
-  // invocation's caches, bounding storage to one generation in
-  // long-lived sessions (Bench/Verify/test reuse one SparkSession).
+  // caller's action). Contract: BUILD one dedup pipeline, EXECUTE its
+  // action, then call [[retireCaches]] (Bench/Verify do) — or simply
+  // build the next dedup, which retires the previous generation as a
+  // fallback. Building two dedup pipelines before running either, or
+  // running builders concurrently, silently drops the first pipeline's
+  // caches (correct but slow: Spark recomputes).
   private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
   private def cacheTracked(df: DataFrame): DataFrame = liveCaches.synchronized {
     liveCaches += df
     df.cache()
   }
-  private def retirePreviousCaches(): Unit = liveCaches.synchronized {
+
+  /** Unpersist every cache the last dedup builder pinned. Call after the
+    * consuming action completes; otherwise the (SF-sized) exploded
+    * shingle frames stay pinned in storage memory for the rest of the
+    * session and tax every later query (measured 2-4x on the bench tail
+    * in round 2).
+    */
+  def retireCaches(): Unit = liveCaches.synchronized {
     liveCaches.foreach(_.unpersist(false))
     liveCaches.clear()
   }
+  private def retirePreviousCaches(): Unit = retireCaches()
 
   /** Distinct word n-gram shingles of a token array; a doc shorter than
     * n tokens contributes its whole text as one shingle.
@@ -65,9 +76,9 @@ object Dedup {
     import spark.implicits._
     // small single-file inputs arrive as ONE scan partition; fan the
     // CPU-bound kernel out to the cluster (cheap round-robin of ids+text)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    Kernels.fanOut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
@@ -94,28 +105,48 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("fp")
 
-  /** Near-dup pairs by 3-gram Jaccard ≥ 0.3, via the inverted-index
-    * join: explode shingles, self-join on the shingle, count common
-    * shingles per pair, then |A∩B| / (|A|+|B|−|A∩B|). No cross join —
-    * candidate pairs only exist where at least one shingle is shared.
+  /** Near-dup pairs by 3-gram Jaccard ≥ 0.3, via a PREFIX-FILTERED
+    * inverted-index join (PPJoin-style prefix filtering; Xiao, Wang,
+    * Lin & Yu, WWW 2008, Lemma 1): under a global total order on
+    * shingles, J(A,B) ≥ t implies the first |A|−⌈t·|A|⌉+1 shingles of A
+    * and the first |B|−⌈t·|B|⌉+1 of B share at least one element — so
+    * joining on PREFIX shingles only is lossless. The order is
+    * ascending global document-frequency (rarest first, tie-break on
+    * the shingle string), which keeps hot stopword shingles OUT of the
+    * prefixes: the naive join on every shingle occurrence is quadratic
+    * in hot-bucket size (31% of the round-2 bench); prefix candidates
+    * are bounded by rare-bucket sizes. Candidates are then verified
+    * with exact Jaccard over the full shingle sets, so results are
+    * identical to the all-pairs formulation the oracle runs.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     retirePreviousCaches()
-    // cached: feeds both self-join sides plus the per-doc size agg
-    val sh = cacheTracked(docShingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s")))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
+    // cached: feeds the df-agg + prefix build AND the verify join sides
+    val shArr = cacheTracked(docShingles(spark, dir))
+    val ex = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
+    // global shingle document frequency: combiner-friendly, |vocab| rows
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // per-doc prefix under the (df, s) total order; ⌈0.3·n⌉ = (3n+9)/10
+    // in exact integer arithmetic (no float-rounding games)
+    val n = size(col("sorted"))
+    val prefixLen = (n - floor((n * 3 + 9) / 10) + 1).cast("int")
+    val prefix = ex.join(dfreq, "s")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sorted"))
+      .select(col("doc_id"), explode(slice(col("sorted"), lit(1), prefixLen)).as("ps"))
+      .select(col("doc_id"), col("ps.s").as("s"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("A.sh"), col("B.sh"))).cast("double")
+    cand
+      .join(shArr.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(shArr.as("B"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double")
-                / (col("sa.n") + col("sb.n") - col("common")), 6).as("jaccard"))
+        round(inter / (size(col("A.sh")) + size(col("B.sh")) - inter), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
@@ -185,9 +216,9 @@ object Dedup {
     */
   def simHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism) // see docShingles
+    Kernels.fanOut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))) // see docShingles
       .as[(Long, String)]
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
@@ -228,11 +259,11 @@ object Dedup {
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    // repartition: the single-file scan would otherwise leave the whole
+    // fan-out: the single-file scan would otherwise leave the whole
     // O(n^2) nested-loop join on one task
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val emb = Kernels.fanOut(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -241,5 +272,120 @@ object Dedup {
           .as("cosine"))
       .filter(col("cosine") >= CosineDupThreshold)
       .orderBy("vec_a", "vec_b")
+  }
+
+  val HyperplaneBits = 16
+  val HyperplaneBands = 4
+  val HyperplaneRows: Int = HyperplaneBits / HyperplaneBands // 4
+  val EmbeddingDim = 64
+
+  /** ±1 hyperplane weights for sign-random-projection LSH (Charikar,
+    * STOC 2002: P[sign match] = 1 − θ/π). Derived from md5 of "h:d" so
+    * they are deterministic and engine-independent; they are inlined as
+    * LITERAL constants into both the Spark plan and the DuckDB oracle
+    * SQL, so both engines band identically.
+    */
+  lazy val hyperplanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(HyperplaneBits, EmbeddingDim) { (h, d) =>
+      if ((md.digest(s"$h:$d".getBytes("UTF-8"))(0) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Bucketed embedding near-dup: random-hyperplane LSH + exact cosine
+    * verify — the scale path that replaces [[embeddingNearDup]]'s
+    * all-pairs nested-loop join (kept as the small-scale verifier, the
+    * same relationship [[ngramJaccard]] has to [[minHashLsh]]).
+    *
+    * Signature bit h = sign(v · w_h) with fixed ±1 hyperplanes; the 16
+    * bits form 4 bands of 4; only vectors agreeing on a full band become
+    * candidates, then exact cosine ≥ 0.4 filters. At 100 TB: signatures
+    * are a map-only pass over the corpus (the codegen'd `graft_dot`
+    * against constant arrays), the join touches only band-bucket
+    * collisions, and no pair of non-colliding vectors is ever
+    * materialized. Recall is the SRP-LSH curve (θ(0.4) ≈ 66°, per-bit
+    * agreement ≈ 0.63, pair recall 1−(1−0.63⁴)⁴ ≈ 0.50 at the
+    * threshold, higher for closer pairs); the oracle replicates the
+    * banding bit-for-bit so the gate checks the LSH contract, not
+    * exhaustive recall — that is [[embeddingNearDup]]'s job.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    retirePreviousCaches()
+    // cached: feeds the band build and both verify join sides
+    val emb = cacheTracked(
+      Kernels.fanOut(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .withColumn("norm", sqrt(dot(spark, col("v"), col("v")))))
+    val bitCols = hyperplanes.map { w =>
+      when(dot(spark, col("v"), array(w.map(lit(_)): _*)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    val bandStructs = (0 until HyperplaneBands).map { b =>
+      struct(lit(b).as("band"),
+        concat((0 until HyperplaneRows).map(r => bitCols(HyperplaneRows * b + r)): _*)
+          .as("bkey"))
+    }
+    val bands = cacheTracked(emb
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(emb.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(spark, col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= CosineDupThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val SimHashBands = 8
+  val SimHashBandBits: Int = SimHashBits / SimHashBands // 8
+  /** Pigeonhole: ≤ 7 differing bits spread over 8 bands leave at least
+    * one band identical — band-collision candidates are LOSSLESS up to
+    * this Hamming radius.
+    */
+  val SimHashMaxHamming: Int = SimHashBands - 1
+
+  /** SimHash near-dup pairs, completing [[simHash]] (a fingerprinter)
+    * into a dedup: band the 64-bit signature into 8×8-bit keys, join on
+    * band equality, verify with exact Hamming distance ≤ 7. The band
+    * join is exhaustive for the radius (pigeonhole above), so unlike the
+    * LSH operators this one is EXACT over the signature space — the
+    * approximation lives entirely in simhash itself. At scale: the
+    * signature pass is map-only; each band key partitions the corpus
+    * into 2⁸ buckets per band, and only bucket collisions join.
+    */
+  def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    retirePreviousCaches()
+    val sigs = cacheTracked(simHash(spark, dir)) // feeds bands + both verify sides
+    val bandStructs = (0 until SimHashBands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * SimHashBandBits + 1, SimHashBandBits).as("bkey"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands.as("x")
+      .join(bands.as("y"), Seq("band", "bkey"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val hamming = size(filter(
+      zip_with(split(col("A.simhash"), ""), split(col("B.simhash"), ""),
+        (x, y) => x =!= y),
+      b => b)).cast("long")
+    cand
+      .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
+      .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 }

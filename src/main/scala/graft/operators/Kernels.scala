@@ -1,0 +1,19 @@
+package graft.operators
+
+import org.apache.spark.sql.Dataset
+
+/** Shared helpers for the typed per-partition kernels. */
+private[graft] object Kernels {
+
+  /** Fan a narrow input out to cluster parallelism — but ONLY when the
+    * scan arrived under-partitioned (the local testdata is one parquet
+    * file per table, which Spark reads as a single split at small SF).
+    * At 100 TB the scan already yields thousands of splits and an
+    * unconditional `repartition` would insert a gratuitous full shuffle
+    * of the corpus before map-only work; this no-ops there.
+    */
+  def fanOut[T](ds: Dataset[T]): Dataset[T] = {
+    val p = ds.sparkSession.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
+  }
+}

@@ -91,9 +91,9 @@ object MapReduce {
   def documentsAsInput(spark: SparkSession, dir: String): Dataset[(String, String)] = {
     implicit val tupEnc: Encoder[(String, String)] =
       Encoders.tuple(Encoders.STRING, Encoders.STRING)
-    Tables.documents(spark, dir)
-      .select(col("doc_id").cast("string"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism) // one split per map task, not one file
+    Kernels.fanOut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").cast("string"), col("text"))) // one split per map task, not one file
       .as[(String, String)]
   }
 }
@@ -145,6 +145,33 @@ object MRApps {
       reducef = (_, values) =>
         s"${values.length} ${values.sorted.mkString(",")}")
     out.toDF("key", "value").orderBy("key")
+  }
+
+  /** Late-binding user-logic surface — the reference's headline feature
+    * is loading `Map`/`Reduce` symbols from a user plugin at runtime
+    * (`main/mrworker.go:36-55`, `main/mrsequential.go:93-110`). The
+    * Spark-native analogue: user functions REGISTERED into the SQL
+    * session at runtime via `spark.udf.register` — mapf as a UDF
+    * returning `array<struct<key,value>>` exploded with LATERAL VIEW,
+    * reducef as a UDF over the grouped value list — so a `spark.sql`
+    * user runs a custom map/reduce WITHOUT recompiling the engine (the
+    * registered functions can come from any jar on the session
+    * classpath, the moral equivalent of the reference's `.so` plugin).
+    */
+  def sqlWordCount(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_mapf_wc",
+      (name: String, contents: String) =>
+        contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
+          .map(w => KeyValue(w, "1")).toSeq)
+    spark.udf.register("graft_reducef_count",
+      (values: Seq[String]) => values.length.toString)
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast("string").as("name"), col("text").as("contents"))
+      .createOrReplaceTempView("mr_input")
+    spark.sql(
+      """SELECT kv.key AS key, graft_reducef_count(collect_list(kv.value)) AS value
+        |FROM mr_input LATERAL VIEW explode(graft_mapf_wc(name, contents)) t AS kv
+        |GROUP BY kv.key ORDER BY key""".stripMargin)
   }
 
   /** The crash/nocrash app's aggregation shape (`mrapps/nocrash.go`):

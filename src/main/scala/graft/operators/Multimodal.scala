@@ -59,9 +59,9 @@ object Multimodal {
     */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc: Encoder[MediaMeta] = Encoders.product[MediaMeta]
-    ingestBinary(spark, dir)
-      .select("doc_id", "payload")
-      .repartition(spark.sparkContext.defaultParallelism) // single-file scan -> fan out decode
+    Kernels.fanOut(
+      ingestBinary(spark, dir)
+        .select("doc_id", "payload")) // single-file scan -> fan out decode
       .mapPartitions { rows: Iterator[Row] =>
         rows.map(r => decodeStub(r.getLong(0), r.getAs[Array[Byte]](1)))
       }

@@ -48,8 +48,12 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3 shape: shipping priority. customer is tiny → broadcast;
-    * orders⋈lineitem is the real shuffle, on the join key.
+  /** TPC-H Q3 shape: shipping priority. customer is a true dimension →
+    * broadcast hint; orders is a FACT table and carries no hint —
+    * orders⋈lineitem shuffles on the join key (at 100 TB a forced
+    * broadcast of orders would collect the build side on the driver and
+    * die; at small SF, AQE/stats may still choose broadcast, which is
+    * exactly the adaptivity we want).
     */
   def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
@@ -62,7 +66,7 @@ object Relational {
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val revenue = dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(dsum(revenue).as("revenue"))
@@ -71,9 +75,10 @@ object Relational {
   }
 
   /** TPC-H Q5 shape: revenue by nation for one region/year. The four
-    * dimension tables are broadcast; only the orders⋈lineitem join
-    * shuffles. At scale: dims stay in executor memory, fact tables
-    * co-partition on orderkey.
+    * dimension tables (supplier/customer/nation/region) are broadcast;
+    * orders is a fact table and carries NO hint — orders⋈lineitem
+    * shuffles, co-partitioned on orderkey. At scale: dims stay in
+    * executor memory, facts never transit the driver.
     */
   def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
@@ -85,7 +90,7 @@ object Relational {
               col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
     val revenue = dec(col("l_extendedprice")) * (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
-    li.join(broadcast(ord.select("o_orderkey", "o_custkey")), col("l_orderkey") === col("o_orderkey"))
+    li.join(ord.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(supp.select("s_suppkey", "s_nationkey")), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(cust.select("c_custkey", "c_nationkey")),
             col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))

@@ -29,8 +29,8 @@ object Similarity {
   import graft.functions.VectorFunctions.dot
 
   private def withNorm(spark: SparkSession, df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .repartition(spark.sparkContext.defaultParallelism) // single-file scan -> parallel stream side
+    Kernels.fanOut(
+      df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))) // single-file scan -> parallel stream side
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
 
   private def cosine(spark: SparkSession): Column =
@@ -66,11 +66,11 @@ object Similarity {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     // assign the cell from the original float vector, carry the double view
-    val base = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-              cell(col("embedding")).as("cell"),
-              col("embedding").cast("array<double>").as("v"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val base = Kernels.fanOut(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+                  cell(col("embedding")).as("cell"),
+                  col("embedding").cast("array<double>").as("v")))
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     val probes = base.filter(col("vec_id") < NumProbes)
     broadcast(probes).as("p")

@@ -166,23 +166,59 @@ object TextAnalysis {
     import spark.implicits._
     val k = WinnowK
     val w = WinnowW
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .repartition(spark.sparkContext.defaultParallelism) // single-file scan -> fan out the kernel
+    Kernels.fanOut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))) // single-file scan -> fan out the kernel
       .as[(Long, String)]
       .mapPartitions { it =>
+        // One md5 per character position is the irreducible cost (the
+        // oracle's hash family); everything else is kept allocation-free:
+        // the text is UTF-8-encoded ONCE and digested in place (chars ==
+        // bytes on the ASCII fast path), hex comes from a lookup table
+        // (not "%02x".format), and the w-window min is an index loop,
+        // not a per-window slice.
         val md = java.security.MessageDigest.getInstance("MD5")
-        def h8(s: String): String =
-          md.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val hex = "0123456789abcdef".toCharArray
+        val ws = java.util.regex.Pattern.compile("\\s+")
         it.flatMap { case (id, text) =>
-          val t = text.toLowerCase(java.util.Locale.ROOT)
-            .replaceAll("\\s+", " ").trim
+          val t = ws.matcher(text.toLowerCase(java.util.Locale.ROOT))
+            .replaceAll(" ").trim
+          val bytes = t.getBytes("UTF-8")
+          val ascii = bytes.length == t.length
           val npos = math.max(t.length - (k - 1), 1)
-          val hs = Array.tabulate(npos)(i => h8(t.substring(i, math.min(i + k, t.length))))
-          val fps =
-            if (npos < w) Set(hs.min)
-            else (w to npos).map(i => hs.slice(i - w, i).min).toSet
-          fps.toSeq.sorted.map(fp => (id, fp))
+          val hs = new Array[String](npos)
+          var i = 0
+          while (i < npos) {
+            val end = math.min(i + k, t.length)
+            val d =
+              if (ascii) { md.update(bytes, i, end - i); md.digest() }
+              else md.digest(t.substring(i, end).getBytes("UTF-8"))
+            val cs = new Array[Char](8)
+            var j = 0
+            while (j < 4) {
+              cs(2 * j) = hex((d(j) >> 4) & 0xf)
+              cs(2 * j + 1) = hex(d(j) & 0xf)
+              j += 1
+            }
+            hs(i) = new String(cs)
+            i += 1
+          }
+          val fps = new java.util.TreeSet[String]()
+          if (npos < w) {
+            var m = hs(0); var x = 1
+            while (x < npos) { if (hs(x) < m) m = hs(x); x += 1 }
+            fps.add(m)
+          } else {
+            var x = w - 1
+            while (x < npos) {
+              var m = hs(x - w + 1); var y = x - w + 2
+              while (y <= x) { if (hs(y) < m) m = hs(y); y += 1 }
+              fps.add(m)
+              x += 1
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          fps.iterator().asScala.map(fp => (id, fp))
         }
       }
       .toDF("doc_id", "fp")

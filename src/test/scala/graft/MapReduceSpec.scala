@@ -82,6 +82,31 @@ class MapReduceSpec extends AnyFunSuite {
     }
   }
 
+  test("crash app: mapf crashing on first attempt still equals the nocrash oracle") {
+    // The reference's hardest guarantee (main/test-mr.sh:155-203,
+    // mrapps/crash.go:20-32): correct output under worker crashes.
+    // Every map task here throws on its FIRST attempt; Spark's task
+    // retry (maxFailures=2 in the test master) re-executes it, and the
+    // output must equal the crash-free run bit-for-bit.
+    val input = Seq(
+      "d0" -> "the quick brown fox the fox",
+      "d1" -> "jumps over the lazy dog",
+      "d2" -> "fox fox fox")
+    // self-contained lambda: referencing the wcMapf FIELD would capture
+    // the (non-serializable) suite instance in the task closure
+    val crashingMapf = (name: String, contents: String) => {
+      if (org.apache.spark.TaskContext.get.attemptNumber == 0)
+        throw new RuntimeException("injected crash (mrapps/crash.go analogue)")
+      contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
+        .map(w => KeyValue(w, "1")).toSeq
+    }
+    val expected = sequentialModel(input, wcMapf, wcReducef)
+    val got = MapReduce.run(
+        spark.createDataset(input).repartition(3), crashingMapf, wcReducef)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(got === expected)
+  }
+
   test("MRApps over testdata produce stable shapes") {
     val wc = MRApps.wc(spark, SparkTestSession.Sf).collect()
     assert(wc.nonEmpty && wc.forall(_.getAs[String]("value").toInt > 0))

@@ -71,14 +71,25 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("map parallelism probe (mtiming analogue)") {
-    // the reference asserts >=2 concurrent map workers
-    // (main/test-mr.sh:102-129); in Spark that's scheduler parallelism
+    // the reference asserts wall-clock OVERLAP of concurrent map workers
+    // (mrapps/mtiming.go:19-62, main/test-mr.sh:102-129) — not just
+    // thread fan-out, which a sequential scheduler could also show.
+    // Each task sleeps 300ms and reports its [start, end] interval; at
+    // least one pair of intervals must overlap.
     assert(spark.sparkContext.defaultParallelism >= 2)
     import spark.implicits._
-    val pids = spark.range(0, 8, 1, numPartitions = 4)
-      .mapPartitions(it => Iterator.single(Thread.currentThread().getId))
+    val intervals = spark.range(0, 4, 1, numPartitions = 4)
+      .mapPartitions { _ =>
+        val s = System.nanoTime()
+        Thread.sleep(300)
+        Iterator.single((s, System.nanoTime()))
+      }
       .collect()
-    assert(pids.distinct.length >= 2, "tasks ran on >=2 executor threads")
+    assert(intervals.length == 4)
+    val overlapping = intervals.combinations(2).exists {
+      case Array((s1, e1), (s2, e2)) => s1 < e2 && s2 < e1
+    }
+    assert(overlapping, s"no two map tasks overlapped in wall-clock: ${intervals.toSeq}")
   }
 
   test("reduce parallelism probe (rtiming analogue)") {

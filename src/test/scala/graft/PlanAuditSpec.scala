@@ -26,11 +26,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
-  test("q5: all four dimension joins broadcast; no shuffle of dims") {
-    val p = plan(Relational.q5LocalSupplier(spark, sf))
-    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length +
-      "BroadcastExchange".r.findAllIn(p).length
-    assert(broadcasts >= 4, s"expected broadcast dims, got plan:\n${p.take(800)}")
+  test("q5: dims broadcast via hints, orders is NOT broadcast (fact join shuffles)") {
+    // Disable stats-based auto-broadcast so the plan shows only what the
+    // CODE asks for: at sf0.001 everything is tiny and Spark would
+    // legitimately broadcast orders on stats — but a *forced* broadcast
+    // of a fact table is the 100 TB scale killer this test guards
+    // against. With the threshold off, hinted dims must still broadcast
+    // and orders⋈lineitem must be a shuffle join.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // FormattedMode prints each node twice (tree + details); counting
+      // "BroadcastExchange (" matches the tree form only
+      val treeBx = """BroadcastExchange \(""".r
+      val p = plan(Relational.q5LocalSupplier(spark, sf))
+      val broadcasts = treeBx.findAllIn(p).length
+      assert(broadcasts == 4, s"exactly the 4 hinted dims broadcast, got $broadcasts:\n${p.take(800)}")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "orders joins lineitem via shuffle, not broadcast")
+      val p3 = plan(Relational.q3ShippingPriority(spark, sf))
+      assert(treeBx.findAllIn(p3).length == 1,
+        "q3: only the customer semi-join side is hinted broadcast")
+      assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"),
+        "q3: orders joins lineitem via shuffle")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("top_orders plans as TakeOrderedAndProject (no global sort)") {
@@ -55,6 +73,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Events.jsonExtract(spark, sf))
     assert(p.contains("event_id") && p.contains("props"))
     assert(!p.contains("user_id"), "unused events columns must be pruned")
+  }
+
+  test("bucketed dedup operators plan equi-joins, never a cartesian") {
+    // the LSH/banded candidate joins are the whole point vs. O(n^2):
+    // any CartesianProduct / nested-loop in these plans is a scale bug
+    for ((name, df) <- Seq(
+        "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh(spark, sf),
+        "dedup_simhash_pairs" -> Dedup.simHashPairs(spark, sf),
+        "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
+        "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must not plan an all-pairs join:\n${p.take(600)}")
+    }
+    Dedup.retireCaches()
   }
 
   test("anti join stays a join, not a driver-side collect") {

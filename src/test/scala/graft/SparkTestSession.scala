@@ -7,8 +7,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // local[4,2]: 4 threads, maxFailures=2 — task retry must be ON so the
+    // crash-injection spec (MapReduceSpec) can exercise re-execution the
+    // way the reference's crash test does; retries are inert elsewhere.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
