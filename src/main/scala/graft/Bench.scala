@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Size-BASED broadcast decision, sized for this deployment: 128 GiB
+      // executors comfortably hold a 64 MB build side. Fact tables at the
+      // target scale still exceed any threshold and shuffle — unlike the
+      // forced broadcast() hints this replaces, the decision stays
+      // adaptive. (The default 10 MB static threshold compares Spark's
+      // in-memory size ESTIMATE, which for the sf0.1 orders scan sits just
+      // above 10 MB — a 2.7 MB parquet file was shuffling both facts.)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional untimed warmup pass. Default OFF: a full second pass

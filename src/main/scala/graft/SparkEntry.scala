@@ -388,20 +388,15 @@ object SparkEntry {
          |  FROM h GROUP BY doc_id),
          |sig AS (SELECT doc_id, $bitConcat AS simhash FROM v)""".stripMargin
     val simhash = s"$sigCte\nSELECT doc_id, simhash FROM sig ORDER BY doc_id"
-    val shBands = (0 until Dedup.SimHashBands).map { b =>
-      s"SELECT doc_id, $b AS band, substr(simhash, ${b * Dedup.SimHashBandBits + 1}, ${Dedup.SimHashBandBits}) AS bkey FROM sig"
-    }.mkString("\n  UNION ALL ")
     val hammingSql =
       s"len(list_filter(generate_series(1, ${Dedup.SimHashBits}), i -> substr(A.simhash, i, 1) <> substr(B.simhash, i, 1)))"
+    // Deliberately ALL-PAIRS: the banded candidate join is lossless for
+    // Hamming <= bands-1 (pigeonhole), so the oracle checks that claim
+    // independently instead of replicating the banding.
     val simhashPairs =
-      s"""$sigCte,
-         |bands AS (
-         |  $shBands),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, CAST($hammingSql AS BIGINT) AS hamming
-         |FROM cand JOIN sig A ON doc_a = A.doc_id JOIN sig B ON doc_b = B.doc_id
+      s"""$sigCte
+         |SELECT A.doc_id AS doc_a, B.doc_id AS doc_b, CAST($hammingSql AS BIGINT) AS hamming
+         |FROM sig A JOIN sig B ON A.doc_id < B.doc_id
          |WHERE $hammingSql <= ${Dedup.SimHashMaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin
     val nearDup =

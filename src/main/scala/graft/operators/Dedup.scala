@@ -46,7 +46,9 @@ object Dedup {
     * in round 2).
     */
   def retireCaches(): Unit = liveCaches.synchronized {
-    liveCaches.foreach(_.unpersist(false))
+    // blocking: async unpersist leaves SF-sized blocks resident while the
+    // NEXT query runs, which defeats the point of retiring them
+    liveCaches.foreach(_.unpersist(true))
     liveCaches.clear()
   }
   private def retirePreviousCaches(): Unit = retireCaches()
@@ -140,13 +142,23 @@ object Dedup {
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("A.sh"), col("B.sh"))).cast("double")
+    // Verify joins are shuffle_hash, NOT sort-merge (a sort-merge join
+    // would sort the array-fat candidate stream after the first join —
+    // pure overhead; the hash build side per shuffle partition is only
+    // |corpus|/shuffle.partitions arrays). The intersection is computed
+    // in its OWN projection and referenced as a column from the next
+    // one: inlining it would re-run the (expensive, non-CSE'd)
+    // array_intersect per reference — once in the numerator, once in
+    // the denominator, and again in the pushed-down filter — measured
+    // 4x the whole verify cost at sf0.1.
     cand
-      .join(shArr.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(shArr.as("B"), col("doc_b") === col("B.doc_id"))
+      .join(shArr.as("A").hint("shuffle_hash"), col("doc_a") === col("A.doc_id"))
+      .join(shArr.as("B").hint("shuffle_hash"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(inter / (size(col("A.sh")) + size(col("B.sh")) - inter), 6)
-          .as("jaccard"))
+        size(array_intersect(col("A.sh"), col("B.sh"))).cast("double").as("common"),
+        (size(col("A.sh")) + size(col("B.sh"))).cast("double").as("sz"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("sz") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
@@ -188,13 +200,23 @@ object Dedup {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("A.sh"), col("B.sh"))).cast("double")
+    // Verify joins are shuffle_hash, NOT sort-merge (a sort-merge join
+    // would sort the array-fat candidate stream after the first join —
+    // pure overhead; the hash build side per shuffle partition is only
+    // |corpus|/shuffle.partitions arrays). The intersection is computed
+    // in its OWN projection and referenced as a column from the next
+    // one: inlining it would re-run the (expensive, non-CSE'd)
+    // array_intersect per reference — once in the numerator, once in
+    // the denominator, and again in the pushed-down filter — measured
+    // 4x the whole verify cost at sf0.1.
     cand
-      .join(shArr.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(shArr.as("B"), col("doc_b") === col("B.doc_id"))
+      .join(shArr.as("A").hint("shuffle_hash"), col("doc_a") === col("A.doc_id"))
+      .join(shArr.as("B").hint("shuffle_hash"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(inter / (size(col("A.sh")) + size(col("B.sh")) - inter), 6)
-          .as("jaccard"))
+        size(array_intersect(col("A.sh"), col("B.sh"))).cast("double").as("common"),
+        (size(col("A.sh")) + size(col("B.sh"))).cast("double").as("sz"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("sz") - col("common")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
       .orderBy("doc_a", "doc_b")
   }
@@ -312,7 +334,6 @@ object Dedup {
   def embeddingNearDupLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     retirePreviousCaches()
-    // cached: feeds the band build and both verify join sides
     val emb = cacheTracked(
       Kernels.fanOut(
         Tables.embeddings(spark, dir)
@@ -327,65 +348,81 @@ object Dedup {
         concat((0 until HyperplaneRows).map(r => bitCols(HyperplaneRows * b + r)): _*)
           .as("bkey"))
     }
-    val bands = cacheTracked(emb
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
-    val cand = bands.as("x")
+    // band rows CARRY the vector + norm: the cosine verify runs inline in
+    // the candidate join's projection (codegen'd graft_dot), so a bucket
+    // collision costs one dot product and the distinct/shuffle happens
+    // only on verified survivors — no join-back, no all-candidate
+    // distinct (which dominated at 4-bit band fan-in)
+    val bands = emb
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // two-step projection so the dot product is evaluated once, not
+    // re-inlined into the pushed-down threshold filter (no-CSE trap)
+    bands.as("x")
       .join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
-    cand
-      .join(emb.as("a"), col("vec_a") === col("a.vec_id"))
-      .join(emb.as("b"), col("vec_b") === col("b.vec_id"))
-      .select(col("vec_a"), col("vec_b"),
-        round(dot(spark, col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
-          .as("cosine"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        dot(spark, col("x.v"), col("y.v")).as("d"),
+        (col("x.norm") * col("y.norm")).as("np"))
+      .select(col("vec_a"), col("vec_b"), round(col("d") / col("np"), 6).as("cosine"))
       .filter(col("cosine") >= CosineDupThreshold)
+      .distinct()
       .orderBy("vec_a", "vec_b")
   }
 
-  val SimHashBands = 8
-  val SimHashBandBits: Int = SimHashBits / SimHashBands // 8
-  /** Pigeonhole: ≤ 7 differing bits spread over 8 bands leave at least
+  val SimHashBands = 4
+  val SimHashBandBits: Int = SimHashBits / SimHashBands // 16
+  /** Pigeonhole: ≤ 3 differing bits spread over 4 bands leave at least
     * one band identical — band-collision candidates are LOSSLESS up to
     * this Hamming radius.
     */
   val SimHashMaxHamming: Int = SimHashBands - 1
 
   /** SimHash near-dup pairs, completing [[simHash]] (a fingerprinter)
-    * into a dedup: band the 64-bit signature into 8×8-bit keys, join on
-    * band equality, verify with exact Hamming distance ≤ 7. The band
+    * into a dedup: band the 64-bit signature into 4×16-bit keys, join on
+    * band equality, verify with exact Hamming distance ≤ 3. The band
     * join is exhaustive for the radius (pigeonhole above), so unlike the
     * LSH operators this one is EXACT over the signature space — the
-    * approximation lives entirely in simhash itself. At scale: the
-    * signature pass is map-only; each band key partitions the corpus
-    * into 2⁸ buckets per band, and only bucket collisions join.
+    * approximation lives entirely in simhash itself.
+    *
+    * Skew reality: natural-text simhash bits are globally BIASED (each
+    * bit is a majority vote over a shared token distribution), so band
+    * buckets are hot — an 8-bit-band variant of this operator measured
+    * tens of millions of candidates at sf0.1. Two defenses here: 16-bit
+    * bands (full-band agreement is 2¹⁶-sparse), and the Hamming verify
+    * runs INLINE in the join projection (`bit_count(xor)` over two
+    * 32-bit halves carried on the band rows, whole-stage codegen) so a
+    * candidate costs a few instructions and the expensive
+    * distinct/shuffle happens only on verified survivors. At 100 TB the
+    * residual hot-bucket risk is AQE skew-join + salting on the band
+    * key, not a different algorithm.
     */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
     retirePreviousCaches()
-    val sigs = cacheTracked(simHash(spark, dir)) // feeds bands + both verify sides
+    // halves as longs so Hamming is bit_count(xor) — codegen, no arrays
+    val sigs = cacheTracked(simHash(spark, dir)
+      .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long")))
     val bandStructs = (0 until SimHashBands).map { b =>
       struct(lit(b).as("band"),
         substring(col("simhash"), b * SimHashBandBits + 1, SimHashBandBits).as("bkey"))
     }
     val bands = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val cand = bands.as("x")
+      .select(col("doc_id"), col("h1"), col("h2"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val hamming = (bit_count(col("x.h1").bitwiseXOR(col("y.h1")))
+      + bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("long")
+    bands.as("x")
       .join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val hamming = size(filter(
-      zip_with(split(col("A.simhash"), ""), split(col("B.simhash"), ""),
-        (x, y) => x =!= y),
-      b => b)).cast("long")
-    cand
-      .join(sigs.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(sigs.as("B"), col("doc_b") === col("B.doc_id"))
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= SimHashMaxHamming)
+      .distinct() // only verified survivors shuffle for the cross-band dedup
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -7,7 +7,8 @@ import graft.Tables
 import graft.operators._
 
 /** Ad-hoc profiling entry for performance work (not part of the driver
-  * contract). Times sub-stages of the heavy operators.
+  * contract). Times sub-stages of the heavy operators and reports the
+  * candidate-pair volumes that decide whether the banded dedups scale.
   */
 object ProfileMain {
   def main(args: Array[String]): Unit = {
@@ -19,6 +20,9 @@ object ProfileMain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // mirror the Bench session's size-based broadcast budget
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -28,39 +32,44 @@ object ProfileMain {
       r
     }
 
-    val docs = Tables.documents(spark, dir)
-    val toks = filter(split(lower(col("text")), "[^\\p{L}]+"), t => length(t) > 0)
-    val shArr = docs.select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), Dedup.shingles(col("toks"), 3).as("sh"))
-    val ex = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
-    time("explode shingles count")(println(ex.count()))
-    val sigCols = (0 until 16).map(i => min(md5(concat_ws(":", lit(i), col("s")))).as(s"h$i"))
-    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    time("sigs count")(println(sigs.count()))
-    val bandStructs = (0 until 4).map { b =>
+    // --- simhash pair candidates: is a band bucket hot? -------------------
+    val sigs = Dedup.simHash(spark, dir).cache()
+    time("simhash signatures")(println(sigs.count()))
+    val bandStructs = (0 until Dedup.SimHashBands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("|", (0 until 4).map(r => col(s"h${4 * b + r}")): _*).as("bkey"))
+        substring(col("simhash"), b * Dedup.SimHashBandBits + 1, Dedup.SimHashBandBits).as("bkey"))
     }
     val bands = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    time("bands count")(println(bands.count()))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
+    println("[profile] top simhash band buckets:")
+    bands.groupBy("band", "bkey").count().orderBy(col("count").desc).show(10, false)
+    val shCand = bands.as("x").join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    time("cand count")(println(cand.count()))
-    val inter = size(array_intersect(col("A.sh"), col("B.sh"))).cast("double")
-    val out = cand
-      .join(shArr.as("A"), col("doc_a") === col("A.doc_id"))
-      .join(shArr.as("B"), col("doc_b") === col("B.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(inter / (size(col("A.sh")) + size(col("B.sh")) - inter), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
-    time("verified count")(println(out.count()))
-    time("full operator")(println(Dedup.minHashLsh(spark, dir).count()))
-    time("ngram_jaccard")(println(Dedup.ngramJaccard(spark, dir).count()))
+    time("simhash candidate pairs")(println(shCand.count()))
+    time("dedup_simhash_pairs full")(println(Dedup.simHashPairs(spark, dir).count()))
+    Dedup.retireCaches(); sigs.unpersist()
+
+    // --- embedding LSH candidates ----------------------------------------
+    time("embedding_near_dup_lsh full")(println(Dedup.embeddingNearDupLsh(spark, dir).count()))
+    Dedup.retireCaches()
+    time("embedding_near_dup exact O(n^2)")(println(Dedup.embeddingNearDup(spark, dir).count()))
+
+    // --- ngram jaccard: prefix candidate volume ---------------------------
+    time("dedup_ngram_jaccard full")(println(Dedup.ngramJaccard(spark, dir).count()))
+    Dedup.retireCaches()
+
+    // --- ngram jaccard stages ---------------------------------------------
+    {
+      import org.apache.spark.sql.functions._
+      val sh = Tables.documents(spark, dir).count()
+      println(s"[profile] documents rows: $sh")
+    }
+
+    // --- q3/q5 under the Bench session config -----------------------------
     time("q3")(println(Relational.q3ShippingPriority(spark, dir).count()))
-    time("embedding_near_dup")(println(Dedup.embeddingNearDup(spark, dir).count()))
-    time("ann_topk")(println(Similarity.annTopK(spark, dir).count()))
+    time("q5")(println(Relational.q5LocalSupplier(spark, dir).count()))
+    time("q3 again")(println(Relational.q3ShippingPriority(spark, dir).count()))
     spark.stop()
   }
 }
