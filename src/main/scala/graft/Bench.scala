@@ -58,6 +58,12 @@ object Bench {
         // dedup builders pin SF-sized caches that must not outlive their
         // query's action — leaking them taxed the whole bench tail 2-4x
         graft.operators.Dedup.retireCaches()
+        // ContextCleaner only reaps dead broadcast/shuffle state on
+        // driver GC, and a 32 GB heap may never GC in a whole run; the
+        // accumulated dead blocks squeeze execution memory and measured
+        // up to 8x on late-session queries. Runs outside the timed
+        // window.
+        System.gc()
       }
     }
     // Queries that never succeeded appear ONLY in "errors" — a sentinel

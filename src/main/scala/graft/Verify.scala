@@ -28,7 +28,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally graft.operators.Dedup.retireCaches() // see Bench
+      } finally {
+        graft.operators.Dedup.retireCaches() // see Bench
+        System.gc() // let ContextCleaner reap dead broadcast/shuffle state
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

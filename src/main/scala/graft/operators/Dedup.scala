@@ -97,6 +97,38 @@ object Dedup {
       .toDF("doc_id", "sh")
   }
 
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs
+    * against the full shingle sets, shared by [[ngramJaccard]] and
+    * [[minHashLsh]]. Tuned for the candidate-heavy shape:
+    *
+    *  - joins are shuffle_hash, NOT sort-merge — a sort-merge join would
+    *    sort the candidate stream carrying full shingle arrays after the
+    *    first join (pure overhead; the hash build side per partition is
+    *    |corpus|/shuffle.partitions rows);
+    *  - the intersection runs over 64-bit xxhash64 shingle hashes, not
+    *    strings — the threshold predicate gets pushed into the join
+    *    condition where Catalyst re-inlines (no CSE) the intersection
+    *    per reference, so each candidate pays for it 2-3×; hashing makes
+    *    each evaluation ~10× cheaper (8-byte compares, no UTF8String
+    *    hashing). Distinct-shingle hash collisions would perturb a
+    *    count by 1 with probability ~|vocab|²/2⁶⁵ (≈1e-11 at sf0.1) —
+    *    negligible, and the DuckDB oracle cross-checks every run.
+    */
+  private def verifyJaccard(shArr: DataFrame, cand: DataFrame): DataFrame = {
+    val hashed = shArr.select(col("doc_id"),
+      transform(col("sh"), s => xxhash64(s)).as("shh"),
+      size(col("sh")).as("nsh"))
+    cand
+      .join(hashed.as("A").hint("shuffle_hash"), col("doc_a") === col("A.doc_id"))
+      .join(hashed.as("B").hint("shuffle_hash"), col("doc_b") === col("B.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("A.shh"), col("B.shh"))).cast("double").as("common"),
+        (col("A.nsh") + col("B.nsh")).cast("double").as("sz"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common") / (col("sz") - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3) // callers order (and dedup) the result
+  }
+
   /** Exact dedup: group by content fingerprint, keep the smallest
     * doc_id. The canonical first pass of any dedup pipeline: one
     * shuffle on the hash, combiner-friendly.
@@ -132,34 +164,21 @@ object Dedup {
     // in exact integer arithmetic (no float-rounding games)
     val n = size(col("sorted"))
     val prefixLen = (n - floor((n * 3 + 9) / 10) + 1).cast("int")
-    val prefix = ex.join(dfreq, "s")
+    // cached: the self-join's two sides carry distinct attribute ids, so
+    // without a cache each side re-runs the explode+df-join+sort pipeline
+    val prefix = cacheTracked(ex.join(dfreq, "s")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sorted"))
       .select(col("doc_id"), explode(slice(col("sorted"), lit(1), prefixLen)).as("ps"))
-      .select(col("doc_id"), col("ps.s").as("s"))
+      .select(col("doc_id"), col("ps.s").as("s")))
+    // NO distinct before verify: candidates duplicated across shared
+    // prefix shingles re-verify (cheap, hashed) and the distinct runs on
+    // the few hundred verified rows instead of shuffling every candidate
     val cand = prefix.as("a")
       .join(prefix.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // Verify joins are shuffle_hash, NOT sort-merge (a sort-merge join
-    // would sort the array-fat candidate stream after the first join —
-    // pure overhead; the hash build side per shuffle partition is only
-    // |corpus|/shuffle.partitions arrays). The intersection is computed
-    // in its OWN projection and referenced as a column from the next
-    // one: inlining it would re-run the (expensive, non-CSE'd)
-    // array_intersect per reference — once in the numerator, once in
-    // the denominator, and again in the pushed-down filter — measured
-    // 4x the whole verify cost at sf0.1.
-    cand
-      .join(shArr.as("A").hint("shuffle_hash"), col("doc_a") === col("A.doc_id"))
-      .join(shArr.as("B").hint("shuffle_hash"), col("doc_b") === col("B.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("A.sh"), col("B.sh"))).cast("double").as("common"),
-        (size(col("A.sh")) + size(col("B.sh"))).cast("double").as("sz"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("common") / (col("sz") - col("common")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+    verifyJaccard(shArr, cand).distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -199,25 +218,7 @@ object Dedup {
       .join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    // Verify joins are shuffle_hash, NOT sort-merge (a sort-merge join
-    // would sort the array-fat candidate stream after the first join —
-    // pure overhead; the hash build side per shuffle partition is only
-    // |corpus|/shuffle.partitions arrays). The intersection is computed
-    // in its OWN projection and referenced as a column from the next
-    // one: inlining it would re-run the (expensive, non-CSE'd)
-    // array_intersect per reference — once in the numerator, once in
-    // the denominator, and again in the pushed-down filter — measured
-    // 4x the whole verify cost at sf0.1.
-    cand
-      .join(shArr.as("A").hint("shuffle_hash"), col("doc_a") === col("A.doc_id"))
-      .join(shArr.as("B").hint("shuffle_hash"), col("doc_b") === col("B.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("A.sh"), col("B.sh"))).cast("double").as("common"),
-        (size(col("A.sh")) + size(col("B.sh"))).cast("double").as("sz"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("common") / (col("sz") - col("common")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+    verifyJaccard(shArr, cand).distinct()
       .orderBy("doc_a", "doc_b")
   }
 

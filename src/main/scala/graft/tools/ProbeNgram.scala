@@ -26,15 +26,18 @@ object ProbeNgram {
       println(f"[ngram] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    println(s"[ngram] threshold=$thresh")
-    time("ngram_jaccard")(println(Dedup.ngramJaccard(spark, dir).count()))
-    Dedup.retireCaches()
-    time("minhash_lsh")(println(Dedup.minHashLsh(spark, dir).count()))
-    Dedup.retireCaches()
-    time("embedding_near_dup_lsh")(println(Dedup.embeddingNearDupLsh(spark, dir).count()))
-    Dedup.retireCaches()
-    time("simhash_pairs")(println(Dedup.simHashPairs(spark, dir).count()))
-    Dedup.retireCaches()
+    // A/B the broadcast threshold in ONE session; minhash is the noise
+    // canary (its code path is threshold-stable)
+    for (t <- Seq("10485760", "67108864"); rep <- 1 to 2) {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", t)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", t)
+      time(s"minhash_lsh t=$t rep$rep")(println(Dedup.minHashLsh(spark, dir).count()))
+      Dedup.retireCaches()
+      System.gc() // let ContextCleaner reap dead broadcast/shuffle state
+      time(s"ngram_jaccard t=$t rep$rep")(println(Dedup.ngramJaccard(spark, dir).count()))
+      Dedup.retireCaches()
+      System.gc()
+    }
     spark.stop()
   }
 }
