@@ -169,14 +169,19 @@ object Dedup {
     val prefix = cacheTracked(ex.join(dfreq, "s")
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("sorted"))
-      .select(col("doc_id"), explode(slice(col("sorted"), lit(1), prefixLen)).as("ps"))
-      .select(col("doc_id"), col("ps.s").as("s")))
-    // NO distinct before verify: candidates duplicated across shared
-    // prefix shingles re-verify (cheap, hashed) and the distinct runs on
-    // the few hundred verified rows instead of shuffling every candidate
+      .select(col("doc_id"), size(col("sorted")).as("nsh"),
+        explode(slice(col("sorted"), lit(1), prefixLen)).as("ps"))
+      .select(col("doc_id"), col("nsh"), col("ps.s").as("s")))
+    // PPJoin length filter in the join condition: J(A,B) ≥ 0.3 forces
+    // ⌈0.3·|A|⌉ ≤ |B| (and symmetrically), so size-incompatible pairs
+    // never become candidates. NO distinct before verify: duplicated
+    // candidates re-verify (cheap, hashed) and the distinct runs on the
+    // few hundred survivors instead of shuffling every candidate.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
+              && col("b.nsh") * 10 >= col("a.nsh") * 3
+              && col("a.nsh") * 10 >= col("b.nsh") * 3)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     verifyJaccard(shArr, cand).distinct()
       .orderBy("doc_a", "doc_b")

@@ -107,6 +107,26 @@ class MapReduceSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("crash app: reducef crashing on first attempt still equals the nocrash oracle") {
+    // the reference's crash app also dies inside Reduce
+    // (mrapps/crash.go:35-49) — inject the same failure into the reduce
+    // stage and require the retried output to be identical
+    val input = Seq("d0" -> "the quick brown fox", "d1" -> "the fox")
+    val mapf = (name: String, contents: String) =>
+      contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
+        .map(w => KeyValue(w, "1")).toSeq
+    val crashingReducef = (k: String, vs: Seq[String]) => {
+      if (org.apache.spark.TaskContext.get.attemptNumber == 0)
+        throw new RuntimeException("injected reduce crash")
+      vs.length.toString
+    }
+    val expected = sequentialModel(input, wcMapf, wcReducef)
+    val got = MapReduce.run(
+        spark.createDataset(input).repartition(2), mapf, crashingReducef)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(got === expected)
+  }
+
   test("MRApps over testdata produce stable shapes") {
     val wc = MRApps.wc(spark, SparkTestSession.Sf).collect()
     assert(wc.nonEmpty && wc.forall(_.getAs[String]("value").toInt > 0))

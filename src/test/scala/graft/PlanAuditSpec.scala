@@ -75,6 +75,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("user_id"), "unused events columns must be pruned")
   }
 
+  test("jaccard verify joins are hash joins, never sort-merge") {
+    // a sort-merge join would sort the candidate stream carrying full
+    // shingle-hash arrays after the first verify join — measured minutes
+    // of sort spill at sf0.1; the shuffle_hash hints must hold
+    for ((name, df) <- Seq(
+        "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
+        "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
+      val p = plan(df)
+      assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+        s"$name verify should hash-join:\n${p.take(600)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must not sort-merge the array-carrying verify stream")
+    }
+    Dedup.retireCaches()
+  }
+
   test("bucketed dedup operators plan equi-joins, never a cartesian") {
     // the LSH/banded candidate joins are the whole point vs. O(n^2):
     // any CartesianProduct / nested-loop in these plans is a scale bug
