@@ -50,6 +50,20 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Run a streaming drain with shuffle partitions sized to the STATE
+    * cardinality, not the batch default: every stateful shuffle
+    * partition owns a state-store instance with per-batch checkpoint
+    * I/O, and these queries keep a few hundred keys — 32 stores were
+    * pure fixed overhead (~4× the useful work at sf0.1). Production
+    * sizes this to |keys|/target-store-size; the result is identical
+    * for any partition count (the oracle gate asserts so).
+    */
+  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Streaming hourly rollup, complete mode (the streaming twin of
     * Events.hourlyRollup — same result set once drained).
     */
@@ -59,9 +73,11 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
     val name = "stream_hourly_out"
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 
@@ -90,9 +106,11 @@ object EventStream {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
     val name = "stream_user_totals_out"
-    val q = out.writeStream.outputMode(OutputMode.Update())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // Update mode emits one row per user per batch; the final state per
     // user is the row with the highest n_events (monotone within a user).
     val w = org.apache.spark.sql.expressions.Window
@@ -154,9 +172,11 @@ object EventStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(fn)
     val name = "stream_sessionize_out"
-    val q = out.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = out.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name)
       .select(col("user_id"), col("session_seq"), col("n_events"),
               expr("timestamp_micros(start_us)").as("session_start"),
@@ -177,9 +197,11 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
     val name = "stream_windowed_out"
-    val q = agg.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.table(name).orderBy("hour", "event_type")
   }
 }
