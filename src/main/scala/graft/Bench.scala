@@ -31,7 +31,10 @@ object Bench {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case _: Throwable => }
-        finally graft.operators.Dedup.retireCaches()
+        finally {
+          graft.operators.Dedup.retireCaches()
+          System.gc() // same session hygiene as the timed loop
+        }
       }
     }
     // Best-of-N per query (default 2), with the rounds INTERLEAVED (all

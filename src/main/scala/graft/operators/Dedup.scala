@@ -163,7 +163,11 @@ object Dedup {
     // per-doc prefix under the (df, s) total order; ⌈0.3·n⌉ = (3n+9)/10
     // in exact integer arithmetic (no float-rounding games)
     val n = size(col("sorted"))
-    val prefixLen = (n - floor((n * 3 + 9) / 10) + 1).cast("int")
+    // +1 slack beyond the Lemma-1 length n−⌈0.3n⌉+1: the emitted
+    // threshold is round(J,6) ≥ 0.3, and a pair with true J a hair
+    // BELOW 0.3 that rounds up must still become a candidate (the
+    // slack keeps the filter lossless for J ≥ 0.3−1/n up to n≈10⁶)
+    val prefixLen = (n - floor((n * 3 + 9) / 10) + 2).cast("int")
     // cached: the self-join's two sides carry distinct attribute ids, so
     // without a cache each side re-runs the explode+df-join+sort pipeline
     val prefix = cacheTracked(ex.join(dfreq, "s")
@@ -174,14 +178,15 @@ object Dedup {
       .select(col("doc_id"), col("nsh"), col("ps.s").as("s")))
     // PPJoin length filter in the join condition: J(A,B) ≥ 0.3 forces
     // ⌈0.3·|A|⌉ ≤ |B| (and symmetrically), so size-incompatible pairs
-    // never become candidates. NO distinct before verify: duplicated
-    // candidates re-verify (cheap, hashed) and the distinct runs on the
-    // few hundred survivors instead of shuffling every candidate.
+    // never become candidates; the −10 slack mirrors the prefix slack
+    // for round-to-threshold boundary pairs. NO distinct before verify:
+    // duplicated candidates re-verify (cheap, hashed) and the distinct
+    // runs on the few hundred survivors instead of every candidate.
     val cand = prefix.as("a")
       .join(prefix.as("b"),
             col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id")
-              && col("b.nsh") * 10 >= col("a.nsh") * 3
-              && col("a.nsh") * 10 >= col("b.nsh") * 3)
+              && col("b.nsh") * 10 >= col("a.nsh") * 3 - 10
+              && col("a.nsh") * 10 >= col("b.nsh") * 3 - 10)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     verifyJaccard(shArr, cand).distinct()
       .orderBy("doc_a", "doc_b")
@@ -242,7 +247,14 @@ object Dedup {
     * parallel, vs. the naive explode-tokens-×-64-aggregates plan whose
     * shuffle carries every token occurrence.
     */
-  def simHash(spark: SparkSession, dir: String): DataFrame = {
+  def simHash(spark: SparkSession, dir: String): DataFrame =
+    simHashSignatures(spark, dir).orderBy("doc_id")
+
+  /** The signature kernel without [[simHash]]'s output ORDER BY, so
+    * [[simHashPairs]] does not pay a full range-shuffle + sort it
+    * immediately discards.
+    */
+  private def simHashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Kernels.fanOut(
       Tables.documents(spark, dir)
@@ -273,7 +285,6 @@ object Dedup {
         }
       }
       .toDF("doc_id", "simhash")
-      .orderBy("doc_id")
   }
 
   val CosineDupThreshold = 0.4
@@ -408,7 +419,7 @@ object Dedup {
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
     retirePreviousCaches()
     // halves as longs so Hamming is bit_count(xor) — codegen, no arrays
-    val sigs = cacheTracked(simHash(spark, dir)
+    val sigs = cacheTracked(simHashSignatures(spark, dir)
       .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
       .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long")))
     val bandStructs = (0 until SimHashBands).map { b =>

@@ -11,6 +11,13 @@ private[graft] object Kernels {
     * At 100 TB the scan already yields thousands of splits and an
     * unconditional `repartition` would insert a gratuitous full shuffle
     * of the corpus before map-only work; this no-ops there.
+    *
+    * Caveat: the partition COUNT is a proxy, not a row-distribution
+    * guarantee — a parquet file byte-split into >= p ranges but holding
+    * a single row group still lands every row in one task. That window
+    * is narrow (files between ~4x the open-cost and one row-group
+    * size); inputs at the target scale have many row groups per file
+    * and pass through untouched, which is the case this guard is for.
     */
   def fanOut[T](ds: Dataset[T]): Dataset[T] = {
     val p = ds.sparkSession.sparkContext.defaultParallelism

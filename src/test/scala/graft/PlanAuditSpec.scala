@@ -79,31 +79,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // a sort-merge join would sort the candidate stream carrying full
     // shingle-hash arrays after the first verify join — measured minutes
     // of sort spill at sf0.1; the shuffle_hash hints must hold
-    for ((name, df) <- Seq(
-        "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
-        "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
-      val p = plan(df)
-      assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
-        s"$name verify should hash-join:\n${p.take(600)}")
-      assert(!p.contains("SortMergeJoin"),
-        s"$name must not sort-merge the array-carrying verify stream")
-    }
-    Dedup.retireCaches()
+    try {
+      for ((name, df) <- Seq(
+          "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
+          "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
+        val p = plan(df)
+        assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+          s"$name verify should hash-join:\n${p.take(600)}")
+        assert(!p.contains("SortMergeJoin"),
+          s"$name must not sort-merge the array-carrying verify stream")
+      }
+    } finally Dedup.retireCaches()
   }
 
   test("bucketed dedup operators plan equi-joins, never a cartesian") {
     // the LSH/banded candidate joins are the whole point vs. O(n^2):
     // any CartesianProduct / nested-loop in these plans is a scale bug
-    for ((name, df) <- Seq(
-        "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh(spark, sf),
-        "dedup_simhash_pairs" -> Dedup.simHashPairs(spark, sf),
-        "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
-        "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
-      val p = plan(df)
-      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-        s"$name must not plan an all-pairs join:\n${p.take(600)}")
-    }
-    Dedup.retireCaches()
+    try {
+      for ((name, df) <- Seq(
+          "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh(spark, sf),
+          "dedup_simhash_pairs" -> Dedup.simHashPairs(spark, sf),
+          "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
+          "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
+        val p = plan(df)
+        assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+          s"$name must not plan an all-pairs join:\n${p.take(600)}")
+      }
+    } finally Dedup.retireCaches()
   }
 
   test("anti join stays a join, not a driver-side collect") {
