@@ -458,16 +458,35 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    // multi-probe SRP-cell IVF: same ±1 hyperplane literals as the Spark
+    // side (Dedup.hyperplanes rows 0..5), probes search their exact cell
+    // plus every Hamming-1 neighbor cell
+    val nb = Similarity.IvfBits
+    val ivfBitCols = (0 until nb).map { h =>
+      val wl = Dedup.hyperplanes(h).map(w => if (w > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"CASE WHEN list_sum(list_transform(list_zip(v, $wl), z -> z[1] * z[2])) >= 0 THEN '1' ELSE '0' END AS b$h"
+    }.mkString(",\n    ")
+    val bNames = (0 until nb).map(i => s"b$i").mkString(", ")
+    val cellConcat = (0 until nb).map(i => s"b$i").mkString(" || ")
+    val flipVariants = (-1 until nb).map { f =>
+      val key = (0 until nb).map { i =>
+        if (i == f) s"(CASE WHEN b$i = '1' THEN '0' ELSE '1' END)" else s"b$i"
+      }.mkString(" || ")
+      s"SELECT vec_id, v, nrm, $key AS pcell FROM cells WHERE vec_id < ${Similarity.NumProbes}"
+    }.mkString("\n  UNION ALL ")
     val ivf =
       s"""$embNormSql,
-         |cells AS (SELECT vec_id, v, nrm,
-         |            CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS cell
-         |          FROM n),
+         |bits AS (SELECT vec_id, v, nrm,
+         |    $ivfBitCols
+         |  FROM n),
+         |cells AS (SELECT vec_id, v, nrm, $cellConcat AS cell, $bNames FROM bits),
+         |probes AS (
+         |  $flipVariants),
          |s AS (
          |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
          |    ${cosineSql("p", "c")} AS sim
-         |  FROM cells p JOIN cells c
-         |    ON p.cell = c.cell AND p.vec_id < ${Similarity.NumProbes} AND p.vec_id <> c.vec_id),
+         |  FROM probes p JOIN cells c ON p.pcell = c.cell AND p.vec_id <> c.vec_id),
          |r AS (SELECT probe_id, neighbor_id, sim,
          |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
          |      FROM s)

@@ -55,27 +55,50 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
-  /** Coarse cell id: 1-based index of the max coordinate (computed on
-    * the raw float32 values, identical in both engines).
-    */
-  private def cell(embedding: Column): Column =
-    array_position(embedding, array_max(embedding)).cast("long")
+  val IvfBits = 6 // 2^6 = 64 coarse cells
 
-  /** IVF-bucketed ANN: probes search only their own coarse cell.
-    * Same ranking contract as [[annTopK]].
+  /** Multi-probe IVF-bucketed ANN. The codebook is sign-random-
+    * projection: cell id = 6 sign bits of dot products with the fixed
+    * md5-derived ±1 hyperplanes shared with [[Dedup.hyperplanes]] —
+    * deterministic, engine-independent, and far better balanced than a
+    * trained codebook would need to be for this contract (SRP cells
+    * split any centrally-symmetric distribution ~evenly). Each probe
+    * searches its own cell plus all 6 Hamming-1 neighbor cells — the
+    * standard multi-probe recall lever — so the join touches 7/64 of
+    * the corpus per probe instead of a single unbounded-recall-loss
+    * cell. Cell assignment is a map-only pass; the search is an
+    * equi-join on the cell key; probe cells are distinct strings so no
+    * candidate dedup is needed. Same ranking contract as [[annTopK]].
+    * Measured recall of the exact top-k at sf0.01 is 0.30 while
+    * touching 7/64 of the corpus — a ~3× lift over a random scan of
+    * the same fraction on this near-uncorrelated synthetic corpus
+    * (max cosine ≈ 0.51); raising the probe radius to Hamming ≤ 2 is
+    * the standard recall/cost lever.
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    // assign the cell from the original float vector, carry the double view
+    val bitCols = (0 until IvfBits).map { h =>
+      when(dot(spark, col("v"), array(Dedup.hyperplanes(h).map(lit(_)): _*)) >= 0,
+        lit("1")).otherwise(lit("0")).as(s"b$h")
+    }
     val base = Kernels.fanOut(
         Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding"),
-                  cell(col("embedding")).as("cell"),
-                  col("embedding").cast("array<double>").as("v")))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+      .select(Seq(col("vec_id"), col("v"), col("norm")) ++ bitCols: _*)
+      .withColumn("cell", concat((0 until IvfBits).map(i => col(s"b$i")): _*))
+    def flip(c: Column): Column = when(c === "1", lit("0")).otherwise(lit("1"))
+    // variant -1 = the exact cell; variant f flips bit f (7 distinct keys)
+    val variants = (-1 until IvfBits).map { f =>
+      concat((0 until IvfBits).map { i =>
+        if (i == f) flip(col(s"b$i")) else col(s"b$i")
+      }: _*)
+    }
     val probes = base.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id"), col("v"), col("norm"),
+        explode(array(variants: _*)).as("pcell"))
     broadcast(probes).as("p")
       .join(base.as("c"),
-            col("p.cell") === col("c.cell") && col("p.vec_id") =!= col("c.vec_id"))
+            col("p.pcell") === col("c.cell") && col("p.vec_id") =!= col("c.vec_id"))
       .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
               cosine(spark).as("sim"))
       .withColumn("rnk",

@@ -108,6 +108,41 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Dedup.retireCaches()
   }
 
+  test("bucketed fact tables join with ZERO exchange (co-located join)") {
+    // The 100 TB co-location story made concrete: orders and lineitem
+    // written bucketed by their join key join WITHOUT any shuffle — the
+    // scan's bucketing satisfies the join's distribution requirement.
+    // Broadcast is disabled so the alternative would be a full exchange
+    // of both sides.
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-bucketed")
+    base.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Relational // touch to ensure operators compiled
+      graft.Tables.orders(spark, sf)
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/b_orders").mode("overwrite").saveAsTable("b_orders")
+      graft.Tables.lineitem(spark, sf)
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/b_lineitem").mode("overwrite").saveAsTable("b_lineitem")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          org.apache.spark.sql.functions.col("o_orderkey") ===
+            org.apache.spark.sql.functions.col("l_orderkey"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n${p.take(500)}")
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n${p.take(900)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("anti join stays a join, not a driver-side collect") {
     val p = plan(Relational.customersWithoutBigOrders(spark, sf))
     assert(p.contains("LeftAnti"), p.take(500))
