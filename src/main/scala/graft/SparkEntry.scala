@@ -58,6 +58,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minHashLsh _,
     "dedup_simhash" -> Dedup.simHash _,
     "dedup_simhash_pairs" -> Dedup.simHashPairs _,
+    "dedup_clusters" -> Dedup.clusters _,
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh _,
     // Similarity search (north star)
@@ -432,9 +433,29 @@ object SparkEntry {
          |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
          |WHERE ${cosineSql("a", "b")} >= ${Dedup.CosineDupThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin
+    // connected components over the ngram pairs: the oracle computes the
+    // transitive closure with a recursive CTE and labels each doc with
+    // the component minimum — implementation-independent, so it checks
+    // the Spark side's iterative label propagation, not its shape
+    val clusters =
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM ($ngram)),
+         |sym AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM sym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a AND r.a <> s.b),
+         |lab AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a)
+         |SELECT d.doc_id,
+         |  CASE WHEN l.m IS NULL OR d.doc_id < l.m THEN d.doc_id ELSE l.m END AS cluster
+         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     Map("dedup_exact" -> exact, "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,
+        "dedup_clusters" -> clusters,
         "embedding_near_dup" -> nearDup,
         "embedding_near_dup_lsh" -> nearDupLsh)
   }

@@ -192,6 +192,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected-component dedup clustering: every document is labeled
+    * with the smallest doc_id in its near-duplicate component (edges =
+    * [[ngramJaccard]] pairs, J ≥ 0.3); singletons keep their own id.
+    * This is the step real pipelines run after pair generation — "keep
+    * one document per near-dup cluster".
+    *
+    * Iterative min-label propagation (hash-to-min):
+    * `label(x) ← min(label(x), min over neighbors y of label(y))` until
+    * fixpoint — O(component diameter) rounds, each one shuffle join +
+    * partial-aggregated min, the standard large-scale connected-
+    * components shape. Edges never materialize on the driver; the loop
+    * only reads a per-round change COUNT. Labels are re-cached per
+    * round (and the previous round blocking-unpersisted) so lineage
+    * stays one round deep.
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    clustersFromEdges(docs, edges)
+  }
+
+  /** The label-propagation core of [[clusters]], parameterized on the
+    * node and edge frames (package-private so specs can drive it with
+    * synthetic chain/star graphs that exercise multi-round
+    * convergence). `docs` needs a `doc_id` column; `edges` needs
+    * `doc_a`/`doc_b`.
+    */
+  private[graft] def clustersFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = cacheTracked(edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+    var labels = cacheTracked(docs.select(col("doc_id"), col("doc_id").as("label")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val prop = sym.as("e")
+        .join(labels.as("l"), col("e.doc_b") === col("l.doc_id"))
+        .groupBy(col("e.doc_a").as("pid"))
+        .agg(min(col("l.label")).as("nlabel"))
+      val next = cacheTracked(labels.join(prop, col("doc_id") === col("pid"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label")))
+      changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist(true)
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"dedup_clusters did not converge within $iter rounds")
+    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+  }
+
   val MinHashFns = 16
   val MinHashBands = 4
   val MinHashRows: Int = MinHashFns / MinHashBands // 4

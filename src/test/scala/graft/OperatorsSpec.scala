@@ -138,4 +138,22 @@ class OperatorsSpec extends AnyFunSuite {
       assert(Set("png", "jpeg", "webp")(r.getAs[String]("format")))
     }
   }
+
+  test("dedup clusters: label propagation converges on chains, stars, singletons") {
+    import spark.implicits._
+    // chain 1-2-3-4 (needs multiple propagation rounds), star 7<-8,9,10,
+    // disjoint pair 5-6, singleton 11
+    val docs = (1L to 11L).toDF("doc_id")
+    val edges = Seq((3L, 4L), (2L, 3L), (1L, 2L), (5L, 6L),
+                    (7L, 8L), (7L, 9L), (7L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.Dedup.clustersFromEdges(docs, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    operators.Dedup.retireCaches()
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                       5L -> 5L, 6L -> 5L,
+                       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L,
+                       11L -> 11L)
+    assert(got == expected)
+  }
 }
