@@ -222,7 +222,12 @@ object Dedup {
   private[graft] def clustersFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
     val sym = cacheTracked(edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
-    var labels = cacheTracked(docs.select(col("doc_id"), col("doc_id").as("label")))
+    // propagate only over edge-incident nodes — singletons can never
+    // change label, so they skip the loop entirely and rejoin at the
+    // end (near-dup graphs are a tiny fraction of the corpus; looping
+    // over every document made each round ~100x bigger for nothing)
+    val nodes = cacheTracked(sym.select(col("doc_a").as("doc_id")).distinct())
+    var labels = cacheTracked(nodes.select(col("doc_id"), col("doc_id").as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -242,7 +247,12 @@ object Dedup {
       iter += 1
     }
     require(changed == 0, s"dedup_clusters did not converge within $iter rounds")
-    labels.select(col("doc_id"), col("label").as("cluster")).orderBy("doc_id")
+    val singletons = docs.select(col("doc_id"))
+      .join(nodes, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.union(singletons)
+      .select(col("doc_id"), col("label").as("cluster"))
+      .orderBy("doc_id")
   }
 
   val MinHashFns = 16
