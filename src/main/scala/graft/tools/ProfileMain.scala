@@ -34,6 +34,7 @@ object ProfileMain {
       r
     }
 
+    time("dedup_clusters")(println(Dedup.clusters(spark, dir).count()))
     time("dedup_ngram_jaccard")(println(Dedup.ngramJaccard(spark, dir).count()))
     time("dedup_minhash_lsh")(println(Dedup.minHashLsh(spark, dir).count()))
     time("dedup_simhash_pairs")(println(Dedup.simHashPairs(spark, dir).count()))
