@@ -67,11 +67,17 @@ object SparkEntry {
     // Multimodal-column plumbing (north star; decode kernel stubbed)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
+    // Sampling / mixing / packing (north star)
+    "sample_hash" -> Sampling.hashSample _,
+    "sample_stratified" -> Sampling.stratifiedSample _,
+    "sample_weighted_mix" -> Sampling.weightedMix _,
+    "pack_sequences" -> Sampling.packSequences _,
     // Structured Streaming twins (drained via memory sink for the gate)
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
     "stream_windowed" -> graft.streaming.EventStream.windowedCounts _,
     "stream_sessionize" -> graft.streaming.EventStream.sessionizeStream _,
+    "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
   )
@@ -269,7 +275,7 @@ object SparkEntry {
          |   OR (npos < ${TextAnalysis.WinnowW} AND i = npos)
          |ORDER BY doc_id, fp""".stripMargin,
   ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++
-    multimodalOracles ++ streamingOracles
+    multimodalOracles ++ samplingOracles ++ streamingOracles
 
   /** quality_score + lang_id oracles are built programmatically so the
     * marker lists / weights live in exactly one place (TextAnalysis).
@@ -537,7 +543,42 @@ object SparkEntry {
          |ORDER BY doc_id, chunk_id""".stripMargin,
   )
 
+  // Deterministic hash-driven samplers (operators/Sampling.scala): both
+  // engines compute the same salted md5, so selection matches exactly.
+  private def samplingOracles: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT doc_id, source, lang FROM documents
+         |WHERE substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.HashSampleThreshold}'
+         |ORDER BY doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT source, doc_id, rk FROM (
+         |  SELECT source, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5('str:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |WHERE rk <= ${Sampling.StratifiedQuota}
+         |ORDER BY source, doc_id""".stripMargin,
+    "sample_weighted_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |    < substr(md5('w:' || source), 1, 2)
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % ${Sampling.PackShards} AS shard,
+         |    CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens, run // ${Sampling.PackBudget} AS pack_no
+         |FROM r ORDER BY doc_id""".stripMargin,
+  )
+
   private def streamingOracles: Map[String, String] = Map(
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

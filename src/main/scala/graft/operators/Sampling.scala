@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus sampling, mixing, and sequence packing — the selection ops a
+  * training-data pipeline runs between dedup and export (north star;
+  * not reference-derived — SURVEY.md §2.5 notes the reference has no
+  * sampling surface).
+  *
+  * Every operator here is DETERMINISTIC: selection is driven by md5 of
+  * a salted key, never by `rand()`. That is the scale idiom — a sample
+  * defined by a pure function of the row is reproducible across runs,
+  * engines, retries and cluster sizes, can be re-derived for any
+  * subset, and needs no seed-distribution machinery. It also makes the
+  * operators oracle-checkable bit-for-bit (DuckDB computes the same
+  * md5). All three samplers are map-only over the corpus — zero
+  * shuffle at 100 TB except where a per-stratum quota genuinely
+  * requires one.
+  */
+object Sampling {
+
+  /** Keep-fraction ≈ 13/256 (the first md5 hex byte < 0x0d): string
+    * comparison on the fixed-width hex prefix equals value comparison,
+    * so both engines agree without any hex→int conversion.
+    */
+  val HashSampleThreshold = "0d"
+
+  private def saltedHash(salt: String, key: Column): Column =
+    md5(concat(lit(salt + ":"), key.cast("string")))
+
+  /** Uniform reproducible sample: keep a document iff the first hex
+    * byte of md5("smp:doc_id") falls below the threshold. Map-only —
+    * the filter rides the parquet scan; no shuffle, no seed state; the
+    * same rows are kept at any parallelism and on any engine.
+    */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(saltedHash("smp", col("doc_id")), 1, 2) < HashSampleThreshold)
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+
+  val StratifiedQuota = 20
+
+  /** Per-stratum quota sample: the `StratifiedQuota` docs per source
+    * ranked first under the deterministic hash order (tie-break doc_id).
+    * One shuffle on the stratum key; rank-within-group is the standard
+    * windowed top-k plan. At 100 TB the stratum count is small, so the
+    * window input is the skew risk — production would pre-filter with
+    * an approximate per-stratum threshold (sketch the hash distribution,
+    * keep rows below quantile ≈ quota/|stratum|, then rank exactly);
+    * the final exact rank here is already the post-filter shape.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(saltedHash("str", col("doc_id")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= StratifiedQuota)
+      .orderBy("source", "doc_id")
+  }
+
+  /** Weighted source mixing: each source gets its own keep-rate, and a
+    * document is kept iff its hash falls under the source's rate. The
+    * rate is itself hash-derived (first hex byte of md5("w:source")),
+    * standing in for the weights table a real mixing config would
+    * supply — what matters is the SHAPE: rate lookup is a pure
+    * function of the stratum, selection a pure function of the row, so
+    * the mix is map-only, reproducible, and rebalanceable by editing
+    * only the weights. (This is how pipelines mix e.g. 3 parts web to
+    * 1 part code at 100 TB — no shuffle, no per-source passes.)
+    */
+  def weightedMix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(substring(saltedHash("mix", col("doc_id")), 1, 2)
+        < substring(saltedHash("w", col("source")), 1, 2))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  val PackShards = 16
+  val PackBudget = 2048
+
+  /** Sequence packing: assign documents to fixed token-budget packs for
+    * training export. Documents are sharded (`doc_id % PackShards`),
+    * ordered within the shard, and a pack is `PackBudget` tokens of
+    * running text: pack_no = (exclusive running token total) div
+    * budget — i.e. a document lands in the pack its first token falls
+    * into (offset binning; the streaming-friendly packing rule).
+    *
+    * Scale shape: the running total is a window sum PARTITIONED BY
+    * SHARD — never a global single-partition window (Spark would plan
+    * `ORDER BY` with no partition as one task). Shards are the unit of
+    * export parallelism; each is an independent prefix-sum, so the op
+    * scales by adding shards. Token counts use the same letter-run
+    * tokenizer as [[TextAnalysis.tokenStats]].
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("run", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"run div $PackBudget").as("pack_no"))
+      .orderBy("doc_id")
+  }
+}

@@ -156,4 +156,50 @@ class OperatorsSpec extends AnyFunSuite {
                        11L -> 11L)
     assert(got == expected)
   }
+
+  test("hash sample is deterministic and a subset of the corpus") {
+    val a = Sampling.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.hashSample(spark, sf).repartition(5).orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "same rows on every run at any parallelism")
+    val all = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a.toSet.subsetOf(all) && a.nonEmpty && a.length < all.size)
+  }
+
+  test("stratified sample respects the per-source quota") {
+    val rows = Sampling.stratifiedSample(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.length <= Sampling.StratifiedQuota)
+      val rks = rs.map(_.getAs[Long]("rk")).sorted
+      assert(rks.sameElements(1L to rks.length), "ranks are 1..k dense")
+    }
+  }
+
+  test("sequence packing: full coverage, packs start at 0, fill monotonically") {
+    val rows = Sampling.packSequences(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "every document lands in a pack")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Long]("doc_id"))
+      val packs = inOrder.map(_.getAs[Long]("pack_no"))
+      assert(packs.head == 0L, s"shard $shard first pack is 0")
+      assert(packs.zip(packs.tail).forall { case (p, n) => n >= p },
+        s"shard $shard pack_no nondecreasing in doc order")
+      // offset binning: pack_no is the exclusive running total div budget
+      val runs = inOrder.map(_.getAs[Long]("n_tokens")).scanLeft(0L)(_ + _)
+      inOrder.zip(runs).foreach { case (r, run) =>
+        assert(r.getAs[Long]("pack_no") == run / Sampling.PackBudget)
+      }
+    }
+  }
+
+  test("streaming dedup emits exactly the batch-distinct fingerprint set") {
+    val streamed = graft.streaming.DocStream.streamDedup(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val batch = Tables.documents(spark, sf)
+      .select(md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(streamed == batch)
+  }
 }
