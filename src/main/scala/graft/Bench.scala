@@ -11,6 +11,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // Size-BASED broadcast decision, sized for this deployment: 128 GiB
       // executors comfortably hold a 64 MB build side. Fact tables at the
       // target scale still exceed any threshold and shuffle — unlike the

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.DotProduct
+
+/** The library's `SparkSessionExtensions` entry point — the deployment
+  * surface for clusters: `--conf spark.sql.extensions=graft.GraftExtensions`
+  * makes every session (and every `newSession()`) come up with the
+  * graft functions installed, no imperative registration call needed.
+  * SQL-only users get `graft_dot` the same way Scala users do.
+  *
+  * [[graft.functions.VectorFunctions.dot]] keeps its idempotent
+  * runtime registration as a fallback so ad-hoc sessions built without
+  * the conf still work.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

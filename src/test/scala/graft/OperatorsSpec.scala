@@ -194,6 +194,17 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_dot is injected by GraftExtensions into fresh sessions") {
+    // newSession() builds a NEW function registry from the session's
+    // extensions — this resolves only if the SparkSessionExtensions
+    // injection works, not because some earlier test called
+    // VectorFunctions.register on the shared session.
+    val d = spark.newSession()
+      .sql("SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(d == 32.0)
+  }
+
   test("streaming dedup emits exactly the batch-distinct fingerprint set") {
     val streamed = graft.streaming.DocStream.streamDedup(spark, sf)
       .collect().map(_.getString(0)).toSet
