@@ -290,19 +290,51 @@ object Dedup {
     * band-collisions — the whole point vs. the O(n²) alternative.
     */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     retirePreviousCaches()
     // shArr and bands each feed two join sides; cache so the shingle +
     // signature pipeline runs once, not four times (4x wall measured)
     val shArr = cacheTracked(docShingles(spark, dir))
-    val ex = shArr.select(col("doc_id"), explode(col("sh")).as("s"))
-    val sigCols = (0 until MinHashFns).map { i =>
-      min(md5(concat_ws(":", lit(i), col("s")))).as(s"h$i")
-    }
-    val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    // Signatures as a MAP-ONLY typed kernel over the per-doc shingle
+    // arrays: the min over each hash family is computed inside the row,
+    // so no shingle occurrence ever shuffles (the explode +
+    // 16×min(md5) groupBy formulation shuffled every occurrence — at
+    // 100 TB that exchange is the operator's bottleneck; here signature
+    // extraction is embarrassingly parallel, like the simhash kernel).
+    // Digest minima compare as unsigned bytes, which equals the
+    // fixed-width-hex string min the DuckDB oracle computes.
+    val sigs = shArr.as[(Long, Array[String])].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val prefixes = Array.tabulate(MinHashFns)(i => s"$i:".getBytes("UTF-8"))
+      val hex = "0123456789abcdef".toCharArray
+      it.flatMap { case (id, sh) =>
+        if (sh.isEmpty) Iterator.empty // no shingles → no signature (as the explode form)
+        else {
+          val mins = Array.ofDim[Array[Byte]](MinHashFns)
+          sh.foreach { s =>
+            val sBytes = s.getBytes("UTF-8")
+            var i = 0
+            while (i < MinHashFns) {
+              md.reset(); md.update(prefixes(i)); md.update(sBytes)
+              val d = md.digest()
+              if (mins(i) == null || java.util.Arrays.compareUnsigned(d, mins(i)) < 0)
+                mins(i) = d
+              i += 1
+            }
+          }
+          val sig = mins.map { d =>
+            val sb = new java.lang.StringBuilder(32)
+            d.foreach(b => { sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf)) })
+            sb.toString
+          }
+          Iterator.single((id, sig))
+        }
+      }
+    }.toDF("doc_id", "sig")
     val bandStructs = (0 until MinHashBands).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("|", (0 until MinHashRows).map(r => col(s"h${MinHashRows * b + r}")): _*)
-          .as("bkey"))
+        concat_ws("|", (0 until MinHashRows).map(r =>
+          element_at(col("sig"), MinHashRows * b + r + 1)): _*).as("bkey"))
     }
     val bands = cacheTracked(sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))

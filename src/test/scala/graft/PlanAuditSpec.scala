@@ -147,4 +147,26 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Relational.customersWithoutBigOrders(spark, sf))
     assert(p.contains("LeftAnti"), p.take(500))
   }
+
+  test("hash samplers are map-only: the only exchange is the output sort") {
+    // the md5-threshold filter must ride the scan stage — a sampler
+    // that shuffles before selecting moves the whole corpus at 100 TB
+    for ((name, df) <- Seq(
+        "sample_hash" -> operators.Sampling.hashSample(spark, sf),
+        "sample_weighted_mix" -> operators.Sampling.weightedMix(spark, sf))) {
+      val p = plan(df)
+      val exchanges = """Exchange """.r.findAllIn(p).length
+      assert(exchanges <= 2, // FormattedMode prints tree + details (2 lines per node)
+        s"$name: selection must precede the single output-sort exchange:\n${p.take(800)}")
+      assert(p.contains("Filter"), s"$name plans a scan-side filter")
+    }
+  }
+
+  test("pack_sequences windows by shard, never a global single-partition sort") {
+    val p = plan(operators.Sampling.packSequences(spark, sf))
+    assert(p.contains("hashpartitioning(shard"),
+      s"prefix sum must partition by shard:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"),
+      "a global ORDER BY window would serialize the corpus through one task")
+  }
 }
