@@ -72,6 +72,13 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
     "pack_sequences" -> Sampling.packSequences _,
+    "export_shuffle" -> Sampling.exportShuffle _,
+    // Corpus hygiene (north star)
+    "decontaminate" -> Corpus.decontaminate _,
+    "repetition_stats" -> Corpus.repetitionStats _,
+    "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
+    "pii_scrub" -> Corpus.piiScrub _,
+    "corpus_stats" -> Corpus.corpusStats _,
     // Structured Streaming twins (drained via memory sink for the gate)
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
@@ -275,7 +282,7 @@ object SparkEntry {
          |   OR (npos < ${TextAnalysis.WinnowW} AND i = npos)
          |ORDER BY doc_id, fp""".stripMargin,
   ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++
-    multimodalOracles ++ samplingOracles ++ streamingOracles
+    multimodalOracles ++ samplingOracles ++ corpusOracles ++ streamingOracles
 
   /** quality_score + lang_id oracles are built programmatically so the
     * marker lists / weights live in exactly one place (TextAnalysis).
@@ -574,6 +581,106 @@ object SparkEntry {
          |SELECT doc_id, shard, n_tokens, run // ${Sampling.PackBudget} AS pack_no
          |FROM r ORDER BY doc_id""".stripMargin,
   )
+
+  /** DuckDB n-gram list expression over `toks` (1-indexed), with the
+    * same short-doc whole-text fallback as the Scala kernels.
+    */
+  private def gramSql(n: Int): String = {
+    val concat = (0 until n).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(toks) >= $n
+       |  THEN list_distinct(list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |         i -> $concat))
+       |  WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+       |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+  }
+
+  private def corpusOracles: Map[String, String] = {
+    val benchHash = "substr(md5('bench:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+    val decontaminate =
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |shx AS (SELECT doc_id, ${gramSql(Corpus.ContamGramN)} AS sh FROM t),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shx
+         |          WHERE $benchHash < '${Corpus.BenchSplitThreshold}'),
+         |ex AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM shx
+         |       WHERE $benchHash >= '${Corpus.BenchSplitThreshold}')
+         |SELECT ex.doc_id, CAST(ex.n_grams AS BIGINT) AS n_grams, count(*) AS n_hit
+         |FROM ex JOIN bench ON ex.g = bench.g
+         |GROUP BY ex.doc_id, ex.n_grams
+         |ORDER BY doc_id""".stripMargin
+    // raw-case tokens: repetition is case-sensitive like token_stats
+    val toksRawSql =
+      "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
+    val gram5Raw = {
+      val concat = (0 until Corpus.RepGramN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
+      s"""CASE WHEN len(toks) >= ${Corpus.RepGramN}
+         |  THEN list_transform(generate_series(1, len(toks) - ${Corpus.RepGramN - 1}), i -> $concat)
+         |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+    }
+    val repetition =
+      s"""WITH t AS (SELECT doc_id, $toksRawSql AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks) AS n,
+         |        CASE WHEN len(toks) >= 2
+         |          THEN list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS b2,
+         |        $gram5Raw AS g5
+         |      FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(CASE WHEN len(b2) > 0
+         |    THEN CAST(list_max(list_transform(list_distinct(b2), x -> len(list_filter(b2, y -> y = x)))) AS DOUBLE) / len(b2)
+         |    ELSE 0.0 END, 4) AS top_bigram_frac,
+         |  round(CASE WHEN len(g5) > 0
+         |    THEN 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE) / len(g5)
+         |    ELSE 0.0 END, 4) AS dup_5gram_frac
+         |FROM s ORDER BY doc_id""".stripMargin
+    val tfidf =
+      s"""WITH tf AS (
+         |  SELECT doc_id, word AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksRawSql) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    round(CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 6) AS score
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, score,
+         |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+         |      FROM scored)
+         |SELECT doc_id, rk, term, score FROM r
+         |WHERE rk <= ${Corpus.TfIdfTopK} ORDER BY doc_id, rk""".stripMargin
+    val pii =
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.EmailRe}')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.LongNumRe}')) AS BIGINT) AS n_num,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |    '${Corpus.Ipv4Re}', '<IP>', 'g'),
+         |    '${Corpus.LongNumRe}', '<NUM>', 'g')) AS scrubbed_fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+    val stats =
+      s"""SELECT source, lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS avg_doc_tokens
+         |FROM (SELECT source, lang, n_chars,
+         |        CAST(len($toksRawSql) AS BIGINT) AS n_tokens
+         |      FROM documents)
+         |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    val shufHash = "md5('shuf:' || CAST(doc_id AS VARCHAR))"
+    val shardSql =
+      s"(strpos('0123456789abcdef', substr($shufHash, 1, 1)) - 1) % ${Sampling.ExportShards}"
+    val exportShuffle =
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, CAST($shardSql AS BIGINT) AS shard,
+         |    CAST(row_number() OVER (PARTITION BY $shardSql
+         |      ORDER BY $shufHash, doc_id) AS BIGINT) AS pos
+         |  FROM documents)
+         |ORDER BY shard, pos""".stripMargin
+    Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
+        "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
+        "corpus_stats" -> stats, "export_shuffle" -> exportShuffle)
+  }
 
   private def streamingOracles: Map[String, String] = Map(
     "stream_dedup" ->

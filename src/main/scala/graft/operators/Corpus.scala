@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-hygiene operators for LLM training-data pipelines (north
+  * star; not reference-derived — SURVEY.md §2.5 notes the reference has
+  * none): benchmark decontamination, intra-document repetition
+  * statistics (Gopher-style quality rules), TF-IDF salient terms,
+  * PII scrubbing, and per-source composition reporting.
+  *
+  * Scale posture: everything here is either map-only, a broadcast join
+  * against a benchmark-sized set, or a vocabulary-sized aggregate —
+  * nothing shuffles the corpus more than once.
+  */
+object Corpus {
+
+  /** First hex byte of md5("bench:"+doc_id) below this ⇒ the doc plays
+    * the role of the held-out benchmark/eval split (~6%). String
+    * comparison on the fixed-width hex prefix equals value comparison.
+    */
+  val BenchSplitThreshold = "10"
+  val ContamGramN = 5
+
+  /** Distinct word 5-gram shingles per doc, as a typed map-only kernel
+    * (same tokenizer and short-doc fallback as Dedup's 3-gram kernel;
+    * the Column formulation measured 10-200x slower at sf0.1).
+    */
+  private def contamShingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Kernels.fanOut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
+        it.map { case (id, text) =>
+          val toks = re.split(text.toLowerCase).filter(_.nonEmpty)
+          val sh =
+            if (toks.length >= ContamGramN)
+              toks.sliding(ContamGramN).map(_.mkString(" ")).toArray.distinct
+            else if (toks.nonEmpty) Array(toks.mkString(" "))
+            else Array.empty[String]
+          (id, sh)
+        }
+      }
+      .toDF("doc_id", "sh")
+  }
+
+  /** Benchmark decontamination: flag corpus documents that share any
+    * word 5-gram with the held-out benchmark split — the standard
+    * "did eval data leak into training data" check (n-gram-overlap
+    * decontamination as practiced since GPT-2/GPT-3's 8-gram variant).
+    *
+    * 100 TB shape: the benchmark side is eval-benchmark-sized (tiny by
+    * construction), so its distinct grams BROADCAST — the corpus is
+    * touched by exactly one map-side semi-join plus a combiner-friendly
+    * per-doc count; no corpus-sized shuffle, no pair join. Output: one
+    * row per contaminated document with its gram count and hit count.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val shx = contamShingles(spark, dir)
+    val isBench =
+      substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 2)
+    val benchGrams = shx.filter(isBench < BenchSplitThreshold)
+      .select(explode(col("sh")).as("g"))
+      .distinct()
+    shx.filter(isBench >= BenchSplitThreshold)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hit")) // grams are distinct per doc
+      .select(col("doc_id"), col("n_grams"), col("n_hit"))
+      .orderBy("doc_id")
+  }
+
+  val RepGramN = 5
+
+  /** Intra-document repetition statistics (the Gopher/MassiveText
+    * repetition-removal family, adapted to the newline-free corpus):
+    * the fraction of the document's bigrams taken by its single most
+    * frequent bigram, and the fraction of duplicate 5-grams. High
+    * values mark boilerplate/degenerate documents that quality filters
+    * drop before training. Map-only typed kernel — zero shuffle.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Kernels.fanOut(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
+        it.map { case (id, text) =>
+          val toks = re.split(text).filter(_.nonEmpty)
+          val n = toks.length
+          val top2 =
+            if (n >= 2) {
+              val counts = scala.collection.mutable.HashMap.empty[String, Int]
+              var i = 0
+              while (i < n - 1) {
+                val g = toks(i) + " " + toks(i + 1)
+                counts.update(g, counts.getOrElse(g, 0) + 1)
+                i += 1
+              }
+              counts.valuesIterator.max.toDouble / (n - 1)
+            } else 0.0
+          val dup5 =
+            if (n >= RepGramN) {
+              val total = n - RepGramN + 1
+              val distinct = toks.sliding(RepGramN).map(_.mkString(" ")).toSet.size
+              1.0 - distinct.toDouble / total
+            } else 0.0
+          (id, n.toLong, top2, dup5)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "top2", "dup5")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top2"), 4).as("top_bigram_frac"),
+        round(col("dup5"), 4).as("dup_5gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val TfIdfTopK = 3
+
+  /** Top-[[TfIdfTopK]] salient terms per document by TF-IDF
+    * (score = tf · ln(N/df)) — the classic per-document keyword
+    * extractor, useful for topic bucketing and mix diagnostics.
+    *
+    * 100 TB shape: the corpus is scanned and shuffled ONCE — tf is one
+    * combiner-friendly shuffle on (doc, term); df rides a count window
+    * over the tf frame partitioned by term (a separate df aggregate
+    * branch would re-tokenize the whole corpus: the optimizer prunes
+    * the two branches differently, defeating exchange reuse — measured
+    * as a second FileScan in the physical plan); N is a 1-row
+    * broadcast; the final per-doc top-k is a window over the tf frame
+    * re-shuffled by doc. Ranking uses the ROUNDED score so the order
+    * (and the oracle's) never hinges on sub-1e-6 libm differences.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  // PII patterns: the RE2 ∩ java.util.regex common dialect (no
+  // backreferences, ASCII classes), so Spark and the DuckDB oracle
+  // match/replace identically.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val LongNumRe = "\\d{6,}"
+
+  /** PII scrubbing: redact emails, IPv4 addresses, and long digit runs
+    * (account/phone-number shaped), emitting per-doc match counts and
+    * the fingerprint of the scrubbed text. Counts are measured on the
+    * ORIGINAL text; replacements apply in a fixed order
+    * (email → ip → number) so the scrubbed output is deterministic.
+    * Map-only — the scrub rides the scan projection at any scale.
+    *
+    * The synthetic corpus contains no PII (counts are all zero and the
+    * fingerprint equals the raw-text md5) — the oracle still checks the
+    * full plumbing, and `CorpusSpec` drives the same kernel over
+    * synthetic PII-bearing strings to pin the redaction behavior.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_num"),
+        md5(scrubbed(col("text"))).as("scrubbed_fp"))
+      .orderBy("doc_id")
+
+  /** The redaction chain shared by [[piiScrub]] and its spec. */
+  def scrubbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-(source, lang) corpus composition: doc counts, token and char
+    * totals, mean document length — the mix report a pipeline checks
+    * before setting sampling weights ([[Sampling.weightedMix]]).
+    * One combiner-friendly shuffle on a handful of group keys.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        round(sum("n_tokens").cast("double") / count(lit(1)), 4).as("avg_doc_tokens"))
+      .orderBy("source", "lang")
+}

@@ -81,6 +81,28 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  val ExportShards = 8
+
+  /** Deterministic global shuffle for training export: order the corpus
+    * pseudo-randomly (by a salted hash), split it into [[ExportShards]]
+    * output shards, and number positions within each shard. Training
+    * runs need the corpus de-clustered (no source/time runs) but
+    * REPRODUCIBLE — so the permutation is a pure function of the row,
+    * not `rand()`. One shuffle on the shard key; each shard sorts
+    * independently (shards are the export-parallelism unit, so the op
+    * scales by adding shards — never a global single-partition sort).
+    */
+  def exportShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val h = saltedHash("shuf", col("doc_id"))
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h.as("h"),
+        (conv(substring(h, 1, 1), 16, 10).cast("long") % ExportShards).as("shard"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val PackShards = 16
   val PackBudget = 2048
 

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Invariant and kernel checks for the corpus-hygiene operators
+  * (Corpus.scala) and export sharding (Sampling.exportShuffle). The
+  * oracle gate covers value equality against DuckDB; these pin the
+  * behaviors a hash-compare can't express — notably PII redaction,
+  * which the synthetic corpus never exercises (it contains no PII).
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  test("pii scrub redacts emails, IPs and long numbers in synthetic text") {
+    import spark.implicits._
+    val rows = Seq(
+      "contact bob.smith+spam@example.co.uk or 10.0.255.3 now",
+      "card 1234567890 pin 12345 ip 1.2.3.4.5", // 12345 too short to redact
+      "no pii here at all").toDF("text")
+      .select(Corpus.scrubbed(col("text")).as("s"),
+        regexp_count(col("text"), lit(Corpus.EmailRe)).as("ne"),
+        regexp_count(col("text"), lit(Corpus.Ipv4Re)).as("ni"),
+        regexp_count(col("text"), lit(Corpus.LongNumRe)).as("nn"))
+      .collect()
+    assert(rows(0).getAs[String]("s") == "contact <EMAIL> or <IP> now")
+    assert(rows(0).getAs[Int]("ne") == 1 && rows(0).getAs[Int]("ni") == 1)
+    // 1.2.3.4.5 is not a valid IPv4 boundary match on the right, but the
+    // leading 1.2.3.4 is: the \b dialect matches the first four octets
+    assert(rows(1).getAs[String]("s") == "card <NUM> pin 12345 ip <IP>.5")
+    assert(rows(1).getAs[Int]("nn") == 1)
+    assert(rows(2).getAs[String]("s") == "no pii here at all")
+  }
+
+  test("pii scrub over the corpus is count-zero and fingerprint-stable") {
+    val out = Corpus.piiScrub(spark, sf)
+    assert(out.filter(col("n_email") + col("n_ip") + col("n_num") > 0).count() == 0)
+    // no matches ⇒ scrubbed fingerprint == raw md5 of the text
+    val raw = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    assert(out.join(raw, "doc_id")
+      .filter(col("scrubbed_fp") =!= col("fp")).count() == 0)
+  }
+
+  test("decontaminate hits are bounded by the doc's gram count and benchmark docs are excluded") {
+    val out = Corpus.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty) // near-dup docs leak shared 5-grams at sf0.001+
+    out.foreach { r =>
+      val hits = r.getAs[Long]("n_hit")
+      assert(hits >= 1 && hits <= r.getAs[Long]("n_grams"))
+      val id = r.getAs[Long]("doc_id")
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bench:$id".getBytes("UTF-8"))
+      assert(f"${h(0) & 0xff}%02x" >= Corpus.BenchSplitThreshold,
+        s"benchmark doc $id must not be reported as contaminated")
+    }
+  }
+
+  test("decontaminate broadcasts the benchmark gram set") {
+    val plan = Corpus.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side must broadcast, got:\n$plan")
+  }
+
+  test("repetition stats are valid fractions and detect a repeated document") {
+    val rows = Corpus.repetitionStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val t = r.getAs[Double]("top_bigram_frac")
+      val d = r.getAs[Double]("dup_5gram_frac")
+      assert(t >= 0.0 && t <= 1.0 && d >= 0.0 && d <= 1.0)
+    }
+    // word-salad docs repeat bigrams from the tiny vocabulary: the
+    // operator must see nonzero repetition somewhere
+    assert(rows.exists(_.getAs[Double]("top_bigram_frac") > 0.0))
+  }
+
+  test("tfidf ranks are dense per doc and ordered by score") {
+    val rows = Corpus.tfidfTopTerms(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRank.map(_.getAs[Long]("rk")).sameElements(1L to byRank.length))
+      assert(byRank.length <= Corpus.TfIdfTopK)
+      val scores = byRank.map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    }
+  }
+
+  test("export shuffle is a permutation with contiguous per-shard positions") {
+    val rows = Sampling.exportShuffle(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rs) =>
+      assert(shard >= 0 && shard < Sampling.ExportShards)
+      val pos = rs.map(_.getAs[Long]("pos")).sorted
+      assert(pos.sameElements(1L to pos.length))
+    }
+  }
+
+  test("corpus stats totals are consistent with token_stats") {
+    val stats = Corpus.corpusStats(spark, sf)
+      .agg(sum("n_docs"), sum("total_tokens")).collect()(0)
+    val tok = TextAnalysis.tokenStats(spark, sf)
+      .agg(count(lit(1)), sum("n_tokens")).collect()(0)
+    assert(stats.getLong(0) == tok.getLong(0))
+    assert(stats.getLong(1) == tok.getLong(1))
+  }
+}

@@ -162,6 +162,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("export_shuffle windows by shard, never a global single-partition sort") {
+    val p = plan(operators.Sampling.exportShuffle(spark, sf))
+    assert(p.contains("hashpartitioning(shard"),
+      s"per-shard position numbering must partition by shard:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"),
+      "a global permutation window would serialize the corpus through one task")
+  }
+
+  test("tfidf tokenizes the corpus once: a single text-reading scan") {
+    // tf feeds both the scores and the document frequencies; df as a
+    // window over tf (not a second aggregate branch) keeps the corpus
+    // to ONE tokenize+shuffle — a df branch re-scanned text (the
+    // optimizer prunes the branches differently, defeating exchange
+    // reuse). The only other scan is the zero-column n_docs count.
+    // simple-mode plan prints each FileScan with its ReadSchema inline
+    val p = operators.Corpus.tfidfTopTerms(spark, sf)
+      .queryExecution.executedPlan.toString
+    val textScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("text"))
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(textScans <= 1 && scans <= 2,
+      s"expected one text scan + one count-only scan, got $textScans/$scans:\n${p.take(1200)}")
+  }
+
   test("pack_sequences windows by shard, never a global single-partition sort") {
     val p = plan(operators.Sampling.packSequences(spark, sf))
     assert(p.contains("hashpartitioning(shard"),
