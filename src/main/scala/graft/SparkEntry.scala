@@ -46,6 +46,7 @@ object SparkEntry {
     "events_sessionize" -> Events.sessionize _,
     "events_asof_purchase" -> Events.asofLastPurchase _,
     "events_user_profile" -> Events.userProfile _,
+    "events_quantiles" -> Events.valueQuantiles _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "quality_score" -> TextAnalysis.qualityScore _,
@@ -59,6 +60,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simHash _,
     "dedup_simhash_pairs" -> Dedup.simHashPairs _,
     "dedup_clusters" -> Dedup.clusters _,
+    "dedup_keep" -> Dedup.keep _,
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh _,
     // Similarity search (north star)
@@ -85,6 +87,7 @@ object SparkEntry {
     "stream_windowed" -> graft.streaming.EventStream.windowedCounts _,
     "stream_sessionize" -> graft.streaming.EventStream.sessionizeStream _,
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
+    "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
   )
@@ -254,6 +257,14 @@ object SparkEntry {
         |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value,
         |  min(ts) AS first_seen, max(ts) AS last_seen
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_quantiles" -> {
+      val qcols = Events.QuantilePoints.map { p =>
+        s"round(quantile_cont(value, $p), 4) AS p${(p * 100).toInt}"
+      }.mkString(",\n  ")
+      s"""SELECT event_type, count(*) AS n_events,
+         |  $qcols
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
     "token_stats" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -287,25 +298,36 @@ object SparkEntry {
   /** quality_score + lang_id oracles are built programmatically so the
     * marker lists / weights live in exactly one place (TextAnalysis).
     */
-  private def qualityLangOracles: Map[String, String] = {
+  /** The quality-score component CTE (`s` exposes n_tok/n_dist/n_stop
+    * per doc), shared by the `quality_score` and `stream_quality`
+    * oracles so both replicate TextAnalysis.qualityParts exactly.
+    */
+  private def qualityCteSql: String = {
     val toks = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
-    val toksLower = "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0)"
     val stopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS DOUBLE) AS n_tok,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+       |    CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) AS n_stop
+       |  FROM t)""".stripMargin
+  }
+
+  private val qualityExprSql =
+    """round((least(n_tok / 50.0, 1.0) + n_dist / greatest(n_tok, 1.0)
+      |         + least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0)) / 3.0, 4)""".stripMargin
+
+  private def qualityLangOracles: Map[String, String] = {
+    val toksLower = "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0)"
     val quality =
-      s"""WITH t AS (
-         |  SELECT doc_id, $toks AS toks FROM documents),
-         |s AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS DOUBLE) AS n_tok,
-         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
-         |    CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) AS n_stop
-         |  FROM t)
+      s"""$qualityCteSql
          |SELECT doc_id,
          |  round(least(n_tok / 50.0, 1.0), 4) AS len_score,
          |  round(n_dist / greatest(n_tok, 1.0), 4) AS diversity,
          |  round(least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0), 4) AS stop_score,
-         |  round((least(n_tok / 50.0, 1.0) + n_dist / greatest(n_tok, 1.0)
-         |         + least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0)) / 3.0, 4) AS quality
+         |  $qualityExprSql AS quality
          |FROM s ORDER BY doc_id""".stripMargin
     val langs = TextAnalysis.LangMarkers
     val scoreCols = langs.map { case (lang, words) =>
@@ -465,10 +487,16 @@ object SparkEntry {
          |  CASE WHEN l.m IS NULL OR d.doc_id < l.m THEN d.doc_id ELSE l.m END AS cluster
          |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    // the keep-list aggregates the cluster labels: count per label, one
+    // row per surviving representative
+    val keep =
+      s"""SELECT cluster AS doc_id, count(*) AS n_members
+         |FROM ($clusters)
+         |GROUP BY cluster ORDER BY doc_id""".stripMargin
     Map("dedup_exact" -> exact, "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,
-        "dedup_clusters" -> clusters,
+        "dedup_clusters" -> clusters, "dedup_keep" -> keep,
         "embedding_near_dup" -> nearDup,
         "embedding_near_dup_lsh" -> nearDupLsh)
   }
@@ -686,6 +714,12 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
+    "stream_quality" ->
+      s"""$qualityCteSql,
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM s)
+         |SELECT doc_id, quality FROM q
+         |WHERE quality >= ${graft.streaming.DocStream.QualityThreshold}
+         |ORDER BY doc_id""".stripMargin,
     "stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value

@@ -207,7 +207,13 @@ object Dedup {
     * round (and the previous round blocking-unpersisted) so lineage
     * stays one round deep.
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy("doc_id")
+
+  /** [[clusters]] without the output sort, shared with [[keep]] (which
+    * immediately re-aggregates — a sort there would be pure overhead).
+    */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
     // Eagerly materialize the pair set and CUT ITS LINEAGE before the
     // loop: an iterative consumer that keeps the ngram pipeline in its
     // plan re-executes pieces of it through every union branch /
@@ -223,6 +229,21 @@ object Dedup {
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     clustersFromEdges(docs, edges)
   }
+
+  /** The dedup END PRODUCT: one row per SURVIVING document — each
+    * cluster's representative (the smallest doc_id, i.e. the label
+    * itself) with its member count. `n_members` = 1 marks singletons;
+    * > 1 marks a representative standing in for dropped near-dups.
+    * This is the keep-list a pipeline joins against the corpus to
+    * materialize the deduplicated training set; one combiner-friendly
+    * shuffle over the label frame beyond [[clusters]].
+    */
+  def keep(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("cluster").as("doc_id"), col("n_members"))
+      .orderBy("doc_id")
 
   /** The label-propagation core of [[clusters]], parameterized on the
     * node and edge frames (package-private so specs can drive it with
@@ -271,8 +292,7 @@ object Dedup {
       .join(nodes, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     labels.union(singletons)
-      .select(col("doc_id"), col("label").as("cluster"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("label").as("cluster")) // callers order
   }
 
   val MinHashFns = 16

@@ -80,12 +80,7 @@ object TextAnalysis {
     // repeatedly and Catalyst won't CSE the regex split across them
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val toks = col("toks")
-    val nTok = size(toks).cast("double")
-    val diversity = size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1.0))
-    val lenScore = least(nTok / lit(50.0), lit(1.0))
-    val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
-    val stopScore = least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0))
+    val (lenScore, diversity, stopScore) = qualityParts(col("toks"))
     docs.select(
         col("doc_id"),
         round(lenScore, 4).as("len_score"),
@@ -93,6 +88,20 @@ object TextAnalysis {
         round(stopScore, 4).as("stop_score"),
         round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
       .orderBy("doc_id")
+  }
+
+  /** The three component scores over a materialized token array —
+    * shared by [[qualityScore]] and the streaming quality filter
+    * ([[graft.streaming.DocStream.streamQuality]]) so batch and stream
+    * compute bit-identical values.
+    */
+  def qualityParts(toks: Column): (Column, Column, Column) = {
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / greatest(nTok, lit(1.0))
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val stopHits = size(filter(toks, t => t.isin(StopwordsEn: _*))).cast("double")
+    val stopScore = least(stopHits / greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0))
+    (lenScore, diversity, stopScore)
   }
 
   val StopwordsEn: Seq[String] =

@@ -50,4 +50,35 @@ object DocStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name).orderBy("fp")
   }
+
+  val QualityThreshold = 0.5
+
+  /** Streaming quality gate on continuous ingest: the same closed-form
+    * score as [[graft.operators.TextAnalysis.qualityScore]] (shared
+    * expression — batch and stream are bit-identical), filtered at
+    * [[QualityThreshold]]. STATELESS — no aggregation, no watermark, no
+    * state store: the scoring and filter run inside each micro-batch's
+    * scan projection, so at production scale this is a pure pass-through
+    * transform whose throughput equals the source's. This is the shape
+    * of most pipeline pre-filters (quality, language, length): they
+    * belong on the ingest stream, not in a later batch pass over
+    * already-stored garbage.
+    */
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
+    val scored = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), toks.as("toks")) // materialize tokens once (no CSE)
+      .select(col("doc_id"),
+        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+      .filter(col("quality") >= QualityThreshold)
+    val name = "stream_quality_out"
+    val q = scored.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("doc_id")
+  }
 }

@@ -213,4 +213,43 @@ class OperatorsSpec extends AnyFunSuite {
       .distinct().collect().map(_.getString(0)).toSet
     assert(streamed == batch)
   }
+
+  test("streaming quality gate equals the batch score filtered at the threshold") {
+    val streamed = graft.streaming.DocStream.streamQuality(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = TextAnalysis.qualityScore(spark, sf)
+      .filter(col("quality") >= graft.streaming.DocStream.QualityThreshold)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(streamed == batch)
+  }
+
+  test("events quantiles are ordered and bracketed by the group extremes") {
+    val rows = Events.valueQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val extremes = Tables.events(spark, sf).groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+      val (mn, mx) = extremes(r.getAs[String]("event_type"))
+      // quantiles are interpolations of observed values, then rounded
+      assert(p50 >= mn - 1e-4 && p99 <= mx + 1e-4)
+    }
+  }
+
+  test("dedup keep-list partitions the corpus: members sum to |docs|, reps are cluster minima") {
+    val keep = Dedup.keep(spark, sf).collect()
+    val clusters = Dedup.clusters(spark, sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster"))
+    assert(keep.map(_.getAs[Long]("n_members")).sum == clusters.length)
+    val byCluster = clusters.groupBy(_._2)
+    keep.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val members = byCluster(id).map(_._1)
+      assert(members.min == id, s"representative $id must be its cluster's minimum")
+      assert(members.length == r.getAs[Long]("n_members"))
+    }
+    assert(keep.map(_.getAs[Long]("doc_id")).toSet == byCluster.keySet)
+  }
 }
