@@ -303,10 +303,9 @@ object SparkEntry {
     * oracles so both replicate TextAnalysis.qualityParts exactly.
     */
   private def qualityCteSql: String = {
-    val toks = "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
     val stopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
     s"""WITH t AS (
-       |  SELECT doc_id, $toks AS toks FROM documents),
+       |  SELECT doc_id, $toksRawSql AS toks FROM documents),
        |s AS (
        |  SELECT doc_id,
        |    CAST(len(toks) AS DOUBLE) AS n_tok,
@@ -357,6 +356,9 @@ object SparkEntry {
   // Shared dedup fragments (mirror Dedup.scala exactly).
   private val toksLowerSql =
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0)"
+  /** Raw-case twin of [[toksLowerSql]] (TextAnalysis.tokens). */
+  private val toksRawSql =
+    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
   private val shingleSql =
     """CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -636,8 +638,6 @@ object SparkEntry {
          |GROUP BY ex.doc_id, ex.n_grams
          |ORDER BY doc_id""".stripMargin
     // raw-case tokens: repetition is case-sensitive like token_stats
-    val toksRawSql =
-      "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
     val gram5Raw = {
       val concat = (0 until Corpus.RepGramN).map(k => s"toks[i+$k]").mkString(" || ' ' || ")
       s"""CASE WHEN len(toks) >= ${Corpus.RepGramN}
@@ -676,16 +676,21 @@ object SparkEntry {
          |      FROM scored)
          |SELECT doc_id, rk, term, score FROM r
          |WHERE rk <= ${Corpus.TfIdfTopK} ORDER BY doc_id, rk""".stripMargin
+    // counts measure substitutions actually made: each pattern counted
+    // AFTER the previous redactions (mirrors Corpus.piiScrub exactly)
     val pii =
-      s"""SELECT doc_id,
+      s"""WITH a AS (SELECT doc_id, text,
+         |    regexp_replace(text, '${Corpus.EmailRe}', '<EMAIL>', 'g') AS s1
+         |  FROM documents),
+         |b AS (SELECT doc_id, text, s1,
+         |    regexp_replace(s1, '${Corpus.Ipv4Re}', '<IP>', 'g') AS s2
+         |  FROM a)
+         |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Corpus.EmailRe}')) AS BIGINT) AS n_email,
-         |  CAST(len(regexp_extract_all(text, '${Corpus.Ipv4Re}')) AS BIGINT) AS n_ip,
-         |  CAST(len(regexp_extract_all(text, '${Corpus.LongNumRe}')) AS BIGINT) AS n_num,
-         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-         |    '${Corpus.EmailRe}', '<EMAIL>', 'g'),
-         |    '${Corpus.Ipv4Re}', '<IP>', 'g'),
-         |    '${Corpus.LongNumRe}', '<NUM>', 'g')) AS scrubbed_fp
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |  CAST(len(regexp_extract_all(s1, '${Corpus.Ipv4Re}')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(s2, '${Corpus.LongNumRe}')) AS BIGINT) AS n_num,
+         |  md5(regexp_replace(s2, '${Corpus.LongNumRe}', '<NUM>', 'g')) AS scrubbed_fp
+         |FROM b ORDER BY doc_id""".stripMargin
     val stats =
       s"""SELECT source, lang, count(*) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,

@@ -26,19 +26,21 @@ object Corpus {
   val ContamGramN = 5
 
   /** Distinct word 5-gram shingles per doc, as a typed map-only kernel
-    * (same tokenizer and short-doc fallback as Dedup's 3-gram kernel;
-    * the Column formulation measured 10-200x slower at sf0.1).
+    * over the GIVEN document slice (same tokenizer and short-doc
+    * fallback as Dedup's 3-gram kernel; the Column formulation measured
+    * 10-200x slower at sf0.1). Locale.ROOT lowercasing: the JVM default
+    * locale (e.g. tr-TR dotless-ı) would diverge from the oracle's
+    * locale-independent `lower()`.
     */
-  private def contamShingles(spark: SparkSession, dir: String): DataFrame = {
+  private def contamShingles(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Kernels.fanOut(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("text")))
+    Kernels.fanOut(docs.select(col("doc_id"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
         it.map { case (id, text) =>
-          val toks = re.split(text.toLowerCase).filter(_.nonEmpty)
+          val toks = re.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
           val sh =
             if (toks.length >= ContamGramN)
               toks.sliding(ContamGramN).map(_.mkString(" ")).toArray.distinct
@@ -56,19 +58,23 @@ object Corpus {
     * decontamination as practiced since GPT-2/GPT-3's 8-gram variant).
     *
     * 100 TB shape: the benchmark side is eval-benchmark-sized (tiny by
-    * construction), so its distinct grams BROADCAST — the corpus is
-    * touched by exactly one map-side semi-join plus a combiner-friendly
-    * per-doc count; no corpus-sized shuffle, no pair join. Output: one
+    * construction), so its distinct grams BROADCAST — the corpus pays
+    * one shingling pass plus a map-side semi-join and a combiner-
+    * friendly per-doc count; no corpus-sized shuffle, no pair join.
+    * The bench/corpus split rides the SCAN (the predicate depends only
+    * on doc_id), so each document is tokenized and shingled exactly
+    * once on exactly one side — splitting AFTER a shared kernel would
+    * re-run the whole tokenize+shingle pass per branch. Output: one
     * row per contaminated document with its gram count and hit count.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val shx = contamShingles(spark, dir)
     val isBench =
       substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 2)
-    val benchGrams = shx.filter(isBench < BenchSplitThreshold)
+    val docs = Tables.documents(spark, dir)
+    val benchGrams = contamShingles(docs.filter(isBench < BenchSplitThreshold))
       .select(explode(col("sh")).as("g"))
       .distinct()
-    shx.filter(isBench >= BenchSplitThreshold)
+    contamShingles(docs.filter(isBench >= BenchSplitThreshold))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
         explode(col("sh")).as("g"))
       .join(broadcast(benchGrams), "g")
@@ -170,11 +176,14 @@ object Corpus {
   val LongNumRe = "\\d{6,}"
 
   /** PII scrubbing: redact emails, IPv4 addresses, and long digit runs
-    * (account/phone-number shaped), emitting per-doc match counts and
-    * the fingerprint of the scrubbed text. Counts are measured on the
-    * ORIGINAL text; replacements apply in a fixed order
-    * (email → ip → number) so the scrubbed output is deterministic.
-    * Map-only — the scrub rides the scan projection at any scale.
+    * (account/phone-number shaped), emitting per-doc REDACTION counts
+    * and the fingerprint of the scrubbed text. Replacements apply in a
+    * fixed order (email → ip → number), and each pattern is counted on
+    * the text AFTER the previous redactions — so every count equals the
+    * number of substitutions actually made (a digit run inside an email
+    * address is redacted as part of the email, not double-counted as a
+    * number). Map-only — the scrub rides the scan projection at any
+    * scale.
     *
     * The synthetic corpus contains no PII (counts are all zero and the
     * fingerprint equals the raw-text md5) — the oracle still checks the
@@ -183,11 +192,14 @@ object Corpus {
     */
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("s1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("s2", regexp_replace(col("s1"), Ipv4Re, "<IP>"))
       .select(col("doc_id"),
         regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_email"),
-        regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ip"),
-        regexp_count(col("text"), lit(LongNumRe)).cast("long").as("n_num"),
-        md5(scrubbed(col("text"))).as("scrubbed_fp"))
+        regexp_count(col("s1"), lit(Ipv4Re)).cast("long").as("n_ip"),
+        regexp_count(col("s2"), lit(LongNumRe)).cast("long").as("n_num"),
+        md5(regexp_replace(col("s2"), LongNumRe, "<NUM>")).as("scrubbed_fp"))
       .orderBy("doc_id")
 
   /** The redaction chain shared by [[piiScrub]] and its spec. */

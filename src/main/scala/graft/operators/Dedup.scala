@@ -85,7 +85,9 @@ object Dedup {
       .mapPartitions { it =>
         val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
         it.map { case (id, text) =>
-          val toks = re.split(text.toLowerCase).filter(_.nonEmpty)
+          // Locale.ROOT: default-locale lowercasing (tr-TR dotless-ı)
+          // would diverge from the oracle's locale-independent lower()
+          val toks = re.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
           val sh =
             if (toks.length >= 3)
               toks.sliding(3).map(_.mkString(" ")).toArray.distinct

@@ -100,29 +100,33 @@ object Events {
       .orderBy("error_id")
   }
 
-  /** Per-user behavior profile: pivot-style conditional aggregation. */
   val QuantilePoints: Seq[Double] = Seq(0.5, 0.9, 0.99)
 
   /** Exact per-type value quantiles (p50/p90/p99, linear interpolation —
     * the R-7 definition Spark's `percentile` and DuckDB's
-    * `quantile_cont` share). Exact quantiles buffer each group's values
-    * in the aggregation state: right for the oracle gate and fine while
+    * `quantile_cont` share). All points come from ONE `percentile(value,
+    * array(...))` aggregate — one shared per-group value buffer, not one
+    * per point. Exact quantiles buffer each group's values in the
+    * aggregation state: right for the oracle gate and fine while
     * |group| fits an executor, but at 100 TB the production form is
     * `approx_percentile` (t-digest-style mergeable sketch, bounded
     * state, rank error ≤ the accuracy parameter) — the query shape is
     * identical, only the aggregate swaps.
     */
   def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val qcols = QuantilePoints.map { p =>
-      val tag = (p * 100).toInt
-      round(expr(s"percentile(value, $p)"), 4).as(s"p$tag")
+    val pts = QuantilePoints.mkString(", ")
+    val qcols = QuantilePoints.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("qs"), i + 1), 4).as(s"p${(p * 100).toInt}")
     }
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"), qcols: _*)
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"percentile(value, array($pts))").as("qs"))
+      .select(Seq(col("event_type"), col("n_events")) ++ qcols: _*)
       .orderBy("event_type")
   }
 
+  /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("user_id")

@@ -17,14 +17,21 @@ class CorpusSpec extends AnyFunSuite {
 
   test("pii scrub redacts emails, IPs and long numbers in synthetic text") {
     import spark.implicits._
+    // nn replicates piiScrub's SEQUENTIAL count: numbers are counted on
+    // the email+ip-scrubbed text, so digits consumed by an earlier
+    // redaction are never double-counted
+    val afterIp = regexp_replace(
+      regexp_replace(col("text"), Corpus.EmailRe, "<EMAIL>"),
+      Corpus.Ipv4Re, "<IP>")
     val rows = Seq(
       "contact bob.smith+spam@example.co.uk or 10.0.255.3 now",
       "card 1234567890 pin 12345 ip 1.2.3.4.5", // 12345 too short to redact
+      "reach 1234567@corp.com now", // digit run consumed by the email redaction
       "no pii here at all").toDF("text")
       .select(Corpus.scrubbed(col("text")).as("s"),
         regexp_count(col("text"), lit(Corpus.EmailRe)).as("ne"),
         regexp_count(col("text"), lit(Corpus.Ipv4Re)).as("ni"),
-        regexp_count(col("text"), lit(Corpus.LongNumRe)).as("nn"))
+        regexp_count(afterIp, lit(Corpus.LongNumRe)).as("nn"))
       .collect()
     assert(rows(0).getAs[String]("s") == "contact <EMAIL> or <IP> now")
     assert(rows(0).getAs[Int]("ne") == 1 && rows(0).getAs[Int]("ni") == 1)
@@ -32,7 +39,10 @@ class CorpusSpec extends AnyFunSuite {
     // leading 1.2.3.4 is: the \b dialect matches the first four octets
     assert(rows(1).getAs[String]("s") == "card <NUM> pin 12345 ip <IP>.5")
     assert(rows(1).getAs[Int]("nn") == 1)
-    assert(rows(2).getAs[String]("s") == "no pii here at all")
+    assert(rows(2).getAs[String]("s") == "reach <EMAIL> now")
+    assert(rows(2).getAs[Int]("ne") == 1 && rows(2).getAs[Int]("nn") == 0,
+      "the 7-digit run is part of the email and must not count as a number")
+    assert(rows(3).getAs[String]("s") == "no pii here at all")
   }
 
   test("pii scrub over the corpus is count-zero and fingerprint-stable") {
