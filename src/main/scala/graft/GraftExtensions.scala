@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, TopKByScore}
 
 /** The library's `SparkSessionExtensions` entry point — the deployment
   * surface for clusters: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (exprs: Seq[Expression]) =>
+        TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
   }
 }

@@ -35,6 +35,7 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "top_orders" -> Relational.topOrders _,
     "top_orders_per_customer" -> Relational.topOrdersPerCustomer _,
+    "top_orders_per_customer_agg" -> Relational.topOrdersPerCustomerAgg _,
     "rollup_orders" -> Relational.rollupOrders _,
     "cube_orders" -> Relational.cubeOrders _,
     "customers_without_big_orders" -> Relational.customersWithoutBigOrders _,
@@ -178,6 +179,14 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "top_orders_per_customer" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, rk FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    // the graft_topk aggregate must be indistinguishable from the window
+    // formulation — same oracle
+    "top_orders_per_customer_agg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, rk FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk

@@ -123,6 +123,28 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
+  /** [[topOrdersPerCustomer]] re-expressed over the custom bounded
+    * top-k aggregate ([[graft.functions.TopKByScore]], `graft_topk`) —
+    * identical output, different physical shape: the window formulation
+    * shuffles EVERY order row to its customer's partition and sorts;
+    * this one partial-aggregates each map task's slice to ≤ 3 entries
+    * per customer BEFORE the exchange (ObjectHashAggregate,
+    * `PlanAuditSpec`), so the shuffle carries at most k·|customers|
+    * rows per partition no matter how large the fact table grows —
+    * the per-key analogue of `TakeOrderedAndProject`.
+    */
+  def topOrdersPerCustomerAgg(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(topK(spark, col("o_totalprice"), col("o_orderkey"), lit(3)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("col.id").as("o_orderkey"), col("o_custkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("long").as("rk"))
+      .orderBy("o_custkey", "rk")
+  }
+
   /** Rollup aggregation (grouping-sets family). */
   def rollupOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)

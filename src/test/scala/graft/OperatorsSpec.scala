@@ -194,6 +194,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_topk equals the window top-k formulation row for row") {
+    val agg = Relational.topOrdersPerCustomerAgg(spark, sf).collect().toSeq
+    val win = Relational.topOrdersPerCustomer(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "rk") // same column order
+      .collect().toSeq
+    assert(agg == win)
+  }
+
+  test("graft_topk keeps ties and short groups correct at any partitioning") {
+    import spark.implicits._
+    import graft.functions.TopKFunctions.topK
+    // key 1: tie on score 5.0 broken by id ASC; key 2: fewer rows than k
+    val df = Seq((1L, 5.0, 30L), (1L, 5.0, 10L), (1L, 7.0, 99L),
+                 (1L, 5.0, 20L), (2L, 1.0, 1L))
+      .toDF("key", "score", "id").repartition(7)
+    val got = df.groupBy("key")
+      .agg(topK(spark, col("score"), col("id"), lit(3)).as("top"))
+      .orderBy("key")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    assert(got(1L) == Seq((7.0, 99L), (5.0, 10L), (5.0, 20L)))
+    assert(got(2L) == Seq((1.0, 1L)))
+  }
+
   test("graft_dot is injected by GraftExtensions into fresh sessions") {
     // newSession() builds a NEW function registry from the session's
     // extensions — this resolves only if the SparkSessionExtensions

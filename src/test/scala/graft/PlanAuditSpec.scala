@@ -185,6 +185,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected one text scan + one count-only scan, got $textScans/$scans:\n${p.take(1200)}")
   }
 
+  test("graft_topk partial-aggregates before the exchange (bounded per-key shuffle)") {
+    // the whole point of the custom aggregate vs the window form: each
+    // map task reduces to <= k entries per key BEFORE shuffling, so the
+    // exchange carries k*|keys| rows, not the fact table
+    val p = plan(Relational.topOrdersPerCustomerAgg(spark, sf))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed imperative aggregate expected:\n${p.take(800)}")
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+      s"map-side partial aggregation expected:\n${p.take(1500)}")
+  }
+
   test("pack_sequences windows by shard, never a global single-partition sort") {
     val p = plan(operators.Sampling.packSequences(spark, sf))
     assert(p.contains("hashpartitioning(shard"),
