@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (the technique several operator
+  * docstrings defer to "salting in production" — here made concrete
+  * and result-equivalence-tested, like the bucketed co-located join
+  * audit in `PlanAuditSpec`).
+  *
+  * AQE's skew-join handles sort-merge skew by splitting oversized
+  * partitions, but only OUTER shuffle stages it can observe; salting is
+  * the plan-level fix that works everywhere, including under
+  * ShuffledHashJoin and inside cached/checkpointed subtrees.
+  */
+object Skew {
+
+  /** Equi-join `fact ⋈ dim` on `key`, salted `salts` ways: the fact
+    * side's hot key is split across `salts` shuffle partitions instead
+    * of landing on one straggler task, at the cost of replicating the
+    * (small) dim side `salts` times.
+    *
+    * Mechanics: each fact row gets a DETERMINISTIC salt in [0, salts)
+    * hashed from the whole row (retry-safe — `rand()` would re-salt on
+    * task re-execution and break exactly-once row matching); the dim
+    * side is exploded once per salt value; the join key becomes
+    * (key, salt), so every fact row still meets every dim row with its
+    * key exactly once and the result is row-identical to the unsalted
+    * join. The shuffle hash-partitions on (key, salt) — asserted in
+    * `PlanAuditSpec` — which is what spreads the hot key.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val factCols = fact.columns.map(col)
+    val salted = fact.withColumn("graft_salt",
+      pmod(xxhash64(factCols: _*), lit(salts.toLong)))
+    val replicated = dim.withColumn("graft_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "graft_salt")).drop("graft_salt")
+  }
+}

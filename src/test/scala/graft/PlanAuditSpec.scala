@@ -143,6 +143,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("salted join equals the plain join and shuffles on (key, salt)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // 90% of fact rows share one hot key — the straggler-task shape
+      val fact = (1L to 1000L)
+        .map(i => (if (i % 10 == 0) i % 7 else 999L, i))
+        .toDF("key", "fact_val")
+      val dim = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (2L, "c"),
+                    (3L, "d"), (4L, "e"), (5L, "f"), (6L, "g"))
+        .toDF("key", "dim_val")
+      val plain = fact.join(dim, "key")
+      val salted = operators.Skew.saltedJoin(fact, dim, "key", salts = 8)
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      val order = Seq("key", "fact_val", "dim_val").map(org.apache.spark.sql.functions.col)
+      assert(salted.orderBy(order: _*).collect().toSeq ==
+             plain.orderBy(order: _*).collect().toSeq)
+      val p = plan(salted)
+      assert(p.contains("hashpartitioning(key") && p.contains("graft_salt"),
+        s"join must shuffle on (key, salt) to spread the hot key:\n${p.take(900)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("anti join stays a join, not a driver-side collect") {
     val p = plan(Relational.customersWithoutBigOrders(spark, sf))
     assert(p.contains("LeftAnti"), p.take(500))
