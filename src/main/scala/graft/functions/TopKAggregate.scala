@@ -33,7 +33,16 @@ final class TopKBuffer(var entries: ArrayBuffer[(Double, Long)])
   * its slice to ≤ k entries per key BEFORE the exchange, so the shuffle
   * carries at most k·|keys| rows per partition regardless of input
   * size — the same map-side-combine asymmetry that makes word count
-  * scale. State is strictly bounded by k per (key, partition).
+  * scale. The in-memory buffer is bounded by 2k−1 entries per (key,
+  * partition) (compaction is amortized, every k inserts); the
+  * SERIALIZED form that crosses the shuffle is compacted to ≤ k.
+  *
+  * NaN scores order GREATEST (Spark's nan-safe double ordering), same
+  * as the window formulation's `ORDER BY score DESC`. Rows with a null
+  * score or id are IGNORED — the window form would rank null scores
+  * last (DESC = NULLS LAST), so the two formulations agree exactly
+  * whenever a group has ≥ k non-null rows or no nulls at all (TPC-H
+  * o_totalprice/o_orderkey are non-null).
   *
   * Returns `array<struct<score double, id bigint>>` sorted by the
   * ranking order, so `posexplode` yields (rank-1, entry) directly.
@@ -60,16 +69,33 @@ case class TopKByScore(
       TypeCheckResult.TypeCheckFailure(
         s"graft_topk expects (double, bigint, int), got " +
           s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
-    else if (!kExpr.foldable || kExpr.eval() == null ||
-             kExpr.eval().asInstanceOf[Number].intValue() <= 0)
-      TypeCheckResult.TypeCheckFailure("graft_topk k must be a positive literal")
+    else if (!Seq(ByteType, ShortType, IntegerType, LongType).contains(kExpr.dataType) ||
+             !kExpr.foldable || kExpr.eval() == null ||
+             kExpr.eval().asInstanceOf[Number].longValue() <= 0)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_topk k must be a positive integral literal")
     else TypeCheckResult.TypeCheckSuccess
+
+  /** Spark's nan-safe double compare (NaN greatest, NaN == NaN): a
+    * TOTAL order, so sortWith never sees an intransitive comparator
+    * (naive `>` is not a strict weak order once NaN appears — TimSort
+    * throws on it), and NaN placement matches the window formulation.
+    */
+  private def nanSafeCompare(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0
+    else if (x.isNaN && y.isNaN) 0
+    else if (x.isNaN) 1
+    else -1
 
   /** score DESC, id ASC — must match the window formulation's ORDER BY
     * exactly so results are interchangeable.
     */
-  private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = nanSafeCompare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def compact(buf: TopKBuffer): Unit =
     if (buf.entries.length > k) {
@@ -97,8 +123,7 @@ case class TopKByScore(
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    compact(buf)
-    val sorted = buf.entries.sortWith(lt)
+    val sorted = buf.entries.sortWith(lt).take(k)
     new GenericArrayData(sorted.map(p => InternalRow(p._1, p._2)).toArray[Any])
   }
 

@@ -28,9 +28,17 @@ object Skew {
     * key exactly once and the result is row-identical to the unsalted
     * join. The shuffle hash-partitions on (key, salt) — asserted in
     * `PlanAuditSpec` — which is what spreads the hot key.
+    *
+    * Limitation: the salt is a pure function of row CONTENT, so
+    * byte-identical duplicate rows share one salt and stay co-located —
+    * determinism's price. If the hot key's rows are exact duplicates,
+    * run exact dedup first ([[Dedup.exact]] is the canonical opening
+    * pass) or add a discriminator column upstream.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!fact.columns.contains("graft_salt") && !dim.columns.contains("graft_salt"),
+      "inputs must not already carry a graft_salt column")
     val factCols = fact.columns.map(col)
     val salted = fact.withColumn("graft_salt",
       pmod(xxhash64(factCols: _*), lit(salts.toLong)))

@@ -220,6 +220,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == Seq((1.0, 1L)))
   }
 
+  test("graft_topk orders NaN greatest without breaking the sort contract") {
+    import spark.implicits._
+    import graft.functions.TopKFunctions.topK
+    // enough rows that an intransitive comparator would trip TimSort's
+    // contract check; NaN must rank first like the window form's DESC
+    val rows = (1L to 40L).map(i => (1L, if (i % 13 == 0) Double.NaN else i.toDouble, i))
+    val got = rows.toDF("key", "score", "id").repartition(5)
+      .groupBy("key")
+      .agg(topK(spark, col("score"), col("id"), lit(4)).as("top"))
+      .collect()(0)
+      .getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1)))
+    assert(got.take(3).forall(_._1.isNaN), s"NaN scores must rank first, got $got")
+    assert(got.take(3).map(_._2) == Seq(13L, 26L, 39L), "NaN ties break by id ASC")
+    assert(got(3) == (40.0, 40L))
+  }
+
   test("graft_dot is injected by GraftExtensions into fresh sessions") {
     // newSession() builds a NEW function registry from the session's
     // extensions — this resolves only if the SparkSessionExtensions
