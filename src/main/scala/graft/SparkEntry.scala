@@ -48,6 +48,8 @@ object SparkEntry {
     "events_asof_purchase" -> Events.asofLastPurchase _,
     "events_user_profile" -> Events.userProfile _,
     "events_quantiles" -> Events.valueQuantiles _,
+    "events_funnel" -> Events.funnel _,
+    "events_retention" -> Events.retention _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "quality_score" -> TextAnalysis.qualityScore _,
@@ -274,6 +276,27 @@ object SparkEntry {
          |  $qcols
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY e.user_id)
+        |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |UNION ALL SELECT '2_click', count(*) FROM c
+        |UNION ALL SELECT '3_purchase', count(*) FROM p
+        |ORDER BY stage""".stripMargin,
+    "events_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |           FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT e.user_id, f.cohort,
+        |          (epoch_us(date_trunc('day', e.ts)) - epoch_us(f.cohort)) // 86400000000 AS day_n
+        |        FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort, day_n, count(*) AS n_users
+        |FROM act GROUP BY cohort, day_n ORDER BY cohort, day_n""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,

@@ -126,6 +126,57 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Ordered conversion funnel view → click → purchase: a user counts
+    * at a stage only if the stage event happens AT OR AFTER their entry
+    * to the previous stage (min-timestamp semantics, the standard
+    * product-analytics funnel). Three aggregation passes, all keyed on
+    * user_id — at scale they co-partition, so after the first exchange
+    * the later stages reuse the partitioning (AQE) rather than
+    * reshuffling the corpus.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "ts")
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id")
+      .filter(col("ts") >= col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id")
+      .filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    def stageCount(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(stage).as("stage"), col("n_users"))
+    stageCount(view, "1_view")
+      .union(stageCount(click, "2_click"))
+      .union(stageCount(purchase, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  /** Day-offset retention cohorts: users are grouped by their first-
+    * seen day; each (cohort, day offset) cell counts the distinct users
+    * active that day. Day arithmetic runs on epoch microseconds of the
+    * day-truncated timestamps (exact integer division — no date-type
+    * casting games across engines). Two shuffles: first-seen per user,
+    * then the cohort-cell aggregate.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "ts")
+    val first = ev.groupBy("user_id")
+      .agg(date_trunc("day", min("ts")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("cohort"),
+        ((unix_micros(date_trunc("day", col("ts"))) - unix_micros(col("cohort")))
+          / lit(86400000000L)).cast("long").as("day_n"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort", "day_n")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort", "day_n")
+  }
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

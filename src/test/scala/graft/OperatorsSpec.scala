@@ -194,6 +194,27 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stages are monotone nonincreasing") {
+    val rows = Events.funnel(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"a later funnel stage can never outnumber an earlier one: ${counts.toSeq}")
+  }
+
+  test("retention day-0 cells cover every cohort member") {
+    val rows = Events.retention(spark, sf).collect()
+    val day0 = rows.filter(_.getAs[Long]("day_n") == 0L)
+      .map(r => r.getAs[java.sql.Timestamp]("cohort") -> r.getAs[Long]("n_users")).toMap
+    val cohorts = Tables.events(spark, sf)
+      .groupBy("user_id").agg(date_trunc("day", min("ts")).as("cohort"))
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[java.sql.Timestamp]("cohort") -> r.getAs[Long]("n")).toMap
+    // every user is active on their own first-seen day by construction
+    assert(day0 == cohorts)
+    assert(rows.forall(_.getAs[Long]("day_n") >= 0L))
+  }
+
   test("graft_topk equals the window top-k formulation row for row") {
     val agg = Relational.topOrdersPerCustomerAgg(spark, sf).collect().toSeq
     val win = Relational.topOrdersPerCustomer(spark, sf)
