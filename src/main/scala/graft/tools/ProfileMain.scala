@@ -35,7 +35,10 @@ object ProfileMain {
     }
 
     time("dedup_clusters")(println(Dedup.clusters(spark, dir).count()))
+    time("dedup_keep")(println(Dedup.keep(spark, dir).count()))
     time("dedup_ngram_jaccard")(println(Dedup.ngramJaccard(spark, dir).count()))
+    time("tfidf_top_terms")(println(Corpus.tfidfTopTerms(spark, dir).count()))
+    time("decontaminate")(println(Corpus.decontaminate(spark, dir).count()))
     time("dedup_minhash_lsh")(println(Dedup.minHashLsh(spark, dir).count()))
     time("dedup_simhash_pairs")(println(Dedup.simHashPairs(spark, dir).count()))
     time("embedding_near_dup_lsh")(println(Dedup.embeddingNearDupLsh(spark, dir).count()))

@@ -143,6 +143,25 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("hive-partitioned writes prune partitions at the scan") {
+    // the other half of the layout story next to the bucketed-join
+    // audit: a corpus written partitioned by source must answer a
+    // single-source query by reading ONE directory — the scan shows a
+    // PartitionFilters entry and touches a fraction of the files
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft-partitioned")
+    base.toFile.deleteOnExit()
+    val docs = graft.Tables.documents(spark, sf)
+    docs.write.partitionBy("source").mode("overwrite").parquet(s"$base/docs")
+    val filtered = spark.read.parquet(s"$base/docs")
+      .filter(org.apache.spark.sql.functions.col("source") === "src1")
+    val p = plan(filtered)
+    assert(p.contains("PartitionFilters: [") && p.contains("source"),
+      s"source filter must prune partitions, not scan+filter:\n${p.take(900)}")
+    val expected = docs.filter(org.apache.spark.sql.functions.col("source") === "src1").count()
+    assert(filtered.count() == expected)
+  }
+
   test("salted join equals the plain join and shuffles on (key, salt)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
