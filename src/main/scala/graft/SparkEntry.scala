@@ -52,6 +52,7 @@ object SparkEntry {
     "events_retention" -> Events.retention _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
+    "token_count_bpe" -> TextAnalysis.tokenCounts _,
     "quality_score" -> TextAnalysis.qualityScore _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
@@ -308,6 +309,12 @@ object SparkEntry {
         |        list_filter(regexp_split_to_array(text, '[^\p{L}]+'), w -> length(w) > 0) AS toks
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "token_count_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len($toksRawSql) AS BIGINT) AS n_letter_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -70,6 +70,30 @@ object TextAnalysis {
         col("n_chars"))
       .orderBy("doc_id")
 
+  /** GPT-2-style pretokenizer pattern, restricted to the RE2 ∩ Java
+    * dialect (no lookahead, so the contraction/trailing-space rules are
+    * simplified): a token is an optional leading space plus a letter
+    * run, digit run, or symbol run — or a whitespace run. This is the
+    * segmentation BPE operates on; counting its matches approximates
+    * "LLM tokens" far better than whitespace words on code/punctuation-
+    * heavy text.
+    */
+  val BpeTokenRe = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token counts under three tokenizers per document: whitespace
+    * words, letter runs (the reference's `unicode.IsLetter` contract),
+    * and the BPE-ish pretokenizer above — the cheap LLM-token budget
+    * estimator a pipeline uses for packing/cost accounting. Map-only.
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+          .cast("long").as("n_ws_tokens"),
+        size(tokens(col("text"))).cast("long").as("n_letter_tokens"),
+        regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Heuristic quality score in [0,1]: mix of length band, lexical
     * diversity (type/token ratio) and stopword presence — the standard
     * cheap pre-filter in LLM-data pipelines. Deterministic closed-form

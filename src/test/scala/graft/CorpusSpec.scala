@@ -112,6 +112,20 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe-ish token counts agree with the letter tokenizer where they must") {
+    val counts = TextAnalysis.tokenCounts(spark, sf).collect()
+    val letter = TextAnalysis.tokenStats(spark, sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    counts.foreach { r =>
+      assert(r.getAs[Long]("n_letter_tokens") == letter(r.getAs[Long]("doc_id")),
+        "letter tokenizer must match token_stats exactly")
+      // words are maximal non-space runs; every word contains >= 1
+      // letter/digit/symbol token, so the BPE-ish count can't be lower
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_ws_tokens"))
+    }
+  }
+
   test("corpus stats totals are consistent with token_stats") {
     val stats = Corpus.corpusStats(spark, sf)
       .agg(sum("n_docs"), sum("total_tokens")).collect()(0)
