@@ -311,7 +311,7 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "token_count_bpe" ->
       s"""SELECT doc_id,
-         |  CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(list_filter(regexp_split_to_array(text, '${TextAnalysis.WsClass}+'), w -> length(w) > 0)) AS BIGINT) AS n_ws_tokens,
          |  CAST(len($toksRawSql) AS BIGINT) AS n_letter_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeTokenRe}')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,

@@ -157,19 +157,24 @@ object Events {
 
   /** Day-offset retention cohorts: users are grouped by their first-
     * seen day; each (cohort, day offset) cell counts the distinct users
-    * active that day. Day arithmetic runs on epoch microseconds of the
-    * day-truncated timestamps (exact integer division — no date-type
-    * casting games across engines). Two shuffles: first-seen per user,
-    * then the cohort-cell aggregate.
+    * active that day. Days are EPOCH days (`unix_micros div 86 400e6`),
+    * not `date_trunc('day')` — date_trunc follows the session timezone,
+    * and under a DST zone a 23-hour day would make the µs difference a
+    * non-multiple of a day and shift offsets; epoch-day integer
+    * arithmetic is timezone-independent and matches the oracle's naive
+    * timestamps exactly. Three hash exchanges: first-seen per user, the
+    * per-day distinct, and the cohort-cell aggregate (plus the output
+    * sort) — the distinct dominates at scale and partial-aggregates
+    * before shuffling.
     */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select("user_id", "ts")
-    val first = ev.groupBy("user_id")
-      .agg(date_trunc("day", min("ts")).as("cohort"))
+    val usPerDay = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"unix_micros(ts) div $usPerDay").as("day"))
+    val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
     ev.join(first, "user_id")
-      .select(col("cohort"),
-        ((unix_micros(date_trunc("day", col("ts"))) - unix_micros(col("cohort")))
-          / lit(86400000000L)).cast("long").as("day_n"),
+      .select(timestamp_micros(col("cohort_day") * usPerDay).as("cohort"),
+        (col("day") - col("cohort_day")).as("day_n"),
         col("user_id"))
       .distinct()
       .groupBy("cohort", "day_n")

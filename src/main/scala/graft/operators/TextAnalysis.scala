@@ -78,7 +78,17 @@ object TextAnalysis {
     * "LLM tokens" far better than whitespace words on code/punctuation-
     * heavy text.
     */
-  val BpeTokenRe = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  /** Explicit whitespace class instead of `\s`: Java's `\s` includes
+    * U+000B (vertical tab) but RE2's does not, so a `\s` written on
+    * both sides would diverge on a document containing one. The
+    * explicit class means the same five-plus-one characters to both
+    * engines.
+    */
+  val WsChars = "\\t\\n\\x0B\\f\\r "   // class body, no brackets
+  val WsClass = s"[$WsChars]"
+
+  val BpeTokenRe =
+    s" ?\\p{L}+| ?\\p{N}+| ?[^$WsChars\\p{L}\\p{N}]+|$WsClass+"
 
   /** Token counts under three tokenizers per document: whitespace
     * words, letter runs (the reference's `unicode.IsLetter` contract),
@@ -88,7 +98,7 @@ object TextAnalysis {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(filter(split(col("text"), "\\s+"), t => length(t) > 0))
+        size(filter(split(col("text"), s"$WsClass+"), t => length(t) > 0))
           .cast("long").as("n_ws_tokens"),
         size(tokens(col("text"))).cast("long").as("n_letter_tokens"),
         regexp_count(col("text"), lit(BpeTokenRe)).cast("long").as("n_bpe_tokens"))

@@ -18,6 +18,17 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(FormattedMode)
 
+  /** deleteOnExit only removes EMPTY directories — a populated parquet
+    * tree written under a temp dir leaks forever without this.
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q1: filter + column pruning reach the parquet scan; partial agg present") {
     val p = plan(Relational.q1PricingSummary(spark, sf))
     assert(p.contains("PushedFilters"), p.take(500))
@@ -116,7 +127,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // of both sides.
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-bucketed")
-    base.toFile.deleteOnExit()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       Relational // touch to ensure operators compiled
@@ -140,6 +150,7 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      deleteRecursively(base) // external-table files survive the DROPs
     }
   }
 
@@ -150,16 +161,17 @@ class PlanAuditSpec extends AnyFunSuite {
     // PartitionFilters entry and touches a fraction of the files
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft-partitioned")
-    base.toFile.deleteOnExit()
-    val docs = graft.Tables.documents(spark, sf)
-    docs.write.partitionBy("source").mode("overwrite").parquet(s"$base/docs")
-    val filtered = spark.read.parquet(s"$base/docs")
-      .filter(org.apache.spark.sql.functions.col("source") === "src1")
-    val p = plan(filtered)
-    assert(p.contains("PartitionFilters: [") && p.contains("source"),
-      s"source filter must prune partitions, not scan+filter:\n${p.take(900)}")
-    val expected = docs.filter(org.apache.spark.sql.functions.col("source") === "src1").count()
-    assert(filtered.count() == expected)
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+      docs.write.partitionBy("source").mode("overwrite").parquet(s"$base/docs")
+      val filtered = spark.read.parquet(s"$base/docs")
+        .filter(org.apache.spark.sql.functions.col("source") === "src1")
+      val p = plan(filtered)
+      assert(p.contains("PartitionFilters: [") && p.contains("source"),
+        s"source filter must prune partitions, not scan+filter:\n${p.take(900)}")
+      val expected = docs.filter(org.apache.spark.sql.functions.col("source") === "src1").count()
+      assert(filtered.count() == expected)
+    } finally deleteRecursively(base)
   }
 
   test("salted join equals the plain join and shuffles on (key, salt)") {
