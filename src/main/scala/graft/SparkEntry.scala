@@ -73,6 +73,8 @@ object SparkEntry {
     // Multimodal-column plumbing (north star; decode kernel stubbed)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
+    "mm_resize" -> Multimodal.resizePlan _,
+    "mm_features" -> Multimodal.featureStub _,
     // Sampling / mixing / packing (north star)
     "sample_hash" -> Sampling.hashSample _,
     "sample_stratified" -> Sampling.stratifiedSample _,
@@ -599,6 +601,26 @@ object SparkEntry {
   }
 
   private def multimodalOracles: Map[String, String] = Map(
+    "mm_resize" -> {
+      val t = Multimodal.ResizeTarget
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
+         |    CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |  CAST(greatest(ceil(width * $t.0 / greatest(width, height)), 1) AS BIGINT) AS out_width,
+         |  CAST(greatest(ceil(height * $t.0 / greatest(width, height)), 1) AS BIGINT) AS out_height
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "mm_features" -> {
+      val hexpos = "strpos('0123456789abcdef', substr(sha, 2*dim - 1, 1)) - 1"
+      val hexpos2 = "strpos('0123456789abcdef', substr(sha, 2*dim, 1)) - 1"
+      s"""WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+         |e AS (SELECT doc_id, sha, unnest(generate_series(1, ${Multimodal.FeatureDim})) AS dim FROM s)
+         |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+         |  round((($hexpos) * 16 + ($hexpos2)) / 255.0, 6) AS f
+         |FROM e ORDER BY doc_id, dim""".stripMargin
+    },
     "mm_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

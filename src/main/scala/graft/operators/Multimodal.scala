@@ -69,6 +69,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  val ResizeTarget = 64L
+
+  /** "Resize" planning: given the decoded dimensions, compute the
+    * aspect-preserving fit into a [[ResizeTarget]]² box (ceil-scaled,
+    * like a thumbnailer) — the metadata half of a resize operator; the
+    * pixel work lives in the same stubbed decode kernel. Everything
+    * here is exact integer arithmetic, so the DuckDB oracle reproduces
+    * it bit-for-bit. Composes on [[decodeMeta]]'s output — one map-only
+    * pass after the decode pass.
+    */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame = {
+    val t = ResizeTarget
+    // scale by the larger side: out = ceil(dim * t / max(w, h)), min 1
+    val mx = greatest(col("width"), col("height"))
+    def fit(dim: org.apache.spark.sql.Column) =
+      greatest(ceil(dim * t / mx).cast("long"), lit(1L))
+    decodeMeta(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"),
+        fit(col("width")).as("out_width"),
+        fit(col("height")).as("out_height"))
+      .orderBy("doc_id")
+  }
+
+  val FeatureDim = 8
+
+  /** STUB feature extraction: an [[FeatureDim]]-dim "embedding" per
+    * payload, derived deterministically from the sha256 digest (byte i
+    * scaled to [0,1]) — a real pipeline would run an image encoder
+    * here. The Spark-side shape is the production one: batch kernel
+    * output joins the corpus as an `array<double>` column ready for
+    * [[Similarity]]/[[Dedup.embeddingNearDupLsh]]-style consumers.
+    */
+  def featureStub(spark: SparkSession, dir: String): DataFrame = {
+    val sha = col("sha")
+    val feats = (0 until FeatureDim).map { i =>
+      round(conv(substring(sha, 2 * i + 1, 2), 16, 10).cast("double") / 255.0, 6)
+    }
+    decodeMeta(spark, dir)
+      .select(col("doc_id"), posexplode(array(feats: _*)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("dim"),
+        col("col").as("f"))
+      .orderBy("doc_id", "dim")
+  }
+
   val ChunkBytes = 256
 
   /** Fixed-size chunking of payloads — the frame-sampling / tiling

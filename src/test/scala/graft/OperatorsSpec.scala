@@ -194,6 +194,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("resize plan fits the target box and preserves which side is longer") {
+    val rows = Multimodal.resizePlan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))
+      assert(ow >= 1 && oh >= 1)
+      assert(math.max(ow, oh) == Multimodal.ResizeTarget,
+        "the longer side lands exactly on the target")
+      assert((w >= h) == (ow >= oh), "orientation preserved")
+    }
+  }
+
+  test("feature stub emits a full unit-interval vector per document") {
+    val rows = Multimodal.featureStub(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("dim")).sorted.sameElements(1L to Multimodal.FeatureDim))
+      rs.foreach { r =>
+        val f = r.getAs[Double]("f")
+        assert(f >= 0.0 && f <= 1.0)
+      }
+    }
+  }
+
   test("funnel stages are monotone nonincreasing") {
     val rows = Events.funnel(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("1_view", "2_click", "3_purchase"))
