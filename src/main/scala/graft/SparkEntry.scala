@@ -50,6 +50,9 @@ object SparkEntry {
     "events_quantiles" -> Events.valueQuantiles _,
     "events_funnel" -> Events.funnel _,
     "events_retention" -> Events.retention _,
+    "events_error_context" -> Events.errorContext _,
+    "events_moving_avg" -> Events.movingAvgDaily _,
+    "events_salted_share" -> Skew.eventShareOfUser _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -70,6 +73,7 @@ object SparkEntry {
     // Similarity search (north star)
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
+    "embedding_centroids" -> Similarity.labelCentroids _,
     // Multimodal-column plumbing (north star; decode kernel stubbed)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
@@ -84,6 +88,8 @@ object SparkEntry {
     // Corpus hygiene (north star)
     "decontaminate" -> Corpus.decontaminate _,
     "repetition_stats" -> Corpus.repetitionStats _,
+    "bigram_pmi" -> Corpus.bigramPmi _,
+    "length_histogram" -> Corpus.lengthHistogram _,
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
@@ -300,6 +306,31 @@ object SparkEntry {
         |        FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort, day_n, count(*) AS n_users
         |FROM act GROUP BY cohort, day_n ORDER BY cohort, day_n""".stripMargin,
+    "events_error_context" ->
+      """SELECT r.event_id AS error_id,
+        |  count(e.prior_id) AS n_prior,
+        |  CAST(coalesce(sum(CAST(e.value AS DECIMAL(18,2))), CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS prior_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') r
+        |LEFT JOIN (SELECT event_id AS prior_id, user_id, ts, value FROM events) e
+        |  ON r.user_id = e.user_id
+        | AND epoch_us(e.ts) >= epoch_us(r.ts) - 300000000
+        | AND epoch_us(e.ts) < epoch_us(r.ts)
+        |GROUP BY r.event_id ORDER BY error_id""".stripMargin,
+    "events_moving_avg" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events
+        |           FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+        |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+        |FROM d ORDER BY event_type, day""".stripMargin,
+    "events_salted_share" ->
+      """SELECT e.event_id, e.user_id,
+        |  round(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
+        |        / CAST(t.user_value AS DOUBLE), 6) AS share
+        |FROM events e
+        |JOIN (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_value
+        |      FROM events GROUP BY user_id) t ON e.user_id = t.user_id
+        |ORDER BY e.event_id""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -597,7 +628,13 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
-    Map("ann_topk" -> topk, "ann_ivf" -> ivf)
+    val centroids =
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM e)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
+        |  round(CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS c
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+    Map("ann_topk" -> topk, "ann_ivf" -> ivf, "embedding_centroids" -> centroids)
   }
 
   private def multimodalOracles: Map[String, String] = Map(
@@ -771,9 +808,31 @@ object SparkEntry {
          |      ORDER BY $shufHash, doc_id) AS BIGINT) AS pos
          |  FROM documents)
          |ORDER BY shard, pos""".stripMargin
+    val pmi =
+      s"""WITH t AS (SELECT $toksLowerSql AS toks FROM documents),
+         |p AS (SELECT toks[i] AS term, CASE WHEN i < len(toks) THEN toks[i+1] END AS next
+         |      FROM (SELECT toks, unnest(generate_series(1, len(toks))) AS i
+         |            FROM t WHERE len(toks) > 0)),
+         |u AS (SELECT term, count(*) AS u FROM p GROUP BY term),
+         |ut AS (SELECT term, u, sum(u) OVER () AS t FROM u),
+         |b AS (SELECT term AS w1, next AS w2, count(*) AS b FROM p
+         |      WHERE next IS NOT NULL GROUP BY term, next),
+         |bt AS (SELECT w1, w2, b, sum(b) OVER () AS tb FROM b)
+         |SELECT w1 || ' ' || w2 AS bigram, b AS n,
+         |  round(ln((CAST(b AS DOUBLE) / tb)
+         |        / ((CAST(ua.u AS DOUBLE) / ua.t) * (CAST(ub.u AS DOUBLE) / ub.t))), 6) AS pmi
+         |FROM bt JOIN ut ua ON bt.w1 = ua.term JOIN ut ub ON bt.w2 = ub.term
+         |WHERE b >= ${Corpus.PmiMinCount}
+         |ORDER BY pmi DESC, bigram LIMIT ${Corpus.PmiTopK}""".stripMargin
+    val lengthHist =
+      s"""WITH t AS (SELECT CAST(len($toksRawSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT CAST(length(bin(n_tokens + 1)) - 1 AS BIGINT) AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
-        "corpus_stats" -> stats, "export_shuffle" -> exportShuffle)
+        "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
+        "bigram_pmi" -> pmi, "length_histogram" -> lengthHist)
   }
 
   private def streamingOracles: Map[String, String] = Map(

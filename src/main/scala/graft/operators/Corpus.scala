@@ -210,6 +210,79 @@ object Corpus {
         Ipv4Re, "<IP>"),
       LongNumRe, "<NUM>")
 
+  val PmiMinCount = 5
+  val PmiTopK = 20
+
+  /** Corpus-wide collocations: top-[[PmiTopK]] adjacent-token bigrams
+    * by pointwise mutual information, `ln(P(ab) / (P(a)·P(b)))`, over
+    * lowercased letter-run tokens — the classic phrase detector (PMI
+    * as in word2vec's phrase pass), and a mix-diagnostics probe for
+    * boilerplate n-grams.
+    *
+    * 100 TB shape: one typed kernel emits each token paired with its
+    * successor; unigram and bigram counts are both combiner-friendly
+    * aggregates of that stream (the kernel runs once per branch — at
+    * scale that is two corpus scans, each all-map until a vocab-sized
+    * shuffle; a cached single scan would pin a corpus-sized exploded
+    * frame, strictly worse). Everything after the counts is
+    * vocabulary-sized: totals ride a global-sum window over the count
+    * frames, the PMI join keys on single words. Ranking uses the
+    * ROUNDED score (then the bigram text) so the top-k cut never
+    * hinges on sub-1e-6 libm differences between engines.
+    */
+  def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // (term, successor-or-null): each token appears exactly once as
+    // `term`, so unigram counts come from the same stream as bigrams
+    val pairs = Kernels.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile("[^\\p{L}]+")
+        it.flatMap { case (_, text) =>
+          val toks = re.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+          toks.indices.iterator.map { i =>
+            (toks(i), if (i + 1 < toks.length) toks(i + 1) else null)
+          }
+        }
+      }
+      .toDF("term", "next")
+    val unig = pairs.groupBy("term").agg(count(lit(1)).as("u"))
+      .withColumn("t", sum(col("u")).over(Window.partitionBy()))
+    // the total-bigram window runs BEFORE the min-count filter so the
+    // probability denominator covers ALL bigrams, not just frequent ones
+    val big = pairs.filter(col("next").isNotNull)
+      .groupBy(col("term").as("w1"), col("next").as("w2"))
+      .agg(count(lit(1)).as("b"))
+      .withColumn("tb", sum(col("b")).over(Window.partitionBy()))
+      .filter(col("b") >= PmiMinCount)
+    big
+      .join(unig.select(col("term").as("w1"), col("u").as("ua"), col("t")), "w1")
+      .join(unig.select(col("term").as("w2"), col("u").as("ub")), "w2")
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("b").as("n"),
+        round(log((col("b").cast("double") / col("tb"))
+          / ((col("ua").cast("double") / col("t")) * (col("ub").cast("double") / col("t")))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(PmiTopK)
+  }
+
+  /** Log₂-bucketed document-length histogram: bucket `⌊log₂(n+1)⌋`
+    * holds docs with n tokens, n+1 ∈ [2^b, 2^(b+1)). The bucket id is
+    * computed with INTEGER arithmetic — `length(bin(n+1)) - 1`, the
+    * bit-length of n+1 — never floating log₂, whose libm rounding at
+    * exact powers of two is engine-dependent. Map-only kernel into a
+    * ~60-row aggregate: the cheapest possible corpus-shape probe.
+    */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("n_tokens"),
+        (length(bin(col("n_tokens") + 1)) - 1).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("bucket")
+
   /** Per-(source, lang) corpus composition: doc counts, token and char
     * totals, mean document length — the mix report a pipeline checks
     * before setting sampling weights ([[Sampling.weightedMix]]).

@@ -182,6 +182,51 @@ object Events {
       .orderBy("cohort", "day_n")
   }
 
+  /** Range join: for each error event, count + total value of the same
+    * user's events in the 5 minutes strictly before the error. The join
+    * is an EQUI-join on user_id with the time band as a residual
+    * predicate — so it plans as one hash/sort-merge exchange per side
+    * keyed on user_id (asserted in PlanAuditSpec), never an interval
+    * cross join: per-user event streams are the bounded unit of work,
+    * which is exactly how the shape survives 100 TB (hot users are the
+    * skew risk; [[Skew.saltedJoin]] is the mitigation lever). Time
+    * arithmetic is µs-integer, timezone-free on both engines.
+    */
+  def errorContext(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("e_us"),
+              col("event_id").as("prior_id"), col("value"))
+    val errors = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+              unix_micros(col("ts")).as("r_us"))
+    val windowUs = 5L * 60 * 1000000
+    errors.join(ev,
+        errors("user_id") === ev("user_id") &&
+          col("e_us") >= col("r_us") - windowUs && col("e_us") < col("r_us"),
+        "left")
+      .groupBy("error_id")
+      .agg(count(col("prior_id")).as("n_prior"),
+           coalesce(sum(col("value").cast("decimal(18,2)")),
+                    lit(0).cast("decimal(18,2)")).cast("double").as("prior_value"))
+      .orderBy("error_id")
+  }
+
+  /** Daily event counts per type with a 3-day trailing moving average.
+    * The expensive pass is the day×type aggregate (partial-agg'd,
+    * shuffle is |days × types|); the window then runs over that tiny
+    * frame — the aggregate-then-window ordering is the whole trick, a
+    * window straight over raw events would sort the corpus.
+    */
+  def movingAvgDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("ma3", round(avg(col("n_events")).over(w), 4))
+      .orderBy("event_type", "day")
+  }
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

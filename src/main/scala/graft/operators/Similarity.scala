@@ -107,4 +107,27 @@ object Similarity {
       .filter(col("rnk") <= TopK)
       .orderBy("probe_id", "rnk")
   }
+
+  /** Per-label centroids — the k-means/IVF codebook-training primitive
+    * (one Lloyd half-step), and the class-prototype builder for
+    * embedding diagnostics. `posexplode` turns each vector into
+    * (label, dim, x) rows; the centroid is one combiner-friendly
+    * aggregate on (label, dim) — shuffle volume |labels|·dim, never
+    * corpus-sized. Coordinates are summed as DECIMAL so the mean is
+    * order-independent (double summation would make the result depend
+    * on partitioning — non-reproducible across cluster sizes AND
+    * engines); the decimal sum is exact, so Spark and the oracle divide
+    * identical numerators.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Kernels.fanOut(
+        Tables.embeddings(spark, dir)
+          .select(col("label"), col("embedding").cast("array<double>").as("v")))
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+           sum(col("x").cast("decimal(27,9)")).as("sx"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        round(col("sx").cast("double") / col("n_vecs"), 6).as("c"))
+      .orderBy("label", "dim")
 }

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew mitigation for hot join keys (the technique several operator
   * docstrings defer to "salting in production" — here made concrete
@@ -45,5 +47,27 @@ object Skew {
     val replicated = dim.withColumn("graft_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, "graft_salt")).drop("graft_salt")
+  }
+
+  /** [[saltedJoin]] driven end-to-end under the oracle gate: each
+    * event's share of its user's total spend. The user-totals dim is
+    * derived from events, then joined BACK to the event fact salted 8
+    * ways — the exact hot-user shape the salt exists for (one whale
+    * user's events land on 8 shuffle partitions instead of one
+    * straggler task). The oracle is the PLAIN join SQL: salting must be
+    * result-invisible, so a hash mismatch here would catch any
+    * replicate/salt bug, not just a perf regression. Decimal totals,
+    * double division, round(6) — deterministic on both engines.
+    */
+  def eventShareOfUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val totals = ev.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("user_value"))
+    saltedJoin(ev, totals, "user_id", salts = 8)
+      .select(col("event_id"), col("user_id"),
+        round(col("value").cast("decimal(18,2)").cast("double")
+          / col("user_value").cast("double"), 6).as("share"))
+      .orderBy("event_id")
   }
 }

@@ -134,4 +134,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(stats.getLong(0) == tok.getLong(0))
     assert(stats.getLong(1) == tok.getLong(1))
   }
+
+  test("bigram PMI: frequent pairs only, ranked, and exact on a synthetic collocation") {
+    val rows = Corpus.bigramPmi(spark, sf).collect()
+    assert(rows.length <= Corpus.PmiTopK)
+    rows.foreach(r => assert(r.getAs[Long]("n") >= Corpus.PmiMinCount))
+    val pmis = rows.map(r => (r.getAs[Double]("pmi"), r.getAs[String]("bigram")))
+    assert(pmis.sameElements(pmis.sortBy { case (p, b) => (-p, b) }),
+      "output must be ranked by (pmi desc, bigram)")
+    // a pair that always co-occurs and words that never repeat give
+    // pmi = ln(T²/(TB·n)): 6 docs of "alpha beta", so U=6,6 T=12, B=6 TB=6
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, "alpha beta")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("pmi").toFile
+    try {
+      docs.write.mode("overwrite").parquet(new java.io.File(tmp, "documents.parquet").getPath)
+      val r = Corpus.bigramPmi(spark, tmp.getPath).collect()
+      assert(r.length == 1 && r(0).getAs[String]("bigram") == "alpha beta")
+      val want = BigDecimal(math.log((6.0 / 6.0) / ((6.0 / 12.0) * (6.0 / 12.0))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r(0).getAs[Double]("pmi") == want)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
+  test("length histogram: buckets partition the corpus and bounds are powers of two") {
+    val rows = Corpus.lengthHistogram(spark, sf).collect()
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    val perDoc = TextAnalysis.tokenStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("n_tokens"))
+    val wantBuckets = perDoc.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n + 1))
+      .map { case (b, ns) => (b.toLong, ns.length.toLong, ns.sum) }.toSet
+    assert(rows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("total_tokens"))).toSet == wantBuckets)
+  }
 }

@@ -341,4 +341,65 @@ class OperatorsSpec extends AnyFunSuite {
     }
     assert(keep.map(_.getAs[Long]("doc_id")).toSet == byCluster.keySet)
   }
+
+  test("error context equals a driver-side brute force over the raw events") {
+    val ev = graft.Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts").getTime * 1000 +
+          r.getAs[java.sql.Timestamp]("ts").getNanos / 1000 % 1000,
+        BigDecimal(r.getAs[Double]("value")).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val expected = ev.filter(_._3 == "error").map { case (eid, uid, _, ts, _) =>
+      val prior = ev.filter(e => e._2 == uid && e._4 >= ts - 300000000L && e._4 < ts)
+      (eid, prior.length.toLong, prior.map(_._5).sum.toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Events.errorContext(spark, sf).collect()
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("n_prior"),
+        r.getAs[Double]("prior_value"))).toSeq
+    assert(got == expected)
+  }
+
+  test("moving average window covers exactly the trailing three days per type") {
+    val rows = Events.movingAvgDaily(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("ma3")))
+    rows.groupBy(_._1).foreach { case (_, tr) =>
+      val sorted = tr.sortBy(_._2.getTime)
+      sorted.indices.foreach { i =>
+        val window = sorted.slice(math.max(0, i - 2), i + 1).map(_._3)
+        val want = BigDecimal(window.sum.toDouble / window.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(sorted(i)._4 == want)
+      }
+    }
+  }
+
+  test("salted share: per-user shares sum to 1 and salting adds no/loses no rows") {
+    val rows = Skew.eventShareOfUser(spark, sf).collect()
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.length == nEvents, "salted join must be row-preserving")
+    assert(rows.map(_.getAs[Long]("event_id")).distinct.length == rows.length)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val s = rs.map(_.getAs[Double]("share")).sum
+      // each share rounds at 1e-6; the sum drifts by at most n*5e-7
+      assert(math.abs(s - 1.0) <= rs.length * 5e-7 + 1e-9, s"user $u shares sum to $s")
+    }
+  }
+
+  test("label centroids: every label has all dims, consistent counts, bounded coords") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val byLabel = emb.groupBy("label").count().collect()
+      .map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    val rows = Similarity.labelCentroids(spark, sf).collect()
+    assert(rows.length == byLabel.size * dim)
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (l, rs) =>
+      assert(rs.map(_.getAs[Long]("dim")).sorted.toSeq == (1L to dim).toSeq)
+      rs.foreach(r => assert(r.getAs[Long]("n_vecs") == byLabel(l)))
+    }
+    // a mean is bounded by the coordinate extremes over the whole corpus
+    val ext = emb.select(explode(col("embedding")).as("x")).agg(min("x"), max("x")).first()
+    val (mn, mx) = (ext.getFloat(0).toDouble, ext.getFloat(1).toDouble)
+    rows.foreach(r => assert(r.getAs[Double]("c") >= mn - 1e-6 && r.getAs[Double]("c") <= mx + 1e-6))
+  }
 }
