@@ -257,4 +257,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SinglePartition"),
       "a global ORDER BY window would serialize the corpus through one task")
   }
+
+  test("error context range join is an equi-join on user_id, band as residual") {
+    // the time band must NOT force a nested-loop/cartesian: the join
+    // keys on user_id and the µs-interval predicate rides along as a
+    // residual condition inside the hash/sort-merge join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.Events.errorContext(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"range join must not plan all-pairs:\n${p.take(800)}")
+      assert(p.contains("hashpartitioning(user_id"),
+        s"both sides must shuffle on the user_id equi key:\n${p.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("embedding centroids partial-aggregate before the (label, dim)-sized exchange") {
+    val p = plan(operators.Similarity.labelCentroids(spark, sf))
+    assert(p.contains("partial_"),
+      s"map-side partial aggregation keeps the shuffle at |labels|*dim:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bigram PMI plans no cartesian and aggregates with map-side combining") {
+    val p = plan(operators.Corpus.bigramPmi(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PMI joins key on single words, never all-pairs:\n${p.take(800)}")
+    assert(p.contains("partial_count"),
+      s"unigram/bigram counts must partial-aggregate before their exchanges:\n${p.take(800)}")
+  }
 }
