@@ -53,15 +53,18 @@ object SparkEntry {
     "events_error_context" -> Events.errorContext _,
     "events_moving_avg" -> Events.movingAvgDaily _,
     "events_salted_share" -> Skew.eventShareOfUser _,
+    "events_anomaly" -> Events.valueAnomalies _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
     "quality_score" -> TextAnalysis.qualityScore _,
+    "quality_bins" -> TextAnalysis.qualityBins _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "doc_winnowing" -> TextAnalysis.winnowing _,
     // Dedup suite (north star)
     "dedup_exact" -> Dedup.exact _,
+    "dedup_incremental" -> Dedup.incremental _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh" -> Dedup.minHashLsh _,
     "dedup_simhash" -> Dedup.simHash _,
@@ -331,6 +334,21 @@ object SparkEntry {
         |JOIN (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_value
         |      FROM events GROUP BY user_id) t ON e.user_id = t.user_id
         |ORDER BY e.event_id""".stripMargin,
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
+        |    CAST(value AS DECIMAL(18,2)) AS xd
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n, CAST(sum(xd) AS DOUBLE) AS sx,
+        |        CAST(sum(xd * xd) AS DOUBLE) AS sxx
+        |      FROM e GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.x AS value,
+        |  round((e.x - s.sx / s.n)
+        |        / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 4) AS z
+        |FROM e JOIN s ON e.event_type = s.event_type
+        |WHERE abs((e.x - s.sx / s.n)
+        |          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3
+        |ORDER BY e.event_id""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
@@ -422,7 +440,21 @@ object SparkEntry {
          |    $whenChain
          |    ELSE 'und' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
-    Map("quality_score" -> quality, "lang_id" -> langId)
+    val bins =
+      s"""$qualityCteSql,
+         |q AS (SELECT doc_id, quality,
+         |        CAST(round(quality * 10000, 0) AS BIGINT) AS qi
+         |      FROM (SELECT doc_id, $qualityExprSql AS quality FROM s)),
+         |c AS (SELECT qi, count(*) AS c FROM q GROUP BY qi),
+         |cc AS (SELECT qi, sum(c) OVER (ORDER BY qi ROWS UNBOUNDED PRECEDING) AS cum,
+         |         sum(c) OVER () AS n FROM c),
+         |bnd AS (SELECT k, min(qi) AS b FROM cc, generate_series(1, 9) t(k)
+         |        WHERE cum >= (k * n + 9) // 10 GROUP BY k),
+         |bl AS (SELECT list_sort(list(b)) AS bs FROM bnd)
+         |SELECT doc_id, quality,
+         |  CAST(len(list_filter(bs, b -> b <= qi)) AS BIGINT) AS bin
+         |FROM q, bl ORDER BY doc_id""".stripMargin
+    Map("quality_score" -> quality, "lang_id" -> langId, "quality_bins" -> bins)
   }
 
   // Shared dedup fragments (mirror Dedup.scala exactly).
@@ -567,7 +599,18 @@ object SparkEntry {
       s"""SELECT cluster AS doc_id, count(*) AS n_members
          |FROM ($clusters)
          |GROUP BY cluster ORDER BY doc_id""".stripMargin
-    Map("dedup_exact" -> exact, "dedup_ngram_jaccard" -> ngram,
+    val incremental =
+      s"""WITH d AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split
+         |  FROM documents),
+         |b AS (SELECT doc_id, fp FROM d WHERE split < '${Dedup.IncBatchThreshold}'),
+         |h AS (SELECT DISTINCT fp FROM d WHERE split >= '${Dedup.IncBatchThreshold}')
+         |SELECT min(b.doc_id) AS doc_id, b.fp, count(*) AS n_batch_dups
+         |FROM b WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)
+         |GROUP BY b.fp ORDER BY doc_id""".stripMargin
+    Map("dedup_exact" -> exact, "dedup_incremental" -> incremental,
+        "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,
         "dedup_clusters" -> clusters, "dedup_keep" -> keep,

@@ -141,6 +141,43 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy("fp")
 
+  /** First hex char of md5("inc:"+doc_id) below this ⇒ the doc plays
+    * the "new ingest batch" role (~25%); the rest is the already-
+    * deduplicated historical corpus.
+    */
+  val IncBatchThreshold = "4"
+
+  /** Incremental dedup — the production shape of [[exact]]: a NEW
+    * ingest batch is deduplicated against the fingerprint store of the
+    * existing corpus, emitting only first-seen batch documents (with
+    * the batch-internal duplicate count). Real pipelines run this
+    * every ingest; full-corpus re-dedup is a backfill-only event.
+    *
+    * 100 TB shape: the batch/history split rides the SCAN (predicate
+    * on doc_id only, each doc hashed once on one side); the history
+    * side reduces to DISTINCT fingerprints (combiner-friendly, and in
+    * production a pre-materialized store — here derived inline to stay
+    * self-contained); the anti join shuffles batch-sized + store-sized
+    * fingerprints, never document text. The standard accelerator when
+    * the store dwarfs the batch is a bloom filter of store
+    * fingerprints broadcast ahead of the anti join — same plan shape
+    * with a map-side pre-filter, lossy only toward EXTRA anti-join
+    * work, never toward false drops.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+        substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1).as("split"))
+    val batch = docs.filter(col("split") < IncBatchThreshold)
+    val history = docs.filter(col("split") >= IncBatchThreshold)
+    batch.join(history.select("fp").distinct(), Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
+      .select(col("doc_id"), col("fp"), col("n_batch_dups"))
+      .orderBy("doc_id")
+  }
+
   /** Near-dup pairs by 3-gram Jaccard ≥ 0.3, via a PREFIX-FILTERED
     * inverted-index join (PPJoin-style prefix filtering; Xiao, Wang,
     * Lin & Yu, WWW 2008, Lemma 1): under a global total order on

@@ -227,6 +227,35 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Per-type value outliers at |z| > 3. The moments come from EXACT
+    * decimal sums (Σx, Σx² as DECIMAL — double accumulation would make
+    * mean/variance depend on partition order, i.e. differ run-to-run
+    * and engine-to-engine; exact sums also kill the catastrophic-
+    * cancellation worry in the Σx² − (Σx)²/n form, since nothing is
+    * lost before the one double subtraction). One combiner-friendly
+    * stats aggregate (|types| rows, broadcast back), one map-side scan
+    * for the z filter — the corpus never shuffles. The filter uses the
+    * UNROUNDED z (identical doubles on both engines); only the output
+    * rounds.
+    */
+  def valueAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+              col("value").cast("decimal(18,2)").as("xd"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("xd")).cast("double").as("sx"),
+      sum(col("xd") * col("xd")).cast("double").as("sxx"))
+    val x = col("xd").cast("double")
+    val z = (x - col("sx") / col("n")) /
+      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(z) > 3)
+      .select(col("event_id"), col("event_type"), x.as("value"),
+              round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -121,6 +122,46 @@ object TextAnalysis {
         round(diversity, 4).as("diversity"),
         round(stopScore, 4).as("stop_score"),
         round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Decile binning of the quality score — curriculum/mix bucketing
+    * without a global sort: `ntile(10)` would funnel the corpus
+    * through a single-partition window. Instead: quantize scores to
+    * 1e-4 integers, aggregate per-value counts (combiner-friendly,
+    * ≤ 10001 rows at ANY corpus size), take type-1 (inverse-CDF)
+    * decile boundaries off the cumulative counts with PURE INTEGER
+    * ranks `⌈k·n/10⌉ = (k·n+9) div 10`, and broadcast the 9 boundary
+    * integers back for a map-side bin assignment
+    * (`bin = |{boundary ≤ score}|`).
+    *
+    * Type-1 quantiles, not interpolated (R-7): an interpolated
+    * boundary is a double whose last ulp depends on the engine's
+    * `(1−g)·a + g·b` vs `a + (b−a)·g` arithmetic — measured flipping
+    * a bin at the 1e-4 rounding edge against DuckDB. Selection from
+    * the observed values with integer ranks has no arithmetic to
+    * disagree on. The windows run over the tiny count frame (a
+    * single-partition sort of ≤ 10001 rows), never the corpus.
+    */
+  def qualityBins(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val (lenScore, diversity, stopScore) = qualityParts(col("toks"))
+    val q = docs.select(col("doc_id"),
+        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+      .withColumn("qi", round(col("quality") * 10000, 0).cast("long"))
+    val cum = q.groupBy("qi").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+    val bounds = cum
+      .select(col("qi"), col("cum"), explode(sequence(lit(1L), lit(9L))).as("k"), col("n"))
+      .filter(col("cum") >= expr("(k * n + 9) div 10"))
+      .groupBy("k").agg(min("qi").as("b"))
+      .agg(sort_array(collect_list("b")).as("bs"))
+    q.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("quality"),
+        size(filter(col("bs"), b => b <= col("qi"))).cast("long").as("bin"))
       .orderBy("doc_id")
   }
 

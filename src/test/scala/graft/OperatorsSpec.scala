@@ -386,6 +386,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: survivors are first-seen batch docs, disjoint from history") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+        substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1).as("split"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[String]("split")))
+    val histFps = docs.filter(_._3 >= Dedup.IncBatchThreshold).map(_._2).toSet
+    val batch = docs.filter(_._3 < Dedup.IncBatchThreshold)
+    val got = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups")))
+    assert(got.map(_._2).toSet.intersect(histFps).isEmpty,
+      "no surviving fingerprint may exist in the history store")
+    val wantByFp = batch.filter(d => !histFps.contains(d._2)).groupBy(_._2)
+    assert(got.map(_._2).toSet == wantByFp.keySet)
+    got.foreach { case (id, fp, n) =>
+      assert(id == wantByFp(fp).map(_._1).min, "survivor must be the first-seen doc")
+      assert(n == wantByFp(fp).length)
+    }
+  }
+
+  test("quality bins: deciles are ordered with quality and cover 0..9") {
+    val rows = TextAnalysis.qualityBins(spark, sf).collect()
+      .map(r => (r.getAs[Double]("quality"), r.getAs[Long]("bin")))
+    assert(rows.forall { case (_, b) => b >= 0 && b <= 9 })
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.map(_._2).sameElements(sorted.map(_._2).sorted),
+      "bin must be monotone in quality")
+    // exact decile boundaries split ~10% per bin; every bin is populated
+    assert(rows.map(_._2).distinct.length == 10)
+  }
+
+  test("value anomalies match a driver-side z-score computation") {
+    val ev = graft.Tables.events(spark, sf).select("event_id", "event_type", "value").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("event_type"),
+        BigDecimal(r.getAs[Double]("value")).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val expected = ev.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val n = rs.length
+      val sx = rs.map(_._3).sum.toDouble
+      val sxx = rs.map(d => d._3 * d._3).sum.toDouble
+      val sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
+      rs.toSeq.map { case (id, _, xd) => (id, (xd.toDouble - sx / n) / sd) }
+        .filter { case (_, z) => math.abs(z) > 3 }
+    }.map(_._1).toSet
+    val got = Events.valueAnomalies(spark, sf).collect().map(_.getAs[Long]("event_id")).toSet
+    assert(got == expected)
+  }
+
   test("label centroids: every label has all dims, consistent counts, bounded coords") {
     val emb = graft.Tables.embeddings(spark, sf)
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
