@@ -38,6 +38,8 @@ object SparkEntry {
     "top_orders_per_customer_agg" -> Relational.topOrdersPerCustomerAgg _,
     "rollup_orders" -> Relational.rollupOrders _,
     "cube_orders" -> Relational.cubeOrders _,
+    "grouping_sets_orders" -> Relational.groupingSetsOrders _,
+    "pivot_orders" -> Relational.pivotOrdersByPriority _,
     "customers_without_big_orders" -> Relational.customersWithoutBigOrders _,
     "customer_only_nations" -> Relational.customerOnlyNations _,
     "above_avg_balance" -> Relational.aboveAvgBalance _,
@@ -54,6 +56,7 @@ object SparkEntry {
     "events_moving_avg" -> Events.movingAvgDaily _,
     "events_salted_share" -> Skew.eventShareOfUser _,
     "events_anomaly" -> Events.valueAnomalies _,
+    "events_resample" -> Events.resample _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -334,6 +337,38 @@ object SparkEntry {
         |JOIN (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_value
         |      FROM events GROUP BY user_id) t ON e.user_id = t.user_id
         |ORDER BY e.event_id""".stripMargin,
+    "grouping_sets_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS set_id,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY set_id, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "pivot_orders" -> {
+      val cols = Relational.OrderPriorities.map { case (v, n) =>
+        s"count(CASE WHEN o_orderpriority = '$v' THEN 1 END) AS $n"
+      }.mkString(",\n  ")
+      s"""SELECT o_orderstatus,
+         |  $cols
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    },
+    "events_resample" -> {
+      val bu = Events.ResampleBucketUs
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) // $bu AS b, ts,
+         |    CAST(value AS DECIMAL(18,2)) AS vd FROM events),
+         |pb AS (SELECT user_id, b, count(*) AS n,
+         |         CAST(arg_max(vd, ts) AS DOUBLE) AS lastv
+         |       FROM e GROUP BY user_id, b),
+         |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS b
+         |      FROM (SELECT user_id, min(b) AS mn, max(b) AS mx FROM e GROUP BY user_id)),
+         |j AS (SELECT g.user_id, g.b, coalesce(pb.n, 0) AS n_events, pb.lastv
+         |      FROM g LEFT JOIN pb ON g.user_id = pb.user_id AND g.b = pb.b)
+         |SELECT user_id, make_timestamp(b * $bu) AS bucket_start, n_events,
+         |  last_value(lastv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+         |    ROWS UNBOUNDED PRECEDING) AS filled_value
+         |FROM j ORDER BY user_id, bucket_start""".stripMargin
+    },
     "events_anomaly" ->
       """WITH e AS (SELECT event_id, event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,

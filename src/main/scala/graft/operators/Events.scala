@@ -227,6 +227,44 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  val ResampleBucketUs: Long = 6L * 3600 * 1000000
+
+  /** Time-series resampling with gap fill: each user's events land on a
+    * 6-hour grid from their first to their last bucket; empty buckets
+    * get a zero count and CARRY FORWARD the user's latest value — the
+    * standard regularization step before windowed feature extraction.
+    *
+    * Shape: one combiner-friendly (user, bucket) aggregate, the grid
+    * exploded from each user's [min, max] bucket pair (grid rows ≪
+    * events — never a time×users cartesian), a per-user equi-join, and
+    * one carry-forward window partitioned by user. Everything keys on
+    * user_id, so after the first exchange the join and window reuse the
+    * partitioning. `max_by(value, ts)` picks each bucket's latest value
+    * (per-user ts uniqueness is a spec-pinned canary); bucket ids are
+    * µs-integer, timezone-free.
+    */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $ResampleBucketUs").as("b"),
+        col("ts"), col("value").cast("decimal(18,2)").as("vd"))
+    val perBucket = e.groupBy("user_id", "b")
+      .agg(count(lit(1)).as("n"), expr("max_by(vd, ts)").cast("double").as("lastv"))
+    val grid = e.groupBy("user_id")
+      .agg(min("b").as("mn"), max("b").as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("b"))
+    val carry = Window.partitionBy("user_id").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(perBucket, Seq("user_id", "b"), "left")
+      .select(col("user_id"), col("b"), coalesce(col("n"), lit(0L)).as("n_events"),
+              col("lastv"))
+      .withColumn("filled_value", last("lastv", ignoreNulls = true).over(carry))
+      .select(col("user_id"),
+        timestamp_micros(col("b") * ResampleBucketUs).as("bucket_start"),
+        col("n_events"), col("filled_value"))
+      .orderBy("user_id", "bucket_start")
+  }
+
   /** Per-type value outliers at |z| > 3. The moments come from EXACT
     * decimal sums (Σx, Σx² as DECIMAL — double accumulation would make
     * mean/variance depend on partition order, i.e. differ run-to-run

@@ -178,6 +178,49 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(dec(col("o_totalprice"))).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** GROUPING SETS with independent (marginal) groupings — the shape
+    * rollup/cube can't express: per-status totals AND per-priority
+    * totals in ONE pass over orders (Spark expands the sets inside a
+    * single Expand + aggregate, so the fact table is scanned once, not
+    * once per set). `grouping()` flags disambiguate a NULL group key
+    * from a real NULL, surfaced as a set id.
+    */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS set_id,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY set_id, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  val OrderPriorities: Seq[(String, String)] = Seq(
+    "1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high", "3-MEDIUM" -> "n_medium",
+    "4-NOT SPECIFIED" -> "n_not_specified", "5-LOW" -> "n_low")
+
+  /** Pivot: order counts per status × priority, priorities fanned into
+    * columns. The value list is EXPLICIT ([[OrderPriorities]]) — the
+    * two-pass form (`pivot` without values) runs a distinct scan first
+    * and caps at `spark.sql.pivotMaxValues`; at scale the domain should
+    * be declared, making the pivot one combiner-friendly aggregate with
+    * conditional partials (exactly the oracle's CASE formulation).
+    */
+  def pivotOrdersByPriority(spark: SparkSession, dir: String): DataFrame = {
+    // a (status, priority) combo with zero orders pivots to NULL in
+    // Spark but counts to 0 in the oracle's CASE form — normalize to 0
+    val renames = OrderPriorities.map { case (v, n) => coalesce(col(s"`$v`"), lit(0L)).as(n) }
+    Tables.orders(spark, dir)
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", OrderPriorities.map(_._1))
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +: renames: _*)
+      .orderBy("o_orderstatus")
+  }
+
   /** Anti join (NOT EXISTS): customers that never placed a big order.
     * Broadcast-able build side at small SF; shuffled-hash anti at scale.
     */

@@ -434,6 +434,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("grouping sets emit exactly the two marginal groupings") {
+    val rows = Relational.groupingSetsOrders(spark, sf).collect()
+    val byStatus = rows.filter(_.getAs[Long]("set_id") == 1) // priority nulled
+    val byPriority = rows.filter(_.getAs[Long]("set_id") == 2) // status nulled
+    assert(byStatus.length + byPriority.length == rows.length, "no other sets")
+    assert(byStatus.forall(r => r.isNullAt(r.fieldIndex("o_orderpriority"))
+      && !r.isNullAt(r.fieldIndex("o_orderstatus"))))
+    assert(byPriority.forall(r => r.isNullAt(r.fieldIndex("o_orderstatus"))))
+    // both marginals partition the same fact table: counts agree
+    assert(byStatus.map(_.getAs[Long]("n_orders")).sum ==
+           byPriority.map(_.getAs[Long]("n_orders")).sum)
+  }
+
+  test("pivot row sums equal the per-status totals") {
+    val totals = graft.Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+      .collect().map(r => r.getAs[String]("o_orderstatus") -> r.getAs[Long]("count")).toMap
+    val rows = Relational.pivotOrdersByPriority(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("o_orderstatus")).toSet == totals.keySet)
+    rows.foreach { r =>
+      val pivotSum = Relational.OrderPriorities.map { case (_, n) => r.getAs[Long](n) }.sum
+      assert(pivotSum == totals(r.getAs[String]("o_orderstatus")))
+    }
+  }
+
+  test("resample grid is gap-free per user and carries values forward") {
+    val rows = Events.resample(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("bucket_start").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("filled_value")))
+    val step = Events.ResampleBucketUs / 1000 // grid step in millis
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_._2)
+      // contiguous 6h grid, no holes
+      sorted.sliding(2).foreach {
+        case Array((_, t1, _, _), (_, t2, _, _)) => assert(t2 - t1 == step, s"gap for user $u")
+        case _ =>
+      }
+      // first and last grid cells hold events by construction
+      assert(sorted.head._3 > 0 && sorted.last._3 > 0)
+      // empty buckets still carry a value (first bucket is never empty)
+      sorted.foreach { case (_, _, _, v) => assert(!v.isNaN) }
+    }
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == nEvents, "bucket counts must cover every event")
+  }
+
   test("label centroids: every label has all dims, consistent counts, bounded coords") {
     val emb = graft.Tables.embeddings(spark, sf)
     val dim = emb.select(size(col("embedding"))).first().getInt(0)

@@ -77,6 +77,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(keyToFiles.values.forall(_ == 1))
   }
 
+  test("documents round-trip through JSONL and CSV sources, schema-stable") {
+    // format breadth beyond the reference's plain text (SURVEY §2.5
+    // lists its absence): the same corpus read back from newline-
+    // delimited JSON and quoted CSV with EXPLICIT schemas (schema
+    // inference is a full extra pass at scale) must be row-identical
+    val sf = SparkTestSession.Sf
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val want = docs.collect().map(_.toSeq).toSet
+    val base = tmpDir("graft-formats")
+    docs.write.mode("overwrite").json(s"$base/jsonl")
+    val fromJson = spark.read.schema(docs.schema).json(s"$base/jsonl")
+    assert(fromJson.collect().map(_.toSeq).toSet == want, "JSONL round-trip")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"").csv(s"$base/csv")
+    val fromCsv = spark.read.schema(docs.schema)
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(s"$base/csv")
+    assert(fromCsv.collect().map(_.toSeq).toSet == want, "CSV round-trip")
+  }
+
   test("map parallelism probe (mtiming analogue)") {
     // the reference asserts wall-clock OVERLAP of concurrent map workers
     // (mrapps/mtiming.go:19-62, main/test-mr.sh:102-129) — not just
