@@ -42,6 +42,8 @@ object SparkEntry {
     "pivot_orders" -> Relational.pivotOrdersByPriority _,
     "customers_without_big_orders" -> Relational.customersWithoutBigOrders _,
     "customer_only_nations" -> Relational.customerOnlyNations _,
+    "nations_both_sides" -> Relational.nationsBothSides _,
+    "orders_percentile_rank" -> Relational.ordersPercentileRank _,
     "above_avg_balance" -> Relational.aboveAvgBalance _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
@@ -57,6 +59,7 @@ object SparkEntry {
     "events_salted_share" -> Skew.eventShareOfUser _,
     "events_anomaly" -> Events.valueAnomalies _,
     "events_resample" -> Events.resample _,
+    "events_type_counts" -> Events.typeCounts _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -239,6 +242,27 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0)
         |ORDER BY n_nationkey""".stripMargin,
+    "nations_both_sides" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_nationkey IN (
+        |  SELECT c_nationkey FROM customer WHERE c_acctbal > 9000.0
+        |  INTERSECT
+        |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0)
+        |ORDER BY n_nationkey""".stripMargin,
+    "orders_percentile_rank" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  round(pr, 6) AS pr, round(cd, 6) AS cd
+        |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |        percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice))
+        |WHERE pr >= 0.99
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "events_type_counts" ->
+      """SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts
+        |FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "above_avg_balance" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
         |FROM customer c

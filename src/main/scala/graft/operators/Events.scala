@@ -227,6 +227,25 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Per-user event-type profile as a SORTED "type:count" string — the
+    * collect-then-serialize aggregation shape (type domain is small and
+    * bounded, so the collected list is too). Two combiner-friendly
+    * aggregates, both keyed on user_id after the first — the second
+    * reuses the partitioning. The list sorts before serializing, so the
+    * output is independent of arrival/partition order.
+    */
+  def typeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(sum("n").as("n_events"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("event_type"), col("n")))),
+            x => concat(x("event_type"), lit(":"), x("n").cast("string"))),
+          ",").as("type_counts"))
+      .orderBy("user_id")
+
   val ResampleBucketUs: Long = 6L * 3600 * 1000000
 
   /** Time-series resampling with gap fill: each user's events land on a

@@ -221,6 +221,47 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** INTERSECT (the set-op [[customerOnlyNations]]'s EXCEPT leaves
+    * uncovered): nations fielding BOTH a high-balance customer and a
+    * high-balance supplier. Spark plans intersect as a left-semi join
+    * over distinct keys — nation-key-sized inputs, trivially
+    * broadcastable at any corpus scale.
+    */
+  def nationsBothSides(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000.0).select(col("c_nationkey").as("nk"))
+    val suppNations = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") > 9000.0).select(col("s_nationkey").as("nk"))
+    Tables.nation(spark, dir)
+      .join(custNations.intersect(suppNations),
+            col("n_nationkey") === col("nk"), "left_semi")
+      .select("n_nationkey", "n_name")
+      .orderBy("n_nationkey")
+  }
+
+  /** Distribution ranking: the top percentile of orders per priority by
+    * `percent_rank`/`cume_dist`. One shuffle on the partition key; each
+    * priority's orders sort within their partitions. Both ranks are
+    * pure integer-ratio doubles (`(rank−1)/(n−1)`, `peers≤/n`), so the
+    * ≥ 0.99 cut and the rounded outputs are engine-exact; ties in
+    * o_totalprice share ranks by definition. Note the partition count
+    * is |priorities| — at extreme scale a low-cardinality partition key
+    * makes window skew, and the fix is a coarser pre-bucket (e.g.
+    * (priority, totalprice-band)) feeding a two-level rank; declared
+    * here as the simple form since priorities bound the data evenly.
+    */
+  def ordersPercentileRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .filter(col("pr") >= 0.99)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** Anti join (NOT EXISTS): customers that never placed a big order.
     * Broadcast-able build side at small SF; shuffled-hash anti at scale.
     */

@@ -434,6 +434,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("intersect and except nation sets are disjoint and both within the nation domain") {
+    def keys(rows: Array[org.apache.spark.sql.Row]): Set[Long] =
+      rows.map(_.getAs[Number]("n_nationkey").longValue).toSet
+    val both = keys(Relational.nationsBothSides(spark, sf).collect())
+    val custOnly = keys(Relational.customerOnlyNations(spark, sf).collect())
+    assert(both.intersect(custOnly).isEmpty,
+      "a nation with high-balance suppliers cannot be customer-only")
+    val all = keys(graft.Tables.nation(spark, sf).collect())
+    assert(both.subsetOf(all) && custOnly.subsetOf(all))
+  }
+
+  test("percentile rank: top-1% cut per priority, cume_dist dominates percent_rank") {
+    val perPriority = graft.Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("count")).toMap
+    val rows = Relational.ordersPercentileRank(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pr") >= 0.99)
+      assert(r.getAs[Double]("cd") >= r.getAs[Double]("pr") - 1e-9)
+    }
+    rows.groupBy(_.getAs[String]("o_orderpriority")).foreach { case (p, rs) =>
+      // percent_rank >= 0.99 keeps at most the top 1% of n-1 rank steps
+      // (+1 for the max row, + ties at the cut)
+      assert(rs.length <= perPriority(p) * 0.011 + 2, s"$p kept ${rs.length}")
+      assert(rs.nonEmpty, s"$p top slice empty")
+    }
+  }
+
+  test("type counts serialize the same profile userProfile aggregates") {
+    val profiles = Events.userProfile(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_purchases"), r.getAs[Long]("n_errors"))).toMap
+    val rows = Events.typeCounts(spark, sf).collect()
+    assert(rows.length == profiles.size)
+    rows.foreach { r =>
+      val (nEvents, nPurch, nErr) = profiles(r.getAs[Long]("user_id"))
+      assert(r.getAs[Long]("n_events") == nEvents)
+      val pairs = r.getAs[String]("type_counts").split(",")
+        .map { kv => val Array(k, v) = kv.split(":"); k -> v.toLong }.toSeq
+      val parsed = pairs.toMap
+      assert(parsed.getOrElse("purchase", 0L) == nPurch)
+      assert(parsed.getOrElse("error", 0L) == nErr)
+      assert(parsed.values.sum == nEvents)
+      assert(pairs.map(_._1) == pairs.map(_._1).sorted, "types sorted in the string")
+    }
+  }
+
   test("grouping sets emit exactly the two marginal groupings") {
     val rows = Relational.groupingSetsOrders(spark, sf).collect()
     val byStatus = rows.filter(_.getAs[Long]("set_id") == 1) // priority nulled
