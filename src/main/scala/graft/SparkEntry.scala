@@ -28,6 +28,7 @@ object SparkEntry {
     "mr_wc_combining" -> MRApps.wcCombining _,
     "mr_indexer" -> MRApps.indexer _,
     "mr_crash_shape" -> MRApps.crashShape _,
+    "mr_grep" -> MRApps.grep _,
     "sql_mr_wc" -> MRApps.sqlWordCount _,
     // Relational breadth (SURVEY.md §7.1 step 4)
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
@@ -107,6 +108,7 @@ object SparkEntry {
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
     "stream_windowed" -> graft.streaming.EventStream.windowedCounts _,
     "stream_sessionize" -> graft.streaming.EventStream.sessionizeStream _,
+    "stream_error_purchase" -> graft.streaming.EventStream.errorPurchaseJoin _,
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
@@ -148,6 +150,12 @@ object SparkEntry {
          |  CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
          |FROM (SELECT DISTINCT doc, word FROM ($wordsSub) WHERE length(word) > 0)
          |GROUP BY word ORDER BY key""".stripMargin,
+    "mr_grep" ->
+      s"""SELECT CAST(doc_id AS VARCHAR) AS key,
+         |  CAST(len(regexp_extract_all(text, '${operators.MRApps.GrepPattern}')) AS VARCHAR) AS value
+         |FROM documents
+         |WHERE len(regexp_extract_all(text, '${operators.MRApps.GrepPattern}')) > 0
+         |ORDER BY key""".stripMargin,
     "mr_crash_shape" ->
       """WITH kv AS (
         |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
@@ -987,6 +995,17 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the stream-stream interval join on a drained static input equals
+    // the batch interval join
+    "stream_error_purchase" ->
+      """SELECT e.event_id AS error_id, e.user_id, p.event_id AS purchase_id,
+        |  CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id
+        | AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(e.ts) - 600000000
+        | AND epoch_us(p.ts) < epoch_us(e.ts)
+        |ORDER BY error_id, purchase_id""".stripMargin,
     // Append mode emits only watermark-sealed windows: window end + the
     // 1-hour delay must be <= the max event time seen.
     "stream_windowed" ->

@@ -174,6 +174,25 @@ object MRApps {
         |GROUP BY kv.key ORDER BY key""".stripMargin)
   }
 
+  val GrepPattern = "data"
+
+  /** Distributed grep — the canonical MapReduce example from the
+    * original paper that the reference's app set omits: mapf emits
+    * (doc, count) for documents whose text matches the pattern; reducef
+    * passes the single value through (grep's reduce is identity). The
+    * match runs map-side so only hit documents shuffle.
+    */
+  def grep(spark: SparkSession, dir: String): DataFrame = {
+    val out = run(
+      documentsAsInput(spark, dir),
+      mapf = (name, contents) => {
+        val n = GrepPattern.r.findAllMatchIn(contents).length
+        if (n > 0) Seq(KeyValue(name, n.toString)) else Seq.empty
+      },
+      reducef = (_, values) => values.mkString(","))
+    out.toDF("key", "value").orderBy("key")
+  }
+
   /** The crash/nocrash app's aggregation shape (`mrapps/nocrash.go`):
     * per input, four constant keys; reducef joins sorted values with
     * spaces. (The crash injection itself tests the *scheduler*, which

@@ -204,4 +204,40 @@ object EventStream {
     }
     spark.table(name).orderBy("hour", "event_type")
   }
+
+  /** STREAM-STREAM interval join: each error event joined to the same
+    * user's purchases in the 10 minutes strictly before it, both sides
+    * watermarked. The time band is expressed directly on the two
+    * event-time columns so Spark recognizes a time-interval join and
+    * EVICTS state past `watermark + interval` — the state store holds
+    * a bounded sliding band of each side, the requirement for an
+    * unbounded a-joins-b pipeline (an unconstrained condition would
+    * buffer both streams forever). Inner join in append mode emits
+    * each match exactly once; on a drained static input the result
+    * equals the batch interval join, which is the oracle.
+    */
+  def errorPurchaseJoin(spark: SparkSession, dir: String): DataFrame = {
+    val errors = readEventsStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = readEventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") < col("e_ts"))
+      .select(col("error_id"), col("user_id"), col("purchase_id"),
+        col("p_value").cast("decimal(18,2)").cast("double").as("purchase_value"))
+    val name = "stream_error_purchase_out"
+    withStatePartitions(spark) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("error_id", "purchase_id")
+  }
 }
