@@ -34,6 +34,7 @@ object SparkEntry {
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "q14_promo_revenue" -> Relational.q14PromoRevenue _,
     "top_orders" -> Relational.topOrders _,
     "top_orders_per_customer" -> Relational.topOrdersPerCustomer _,
     "top_orders_per_customer_agg" -> Relational.topOrdersPerCustomerAgg _,
@@ -203,6 +204,16 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""WITH j AS (SELECT date_trunc('month', l_shipdate) AS month, p_type,
+         |    $revenueExpr AS rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+         |SELECT month,
+         |  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS DOUBLE) AS promo_revenue,
+         |  CAST(sum(rev) AS DOUBLE) AS total_revenue,
+         |  round(100 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN rev END), 0) AS DOUBLE)
+         |        / CAST(sum(rev) AS DOUBLE), 4) AS promo_pct
+         |FROM j GROUP BY month ORDER BY month""".stripMargin,
     "top_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,

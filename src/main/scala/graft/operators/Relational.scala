@@ -101,6 +101,28 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q14 shape: monthly promotion revenue share. `part` is a
+    * true dimension (bounded catalog) → broadcast hint; lineitem scans
+    * once into one month-keyed partial+final aggregate — the fact
+    * table never shuffles rows, only the |months|-sized partials.
+    * The percentage divides two exact-decimal-summed doubles, so the
+    * share is partition-order-independent.
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val revenue = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    val promoD = coalesce(sum(when(col("p_type") === "PROMO", revenue)), lit(0)).cast("double")
+    val totalD = sum(revenue).cast("double")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(promoD.as("promo_revenue"), totalD.as("total_revenue"),
+           round(lit(100) * promoD / totalD, 4).as("promo_pct"))
+      .orderBy("month")
+  }
+
   /** Top-k with a deterministic tie-break — `orderBy.limit` lets Spark
     * run TakeOrderedAndProject: per-partition heaps, no full sort.
     */
