@@ -151,12 +151,14 @@ object SparkEntry {
          |  CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
          |FROM (SELECT DISTINCT doc, word FROM ($wordsSub) WHERE length(word) > 0)
          |GROUP BY word ORDER BY key""".stripMargin,
-    "mr_grep" ->
-      s"""SELECT CAST(doc_id AS VARCHAR) AS key,
-         |  CAST(len(regexp_extract_all(text, '${operators.MRApps.GrepPattern}')) AS VARCHAR) AS value
-         |FROM documents
-         |WHERE len(regexp_extract_all(text, '${operators.MRApps.GrepPattern}')) > 0
-         |ORDER BY key""".stripMargin,
+    // literal-substring count via length arithmetic — dialect-free,
+    // matches the indexOf loop on the Spark side exactly
+    "mr_grep" -> {
+      val p = operators.MRApps.GrepPattern
+      val cnt = s"(length(text) - length(replace(text, '$p', ''))) // length('$p')"
+      s"""SELECT CAST(doc_id AS VARCHAR) AS key, CAST($cnt AS VARCHAR) AS value
+         |FROM documents WHERE $cnt > 0 ORDER BY key""".stripMargin
+    },
     "mr_crash_shape" ->
       """WITH kv AS (
         |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
@@ -268,14 +270,18 @@ object SparkEntry {
         |  INTERSECT
         |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0)
         |ORDER BY n_nationkey""".stripMargin,
+    // the >= 0.99 cut applies to the UNROUNDED rank inside its own
+    // subquery — filtering outside would hinge on DuckDB's
+    // column-over-alias precedence against the rounded `pr` alias
     "orders_percentile_rank" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  round(pr, 6) AS pr, round(cd, 6) AS cd
-        |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |        percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
-        |      FROM orders
-        |      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice))
-        |WHERE pr >= 0.99
+        |FROM (SELECT * FROM (
+        |        SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |          percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+        |        FROM orders
+        |        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice))
+        |      WHERE pr >= 0.99)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "events_type_counts" ->
       """SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
@@ -366,12 +372,17 @@ object SparkEntry {
         | AND epoch_us(e.ts) < epoch_us(r.ts)
         |GROUP BY r.event_id ORDER BY error_id""".stripMargin,
     "events_moving_avg" ->
-      """WITH d AS (SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events
-        |           FROM events GROUP BY 1, 2)
-        |SELECT day, event_type, n_events,
-        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_n, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(generate_series(mn, mx)) AS day_n
+        |      FROM (SELECT event_type, min(day_n) AS mn, max(day_n) AS mx
+        |            FROM d GROUP BY event_type)),
+        |f AS (SELECT g.event_type, g.day_n, coalesce(d.n, 0) AS n_events
+        |      FROM g LEFT JOIN d ON g.event_type = d.event_type AND g.day_n = d.day_n)
+        |SELECT make_timestamp(day_n * 86400000000) AS day, event_type, n_events,
+        |  round(avg(n_events) OVER (PARTITION BY event_type ORDER BY day_n
         |                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
-        |FROM d ORDER BY event_type, day""".stripMargin,
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "events_salted_share" ->
       """SELECT e.event_id, e.user_id,
         |  round(CAST(CAST(e.value AS DECIMAL(18,2)) AS DOUBLE)
@@ -379,6 +390,7 @@ object SparkEntry {
         |FROM events e
         |JOIN (SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS user_value
         |      FROM events GROUP BY user_id) t ON e.user_id = t.user_id
+        |WHERE t.user_value <> 0
         |ORDER BY e.event_id""".stripMargin,
     "grouping_sets_orders" ->
       """SELECT o_orderstatus, o_orderpriority,
@@ -424,7 +436,8 @@ object SparkEntry {
         |  round((e.x - s.sx / s.n)
         |        / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 4) AS z
         |FROM e JOIN s ON e.event_type = s.event_type
-        |WHERE abs((e.x - s.sx / s.n)
+        |WHERE s.n > 1 AND sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) > 0
+        |  AND abs((e.x - s.sx / s.n)
         |          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3
         |ORDER BY e.event_id""".stripMargin,
     "token_stats" ->

@@ -224,11 +224,15 @@ object Corpus {
     * aggregates of that stream (the kernel runs once per branch — at
     * scale that is two corpus scans, each all-map until a vocab-sized
     * shuffle; a cached single scan would pin a corpus-sized exploded
-    * frame, strictly worse). Everything after the counts is
-    * vocabulary-sized: totals ride a global-sum window over the count
-    * frames, the PMI join keys on single words. Ranking uses the
-    * ROUNDED score (then the bigram text) so the top-k cut never
-    * hinges on sub-1e-6 libm differences between engines.
+    * frame, strictly worse). The COUNT frames are vocabulary-sized and
+    * bounded, so they cache (tracked, retired by the Bench/Verify
+    * hygiene) and feed both their rows and their 1-row broadcast
+    * totals without recomputing — a `sum() over ()` window would
+    * instead serialize a web-scale vocab through one task (the
+    * single-partition-window shape PlanAuditSpec rejects elsewhere).
+    * The PMI join keys on single words. Ranking uses the ROUNDED score
+    * (then the bigram text) so the top-k cut never hinges on sub-1e-6
+    * libm differences between engines.
     */
   def bigramPmi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -247,15 +251,17 @@ object Corpus {
         }
       }
       .toDF("term", "next")
-    val unig = pairs.groupBy("term").agg(count(lit(1)).as("u"))
-      .withColumn("t", sum(col("u")).over(Window.partitionBy()))
-    // the total-bigram window runs BEFORE the min-count filter so the
-    // probability denominator covers ALL bigrams, not just frequent ones
-    val big = pairs.filter(col("next").isNotNull)
-      .groupBy(col("term").as("w1"), col("next").as("w2"))
-      .agg(count(lit(1)).as("b"))
-      .withColumn("tb", sum(col("b")).over(Window.partitionBy()))
-      .filter(col("b") >= PmiMinCount)
+    val unigCounts = Kernels.cacheTracked(
+      pairs.groupBy("term").agg(count(lit(1)).as("u")))
+    // the total-bigram denominator sums BEFORE the min-count filter so
+    // probabilities cover ALL bigrams, not just frequent ones
+    val bigCounts = Kernels.cacheTracked(
+      pairs.filter(col("next").isNotNull)
+        .groupBy(col("term").as("w1"), col("next").as("w2"))
+        .agg(count(lit(1)).as("b")))
+    val unig = unigCounts.crossJoin(broadcast(unigCounts.agg(sum("u").as("t"))))
+    val big = bigCounts.filter(col("b") >= PmiMinCount)
+      .crossJoin(broadcast(bigCounts.agg(sum("b").as("tb"))))
     big
       .join(unig.select(col("term").as("w1"), col("u").as("ua"), col("t")), "w1")
       .join(unig.select(col("term").as("w2"), col("u").as("ub")), "w2")

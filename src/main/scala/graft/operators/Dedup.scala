@@ -33,24 +33,16 @@ object Dedup {
   // fallback. Building two dedup pipelines before running either, or
   // running builders concurrently, silently drops the first pipeline's
   // caches (correct but slow: Spark recomputes).
-  private val liveCaches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-  private def cacheTracked(df: DataFrame): DataFrame = liveCaches.synchronized {
-    liveCaches += df
-    df.cache()
-  }
+  private def cacheTracked(df: DataFrame): DataFrame = Kernels.cacheTracked(df)
 
-  /** Unpersist every cache the last dedup builder pinned. Call after the
+  /** Unpersist every cache the last builder pinned (registry shared
+    * with other operators via [[Kernels.retireCaches]]). Call after the
     * consuming action completes; otherwise the (SF-sized) exploded
     * shingle frames stay pinned in storage memory for the rest of the
     * session and tax every later query (measured 2-4x on the bench tail
     * in round 2).
     */
-  def retireCaches(): Unit = liveCaches.synchronized {
-    // blocking: async unpersist leaves SF-sized blocks resident while the
-    // NEXT query runs, which defeats the point of retiring them
-    liveCaches.foreach(_.unpersist(true))
-    liveCaches.clear()
-  }
+  def retireCaches(): Unit = Kernels.retireCaches()
   private def retirePreviousCaches(): Unit = retireCaches()
 
   /** Distinct word n-gram shingles of a token array; a doc shorter than

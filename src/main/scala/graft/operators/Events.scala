@@ -212,18 +212,30 @@ object Events {
       .orderBy("error_id")
   }
 
-  /** Daily event counts per type with a 3-day trailing moving average.
-    * The expensive pass is the day×type aggregate (partial-agg'd,
-    * shuffle is |days × types|); the window then runs over that tiny
-    * frame — the aggregate-then-window ordering is the whole trick, a
-    * window straight over raw events would sort the corpus.
+  /** Daily event counts per type with a TRUE 3-calendar-day trailing
+    * moving average: the per-type day grid is gap-filled (zero-count
+    * days materialized from each type's [min, max] day span) before the
+    * 3-row window, so the window always spans exactly three days — a
+    * rows-window over observed days alone would silently stretch across
+    * gaps. Days are EPOCH days (µs-integer, timezone-free, same
+    * convention as [[retention]]); the expensive pass is the day×type
+    * aggregate (partial-agg'd, shuffle is |days × types|), and the grid
+    * + window run over that tiny frame.
     */
   def movingAvgDaily(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
-    Tables.events(spark, dir)
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+    val usPerDay = 86400000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr(s"unix_micros(ts) div $usPerDay").as("day_n"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val grid = daily.groupBy("event_type")
+      .agg(min("day_n").as("mn"), max("day_n").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("day_n"))
+    val w = Window.partitionBy("event_type").orderBy("day_n").rowsBetween(-2, 0)
+    grid.join(daily, Seq("event_type", "day_n"), "left")
+      .select(col("event_type"), col("day_n"), coalesce(col("n"), lit(0L)).as("n_events"))
       .withColumn("ma3", round(avg(col("n_events")).over(w), 4))
+      .select(timestamp_micros(col("day_n") * usPerDay).as("day"),
+              col("event_type"), col("n_events"), col("ma3"))
       .orderBy("event_type", "day")
   }
 
@@ -304,10 +316,15 @@ object Events {
       sum(col("xd")).cast("double").as("sx"),
       sum(col("xd") * col("xd")).cast("double").as("sxx"))
     val x = col("xd").cast("double")
-    val z = (x - col("sx") / col("n")) /
-      sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    // n > 1 AND sd > 0 excludes single-row and constant-valued types:
+    // their z is a 0/0 where the engines genuinely diverge (Spark
+    // double division gives NaN — and NaN > 3 is TRUE in Spark's
+    // ordering — while DuckDB returns NULL), so the guard is a
+    // correctness requirement, not a nicety
+    val sd = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+    val z = (x - col("sx") / col("n")) / sd
     e.join(broadcast(stats), "event_type")
-      .filter(abs(z) > 3)
+      .filter(col("n") > 1 && sd > 0 && abs(z) > 3)
       .select(col("event_id"), col("event_type"), x.as("value"),
               round(z, 4).as("z"))
       .orderBy("event_id")

@@ -23,4 +23,25 @@ private[graft] object Kernels {
     val p = ds.sparkSession.sparkContext.defaultParallelism
     if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
+
+  // Shared tracked-cache registry (moved from Dedup so any operator
+  // with a bounded intermediate feeding multiple branches can pin it).
+  // Contract unchanged: BUILD one pipeline, EXECUTE its action, then
+  // retire (Bench/Verify call Dedup.retireCaches after every query,
+  // which drains this registry).
+  private val liveCaches =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+  def cacheTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    liveCaches.synchronized {
+      liveCaches += df
+      df.cache()
+    }
+
+  def retireCaches(): Unit = liveCaches.synchronized {
+    // blocking: async unpersist leaves SF-sized blocks resident while
+    // the NEXT query runs, defeating the point of retiring them
+    liveCaches.foreach(_.unpersist(true))
+    liveCaches.clear()
+  }
 }

@@ -178,15 +178,26 @@ object MRApps {
 
   /** Distributed grep — the canonical MapReduce example from the
     * original paper that the reference's app set omits: mapf emits
-    * (doc, count) for documents whose text matches the pattern; reducef
-    * passes the single value through (grep's reduce is identity). The
-    * match runs map-side so only hit documents shuffle.
+    * (doc, count) for documents containing the pattern; reducef passes
+    * the single value through (grep's reduce is identity). The match
+    * runs map-side so only hit documents shuffle.
+    *
+    * The pattern is a LITERAL substring, counted non-overlapping
+    * left-to-right with plain indexOf — deliberately no regex: the
+    * oracle must count identically, and Java and RE2 regex dialects
+    * diverge on real grep patterns (lookbehind, possessives), while
+    * string-length arithmetic is dialect-free on both engines. The
+    * `require` keeps the literal safe to inline into the oracle SQL.
     */
   def grep(spark: SparkSession, dir: String): DataFrame = {
+    require(GrepPattern.nonEmpty && !GrepPattern.contains("'"),
+      "grep pattern must be a non-empty literal without quotes (it is inlined into oracle SQL)")
     val out = run(
       documentsAsInput(spark, dir),
       mapf = (name, contents) => {
-        val n = GrepPattern.r.findAllMatchIn(contents).length
+        var n = 0
+        var i = contents.indexOf(GrepPattern)
+        while (i >= 0) { n += 1; i = contents.indexOf(GrepPattern, i + GrepPattern.length) }
         if (n > 0) Seq(KeyValue(name, n.toString)) else Seq.empty
       },
       reducef = (_, values) => values.mkString(","))

@@ -107,6 +107,13 @@ object Relational {
     * table never shuffles rows, only the |months|-sized partials.
     * The percentage divides two exact-decimal-summed doubles, so the
     * share is partition-order-independent.
+    *
+    * Month bucketing uses `date_trunc("month", …)`, which follows the
+    * session timezone — unlike day buckets (see Events.retention),
+    * calendar months have no epoch-integer form. The library's entry
+    * points (Bench/Verify/tests) pin `spark.sql.session.timeZone=UTC`,
+    * matching the oracle's timezone-naive truncation; deployments in
+    * other zones must pin it too or month edges shift.
     */
   def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

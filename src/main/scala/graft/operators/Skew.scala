@@ -64,7 +64,9 @@ object Skew {
       .select(col("event_id"), col("user_id"), col("value"))
     val totals = ev.groupBy("user_id")
       .agg(sum(col("value").cast("decimal(18,2)")).as("user_value"))
-    saltedJoin(ev, totals, "user_id", salts = 8)
+    // a user netting to exactly 0.00 would make share an engine-divergent
+    // 0-division (Spark Infinity/NaN vs DuckDB NULL) — excluded explicitly
+    saltedJoin(ev, totals.filter(col("user_value") =!= 0), "user_id", salts = 8)
       .select(col("event_id"), col("user_id"),
         round(col("value").cast("decimal(18,2)").cast("double")
           / col("user_value").cast("double"), 6).as("share"))

@@ -359,12 +359,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
-  test("moving average window covers exactly the trailing three days per type") {
+  test("moving average: day grid is gap-free and ma3 spans exactly three calendar days") {
     val rows = Events.movingAvgDaily(spark, sf).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("day"),
         r.getAs[Long]("n_events"), r.getAs[Double]("ma3")))
-    rows.groupBy(_._1).foreach { case (_, tr) =>
+    val dayMs = 86400000L
+    rows.groupBy(_._1).foreach { case (t, tr) =>
       val sorted = tr.sortBy(_._2.getTime)
+      // contiguous daily grid — zero-count days must be materialized
+      sorted.sliding(2).foreach {
+        case Array((_, d1, _, _), (_, d2, _, _)) =>
+          assert(d2.getTime - d1.getTime == dayMs, s"day gap for $t")
+        case _ =>
+      }
       sorted.indices.foreach { i =>
         val window = sorted.slice(math.max(0, i - 2), i + 1).map(_._3)
         val want = BigDecimal(window.sum.toDouble / window.length)
@@ -372,6 +379,8 @@ class OperatorsSpec extends AnyFunSuite {
         assert(sorted(i)._4 == want)
       }
     }
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == nEvents, "daily counts must cover every event")
   }
 
   test("salted share: per-user shares sum to 1 and salting adds no/loses no rows") {
@@ -426,8 +435,10 @@ class OperatorsSpec extends AnyFunSuite {
       val n = rs.length
       val sx = rs.map(_._3).sum.toDouble
       val sxx = rs.map(d => d._3 * d._3).sum.toDouble
-      val sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
-      rs.toSeq.map { case (id, _, xd) => (id, (xd.toDouble - sx / n) / sd) }
+      val sd = if (n > 1) math.sqrt((sxx - sx * sx / n) / (n - 1)) else 0.0
+      // mirror the operator's degenerate-group guard (n > 1, sd > 0)
+      if (n <= 1 || !(sd > 0)) Seq.empty
+      else rs.toSeq.map { case (id, _, xd) => (id, (xd.toDouble - sx / n) / sd) }
         .filter { case (_, z) => math.abs(z) > 3 }
     }.map(_._1).toSet
     val got = Events.valueAnomalies(spark, sf).collect().map(_.getAs[Long]("event_id")).toSet

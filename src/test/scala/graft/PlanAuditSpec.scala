@@ -280,10 +280,18 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("bigram PMI plans no cartesian and aggregates with map-side combining") {
-    val p = plan(operators.Corpus.bigramPmi(spark, sf))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"PMI joins key on single words, never all-pairs:\n${p.take(800)}")
-    assert(p.contains("partial_count"),
-      s"unigram/bigram counts must partial-aggregate before their exchanges:\n${p.take(800)}")
+    try {
+      val p = plan(operators.Corpus.bigramPmi(spark, sf))
+      assert(!p.contains("CartesianProduct"),
+        s"PMI joins key on single words, never all-pairs:\n${p.take(800)}")
+      // the only nested-loop joins allowed are the 1-row broadcast
+      // totals: tb once, t once per unigram branch (w1, w2) = 3 nodes —
+      // data-carrying joins stay hash equi-joins
+      val bnlj = """BroadcastNestedLoopJoin""".r.findAllIn(p).length
+      assert(bnlj <= 3 * 2, // FormattedMode prints tree + details per node
+        s"only the 1-row totals may broadcast-NLJ, got $bnlj:\n${p.take(800)}")
+      assert(p.contains("partial_count"),
+        s"unigram/bigram counts must partial-aggregate before their exchanges:\n${p.take(800)}")
+    } finally Dedup.retireCaches() // PMI pins its vocab-sized count frames
   }
 }
