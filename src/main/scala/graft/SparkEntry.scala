@@ -69,6 +69,7 @@ object SparkEntry {
     "quality_bins" -> TextAnalysis.qualityBins _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
+    "doc_sentences" -> TextAnalysis.sentences _,
     "doc_winnowing" -> TextAnalysis.winnowing _,
     // Dedup suite (north star)
     "dedup_exact" -> Dedup.exact _,
@@ -94,6 +95,7 @@ object SparkEntry {
     "sample_hash" -> Sampling.hashSample _,
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
+    "mix_epochs" -> Sampling.mixEpochs _,
     "pack_sequences" -> Sampling.packSequences _,
     "export_shuffle" -> Sampling.exportShuffle _,
     // Corpus hygiene (north star)
@@ -102,6 +104,7 @@ object SparkEntry {
     "bigram_pmi" -> Corpus.bigramPmi _,
     "length_histogram" -> Corpus.lengthHistogram _,
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
+    "vocab_top" -> Corpus.vocabTop _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
     // Structured Streaming twins (drained via memory sink for the gate)
@@ -460,6 +463,18 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_sentences" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+         |                               x -> trim(x)), x -> length(x) > 0) AS sents
+         |  FROM documents),
+         |e AS (SELECT doc_id, unnest(sents) AS sent,
+         |        unnest(generate_series(1, len(sents))) AS sent_idx FROM s)
+         |SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx,
+         |  CAST(length(sent) AS BIGINT) AS n_chars_sent,
+         |  CAST(len($sentToksSql) AS BIGINT) AS n_tokens,
+         |  md5(sent) AS sent_md5
+         |FROM e ORDER BY doc_id, sent_idx""".stripMargin,
     "doc_winnowing" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
          |p AS (SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - ${TextAnalysis.WinnowK - 1}, 1))) AS i FROM n),
@@ -554,6 +569,9 @@ object SparkEntry {
   /** Raw-case twin of [[toksLowerSql]] (TextAnalysis.tokens). */
   private val toksRawSql =
     "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
+  /** [[toksRawSql]] over a sentence fragment column named `sent`. */
+  private val sentToksSql =
+    "list_filter(regexp_split_to_array(sent, '[^\\p{L}]+'), w -> length(w) > 0)"
   private val shingleSql =
     """CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
@@ -832,6 +850,13 @@ object SparkEntry {
         |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2)
         |    < substr(md5('w:' || source), 1, 2)
         |ORDER BY doc_id""".stripMargin,
+    "mix_epochs" ->
+      s"""SELECT doc_id, source, n_epochs, unnest(generate_series(1, n_epochs)) AS epoch
+         |FROM (SELECT doc_id, source,
+         |        (strpos('0123456789abcdef', substr(md5('ep:' || source), 1, 1)) - 1)
+         |          % ${Sampling.MaxEpochs} + 1 AS n_epochs
+         |      FROM documents)
+         |ORDER BY doc_id, epoch""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, doc_id % ${Sampling.PackShards} AS shard,
          |    CAST(len(list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)) AS BIGINT) AS n_tokens
@@ -963,10 +988,23 @@ object SparkEntry {
          |SELECT CAST(length(bin(n_tokens + 1)) - 1 AS BIGINT) AS bucket,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
          |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin
+    val vocab =
+      s"""WITH c AS (SELECT word AS term, count(*) AS cnt
+         |  FROM (SELECT unnest($toksRawSql) AS word FROM documents) GROUP BY word),
+         |t AS (SELECT sum(cnt) AS total FROM c),
+         |r AS (SELECT term, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rk,
+         |        sum(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM c)
+         |SELECT rk, term, cnt,
+         |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+         |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+         |FROM r, t WHERE rk <= ${Corpus.VocabTopK} ORDER BY rk""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
-        "bigram_pmi" -> pmi, "length_histogram" -> lengthHist)
+        "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
+        "vocab_top" -> vocab)
   }
 
   private def streamingOracles: Map[String, String] = Map(

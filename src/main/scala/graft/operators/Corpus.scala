@@ -289,6 +289,37 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
       .orderBy("bucket")
 
+  val VocabTopK = 50
+
+  /** Vocabulary head coverage: the top-[[VocabTopK]] terms with each
+    * term's corpus share and the CUMULATIVE share — the
+    * tokenizer-vocab-prep diagnostic ("how much of the corpus do the
+    * top K types cover"). The global rank cut runs as `orderBy.limit`
+    * (TakeOrderedAndProject: per-partition heaps, never a
+    * single-partition sort of the vocab); the cumulative window then
+    * touches only the K retained rows, and the total is a 1-row
+    * broadcast. Ties break on the term text, so the cut and the
+    * cumulative order are engine-exact.
+    */
+  def vocabTop(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Kernels.cacheTracked(
+      Tables.documents(spark, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum("cnt").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(VocabTopK)
+    val w = Window.orderBy(col("cnt").desc, col("term"))
+    top
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rk"), col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy("rk")
+  }
+
   /** Per-(source, lang) corpus composition: doc counts, token and char
     * totals, mean document length — the mix report a pipeline checks
     * before setting sampling weights ([[Sampling.weightedMix]]).

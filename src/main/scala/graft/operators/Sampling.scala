@@ -103,6 +103,26 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  val MaxEpochs = 3
+
+  /** Epoch-weighted mixing, the >1-epoch side of [[weightedMix]]: each
+    * source repeats 1..[[MaxEpochs]] times per training pass (the
+    * "high-quality sources see more epochs" recipe). The per-source
+    * epoch count is md5-derived (deterministic, engine-reproducible —
+    * a real pipeline would read a weights table) and each doc explodes
+    * into (doc, epoch=1..k) rows — map-only replication that rides the
+    * scan, no shuffle, output size Σ k_s·|source_s|.
+    */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val epochs = (conv(substring(md5(concat(lit("ep:"), col("source"))), 1, 1), 16, 10)
+      .cast("long") % MaxEpochs + 1).as("n_epochs")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), epochs)
+      .select(col("doc_id"), col("source"), col("n_epochs"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
   val PackShards = 16
   val PackBudget = 2048
 

@@ -125,6 +125,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sentence segmentation: split each document on terminal-punctuation
+    * runs, trim, drop empties, and emit per-sentence rows with a
+    * 1-based index, length, token count and content fingerprint — the
+    * chunk-for-training primitive upstream of sequence packing. Pure
+    * projection + explode: rides the scan at any scale, no shuffle
+    * before the output sort. Indices count the SURVIVING sentences
+    * (post-trim/filter), mirrored exactly in the oracle's
+    * filter-then-enumerate order.
+    */
+  def sentences(spark: SparkSession, dir: String): DataFrame = {
+    val sents = filter(
+      transform(split(col("text"), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(sents).as(Seq("pos", "sent")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("sent_idx"),
+        length(col("sent")).cast("long").as("n_chars_sent"),
+        size(tokens(col("sent"))).cast("long").as("n_tokens"),
+        md5(col("sent")).as("sent_md5"))
+      .orderBy("doc_id", "sent_idx")
+  }
+
   /** Decile binning of the quality score — curriculum/mix bucketing
     * without a global sort: `ntile(10)` would funnel the corpus
     * through a single-partition window. Instead: quantize scores to

@@ -136,7 +136,8 @@ class CorpusSpec extends AnyFunSuite {
   }
 
   test("bigram PMI: frequent pairs only, ranked, and exact on a synthetic collocation") {
-    val rows = Corpus.bigramPmi(spark, sf).collect()
+    // PMI pins tracked caches (count frames) — retire like Bench does
+    val rows = try Corpus.bigramPmi(spark, sf).collect() finally Dedup.retireCaches()
     assert(rows.length <= Corpus.PmiTopK)
     rows.foreach(r => assert(r.getAs[Long]("n") >= Corpus.PmiMinCount))
     val pmis = rows.map(r => (r.getAs[Double]("pmi"), r.getAs[String]("bigram")))
@@ -149,7 +150,7 @@ class CorpusSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("pmi").toFile
     try {
       docs.write.mode("overwrite").parquet(new java.io.File(tmp, "documents.parquet").getPath)
-      val r = Corpus.bigramPmi(spark, tmp.getPath).collect()
+      val r = try Corpus.bigramPmi(spark, tmp.getPath).collect() finally Dedup.retireCaches()
       assert(r.length == 1 && r(0).getAs[String]("bigram") == "alpha beta")
       val want = BigDecimal(math.log((6.0 / 6.0) / ((6.0 / 12.0) * (6.0 / 12.0))))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -159,6 +160,53 @@ class CorpusSpec extends AnyFunSuite {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
       }
       rm(tmp)
+    }
+  }
+
+  test("vocab head: dense ranks, non-increasing counts, coverage monotone to <= 1") {
+    // vocabTop pins a tracked cache whose canonical plan SUBSUMES other
+    // token aggregates (wc) — leaked, it turns their plan audits into
+    // InMemoryRelation scans; retire like Bench/Verify do
+    val rows = try Corpus.vocabTop(spark, sf).collect() finally Dedup.retireCaches()
+    assert(rows.length == Corpus.VocabTopK ||
+      rows.length < Corpus.VocabTopK) // tiny corpora may have < K types
+    val rks = rows.map(_.getAs[Long]("rk"))
+    assert(rks.sameElements(1L to rows.length))
+    val cnts = rows.map(_.getAs[Long]("cnt"))
+    assert(cnts.sameElements(cnts.sorted.reverse), "counts non-increasing by rank")
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.sameElements(cums.sorted), "cumulative share monotone")
+    assert(cums.last <= 1.0 + 1e-9)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(cums.head - shares.head) < 1e-9)
+  }
+
+  test("mix epochs: per-source epoch counts in range, every doc replicated exactly") {
+    val rows = Sampling.mixEpochs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_epochs"), r.getAs[Long]("epoch")))
+    val bySource = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct).toMap
+    bySource.foreach { case (s, ks) =>
+      assert(ks.length == 1 && ks.head >= 1 && ks.head <= Sampling.MaxEpochs,
+        s"source $s epochs $ks")
+    }
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._4).sorted.sameElements(1L to rs.head._3))
+    }
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(rows.map(_._1).distinct.length == nDocs)
+  }
+
+  test("sentence split: dense indices and token counts that sum to the doc's") {
+    val perDoc = TextAnalysis.tokenStats(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    val rows = TextAnalysis.sentences(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sent_idx"), r.getAs[Long]("n_tokens")))
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length), s"doc $d indices not dense")
+      // terminal punctuation is never inside a letter-run token, so
+      // sentence tokens partition the document's tokens exactly
+      assert(rs.map(_._3).sum == perDoc(d), s"doc $d token sum mismatch")
     }
   }
 
