@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, TopKByScore}
+import graft.functions.{DotProduct, OverlapCount, TopKByScore}
 
 /** The library's `SparkSessionExtensions` entry point — the deployment
   * surface for clusters: `--conf spark.sql.extensions=graft.GraftExtensions`
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[OverlapCount].getName, "graft_overlap"),
+      (exprs: Seq[Expression]) => OverlapCount(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for the dense dot product.
   *
@@ -66,17 +66,97 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression: `|A ∩ B|` of two SORTED distinct
+  * `array<long>` columns by a single merge scan — zero allocation per
+  * evaluation. The composable form, `size(array_intersect(a, b))`,
+  * builds a hash set AND the intersection array per call, and the
+  * jaccard threshold predicate gets re-inlined into the join condition
+  * (Catalyst does not CSE across the filter/project boundary), so every
+  * candidate pair pays that 2-3×. The dedup verify path sorts each
+  * doc's hashed shingles ONCE (per doc, not per candidate) and this
+  * merge makes each of the many per-candidate evaluations O(|A|+|B|)
+  * with no allocation.
+  *
+  * PRECONDITION (enforced by the callers, not checked here): both
+  * arrays sorted ascending with distinct elements — then the merge
+  * count equals `size(array_intersect)` exactly.
+  */
+case class OverlapCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_overlap expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private val FnName = "graft_dot"
+  private val OverlapName = "graft_overlap"
 
   /** Register once per session; idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      OverlapName, exprs => OverlapCount(exprs(0), exprs(1)), "built-in")
+  }
 
   /** `dot(a, b)` over two array<double> columns (codegen'd). */
   def dot(spark: SparkSession, a: Column, b: Column): Column = {
     register(spark)
     call_function(FnName, a, b)
+  }
+
+  /** Sorted-distinct `array<long>` overlap count (codegen'd merge). */
+  def overlap(spark: SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    call_function(OverlapName, a, b)
   }
 }

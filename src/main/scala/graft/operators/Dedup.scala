@@ -109,14 +109,21 @@ object Dedup {
     *    negligible, and the DuckDB oracle cross-checks every run.
     */
   private def verifyJaccard(shArr: DataFrame, cand: DataFrame): DataFrame = {
+    val spark = shArr.sparkSession
+    // sorted ONCE per doc so the per-candidate overlap is a zero-
+    // allocation codegen'd merge scan (graft_overlap) instead of a
+    // hash-set + materialized intersection per evaluation — the
+    // intersection is re-inlined into the join condition 2-3x per
+    // candidate, so its constant factor multiplies
     val hashed = shArr.select(col("doc_id"),
-      transform(col("sh"), s => xxhash64(s)).as("shh"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
       size(col("sh")).as("nsh"))
     cand
       .join(hashed.as("A").hint("shuffle_hash"), col("doc_a") === col("A.doc_id"))
       .join(hashed.as("B").hint("shuffle_hash"), col("doc_b") === col("B.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("A.shh"), col("B.shh"))).cast("double").as("common"),
+        graft.functions.VectorFunctions.overlap(spark, col("A.shh"), col("B.shh"))
+          .cast("double").as("common"),
         (col("A.nsh") + col("B.nsh")).cast("double").as("sz"))
       .select(col("doc_a"), col("doc_b"),
         round(col("common") / (col("sz") - col("common")), 6).as("jaccard"))

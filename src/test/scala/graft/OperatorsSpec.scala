@@ -283,6 +283,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(3) == (40.0, 40L))
   }
 
+  test("graft_overlap equals set-intersection size on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      (Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted,
+       Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq.empty[Long], Seq.empty[Long]))
+    val got = rows.toDF("a", "b")
+      .select(graft.functions.VectorFunctions.overlap(spark, col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    val want = rows.map { case (a, b) => a.toSet.intersect(b.toSet).size }
+    assert(got == want)
+  }
+
   test("graft_dot is injected by GraftExtensions into fresh sessions") {
     // newSession() builds a NEW function registry from the session's
     // extensions — this resolves only if the SparkSessionExtensions
