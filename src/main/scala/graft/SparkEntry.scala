@@ -432,16 +432,16 @@ object SparkEntry {
         |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS x,
         |    CAST(value AS DECIMAL(18,2)) AS xd
         |  FROM events),
-        |s AS (SELECT event_type, count(*) AS n, CAST(sum(xd) AS DOUBLE) AS sx,
-        |        CAST(sum(xd * xd) AS DOUBLE) AS sxx
-        |      FROM e GROUP BY event_type)
+        |s0 AS (SELECT event_type, count(*) AS n, CAST(sum(xd) AS DOUBLE) AS sx,
+        |         CAST(sum(xd * xd) AS DOUBLE) AS sxx
+        |       FROM e GROUP BY event_type),
+        |s AS (SELECT event_type, n, sx,
+        |        (sxx - sx * sx / n) / (n - 1) AS var
+        |      FROM s0 WHERE n > 1 AND (sxx - sx * sx / n) / (n - 1) > 0)
         |SELECT e.event_id, e.event_type, e.x AS value,
-        |  round((e.x - s.sx / s.n)
-        |        / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)), 4) AS z
+        |  round((e.x - s.sx / s.n) / sqrt(s.var), 4) AS z
         |FROM e JOIN s ON e.event_type = s.event_type
-        |WHERE s.n > 1 AND sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) > 0
-        |  AND abs((e.x - s.sx / s.n)
-        |          / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1))) > 3
+        |WHERE abs((e.x - s.sx / s.n) / sqrt(s.var)) > 3
         |ORDER BY e.event_id""".stripMargin,
     "token_stats" ->
       """SELECT doc_id,
@@ -566,12 +566,15 @@ object SparkEntry {
   // Shared dedup fragments (mirror Dedup.scala exactly).
   private val toksLowerSql =
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}]+'), w -> length(w) > 0)"
+  /** The letter-run tokenizer over an arbitrary column — single source
+    * for every raw-case tokenizer oracle fragment.
+    */
+  private def toksSqlOf(column: String): String =
+    s"list_filter(regexp_split_to_array($column, '[^\\p{L}]+'), w -> length(w) > 0)"
   /** Raw-case twin of [[toksLowerSql]] (TextAnalysis.tokens). */
-  private val toksRawSql =
-    "list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), w -> length(w) > 0)"
+  private val toksRawSql = toksSqlOf("text")
   /** [[toksRawSql]] over a sentence fragment column named `sent`. */
-  private val sentToksSql =
-    "list_filter(regexp_split_to_array(sent, '[^\\p{L}]+'), w -> length(w) > 0)"
+  private val sentToksSql = toksSqlOf("sent")
   private val shingleSql =
     """CASE WHEN len(toks) >= 3
       |  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),

@@ -79,7 +79,11 @@ case class DotProduct(left: Expression, right: Expression)
   *
   * PRECONDITION (enforced by the callers, not checked here): both
   * arrays sorted ascending with distinct elements — then the merge
-  * count equals `size(array_intersect)` exactly.
+  * count equals `size(array_intersect)` exactly. NULL elements (legal
+  * per the array type, and sorted first by `sort_array`) are skipped —
+  * they never count as a match; without the explicit check,
+  * `getLong` would silently read a null slot as 0 and count phantom
+  * overlaps.
   */
 case class OverlapCount(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -103,10 +107,14 @@ case class OverlapCount(left: Expression, right: Expression)
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var c = 0
     while (i < nx && j < ny) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -122,10 +130,14 @@ case class OverlapCount(left: Expression, right: Expression)
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  long $xv = $a.getLong($i);
-         |  long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long $xv = $a.getLong($i);
+         |    long $yv = $b.getLong($j);
+         |    if ($xv == $yv) { $c++; $i++; $j++; }
+         |    else if ($xv < $yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

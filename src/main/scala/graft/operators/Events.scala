@@ -316,15 +316,19 @@ object Events {
       sum(col("xd")).cast("double").as("sx"),
       sum(col("xd") * col("xd")).cast("double").as("sxx"))
     val x = col("xd").cast("double")
-    // n > 1 AND sd > 0 excludes single-row and constant-valued types:
-    // their z is a 0/0 where the engines genuinely diverge (Spark
-    // double division gives NaN — and NaN > 3 is TRUE in Spark's
-    // ordering — while DuckDB returns NULL), so the guard is a
-    // correctness requirement, not a nicety
-    val sd = sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-    val z = (x - col("sx") / col("n")) / sd
+    // n > 1 AND variance > 0 excludes single-row, constant, and
+    // NEAR-constant types: their z is a 0/0 (or sqrt-of-negative-ulp)
+    // where the engines genuinely diverge — Spark double division
+    // gives NaN, and NaN compares GREATER in Spark's ordering (so both
+    // `sd > 0` and `abs(z) > 3` would be true for garbage), while
+    // DuckDB returns NULL for 0/0 and ERRORS on sqrt of a negative.
+    // Guarding the VARIANCE (always a finite double) rather than sd
+    // keeps NaN out of the guard itself; the oracle pre-filters groups
+    // in a CTE so DuckDB never evaluates sqrt on a negative.
+    val variance = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val z = (x - col("sx") / col("n")) / sqrt(variance)
     e.join(broadcast(stats), "event_type")
-      .filter(col("n") > 1 && sd > 0 && abs(z) > 3)
+      .filter(col("n") > 1 && variance > 0 && abs(z) > 3)
       .select(col("event_id"), col("event_type"), x.as("value"),
               round(z, 4).as("z"))
       .orderBy("event_id")

@@ -168,8 +168,12 @@ class CorpusSpec extends AnyFunSuite {
     // token aggregates (wc) — leaked, it turns their plan audits into
     // InMemoryRelation scans; retire like Bench/Verify do
     val rows = try Corpus.vocabTop(spark, sf).collect() finally Dedup.retireCaches()
-    assert(rows.length == Corpus.VocabTopK ||
-      rows.length < Corpus.VocabTopK) // tiny corpora may have < K types
+    // exact row count: min(K, |vocabulary|) — the synthetic corpus has a
+    // SMALL closed vocabulary (31 types), so a tautological <= K bound
+    // would mask dropped rows
+    val vocabSize = graft.Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t")).distinct().count()
+    assert(rows.length == math.min(Corpus.VocabTopK.toLong, vocabSize))
     val rks = rows.map(_.getAs[Long]("rk"))
     assert(rks.sameElements(1L to rows.length))
     val cnts = rows.map(_.getAs[Long]("cnt"))

@@ -449,11 +449,14 @@ class OperatorsSpec extends AnyFunSuite {
       val n = rs.length
       val sx = rs.map(_._3).sum.toDouble
       val sxx = rs.map(d => d._3 * d._3).sum.toDouble
-      val sd = if (n > 1) math.sqrt((sxx - sx * sx / n) / (n - 1)) else 0.0
-      // mirror the operator's degenerate-group guard (n > 1, sd > 0)
-      if (n <= 1 || !(sd > 0)) Seq.empty
-      else rs.toSeq.map { case (id, _, xd) => (id, (xd.toDouble - sx / n) / sd) }
-        .filter { case (_, z) => math.abs(z) > 3 }
+      val variance = if (n > 1) (sxx - sx * sx / n) / (n - 1) else 0.0
+      // mirror the operator's degenerate-group guard (n > 1, variance > 0)
+      if (n <= 1 || !(variance > 0)) Seq.empty
+      else {
+        val sd = math.sqrt(variance)
+        rs.toSeq.map { case (id, _, xd) => (id, (xd.toDouble - sx / n) / sd) }
+          .filter { case (_, z) => math.abs(z) > 3 }
+      }
     }.map(_._1).toSet
     val got = Events.valueAnomalies(spark, sf).collect().map(_.getAs[Long]("event_id")).toSet
     assert(got == expected)
