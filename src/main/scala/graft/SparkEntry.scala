@@ -14,9 +14,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The end-to-end training-set pipeline (dedup → quality →
+    * decontaminate → sample → pack) is the library's showcase
+    * composition; every stage also stands alone under its own oracle.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    Corpus.trainingSet(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,6 +65,7 @@ object SparkEntry {
     "events_salted_share" -> Skew.eventShareOfUser _,
     "events_anomaly" -> Events.valueAnomalies _,
     "events_resample" -> Events.resample _,
+    "events_sliding_window" -> Events.slidingWindowCounts _,
     "events_type_counts" -> Events.typeCounts _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
@@ -107,6 +112,7 @@ object SparkEntry {
     "vocab_top" -> Corpus.vocabTop _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
+    "pipeline_training_set" -> Corpus.trainingSet _,
     // Structured Streaming twins (drained via memory sink for the gate)
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
@@ -395,6 +401,15 @@ object SparkEntry {
         |      FROM events GROUP BY user_id) t ON e.user_id = t.user_id
         |WHERE t.user_value <> 0
         |ORDER BY e.event_id""".stripMargin,
+    // each event lands in the two 2-hour windows that contain it
+    // (starts at trunc_hour(ts) and trunc_hour(ts) - 1h)
+    "events_sliding_window" ->
+      """SELECT w_start, event_type, count(*) AS n_events
+        |FROM (SELECT event_type,
+        |        date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS w_start
+        |      FROM events, generate_series(0, 1) t(k))
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
     "grouping_sets_orders" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS set_id,
@@ -1003,11 +1018,48 @@ object SparkEntry {
          |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
          |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
          |FROM r, t WHERE rk <= ${Corpus.VocabTopK} ORDER BY rk""".stripMargin
+    // the flagship composition: every CTE is a standalone operator's
+    // oracle fragment, chained exactly as the Spark plan chains them
+    val pipeline =
+      s"""$qualityCteSql,
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM s),
+         |ntok AS (SELECT doc_id, CAST(len($toksRawSql) AS BIGINT) AS n_tokens FROM documents),
+         |fp AS (SELECT doc_id, source,
+         |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |       FROM documents),
+         |keepfp AS (SELECT fp, min(doc_id) AS kd FROM fp GROUP BY fp),
+         |tl AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |shx AS (SELECT doc_id, ${gramSql(Corpus.ContamGramN)} AS sh FROM tl),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shx
+         |          WHERE $benchHash < '${Corpus.BenchSplitThreshold}'),
+         |hits AS (SELECT DISTINCT e.doc_id
+         |         FROM (SELECT doc_id, unnest(sh) AS g FROM shx
+         |               WHERE $benchHash >= '${Corpus.BenchSplitThreshold}') e
+         |         JOIN bench ON e.g = bench.g),
+         |base AS (
+         |  SELECT f.doc_id, f.source, q.quality, n.n_tokens
+         |  FROM fp f
+         |  JOIN keepfp k ON f.fp = k.fp AND f.doc_id = k.kd
+         |  JOIN q ON q.doc_id = f.doc_id
+         |  JOIN ntok n ON n.doc_id = f.doc_id
+         |  WHERE q.quality >= ${Corpus.TrainQualityMin}
+         |    AND substr(md5('bench:' || CAST(f.doc_id AS VARCHAR)), 1, 2) >= '${Corpus.BenchSplitThreshold}'
+         |    AND f.doc_id NOT IN (SELECT doc_id FROM hits)
+         |    AND substr(md5('pipe:' || CAST(f.doc_id AS VARCHAR)), 1, 2) < '${Corpus.PipeSampleThreshold}'),
+         |r AS (SELECT doc_id, source, quality, n_tokens,
+         |        CAST(doc_id % ${Sampling.PackShards} AS BIGINT) AS shard,
+         |        CAST(coalesce(sum(n_tokens) OVER (
+         |          PARTITION BY doc_id % ${Sampling.PackShards} ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run
+         |      FROM base)
+         |SELECT doc_id, source, shard, run // ${Sampling.PackBudget} AS pack_no,
+         |  n_tokens, quality
+         |FROM r ORDER BY doc_id""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
-        "vocab_top" -> vocab)
+        "vocab_top" -> vocab, "pipeline_training_set" -> pipeline)
   }
 
   private def streamingOracles: Map[String, String] = Map(

@@ -320,6 +320,56 @@ object Corpus {
       .orderBy("rk")
   }
 
+  /** First hex byte below this ⇒ the doc survives the pipeline's
+    * training-split sample (~50%).
+    */
+  val PipeSampleThreshold = "80"
+  val TrainQualityMin = 0.5
+
+  /** FLAGSHIP COMPOSITION — the whole training-set pipeline as ONE
+    * declarative plan: exact dedup (keep first per fingerprint) →
+    * quality floor → benchmark-split and contamination exclusion →
+    * deterministic 50% sample → token-budget sequence packing. This is
+    * the query a user of the library actually ships; every stage is an
+    * operator that also stands alone under its own oracle, and
+    * composing them costs no glue — Catalyst fuses the map-side stages
+    * (fingerprint, quality, sample predicates ride one scan) between
+    * the dedup shuffle, the broadcast contamination semi-join, and the
+    * per-shard packing windows. 100 TB shape: one corpus shuffle on
+    * the fingerprint, one on the shard key; everything else is
+    * map-side or benchmark-sized.
+    */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val isBench =
+      substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 2)
+    val surv = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+      .withColumn("rk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+    val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
+    val scored = surv
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+    val base = scored
+      .filter(col("quality") >= TrainQualityMin)
+      .filter(isBench >= BenchSplitThreshold) // bench split never trains
+      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(substring(md5(concat(lit("pipe:"), col("doc_id").cast("string"))), 1, 2)
+        < PipeSampleThreshold)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("shard", col("doc_id") % Sampling.PackShards)
+      .withColumn("run", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("shard"),
+        expr(s"run div ${Sampling.PackBudget}").as("pack_no"),
+        col("n_tokens"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Per-(source, lang) corpus composition: doc counts, token and char
     * totals, mean document length — the mix report a pipeline checks
     * before setting sampling weights ([[Sampling.weightedMix]]).

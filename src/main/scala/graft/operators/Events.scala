@@ -334,6 +334,22 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** SLIDING-window counts (2-hour windows every hour): each event
+    * lands in exactly two windows, declared with Spark's
+    * `window(ts, windowDuration, slideDuration)` — the engine expands
+    * the slide assignments inline (an Expand of windows/slide rows per
+    * event, here 2×) and the aggregate stays one combiner-friendly
+    * shuffle of |windows × types| partials. Complements the tumbling
+    * windows everywhere else; window starts surface as plain
+    * timestamps for the oracle.
+    */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
+      .orderBy("w_start", "event_type")
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -508,6 +508,42 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows count every event exactly twice") {
+    val rows = Events.slidingWindowCounts(spark, sf).collect()
+    val nEvents = graft.Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 2 * nEvents,
+      "2h windows sliding 1h put each event in exactly two windows")
+    // window starts are whole hours, one hour apart where adjacent
+    val starts = rows.map(_.getAs[java.sql.Timestamp]("w_start").getTime).distinct
+    assert(starts.forall(_ % 3600000L == 0))
+  }
+
+  test("training-set pipeline output satisfies every stage's contract") {
+    val out = Corpus.trainingSet(spark, sf).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // stage 1: exact-dedup survivors only
+    val keepIds = Dedup.exact(spark, sf).collect().map(_.getAs[Long]("keep_id")).toSet
+    assert(ids.subsetOf(keepIds), "only first-seen fingerprints may train")
+    // stage 2: quality floor
+    out.foreach(r => assert(r.getAs[Double]("quality") >= Corpus.TrainQualityMin))
+    // stage 3a: the held-out benchmark split never trains
+    ids.foreach { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bench:$id".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      assert(h >= Corpus.BenchSplitThreshold, s"doc $id is benchmark split")
+    }
+    // stage 3b: no contaminated docs
+    val hits = Corpus.decontaminate(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(hits).isEmpty, "contaminated docs must not train")
+    // stage 5: packs start at 0 per shard and are contiguous
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
+      val packs = rs.map(_.getAs[Long]("pack_no")).distinct.sorted
+      assert(packs.head == 0 && packs.sameElements(0L until packs.length),
+        s"shard $sh packs not contiguous: ${packs.toSeq}")
+    }
+  }
+
   test("grouping sets emit exactly the two marginal groupings") {
     val rows = Relational.groupingSetsOrders(spark, sf).collect()
     val byStatus = rows.filter(_.getAs[Long]("set_id") == 1) // priority nulled
