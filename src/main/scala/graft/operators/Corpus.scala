@@ -25,6 +25,14 @@ object Corpus {
   val BenchSplitThreshold = "10"
   val ContamGramN = 5
 
+  /** First hex byte of md5(salt + ":" + doc_id) — the deterministic
+    * doc-level split/sample primitive, shared by the bench split and
+    * the pipeline sample so their salts and prefix width cannot drift
+    * apart (the SQL oracles interpolate the same construction).
+    */
+  private def docHexPrefix(salt: String) =
+    substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 2)
+
   /** Distinct word 5-gram shingles per doc, as a typed map-only kernel
     * over the GIVEN document slice (same tokenizer and short-doc
     * fallback as Dedup's 3-gram kernel; the Column formulation measured
@@ -68,8 +76,7 @@ object Corpus {
     * row per contaminated document with its gram count and hit count.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val isBench =
-      substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 2)
+    val isBench = docHexPrefix("bench")
     val docs = Tables.documents(spark, dir)
     val benchGrams = contamShingles(docs.filter(isBench < BenchSplitThreshold))
       .select(explode(col("sh")).as("g"))
@@ -340,8 +347,7 @@ object Corpus {
     * map-side or benchmark-sized.
     */
   def trainingSet(spark: SparkSession, dir: String): DataFrame = {
-    val isBench =
-      substring(md5(concat(lit("bench:"), col("doc_id").cast("string"))), 1, 2)
+    val isBench = docHexPrefix("bench")
     val surv = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
         md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
@@ -357,8 +363,7 @@ object Corpus {
       .filter(col("quality") >= TrainQualityMin)
       .filter(isBench >= BenchSplitThreshold) // bench split never trains
       .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
-      .filter(substring(md5(concat(lit("pipe:"), col("doc_id").cast("string"))), 1, 2)
-        < PipeSampleThreshold)
+      .filter(docHexPrefix("pipe") < PipeSampleThreshold)
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     base

@@ -536,11 +536,22 @@ class OperatorsSpec extends AnyFunSuite {
     // stage 3b: no contaminated docs
     val hits = Corpus.decontaminate(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
     assert(ids.intersect(hits).isEmpty, "contaminated docs must not train")
-    // stage 5: packs start at 0 per shard and are contiguous
+    // stage 4: the deterministic sample actually gates (hash < threshold)
+    ids.foreach { id =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pipe:$id".getBytes("UTF-8")).take(1).map("%02x".format(_)).mkString
+      assert(h < Corpus.PipeSampleThreshold, s"doc $id fails the sample gate")
+    }
+    // stage 5: pack_no is exactly the offset-binned prefix sum per shard
+    // (NOT contiguity — one doc longer than the budget legitimately
+    // skips a pack number)
     out.groupBy(_.getAs[Long]("shard")).foreach { case (sh, rs) =>
-      val packs = rs.map(_.getAs[Long]("pack_no")).distinct.sorted
-      assert(packs.head == 0 && packs.sameElements(0L until packs.length),
-        s"shard $sh packs not contiguous: ${packs.toSeq}")
+      var run = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("pack_no") == run / Sampling.PackBudget,
+          s"shard $sh doc ${r.getAs[Long]("doc_id")} pack_no mismatch")
+        run += r.getAs[Long]("n_tokens")
+      }
     }
   }
 

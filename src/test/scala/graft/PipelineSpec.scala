@@ -18,18 +18,7 @@ import graft.sources.{KeyValueTextSink, WholeTextInput}
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  // deleteOnExit removes only EMPTY dirs — populated output trees leaked
-  // one /tmp copy per test run; a recursive shutdown hook actually cleans
-  private def tmpDir(prefix: String): Path = {
-    val d = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(d))
-        Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-    }))
-    d
-  }
+  private def tmpDir(prefix: String): Path = SparkTestSession.tmpDir(prefix)
 
   test("wholetext scan -> wc mapreduce -> text sink matches sequential oracle") {
     val in = tmpDir("graft-wc-in")

@@ -24,4 +24,19 @@ object SparkTestSession {
     s
   }
   val Sf: String = "/root/testdata/sf0.001"
+
+  /** Temp dir with a RECURSIVE shutdown-hook cleanup (deleteOnExit
+    * removes only empty dirs — populated output trees leaked one /tmp
+    * copy per run). Shared so the cleanup behavior stays single-sourced.
+    */
+  def tmpDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.exists(d))
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+    }))
+    d
+  }
 }

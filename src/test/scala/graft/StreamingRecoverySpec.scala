@@ -20,16 +20,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingRecoverySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  private def tmpDir(prefix: String): Path = {
-    val d = Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      if (Files.exists(d))
-        Files.walk(d).iterator().asScala.toSeq.reverse
-          .foreach(Files.deleteIfExists(_))
-    }))
-    d
-  }
+  private def tmpDir(prefix: String): Path = SparkTestSession.tmpDir(prefix)
 
   test("stateful aggregation resumes from checkpoint across a restart") {
     import spark.implicits._
