@@ -66,6 +66,7 @@ object SparkEntry {
     "events_anomaly" -> Events.valueAnomalies _,
     "events_resample" -> Events.resample _,
     "events_sliding_window" -> Events.slidingWindowCounts _,
+    "events_heatmap" -> Events.activityHeatmap _,
     "events_type_counts" -> Events.typeCounts _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
@@ -401,6 +402,14 @@ object SparkEntry {
         |      FROM events GROUP BY user_id) t ON e.user_id = t.user_id
         |WHERE t.user_value <> 0
         |ORDER BY e.event_id""".stripMargin,
+    // integer epoch arithmetic on both sides: epoch day 0 is a
+    // Thursday, so (day+4) % 7 puts Sunday at 0
+    "events_heatmap" ->
+      """SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+        |  (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY dow, hour ORDER BY dow, hour""".stripMargin,
     // each event lands in the two 2-hour windows that contain it
     // (starts at trunc_hour(ts) and trunc_hour(ts) - 1h)
     "events_sliding_window" ->

@@ -350,6 +350,26 @@ object Events {
       .select(col("window.start").as("w_start"), col("event_type"), col("n_events"))
       .orderBy("w_start", "event_type")
 
+  /** Hour-of-day × day-of-week activity heatmap — the usage-pattern
+    * staple. Both coordinates come from INTEGER epoch-µs arithmetic
+    * (`dow`: epoch day 0 = Thursday 1970-01-01, so `(day + 4) % 7`
+    * makes 0 = Sunday), never from calendar functions whose week-start
+    * and timezone conventions differ across engines. One
+    * combiner-friendly aggregate to a 168-row result.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val usPerDay = 86400000000L
+    Tables.events(spark, dir)
+      .select(
+        expr(s"(unix_micros(ts) div $usPerDay + 4) % 7").as("dow"),
+        expr(s"(unix_micros(ts) % $usPerDay) div 3600000000").as("hour"),
+        col("value"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .orderBy("dow", "hour")
+  }
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
