@@ -68,6 +68,8 @@ object SparkEntry {
     "events_sliding_window" -> Events.slidingWindowCounts _,
     "events_heatmap" -> Events.activityHeatmap _,
     "events_type_counts" -> Events.typeCounts _,
+    "events_approx_users" -> Sketches.approxDistinctUsers _,
+    "events_approx_users_union" -> Sketches.approxUsersUnion _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -92,6 +94,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
     "embedding_centroids" -> Similarity.labelCentroids _,
+    "kmeans_centroids" -> KMeansCodebook.centroids _,
     // Multimodal-column plumbing (north star; decode kernel stubbed)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
@@ -298,6 +301,43 @@ object SparkEntry {
         |  string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts
         |FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // KMV bottom-k sketch: md5-derived hashes, so the approx estimate
+    // itself is engine-reproducible and hash-match-testable.
+    "events_approx_users" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, user_id,
+         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |  FROM d),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+         |k AS (SELECT event_type, CAST(MAX(nd) AS BIGINT) AS exact_users,
+         |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r GROUP BY event_type),
+         |e AS (SELECT event_type, exact_users,
+         |    CAST(CASE WHEN exact_users < ${Sketches.KmvK} THEN CAST(exact_users AS DOUBLE)
+         |         ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest(hk, 1), 0) END AS BIGINT) AS est_users
+         |  FROM k)
+         |SELECT event_type, exact_users, est_users,
+         |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
+         |FROM e ORDER BY event_type""".stripMargin,
+    // Merged per-type sketches == one global sketch (lossless bottom-k
+    // merge), so the oracle just sketches the union directly.
+    "events_approx_users_union" ->
+      s"""WITH du AS (SELECT DISTINCT user_id FROM events),
+         |h AS (SELECT user_id,
+         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |  FROM du),
+         |r AS (SELECT h, row_number() OVER (ORDER BY h, user_id) AS rn,
+         |    COUNT(*) OVER () AS nd FROM h),
+         |k AS (SELECT CAST(MAX(nd) AS BIGINT) AS exact_users,
+         |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r),
+         |e AS (SELECT exact_users,
+         |    CAST(CASE WHEN exact_users < ${Sketches.KmvK} THEN CAST(exact_users AS DOUBLE)
+         |         ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest(hk, 1), 0) END AS BIGINT) AS est_users
+         |  FROM k)
+         |SELECT exact_users, est_users,
+         |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
+         |FROM e""".stripMargin,
     "above_avg_balance" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
         |FROM customer c
@@ -813,7 +853,38 @@ object SparkEntry {
         |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
         |  round(CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS c
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
-    Map("ann_topk" -> topk, "ann_ivf" -> ivf, "embedding_centroids" -> centroids)
+    // Lloyd's k-means replayed as chained CTEs: c0 = the first K
+    // vectors; round i = exact-decimal distances (d_i) -> argmin
+    // assignment (a_i) -> recomputed means (c_i). Mirrors
+    // KMeansCodebook.centroids round for round.
+    val kmeans = {
+      val rounds = (1 to KMeansCodebook.LloydIters).map { i =>
+        val prev = s"c${i - 1}"
+        s"""d$i AS (SELECT x.vec_id, $prev.cluster,
+           |    round(SUM((x.x - $prev.c)*(x.x - $prev.c)), 6) AS dist
+           |  FROM x JOIN $prev USING (dim) GROUP BY x.vec_id, $prev.cluster),
+           |a$i AS (SELECT vec_id, cluster FROM (
+           |    SELECT vec_id, cluster,
+           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d$i)
+           |  WHERE rn = 1),
+           |c$i AS (SELECT a$i.cluster, x.dim,
+           |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
+           |  FROM x JOIN a$i USING (vec_id) GROUP BY a$i.cluster, x.dim)"""
+      }.mkString(",\n")
+      val last = s"a${KMeansCodebook.LloydIters}"
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM e),
+         |x AS (SELECT vec_id, CAST(xr AS DECIMAL(18,9)) AS x, dim FROM x0),
+         |c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${KMeansCodebook.K}),
+         |$rounds
+         |SELECT $last.cluster, x.dim, COUNT(*) AS n_members,
+         |  round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS c
+         |FROM x JOIN $last USING (vec_id)
+         |GROUP BY $last.cluster, x.dim
+         |ORDER BY cluster, dim""".stripMargin
+    }
+    Map("ann_topk" -> topk, "ann_ivf" -> ivf, "embedding_centroids" -> centroids,
+        "kmeans_centroids" -> kmeans)
   }
 
   private def multimodalOracles: Map[String, String] = Map(

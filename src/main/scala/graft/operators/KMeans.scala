@@ -1,0 +1,128 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Trained k-means codebook over the `embeddings` table (north star;
+  * the reference has no similarity operators) — the real
+  * codebook-training step that [[Similarity.annIvf]]'s static
+  * sign-random-projection cells deliberately avoid, and the canonical
+  * ITERATIVE Spark workload: Lloyd's algorithm, unrolled a fixed
+  * number of rounds.
+  *
+  * Execution shape per Lloyd round — the MLlib `KMeans` shape:
+  *  1. the K×dim codebook (tiny, fixed size) is COLLECTED to the
+  *     driver and shipped inside the assignment task closure — the
+  *     corpus itself never moves for assignment, which runs as a
+  *     map-only typed kernel (argmin over K exact-decimal distances);
+  *  2. centroid recomputation is one combiner-friendly aggregate on
+  *     (cluster, dim): partial sums on the map side mean the exchange
+  *     carries K·dim rows per map task, never a corpus-sized shuffle.
+  * The only driver-side data is the codebook (K·dim values per round,
+  * independent of corpus size) — the same contract as broadcasting
+  * MLlib cluster centers; per-row work stays distributed.
+  *
+  * Determinism / oracle parity (the interesting part — a naive double
+  * formulation is irreproducible because both the assignment argmin
+  * and the centroid mean depend on float summation order):
+  *  - init: centroids = the first [[K]] vectors by `vec_id` (no RNG);
+  *  - coordinates are fixed to DECIMAL(18,9) (Spark's HALF_UP
+  *    double→decimal cast == `BigDecimal.valueOf(d).setScale(9)`, both
+  *    mirrored by DuckDB's cast), so squared-L2 distances are EXACT
+  *    decimals — the argmin (rounded to 6dp, ties → lowest cluster id)
+  *    is order-independent and engine-independent;
+  *  - centroid means divide an exact decimal sum as double and round
+  *    to 6dp (the [[Similarity.labelCentroids]] contract), then
+  *    re-fix to DECIMAL(18,9) for the next round's distances.
+  * The DuckDB oracle replays the identical [[LloydIters]]-round
+  * computation as chained CTEs.
+  */
+object KMeansCodebook {
+
+  val K = 8
+  val LloydIters = 2 // assign+recompute rounds after init
+
+  /** Spark's Cast(double → decimal(18,9)) semantics: shortest-repr
+    * BigDecimal, HALF_UP at scale 9.
+    */
+  private def dec9(d: Double): JBig =
+    JBig.valueOf(d).setScale(9, RoundingMode.HALF_UP)
+
+  private type Codebook = Array[(Long, Array[JBig])]
+
+  /** Map-only assignment: each vector to its nearest codebook entry by
+    * exact-decimal squared L2, rounded to 6dp, ties to the lowest
+    * cluster id. The codebook rides the task closure (K·dim values).
+    */
+  private def assign(spark: SparkSession, base: DataFrame, cb: Codebook): DataFrame = {
+    import spark.implicits._
+    base.as[(Long, Seq[Double])].mapPartitions { it =>
+      it.map { case (id, v) =>
+        val xd = new Array[JBig](v.length)
+        var i = 0
+        while (i < v.length) { xd(i) = dec9(v(i)); i += 1 }
+        var bestC = Long.MaxValue
+        var bestD: JBig = null
+        cb.foreach { case (c, cent) =>
+          var s = JBig.ZERO
+          var j = 0
+          val n = math.min(xd.length, cent.length)
+          while (j < n) {
+            val diff = xd(j).subtract(cent(j))
+            s = s.add(diff.multiply(diff))
+            j += 1
+          }
+          val d6 = s.setScale(6, RoundingMode.HALF_UP)
+          val cmp = if (bestD == null) -1 else d6.compareTo(bestD)
+          if (cmp < 0 || (cmp == 0 && c < bestC)) { bestD = d6; bestC = c }
+        }
+        (id, bestC, v)
+      }
+    }.toDF("vec_id", "cluster", "v")
+  }
+
+  /** One combiner-friendly aggregate: per-(cluster, dim) member count
+    * and exact decimal coordinate sum; the mean divides as double and
+    * rounds to 6dp (order-independent — see [[Similarity.labelCentroids]]).
+    */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("x").cast("decimal(18,9)")).as("sx"))
+      .select(col("cluster"), col("dim"), col("n_members"),
+        round(col("sx").cast("double") / col("n_members"), 6).as("c"))
+
+  private def collectCodebook(cent: DataFrame): Codebook =
+    cent.select("cluster", "dim", "c").collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rows) =>
+        (c, rows.sortBy(_.getLong(1)).map(r => dec9(r.getDouble(2))))
+      }
+      .toArray.sortBy(_._1)
+
+  /** `kmeans_centroids`: the trained codebook after [[LloydIters]]
+    * Lloyd rounds from the deterministic init, with each cluster's
+    * final member count. A cluster that loses every member simply
+    * drops out (deterministically — no re-seeding).
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Kernels.cacheTracked(Kernels.fanOut(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
+    var cb: Codebook = base.filter(col("vec_id") < K).as[(Long, Seq[Double])]
+      .collect()
+      .map { case (id, v) => (id, v.map(dec9).toArray) }
+      .sortBy(_._1)
+    for (_ <- 1 until LloydIters)
+      cb = collectCodebook(recompute(assign(spark, base, cb)))
+    val lastAssign = Kernels.cacheTracked(assign(spark, base, cb))
+    recompute(lastAssign).orderBy("cluster", "dim")
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-aggregate sketches (north star; SURVEY §2.5 notes the
+  * reference has no approx aggregates).
+  *
+  * Built-in sketches (`approx_count_distinct`'s HLL++, DuckDB's
+  * `approx_distinct`) are engine-specific — their estimates can't be
+  * differentially tested. This KMV (k-minimum-values / bottom-k)
+  * sketch is deterministic by construction: the "random" permutation
+  * is md5, so Spark and the oracle compute the SAME estimate
+  * bit-for-bit, giving an approx-distinct operator that still passes
+  * an exact hash-match gate. Estimator (Bar-Yossef et al. 2002): with
+  * h_k the k-th smallest of the distinct values' 32-bit hashes,
+  * |D| ≈ (k−1)·2^32 / h_k; exact when a group has < k distinct values.
+  */
+object Sketches {
+
+  val KmvK = 32
+  private val HashSpace = 4294967296.0 // 2^32
+
+  /** `events_approx_users`: estimated vs exact distinct users per
+    * event type, with the sketch's relative error — the operator a
+    * 100 TB pipeline runs to size dedup/join strategies before paying
+    * for them.
+    *
+    * Scale shape: the one full shuffle is the (event_type, user_id)
+    * distinct (map-side partial); the bottom-k itself is the bounded
+    * [[graft.functions.TopKByScore]] aggregate (score = −hash), so its
+    * exchange carries ≤ k rows per (group, map task) — the sketch
+    * never materializes a per-group sort the way a window row_number
+    * would. (The exact count rides the same aggregate for the error
+    * column; a production sketch would drop it and be fully bounded.)
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+                 16, 10).cast("long")
+    val mins = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), col("user_id"), h.as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("exact_users"),
+           topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"))
+    val hk = -element_at(col("mins"), KmvK).getField("score")
+    mins
+      .select(col("event_type"), col("exact_users"),
+        when(col("exact_users") < KmvK, col("exact_users").cast("double"))
+          .otherwise(round(lit((KmvK - 1) * HashSpace) / greatest(hk, lit(1.0)), 0))
+          .cast("long").as("est_users"))
+      .select(col("event_type"), col("exact_users"), col("est_users"),
+        round(abs(col("est_users").cast("double") - col("exact_users")) /
+          col("exact_users"), 4).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  /** `events_approx_users_union`: global distinct-user estimate from
+    * MERGED per-type sketches — the mergeability property that makes
+    * sketches distributable. Bottom-k sketches merge exactly: the
+    * bottom-k of a union is the bottom-k of the concatenated per-part
+    * bottom-k's (each with duplicates collapsed), so the merged
+    * estimate EQUALS the estimate a single sketch of the whole stream
+    * would produce — which is what the oracle computes directly. The
+    * merge input is |types|·k rows, driver-independent and tiny.
+    */
+  def approxUsersUnion(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+                 16, 10).cast("long")
+    val d = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), col("user_id"), h.as("h"))
+    // per-type sketches (the "partitions" being merged)
+    val perType = d.groupBy("event_type")
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"))
+    // exact global count rides separately (error column only)
+    val exact = d.select(col("user_id")).distinct().count()
+    val merged = perType
+      .select(explode(col("mins")).as("m"))
+      .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
+      .distinct() // the same user may sit in several per-type sketches
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
+           count(lit(1)).as("n_merged"))
+    val hk = -element_at(col("mins"), KmvK).getField("score")
+    merged
+      .select(
+        when(col("n_merged") < KmvK, col("n_merged").cast("double"))
+          .otherwise(round(lit((KmvK - 1) * HashSpace) / greatest(hk, lit(1.0)), 0))
+          .cast("long").as("est_users"))
+      .select(lit(exact).as("exact_users"), col("est_users"),
+        round(abs(col("est_users").cast("double") - lit(exact.toDouble)) /
+          lit(exact.toDouble), 4).as("rel_err"))
+  }
+}

@@ -616,4 +616,63 @@ class OperatorsSpec extends AnyFunSuite {
     val (mn, mx) = (ext.getFloat(0).toDouble, ext.getFloat(1).toDouble)
     rows.foreach(r => assert(r.getAs[Double]("c") >= mn - 1e-6 && r.getAs[Double]("c") <= mx + 1e-6))
   }
+
+  test("kmeans codebook: full partition, training moved the centroids, deterministic") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val nVecs = emb.count()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val rows = KMeansCodebook.centroids(spark, sf).collect()
+    Dedup.retireCaches()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    assert(byCluster.size <= KMeansCodebook.K)
+    // every cluster carries all dims with one consistent member count,
+    // and the counts partition the corpus
+    byCluster.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("dim")).sorted.toSeq == (1L to dim).toSeq)
+      assert(rs.map(_.getAs[Long]("n_members")).distinct.length == 1)
+    }
+    assert(byCluster.values.map(_.head.getAs[Long]("n_members")).sum == nVecs)
+    // Lloyd rounds actually trained: final centroids differ from the
+    // init (the first K raw vectors)
+    val init = emb.filter(col("vec_id") < KMeansCodebook.K)
+      .select(col("vec_id"), explode(col("embedding")).as("x")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getFloat(1).toDouble).toSeq).toMap
+    val moved = byCluster.exists { case (c, rs) =>
+      init.get(c).exists { v0 =>
+        rs.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("c"))
+          .zip(v0).exists { case (a, b) => math.abs(a - b) > 1e-4 }
+      }
+    }
+    assert(moved, "centroids should move off the raw init vectors")
+    val again = KMeansCodebook.centroids(spark, sf).collect()
+    Dedup.retireCaches()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "training must be deterministic")
+  }
+
+  test("kmv sketch: exact below k, bounded relative error above k") {
+    val rows = Sketches.approxDistinctUsers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_users"), r.getAs[Long]("est_users"))
+      val err = r.getAs[Double]("rel_err")
+      if (exact < Sketches.KmvK) {
+        assert(est == exact, s"below k the sketch must be exact, got $est vs $exact")
+        assert(err == 0.0)
+      } else {
+        // KMV std-error ~ 1/sqrt(k-2) ~ 0.18 at k=32; 3 sigma leaves
+        // huge slack while still catching a broken estimator
+        assert(err < 0.55, s"rel_err $err out of bounds for exact=$exact")
+      }
+    }
+  }
+
+  test("kmv sketch merge: merged per-type estimate == direct global sketch") {
+    val r = Sketches.approxUsersUnion(spark, sf).collect()
+    assert(r.length == 1)
+    val exact = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.head.getAs[Long]("exact_users") == exact)
+    val est = r.head.getAs[Long]("est_users")
+    if (exact < Sketches.KmvK) assert(est == exact)
+    else assert(r.head.getAs[Double]("rel_err") < 0.55)
+  }
 }

@@ -66,11 +66,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(keyToFiles.values.forall(_ == 1))
   }
 
-  test("documents round-trip through JSONL and CSV sources, schema-stable") {
+  test("documents round-trip through JSONL, CSV, and ORC sources, schema-stable") {
     // format breadth beyond the reference's plain text (SURVEY §2.5
     // lists its absence): the same corpus read back from newline-
-    // delimited JSON and quoted CSV with EXPLICIT schemas (schema
-    // inference is a full extra pass at scale) must be row-identical
+    // delimited JSON, quoted CSV (both with EXPLICIT schemas — schema
+    // inference is a full extra pass at scale), and ORC (the second
+    // columnar format, schema embedded) must be row-identical
     val sf = SparkTestSession.Sf
     val docs = graft.Tables.documents(spark, sf)
       .select("doc_id", "text", "lang", "source", "n_chars")
@@ -85,6 +86,15 @@ class PipelineSpec extends AnyFunSuite {
       .option("header", "true").option("escape", "\"").option("multiLine", "true")
       .csv(s"$base/csv")
     assert(fromCsv.collect().map(_.toSeq).toSet == want, "CSV round-trip")
+    docs.write.mode("overwrite").orc(s"$base/orc")
+    val fromOrc = spark.read.orc(s"$base/orc")
+    assert(fromOrc.collect().map(_.toSeq).toSet == want, "ORC round-trip")
+    // ORC is a predicate-pushdown source like parquet: the filter must
+    // reach the scan, not run as a post-scan Filter over full rows
+    val plan = fromOrc.filter(col("doc_id") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)"),
+      s"ORC scan should push the doc_id predicate down:\n$plan")
   }
 
   test("map parallelism probe (mtiming analogue)") {
