@@ -123,6 +123,7 @@ object SparkEntry {
     "stream_windowed" -> graft.streaming.EventStream.windowedCounts _,
     "stream_sessionize" -> graft.streaming.EventStream.sessionizeStream _,
     "stream_error_purchase" -> graft.streaming.EventStream.errorPurchaseJoin _,
+    "stream_approx_users" -> graft.streaming.EventStream.approxUsersStream _,
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
@@ -1143,6 +1144,23 @@ object SparkEntry {
   }
 
   private def streamingOracles: Map[String, String] = Map(
+    // The md5-deterministic bottom-k sketch streams to the SAME
+    // estimate a batch pass produces (lossless sketch merge), so the
+    // oracle is the batch KMV estimator.
+    "stream_approx_users" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, user_id,
+         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+         |  FROM d),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+         |k AS (SELECT event_type, MAX(nd) AS nd,
+         |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r GROUP BY event_type)
+         |SELECT event_type,
+         |  CAST(CASE WHEN nd < ${Sketches.KmvK} THEN CAST(nd AS DOUBLE)
+         |       ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest(hk, 1), 0) END AS BIGINT) AS est_users
+         |FROM k ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,

@@ -21,6 +21,12 @@ case class ClosedSession(user_id: Long, session_seq: Long, n_events: Long,
 case class OpenSession(start_us: Long, end_us: Long, n_events: Long, cents: Long)
 case class SessState(emitted: Long, open: Option[OpenSession])
 
+/** Per-type KMV sketch state: rows processed (monotone, for final-row
+  * selection in the gate) + the bounded bottom-k (hash, user) entries.
+  */
+case class KmvSketch(n_rows: Long, entries: List[(Long, Long)])
+case class KmvEstimate(event_type: String, n_rows: Long, est_users: Long)
+
 /** Structured Streaming twins of the batch event analytics.
   *
   * The reference is strictly batch (SURVEY.md §2.5: no streaming), so
@@ -239,5 +245,66 @@ object EventStream {
       try q.processAllAvailable() finally q.stop()
     }
     spark.table(name).orderBy("error_id", "purchase_id")
+  }
+
+  /** Streaming cardinality sketch: per-type distinct-user estimates on
+    * continuous ingest, state BOUNDED at k (hash, user) entries per
+    * type no matter how many events arrive — the streaming twin of
+    * [[graft.operators.Sketches.approxDistinctUsers]], and the state
+    * shape `approx_count_distinct` can't offer differentially (its HLL
+    * is engine-private; this bottom-k is md5-deterministic, so the
+    * streamed estimate equals the batch/oracle estimate exactly).
+    * Bottom-k sets merge losslessly, so per-batch incremental updates
+    * converge to the same sketch as one pass over the full history —
+    * arrival order and batch boundaries don't matter.
+    */
+  def approxUsersStream(spark: SparkSession, dir: String): DataFrame = {
+    val k = graft.operators.Sketches.KmvK
+    implicit val inEnc: Encoder[(String, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[KmvEstimate] = Encoders.product[KmvEstimate]
+    implicit val stEnc: Encoder[KmvSketch] = Encoders.product[KmvSketch]
+    val fn = (tpe: String, rows: Iterator[(String, Long, Long)],
+              state: GroupState[KmvSketch]) => {
+      val st0 = state.getOption.getOrElse(KmvSketch(0L, Nil))
+      var entries = st0.entries
+      var n = st0.n_rows
+      rows.foreach { case (_, h, user) =>
+        n += 1
+        val e = (h, user)
+        if (!entries.contains(e)) {
+          val merged = (e :: entries).sortBy(identity)
+          entries = if (merged.length > k) merged.take(k) else merged
+        }
+      }
+      state.update(KmvSketch(n, entries))
+      val est =
+        if (entries.length < k) entries.length.toLong
+        else math.round((k - 1) * 4294967296.0 / math.max(entries.last._1, 1L))
+      KmvEstimate(tpe, n, est)
+    }
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+                 16, 10).cast("long")
+    val out = readEventsStream(spark, dir)
+      .select(col("event_type"), h.as("h"), col("user_id"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+    val name = "stream_approx_users_out"
+    withStatePartitions(spark) {
+      val q = out.writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // Update mode emits one row per type per batch; the final state is
+    // the row with the highest n_rows (strictly monotone within a key).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n_rows").desc)
+    spark.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "est_users")
+      .orderBy("event_type")
   }
 }

@@ -294,4 +294,22 @@ class PlanAuditSpec extends AnyFunSuite {
         s"unigram/bigram counts must partial-aggregate before their exchanges:\n${p.take(800)}")
     } finally Dedup.retireCaches() // PMI pins its vocab-sized count frames
   }
+
+  test("kmv sketch bottom-k partial-aggregates; no per-group window sort") {
+    val p = plan(operators.Sketches.approxDistinctUsers(spark, sf))
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+      s"the bounded sketch aggregate must combine map-side:\n${p.take(1500)}")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("Window"),
+      s"a window row_number formulation would sort every group's rows:\n${p.take(800)}")
+  }
+
+  test("kmeans: centroid recompute partial-aggregates to (cluster, dim) map-side") {
+    try {
+      val p = plan(operators.KMeansCodebook.centroids(spark, sf))
+      assert(p.contains("partial_"),
+        s"per-(cluster, dim) sums must combine before the exchange:\n${p.take(800)}")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"assignment is a map-side kernel, never a corpus x codebook join:\n${p.take(800)}")
+    } finally Dedup.retireCaches() // centroids pins the exploded base frame
+  }
 }
