@@ -49,6 +49,7 @@ object SparkEntry {
     "customers_without_big_orders" -> Relational.customersWithoutBigOrders _,
     "customer_only_nations" -> Relational.customerOnlyNations _,
     "nations_both_sides" -> Relational.nationsBothSides _,
+    "nation_balance_full_outer" -> Relational.nationBalanceFullOuter _,
     "orders_percentile_rank" -> Relational.ordersPercentileRank _,
     "above_avg_balance" -> Relational.aboveAvgBalance _,
     // Event analytics
@@ -79,6 +80,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "doc_sentences" -> TextAnalysis.sentences _,
     "doc_winnowing" -> TextAnalysis.winnowing _,
+    "doc_chunks" -> TextAnalysis.docChunks _,
     // Dedup suite (north star)
     "dedup_exact" -> Dedup.exact _,
     "dedup_incremental" -> Dedup.incremental _,
@@ -95,6 +97,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvf _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
+    "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
     // Multimodal-column plumbing (north star; decode kernel stubbed)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
@@ -283,6 +286,17 @@ object SparkEntry {
         |  SELECT c_nationkey FROM customer WHERE c_acctbal > 9000.0
         |  INTERSECT
         |  SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000.0)
+        |ORDER BY n_nationkey""".stripMargin,
+    "nation_balance_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal
+        |  FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp,
+        |    CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS supp_bal
+        |  FROM supplier WHERE s_acctbal > 9000.0 GROUP BY 1)
+        |SELECT coalesce(c.nk, s.nk) AS n_nationkey,
+        |  n_cust, cust_bal, n_supp, supp_bal
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
         |ORDER BY n_nationkey""".stripMargin,
     // the >= 0.99 cut applies to the UNROUNDED rank inside its own
     // subquery — filtering outside would hinge on DuckDB's
@@ -528,6 +542,20 @@ object SparkEntry {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text, '[^\\p{L}]+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n,
+         |    unnest(generate_series(1, 1 + (greatest(n - ${TextAnalysis.ChunkSize}, 0)
+         |      + ${TextAnalysis.ChunkStride - 1}) // ${TextAnalysis.ChunkStride})) AS chunk_id
+         |  FROM n)
+         |SELECT doc_id, chunk_id,
+         |  least(${TextAnalysis.ChunkSize}, n - (chunk_id - 1) * ${TextAnalysis.ChunkStride}) AS n_chunk_tokens,
+         |  array_to_string(toks[((chunk_id - 1) * ${TextAnalysis.ChunkStride} + 1):
+         |    least((chunk_id - 1) * ${TextAnalysis.ChunkStride} + ${TextAnalysis.ChunkSize}, n)], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "doc_sentences" ->
       s"""WITH s AS (SELECT doc_id,
          |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
@@ -857,8 +885,8 @@ object SparkEntry {
     // Lloyd's k-means replayed as chained CTEs: c0 = the first K
     // vectors; round i = exact-decimal distances (d_i) -> argmin
     // assignment (a_i) -> recomputed means (c_i). Mirrors
-    // KMeansCodebook.centroids round for round.
-    val kmeans = {
+    // KMeansCodebook round for round; shared by both kmeans oracles.
+    val kmeansCtes = {
       val rounds = (1 to KMeansCodebook.LloydIters).map { i =>
         val prev = s"c${i - 1}"
         s"""d$i AS (SELECT x.vec_id, $prev.cluster,
@@ -872,20 +900,31 @@ object SparkEntry {
            |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
            |  FROM x JOIN a$i USING (vec_id) GROUP BY a$i.cluster, x.dim)"""
       }.mkString(",\n")
-      val last = s"a${KMeansCodebook.LloydIters}"
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM e),
          |x AS (SELECT vec_id, CAST(xr AS DECIMAL(18,9)) AS x, dim FROM x0),
          |c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${KMeansCodebook.K}),
-         |$rounds
-         |SELECT $last.cluster, x.dim, COUNT(*) AS n_members,
-         |  round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS c
-         |FROM x JOIN $last USING (vec_id)
-         |GROUP BY $last.cluster, x.dim
-         |ORDER BY cluster, dim""".stripMargin
+         |$rounds"""
     }
+    val lastA = s"a${KMeansCodebook.LloydIters}"
+    val kmeans =
+      s"""$kmeansCtes
+         |SELECT $lastA.cluster, x.dim, COUNT(*) AS n_members,
+         |  round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS c
+         |FROM x JOIN $lastA USING (vec_id)
+         |GROUP BY $lastA.cluster, x.dim
+         |ORDER BY cluster, dim""".stripMargin
+    val clusterBalanced =
+      s"""$kmeansCtes
+         |SELECT cluster, vec_id, rk FROM (
+         |  SELECT cluster, vec_id,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5('cb:' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+         |  FROM $lastA)
+         |WHERE rk <= ${KMeansCodebook.BalancedQuota}
+         |ORDER BY cluster, rk""".stripMargin
     Map("ann_topk" -> topk, "ann_ivf" -> ivf, "embedding_centroids" -> centroids,
-        "kmeans_centroids" -> kmeans)
+        "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
   }
 
   private def multimodalOracles: Map[String, String] = Map(

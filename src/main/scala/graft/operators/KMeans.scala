@@ -106,12 +106,11 @@ object KMeansCodebook {
       }
       .toArray.sortBy(_._1)
 
-  /** `kmeans_centroids`: the trained codebook after [[LloydIters]]
-    * Lloyd rounds from the deterministic init, with each cluster's
-    * final member count. A cluster that loses every member simply
-    * drops out (deterministically — no re-seeding).
+  /** Runs the Lloyd rounds and returns the FINAL assignment frame
+    * (vec_id, cluster, v), cached — [[centroids]] re-aggregates it,
+    * [[clusterBalancedSample]] samples it.
     */
-  def centroids(spark: SparkSession, dir: String): DataFrame = {
+  private def lastAssignment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Kernels.cacheTracked(Kernels.fanOut(
       Tables.embeddings(spark, dir)
@@ -122,7 +121,37 @@ object KMeansCodebook {
       .sortBy(_._1)
     for (_ <- 1 until LloydIters)
       cb = collectCodebook(recompute(assign(spark, base, cb)))
-    val lastAssign = Kernels.cacheTracked(assign(spark, base, cb))
-    recompute(lastAssign).orderBy("cluster", "dim")
+    Kernels.cacheTracked(assign(spark, base, cb))
+  }
+
+  /** `kmeans_centroids`: the trained codebook after [[LloydIters]]
+    * Lloyd rounds from the deterministic init, with each cluster's
+    * final member count. A cluster that loses every member simply
+    * drops out (deterministically — no re-seeding).
+    */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    recompute(lastAssignment(spark, dir)).orderBy("cluster", "dim")
+
+  val BalancedQuota = 25
+
+  /** `sample_cluster_balanced`: semantic-diversity curation — at most
+    * [[BalancedQuota]] vectors per trained k-means cluster, selected
+    * by the same salted-md5 rank as [[Sampling.stratifiedSample]] (so
+    * selection is reproducible across engines/runs/cluster sizes).
+    * Composes the trained codebook with quota sampling: where a plain
+    * uniform sample mirrors the corpus' cluster skew, this caps every
+    * semantic cluster at the quota. The rank window partitions by
+    * cluster — K bounded partitions, each quota-truncated.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
+    lastAssignment(spark, dir)
+      .select(col("vec_id"), col("cluster"),
+        md5(concat(lit("cb:"), col("vec_id").cast("string"))).as("h"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= BalancedQuota)
+      .select(col("cluster"), col("vec_id"), col("rk"))
+      .orderBy("cluster", "rk")
   }
 }

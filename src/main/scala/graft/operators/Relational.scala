@@ -268,6 +268,30 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** FULL OUTER join (the one join family the set-op queries above
+    * don't exercise): per-nation high-balance customer totals against
+    * per-nation high-balance supplier totals — the 9000 cutoff makes
+    * both sides sparse, so real one-sided (null-padded) rows appear.
+    * Both inputs pre-aggregate to ≤ |nations| rows BEFORE the join,
+    * so the outer join itself is dimension-sized at any corpus scale.
+    */
+  def nationBalanceFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    def side(df: org.apache.spark.sql.DataFrame, key: String, bal: String,
+             n: String, total: String) =
+      df.filter(col(bal) > 9000.0)
+        .groupBy(col(key).as(s"${n}_nk"))
+        .agg(count(lit(1)).as(n),
+             sum(col(bal).cast("decimal(18,2)")).cast("double").as(total))
+    val cust = side(Tables.customer(spark, dir), "c_nationkey", "c_acctbal",
+                    "n_cust", "cust_bal")
+    val supp = side(Tables.supplier(spark, dir), "s_nationkey", "s_acctbal",
+                    "n_supp", "supp_bal")
+    cust.join(supp, col("n_cust_nk") === col("n_supp_nk"), "full_outer")
+      .select(coalesce(col("n_cust_nk"), col("n_supp_nk")).as("n_nationkey"),
+              col("n_cust"), col("cust_bal"), col("n_supp"), col("supp_bal"))
+      .orderBy("n_nationkey")
+  }
+
   /** Distribution ranking: the top percentile of orders per priority by
     * `percent_rank`/`cume_dist`. One shuffle on the partition key; each
     * priority's orders sort within their partitions. Both ranks are

@@ -330,4 +330,34 @@ object TextAnalysis {
       .toDF("doc_id", "fp")
       .orderBy("doc_id", "fp")
   }
+
+  val ChunkSize = 64
+  val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** `doc_chunks`: context-window chunking — each document split into
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens (16-token
+    * overlap so no boundary context is lost), the standard prep step
+    * for fixed-context training and embedding indexing. Map-only: the
+    * chunk ids ride an exploded `sequence` and each chunk is a
+    * `slice` of the per-row token array — the corpus never shuffles
+    * (output order aside) and output size is Σ n_chunks, ~n_tokens/
+    * stride rows. A doc's final chunk is the short tail; token-less
+    * docs produce no chunks.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = lit(1L) +
+      ((greatest(col("n") - ChunkSize, lit(0L)) + (ChunkStride - 1)) / ChunkStride).cast("long")
+    val start = (col("chunk_id") - 1) * ChunkStride + 1
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1L), nChunks)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(ChunkSize.toLong), col("n") - start + 1).as("n_chunk_tokens"),
+        array_join(slice(col("toks"), start, least(lit(ChunkSize.toLong), col("n") - start + 1)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -666,6 +666,57 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_chunks: windows cover every token with the configured overlap") {
+    val rows = TextAnalysis.docChunks(spark, sf).collect()
+    val nToks = Tables.documents(spark, sf)
+      .select(TextAnalysis.tokens(col("text")).as("t"))
+      .select(explode(col("t"))).count()
+    val (size_, stride) = (TextAnalysis.ChunkSize, TextAnalysis.ChunkStride)
+    var covered = 0L
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val byId = rs.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids are 1..n with no gaps; only the last chunk may be short
+      assert(byId.map(_.getAs[Long]("chunk_id")).toSeq == (1L to byId.length).toSeq)
+      byId.init.foreach(r => assert(r.getAs[Long]("n_chunk_tokens") == size_))
+      val n = (byId.length - 1) * stride + byId.last.getAs[Long]("n_chunk_tokens")
+      covered += n
+      byId.foreach { r =>
+        val txt = r.getAs[String]("chunk_text")
+        assert(txt.split(" ").count(_.nonEmpty) == r.getAs[Long]("n_chunk_tokens"))
+      }
+    }
+    // start positions + lengths reconstruct each doc's token count exactly,
+    // and summed over docs that's the corpus token count
+    assert(covered == nToks, s"chunks must tile the corpus: $covered != $nToks")
+  }
+
+  test("full outer nation balance: keys = union of sides, nulls only off-side") {
+    val rows = Relational.nationBalanceFullOuter(spark, sf).collect()
+    val custKeys = Tables.customer(spark, sf).filter(col("c_acctbal") > 9000.0)
+      .select("c_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    val suppKeys = Tables.supplier(spark, sf).filter(col("s_acctbal") > 9000.0)
+      .select("s_nationkey").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getAs[Int]("n_nationkey")).toSet == (custKeys ++ suppKeys))
+    rows.foreach { r =>
+      val k = r.getAs[Int]("n_nationkey")
+      assert(r.isNullAt(r.fieldIndex("n_cust")) == !custKeys(k))
+      assert(r.isNullAt(r.fieldIndex("n_supp")) == !suppKeys(k))
+    }
+  }
+
+  test("cluster-balanced sample: quota per cluster, ranks contiguous") {
+    val rows = KMeansCodebook.clusterBalancedSample(spark, sf).collect()
+    Dedup.retireCaches()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (_, rs) =>
+      assert(rs.length <= KMeansCodebook.BalancedQuota)
+      assert(rs.map(_.getAs[Long]("rk")).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    // sampled ids are distinct across clusters (assignment is a partition)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("kmv sketch merge: merged per-type estimate == direct global sketch") {
     val r = Sketches.approxUsersUnion(spark, sf).collect()
     assert(r.length == 1)
