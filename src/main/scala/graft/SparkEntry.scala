@@ -71,6 +71,7 @@ object SparkEntry {
     "events_type_counts" -> Events.typeCounts _,
     "events_approx_users" -> Sketches.approxDistinctUsers _,
     "events_approx_users_union" -> Sketches.approxUsersUnion _,
+    "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -335,6 +336,38 @@ object SparkEntry {
          |SELECT event_type, exact_users, est_users,
          |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
          |FROM e ORDER BY event_type""".stripMargin,
+    // Equi-width histogram sketch: deterministic estimator (exact
+    // min/max edges, integer cumulative counts), so the approximation
+    // itself is engine-reproducible.
+    "events_approx_quantiles" -> {
+      val bqs = Seq(0.5 -> "b50", 0.9 -> "b90", 0.99 -> "b99")
+        .map { case (p, b) =>
+          s"MIN(CASE WHEN cum >= ceil($p * s.n) THEN bin END) AS $b" }
+        .mkString(",\n|    ")
+      val ests = Seq("b50" -> "p50_est", "b90" -> "p90_est", "b99" -> "p99_est")
+        .map { case (b, o) =>
+          s"round(mn + ($b + 1) * (mx - mn) / ${Sketches.HistBins}, 4) AS $o" }
+        .mkString(",\n|  ")
+      s"""WITH s AS (SELECT event_type, min(value) AS mn, max(value) AS mx,
+         |    count(*) AS n FROM events GROUP BY 1),
+         |b AS (SELECT e.event_type,
+         |    CASE WHEN s.mx > s.mn
+         |         THEN least(${Sketches.HistBins - 1},
+         |                    CAST(floor((e.value - s.mn) / (s.mx - s.mn) * ${Sketches.HistBins}) AS BIGINT))
+         |         ELSE 0 END AS bin
+         |  FROM events e JOIN s USING (event_type)),
+         |c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |cm AS (SELECT event_type, bin,
+         |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM c),
+         |q AS (SELECT cm.event_type, s.n, s.mn, s.mx,
+         |    $bqs
+         |  FROM cm JOIN s USING (event_type)
+         |  GROUP BY cm.event_type, s.n, s.mn, s.mx)
+         |SELECT event_type, CAST(n AS BIGINT) AS n_events,
+         |  $ests,
+         |  round((mx - mn) / ${Sketches.HistBins}, 4) AS max_err
+         |FROM q ORDER BY event_type""".stripMargin
+    },
     // Merged per-type sketches == one global sketch (lossless bottom-k
     // merge), so the oracle just sketches the union directly.
     "events_approx_users_union" ->

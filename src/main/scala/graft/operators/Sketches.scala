@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -94,5 +95,51 @@ object Sketches {
       .select(lit(exact).as("exact_users"), col("est_users"),
         round(abs(col("est_users").cast("double") - lit(exact.toDouble)) /
           lit(exact.toDouble), 4).as("rel_err"))
+  }
+
+  val HistBins = 256
+
+  /** `events_approx_quantiles`: quantile estimates from an equi-width
+    * histogram sketch — the bounded-state companion to the EXACT
+    * [[Events.valueQuantiles]] (whose `percentile` materializes every
+    * group value). State per group is [[HistBins]] counters however
+    * large the group; counters partial-aggregate map-side and merge by
+    * addition, the distributed-sketch contract. Like the KMV sketch,
+    * the estimator is fully deterministic (bin edges from exact
+    * min/max, integer cumulative counts, one closed-form interpolation
+    * per point), so the approximation itself hash-matches the oracle —
+    * `approx_percentile`'s t-digest could not be differentially
+    * tested. Estimate = right edge of the first bin whose cumulative
+    * count reaches ceil(p·n) — within one bin width of the order
+    * statistic at that rank ((mx−mn)/256, emitted as `max_err`; a
+    * rank-interpolating definition like R-7 can sit further away in a
+    * sparse tail, a definition difference rather than sketch error).
+    */
+  def approxQuantilesHist(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"), count(lit(1)).as("n"))
+    val binned = ev.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("mn"), col("mx"),
+        when(col("mx") > col("mn"),
+          least(lit(HistBins - 1L),
+            floor((col("value") - col("mn")) / (col("mx") - col("mn")) * HistBins)))
+          .otherwise(lit(0L)).as("bin"))
+    val cum = binned
+      .groupBy(col("event_type"), col("n"), col("mn"), col("mx"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy("event_type").orderBy("bin")))
+    def bq(p: Double, name: String) =
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("bin"))).as(name)
+    def est(b: String) =
+      round(col("mn") + (col(b) + 1) * (col("mx") - col("mn")) / HistBins, 4)
+    cum
+      .groupBy(col("event_type"), col("n"), col("mn"), col("mx"))
+      .agg(bq(0.5, "b50"), bq(0.9, "b90"), bq(0.99, "b99"))
+      .select(col("event_type"), col("n").as("n_events"),
+        est("b50").as("p50_est"), est("b90").as("p90_est"), est("b99").as("p99_est"),
+        round((col("mx") - col("mn")) / HistBins, 4).as("max_err"))
+      .orderBy("event_type")
   }
 }

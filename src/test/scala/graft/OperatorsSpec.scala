@@ -717,6 +717,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("histogram quantile sketch: estimates within one bin of their order statistic") {
+    val est = Sketches.approxQuantilesHist(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(est.nonEmpty)
+    val valuesByType = Tables.events(spark, sf).select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    est.foreach { case (tpe, r) =>
+      val err = r.getAs[Double]("max_err") + 1e-4 // one bin width, + round(4) slack
+      val vs = valuesByType(tpe)
+      assert(r.getAs[Long]("n_events") == vs.length)
+      Seq("p50_est" -> 0.5, "p90_est" -> 0.9, "p99_est" -> 0.99).foreach { case (c, p) =>
+        val e = r.getAs[Double](c)
+        // the sketch's quantile definition is the order statistic at
+        // rank ceil(p*n); the right-edge estimate brackets it within
+        // one bin (R-7 interpolation can sit further away in a sparse
+        // tail — that's a definition difference, not sketch error)
+        val x = vs(math.ceil(p * vs.length).toInt - 1)
+        assert(e >= x - err && e <= x + err,
+          s"$tpe $c: est $e vs rank-stat $x (bound $err)")
+      }
+    }
+  }
+
   test("kmv sketch merge: merged per-type estimate == direct global sketch") {
     val r = Sketches.approxUsersUnion(spark, sf).collect()
     assert(r.length == 1)
