@@ -146,6 +146,27 @@ object SparkEntry {
   private val revenueExpr =
     "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
 
+  /** The KMV permutation (must mirror `Sketches.kmvHash` exactly). */
+  private val kmvHashSql =
+    "CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  /** The KMV estimator (must mirror `Sketches.kmvEstimate` exactly). */
+  private def kmvEstSql(nd: String, hk: String): String =
+    s"""CAST(CASE WHEN $nd < ${Sketches.KmvK} THEN CAST($nd AS DOUBLE)
+       |     ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest($hk, 1), 0) END AS BIGINT)""".stripMargin
+
+  /** Per-type bottom-k CTE chain ending in k(event_type, nd, hk) —
+    * shared by the batch and streaming per-type sketch oracles.
+    */
+  private val kmvPerTypeCtes =
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+       |h AS (SELECT event_type, user_id, $kmvHashSql AS h FROM d),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+       |k AS (SELECT event_type, MAX(nd) AS nd,
+       |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r GROUP BY event_type)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "wc" ->
       s"""SELECT word, count(*) AS cnt FROM ($wordsSub)
@@ -320,18 +341,9 @@ object SparkEntry {
     // KMV bottom-k sketch: md5-derived hashes, so the approx estimate
     // itself is engine-reproducible and hash-match-testable.
     "events_approx_users" ->
-      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-         |h AS (SELECT event_type, user_id,
-         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-         |  FROM d),
-         |r AS (SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn,
-         |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
-         |k AS (SELECT event_type, CAST(MAX(nd) AS BIGINT) AS exact_users,
-         |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r GROUP BY event_type),
-         |e AS (SELECT event_type, exact_users,
-         |    CAST(CASE WHEN exact_users < ${Sketches.KmvK} THEN CAST(exact_users AS DOUBLE)
-         |         ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest(hk, 1), 0) END AS BIGINT) AS est_users
+      s"""$kmvPerTypeCtes,
+         |e AS (SELECT event_type, CAST(nd AS BIGINT) AS exact_users,
+         |    ${kmvEstSql("nd", "hk")} AS est_users
          |  FROM k)
          |SELECT event_type, exact_users, est_users,
          |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
@@ -372,16 +384,13 @@ object SparkEntry {
     // merge), so the oracle just sketches the union directly.
     "events_approx_users_union" ->
       s"""WITH du AS (SELECT DISTINCT user_id FROM events),
-         |h AS (SELECT user_id,
-         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-         |  FROM du),
+         |h AS (SELECT user_id, $kmvHashSql AS h FROM du),
          |r AS (SELECT h, row_number() OVER (ORDER BY h, user_id) AS rn,
          |    COUNT(*) OVER () AS nd FROM h),
          |k AS (SELECT CAST(MAX(nd) AS BIGINT) AS exact_users,
          |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r),
          |e AS (SELECT exact_users,
-         |    CAST(CASE WHEN exact_users < ${Sketches.KmvK} THEN CAST(exact_users AS DOUBLE)
-         |         ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest(hk, 1), 0) END AS BIGINT) AS est_users
+         |    ${kmvEstSql("exact_users", "hk")} AS est_users
          |  FROM k)
          |SELECT exact_users, est_users,
          |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
@@ -1220,18 +1229,8 @@ object SparkEntry {
     // estimate a batch pass produces (lossless sketch merge), so the
     // oracle is the batch KMV estimator.
     "stream_approx_users" ->
-      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
-         |h AS (SELECT event_type, user_id,
-         |    CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-         |  FROM d),
-         |r AS (SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) AS rn,
-         |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
-         |k AS (SELECT event_type, MAX(nd) AS nd,
-         |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r GROUP BY event_type)
-         |SELECT event_type,
-         |  CAST(CASE WHEN nd < ${Sketches.KmvK} THEN CAST(nd AS DOUBLE)
-         |       ELSE round(${Sketches.KmvK - 1} * 4294967296.0 / greatest(hk, 1), 0) END AS BIGINT) AS est_users
+      s"""$kmvPerTypeCtes
+         |SELECT event_type, ${kmvEstSql("nd", "hk")} AS est_users
          |FROM k ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp

@@ -106,22 +106,41 @@ object KMeansCodebook {
       }
       .toArray.sortBy(_._1)
 
-  /** Runs the Lloyd rounds and returns the FINAL assignment frame
-    * (vec_id, cluster, v), cached — [[centroids]] re-aggregates it,
-    * [[clusterBalancedSample]] samples it.
-    */
-  private def lastAssignment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val base = Kernels.cacheTracked(Kernels.fanOut(
+  // Training is deterministic, so the trained codebook (K·dim values,
+  // trivially small) is memoized per input dir for the session — the
+  // same train-once/reuse contract as a fitted MLlib model. Queries
+  // composing on the assignment (centroids, balanced sample) then pay
+  // one distributed assignment pass, not a full retrain each.
+  private val trainedCodebooks =
+    scala.collection.mutable.Map.empty[String, Codebook]
+
+  private def embeddingBase(spark: SparkSession, dir: String): DataFrame =
+    Kernels.cacheTracked(Kernels.fanOut(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
-    var cb: Codebook = base.filter(col("vec_id") < K).as[(Long, Seq[Double])]
-      .collect()
-      .map { case (id, v) => (id, v.map(dec9).toArray) }
-      .sortBy(_._1)
-    for (_ <- 1 until LloydIters)
-      cb = collectCodebook(recompute(assign(spark, base, cb)))
-    Kernels.cacheTracked(assign(spark, base, cb))
+
+  private def trainedCodebook(spark: SparkSession, dir: String): Codebook =
+    trainedCodebooks.synchronized {
+      trainedCodebooks.getOrElseUpdate(dir, {
+        import spark.implicits._
+        val base = embeddingBase(spark, dir)
+        var cb: Codebook = base.filter(col("vec_id") < K).as[(Long, Seq[Double])]
+          .collect()
+          .map { case (id, v) => (id, v.map(dec9).toArray) }
+          .sortBy(_._1)
+        for (_ <- 1 until LloydIters)
+          cb = collectCodebook(recompute(assign(spark, base, cb)))
+        cb
+      })
+    }
+
+  /** Runs (or reuses) the Lloyd training and returns the FINAL
+    * assignment frame (vec_id, cluster, v), cached — [[centroids]]
+    * re-aggregates it, [[clusterBalancedSample]] samples it.
+    */
+  private def lastAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val cb = trainedCodebook(spark, dir)
+    Kernels.cacheTracked(assign(spark, embeddingBase(spark, dir), cb))
   }
 
   /** `kmeans_centroids`: the trained codebook after [[LloydIters]]

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,26 @@ object Sketches {
   val KmvK = 32
   private val HashSpace = 4294967296.0 // 2^32
 
+  /** The shared KMV permutation: md5 of the salted user id, first 8 hex
+    * chars as a 32-bit integer. Every sketch variant (batch, merge,
+    * streaming) and every oracle MUST use exactly this hash — the
+    * differential gate rests on all copies computing the same estimate.
+    */
+  private[graft] def kmvHash(user: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), user.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** The shared estimator: exact below k (the sketch holds every
+    * distinct value), else (k−1)·2^32 / h_k with h_k read from the
+    * bottom-k array (stored as score = −h).
+    */
+  private def kmvEstimate(mins: Column, nDistinct: Column): Column = {
+    val hk = -element_at(mins, KmvK).getField("score")
+    when(nDistinct < KmvK, nDistinct.cast("double"))
+      .otherwise(round(lit((KmvK - 1) * HashSpace) / greatest(hk, lit(1.0)), 0))
+      .cast("long")
+  }
+
   /** `events_approx_users`: estimated vs exact distinct users per
     * event type, with the sketch's relative error — the operator a
     * 100 TB pipeline runs to size dedup/join strategies before paying
@@ -39,20 +59,14 @@ object Sketches {
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKFunctions.topK
-    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
-                 16, 10).cast("long")
-    val mins = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct()
-      .select(col("event_type"), col("user_id"), h.as("h"))
+      .select(col("event_type"), col("user_id"), kmvHash(col("user_id")).as("h"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("exact_users"),
            topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"))
-    val hk = -element_at(col("mins"), KmvK).getField("score")
-    mins
       .select(col("event_type"), col("exact_users"),
-        when(col("exact_users") < KmvK, col("exact_users").cast("double"))
-          .otherwise(round(lit((KmvK - 1) * HashSpace) / greatest(hk, lit(1.0)), 0))
-          .cast("long").as("est_users"))
+        kmvEstimate(col("mins"), col("exact_users")).as("est_users"))
       .select(col("event_type"), col("exact_users"), col("est_users"),
         round(abs(col("est_users").cast("double") - col("exact_users")) /
           col("exact_users"), 4).as("rel_err"))
@@ -70,31 +84,28 @@ object Sketches {
     */
   def approxUsersUnion(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKFunctions.topK
-    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
-                 16, 10).cast("long")
     val d = Tables.events(spark, dir)
       .select(col("event_type"), col("user_id")).distinct()
-      .select(col("event_type"), col("user_id"), h.as("h"))
+      .select(col("event_type"), col("user_id"), kmvHash(col("user_id")).as("h"))
     // per-type sketches (the "partitions" being merged)
     val perType = d.groupBy("event_type")
       .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"))
-    // exact global count rides separately (error column only)
-    val exact = d.select(col("user_id")).distinct().count()
+    // exact global count rides the same lazy plan (error column only) —
+    // a 1-row aggregate cross-joined onto the 1-row merged sketch
+    val exact = d.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("exact_users"))
     val merged = perType
       .select(explode(col("mins")).as("m"))
       .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
       .distinct() // the same user may sit in several per-type sketches
       .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
            count(lit(1)).as("n_merged"))
-    val hk = -element_at(col("mins"), KmvK).getField("score")
-    merged
-      .select(
-        when(col("n_merged") < KmvK, col("n_merged").cast("double"))
-          .otherwise(round(lit((KmvK - 1) * HashSpace) / greatest(hk, lit(1.0)), 0))
-          .cast("long").as("est_users"))
-      .select(lit(exact).as("exact_users"), col("est_users"),
-        round(abs(col("est_users").cast("double") - lit(exact.toDouble)) /
-          lit(exact.toDouble), 4).as("rel_err"))
+    merged.crossJoin(exact)
+      .select(col("exact_users"),
+        kmvEstimate(col("mins"), col("n_merged")).as("est_users"))
+      .select(col("exact_users"), col("est_users"),
+        round(abs(col("est_users").cast("double") - col("exact_users")) /
+          col("exact_users"), 4).as("rel_err"))
   }
 
   val HistBins = 256

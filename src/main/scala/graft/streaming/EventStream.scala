@@ -270,12 +270,18 @@ object EventStream {
       val st0 = state.getOption.getOrElse(KmvSketch(0L, Nil))
       var entries = st0.entries
       var n = st0.n_rows
+      val ord = Ordering.Tuple2[Long, Long]
       rows.foreach { case (_, h, user) =>
         n += 1
         val e = (h, user)
-        if (!entries.contains(e)) {
+        // steady-state cheap reject: once the sketch is full, anything
+        // at or above the current k-th minimum can't change it —
+        // skip the contains scan + re-sort (>= also drops duplicates
+        // of the k-th entry itself)
+        val full = entries.lengthCompare(k) >= 0
+        if (!(full && ord.gteq(e, entries.last)) && !entries.contains(e)) {
           val merged = (e :: entries).sortBy(identity)
-          entries = if (merged.length > k) merged.take(k) else merged
+          entries = if (merged.lengthCompare(k) > 0) merged.take(k) else merged
         }
       }
       state.update(KmvSketch(n, entries))
