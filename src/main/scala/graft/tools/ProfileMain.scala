@@ -37,6 +37,8 @@ object ProfileMain {
     time("dedup_clusters")(println(Dedup.clusters(spark, dir).count()))
     time("dedup_keep")(println(Dedup.keep(spark, dir).count()))
     time("dedup_ngram_jaccard")(println(Dedup.ngramJaccard(spark, dir).count()))
+    time("kmeans_centroids")(println(KMeansCodebook.centroids(spark, dir).count()))
+    time("sample_cluster_balanced")(println(KMeansCodebook.clusterBalancedSample(spark, dir).count()))
     time("tfidf_top_terms")(println(Corpus.tfidfTopTerms(spark, dir).count()))
     time("decontaminate")(println(Corpus.decontaminate(spark, dir).count()))
     time("dedup_minhash_lsh")(println(Dedup.minHashLsh(spark, dir).count()))
@@ -44,6 +46,9 @@ object ProfileMain {
     time("embedding_near_dup_lsh")(println(Dedup.embeddingNearDupLsh(spark, dir).count()))
     time("embedding_near_dup")(println(Dedup.embeddingNearDup(spark, dir).count()))
     time("doc_winnowing")(println(TextAnalysis.winnowing(spark, dir).count()))
+    time("doc_chunks")(println(TextAnalysis.docChunks(spark, dir).count()))
+    time("events_approx_users")(println(Sketches.approxDistinctUsers(spark, dir).count()))
+    time("events_approx_quantiles")(println(Sketches.approxQuantilesHist(spark, dir).count()))
     time("q3")(println(Relational.q3ShippingPriority(spark, dir).count()))
     time("q5")(println(Relational.q5LocalSupplier(spark, dir).count()))
     spark.stop()
