@@ -723,18 +723,47 @@ object SparkEntry {
     """round(CAST(len(list_intersect(A.sh, B.sh)) AS DOUBLE)
       |      / (len(A.sh) + len(B.sh) - len(list_intersect(A.sh, B.sh))), 6)""".stripMargin
 
+  /** All-pairs ngram-Jaccard oracle (deliberately implementation-
+    * independent of the Spark side's prefix-filtered join) — object-level
+    * because both the dedup oracles and the flagship pipeline oracle
+    * chain it.
+    */
+  private lazy val ngramPairsSql =
+    s"""$docShinglesSql
+       |SELECT A.doc_id AS doc_a, B.doc_id AS doc_b, $jaccardSql AS jaccard
+       |FROM shx A JOIN shx B ON A.doc_id < B.doc_id
+       |WHERE len(A.sh) > 0 AND len(B.sh) > 0
+       |  AND $jaccardSql >= 0.3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components over the ngram pairs: transitive closure via a
+    * recursive CTE, each doc labeled with its component minimum —
+    * implementation-independent, so it checks the Spark side's iterative
+    * label propagation, not its shape. Shared by the clusters/keep
+    * oracles and the flagship pipeline's near-dup stage.
+    */
+  private lazy val clustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($ngramPairsSql)),
+       |sym AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (
+       |  SELECT a, b FROM sym
+       |  UNION
+       |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a AND r.a <> s.b),
+       |lab AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a)
+       |SELECT d.doc_id,
+       |  CASE WHEN l.m IS NULL OR d.doc_id < l.m THEN d.doc_id ELSE l.m END AS cluster
+       |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private def dedupOracles: Map[String, String] = {
     val exact =
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
-    val ngram =
-      s"""$docShinglesSql
-         |SELECT A.doc_id AS doc_a, B.doc_id AS doc_b, $jaccardSql AS jaccard
-         |FROM shx A JOIN shx B ON A.doc_id < B.doc_id
-         |WHERE len(A.sh) > 0 AND len(B.sh) > 0
-         |  AND $jaccardSql >= 0.3
-         |ORDER BY doc_a, doc_b""".stripMargin
+    val ngram = ngramPairsSql
     val n = Dedup.MinHashFns
     val rows = Dedup.MinHashRows
     val sigCols = (0 until n)
@@ -821,25 +850,7 @@ object SparkEntry {
          |FROM cand JOIN n a ON vec_a = a.vec_id JOIN n b ON vec_b = b.vec_id
          |WHERE ${cosineSql("a", "b")} >= ${Dedup.CosineDupThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin
-    // connected components over the ngram pairs: the oracle computes the
-    // transitive closure with a recursive CTE and labels each doc with
-    // the component minimum — implementation-independent, so it checks
-    // the Spark side's iterative label propagation, not its shape
-    val clusters =
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT doc_a, doc_b FROM ($ngram)),
-         |sym AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach AS (
-         |  SELECT a, b FROM sym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a AND r.a <> s.b),
-         |lab AS (SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a)
-         |SELECT d.doc_id,
-         |  CASE WHEN l.m IS NULL OR d.doc_id < l.m THEN d.doc_id ELSE l.m END AS cluster
-         |FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+    val clusters = clustersSql
     // the keep-list aggregates the cluster labels: count per label, one
     // row per surviving representative
     val keep =
@@ -1198,10 +1209,12 @@ object SparkEntry {
          |         FROM (SELECT doc_id, unnest(sh) AS g FROM shx
          |               WHERE $benchHash >= '${Corpus.BenchSplitThreshold}') e
          |         JOIN bench ON e.g = bench.g),
+         |nearkeep AS (SELECT doc_id FROM ($clustersSql) WHERE cluster = doc_id),
          |base AS (
          |  SELECT f.doc_id, f.source, q.quality, n.n_tokens
          |  FROM fp f
          |  JOIN keepfp k ON f.fp = k.fp AND f.doc_id = k.kd
+         |  JOIN nearkeep nk ON f.doc_id = nk.doc_id
          |  JOIN q ON q.doc_id = f.doc_id
          |  JOIN ntok n ON n.doc_id = f.doc_id
          |  WHERE q.quality >= ${Corpus.TrainQualityMin}

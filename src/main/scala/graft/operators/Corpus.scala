@@ -335,16 +335,29 @@ object Corpus {
 
   /** FLAGSHIP COMPOSITION — the whole training-set pipeline as ONE
     * declarative plan: exact dedup (keep first per fingerprint) →
-    * quality floor → benchmark-split and contamination exclusion →
-    * deterministic 50% sample → token-budget sequence packing. This is
-    * the query a user of the library actually ships; every stage is an
-    * operator that also stands alone under its own oracle, and
-    * composing them costs no glue — Catalyst fuses the map-side stages
-    * (fingerprint, quality, sample predicates ride one scan) between
-    * the dedup shuffle, the broadcast contamination semi-join, and the
-    * per-shard packing windows. 100 TB shape: one corpus shuffle on
-    * the fingerprint, one on the shard key; everything else is
-    * map-side or benchmark-sized.
+    * NEAR-dup dedup (keep each ngram-Jaccard cluster's representative,
+    * [[Dedup.keep]]) → quality floor → benchmark-split and
+    * contamination exclusion → deterministic 50% sample → token-budget
+    * sequence packing. This is the query a user of the library actually
+    * ships; every stage is an operator that also stands alone under its
+    * own oracle, and composing them costs no glue — Catalyst fuses the
+    * map-side stages (fingerprint, quality, sample predicates ride one
+    * scan) between the dedup shuffle, the keep-list semi-join, the
+    * broadcast contamination semi-join, and the per-shard packing
+    * windows. 100 TB shape: one corpus shuffle on the fingerprint, one
+    * on the shard key, plus the near-dup stack's own prefix-filtered
+    * index join and component loop (the expensive stage real pipelines
+    * pay — exact AND near dedup run before any sampling); everything
+    * else is map-side or benchmark-sized.
+    *
+    * The keep-list side is the near-dup OUTPUT (cluster representatives
+    * — corpus-sized only in the no-duplicates worst case, and a plain
+    * doc_id list), so the semi-join shuffles ids, never text. Exact
+    * dedup stays in front: representatives always survive it (a
+    * cluster label is the component min, hence its fingerprint-group
+    * min), but zero-shingle docs (no letter tokens) never enter the
+    * near-dup graph, and exact dedup is what collapses their identical
+    * copies.
     */
   def trainingSet(spark: SparkSession, dir: String): DataFrame = {
     val isBench = docHexPrefix("bench")
@@ -353,6 +366,7 @@ object Corpus {
         md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
       .withColumn("rk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .filter(col("rk") === 1)
+      .join(Dedup.keepIds(spark, dir), Seq("doc_id"), "left_semi")
     val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
     val scored = surv
       .withColumn("toks", TextAnalysis.tokens(col("text")))

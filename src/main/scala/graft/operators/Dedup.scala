@@ -283,6 +283,15 @@ object Dedup {
       .select(col("cluster").as("doc_id"), col("n_members"))
       .orderBy("doc_id")
 
+  /** [[keep]]'s doc_id set without the output sort or member counts —
+    * the composition-side shape: [[graft.operators.Corpus.trainingSet]]
+    * semi-joins it, where a sort (and the count aggregate's second
+    * column) would be pure overhead.
+    */
+  private[operators] def keepIds(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
+      .select(col("cluster").as("doc_id")).distinct()
+
   /** The label-propagation core of [[clusters]], parameterized on the
     * node and edge frames (package-private so specs can drive it with
     * synthetic chain/star graphs that exercise multi-round

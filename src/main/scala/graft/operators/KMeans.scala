@@ -68,9 +68,13 @@ object KMeansCodebook {
         var bestC = Long.MaxValue
         var bestD: JBig = null
         cb.foreach { case (c, cent) =>
+          // a ragged vector silently truncating the distance loop would
+          // mask data corruption with a plausible-looking assignment
+          require(xd.length == cent.length,
+            s"vec_id=$id dim ${xd.length} != codebook dim ${cent.length}")
           var s = JBig.ZERO
           var j = 0
-          val n = math.min(xd.length, cent.length)
+          val n = cent.length
           while (j < n) {
             val diff = xd(j).subtract(cent(j))
             s = s.add(diff.multiply(diff))
@@ -107,12 +111,25 @@ object KMeansCodebook {
       .toArray.sortBy(_._1)
 
   // Training is deterministic, so the trained codebook (K·dim values,
-  // trivially small) is memoized per input dir for the session — the
-  // same train-once/reuse contract as a fitted MLlib model. Queries
+  // trivially small) is memoized per input for the session — the same
+  // train-once/reuse contract as a fitted MLlib model. Queries
   // composing on the assignment (centroids, balanced sample) then pay
-  // one distributed assignment pass, not a full retrain each.
+  // one distributed assignment pass, not a full retrain each. The memo
+  // key is the dir PLUS a file-listing fingerprint, so regenerating the
+  // data under the same path within a JVM session invalidates the memo
+  // instead of silently serving centroids trained on stale data.
   private val trainedCodebooks =
-    scala.collection.mutable.Map.empty[String, Codebook]
+    scala.collection.mutable.Map.empty[(String, String), Codebook]
+
+  /** Cheap input fingerprint: recursive (path, length, mtime) listing of
+    * the embeddings table — no data read, stable across sessions.
+    */
+  private def memoKey(dir: String): (String, String) = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    (dir, walk(new java.io.File(s"$dir/embeddings.parquet")).mkString("|"))
+  }
 
   private def embeddingBase(spark: SparkSession, dir: String): DataFrame =
     Kernels.cacheTracked(Kernels.fanOut(
@@ -121,7 +138,7 @@ object KMeansCodebook {
 
   private def trainedCodebook(spark: SparkSession, dir: String): Codebook =
     trainedCodebooks.synchronized {
-      trainedCodebooks.getOrElseUpdate(dir, {
+      trainedCodebooks.getOrElseUpdate(memoKey(dir), {
         import spark.implicits._
         val base = embeddingBase(spark, dir)
         var cb: Codebook = base.filter(col("vec_id") < K).as[(Long, Seq[Double])]
@@ -134,14 +151,27 @@ object KMeansCodebook {
       })
     }
 
+  // The CACHED assignment frame is memoized too, so a query sequence of
+  // centroids-then-balanced-sample pays the distributed assignment scan
+  // once, not per query. Backing caches are retired by
+  // Kernels.retireCaches — the hook drops the memo at the same moment
+  // (a memo outliving its cache would recompute uncached: worse than a
+  // fresh cacheTracked registration).
+  private val assignments =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  Kernels.onRetire(() => assignments.synchronized(assignments.clear()))
+
   /** Runs (or reuses) the Lloyd training and returns the FINAL
     * assignment frame (vec_id, cluster, v), cached — [[centroids]]
     * re-aggregates it, [[clusterBalancedSample]] samples it.
     */
-  private def lastAssignment(spark: SparkSession, dir: String): DataFrame = {
-    val cb = trainedCodebook(spark, dir)
-    Kernels.cacheTracked(assign(spark, embeddingBase(spark, dir), cb))
-  }
+  private def lastAssignment(spark: SparkSession, dir: String): DataFrame =
+    assignments.synchronized {
+      assignments.getOrElseUpdate(memoKey(dir), {
+        val cb = trainedCodebook(spark, dir)
+        Kernels.cacheTracked(assign(spark, embeddingBase(spark, dir), cb))
+      })
+    }
 
   /** `kmeans_centroids`: the trained codebook after [[LloydIters]]
     * Lloyd rounds from the deterministic init, with each cluster's

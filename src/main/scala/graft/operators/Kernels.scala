@@ -38,10 +38,22 @@ private[graft] object Kernels {
       df.cache()
     }
 
-  def retireCaches(): Unit = liveCaches.synchronized {
-    // blocking: async unpersist leaves SF-sized blocks resident while
-    // the NEXT query runs, defeating the point of retiring them
-    liveCaches.foreach(_.unpersist(true))
-    liveCaches.clear()
+  def retireCaches(): Unit = {
+    liveCaches.synchronized {
+      // blocking: async unpersist leaves SF-sized blocks resident while
+      // the NEXT query runs, defeating the point of retiring them
+      liveCaches.foreach(_.unpersist(true))
+      liveCaches.clear()
+    }
+    retireHooks.synchronized { retireHooks.foreach(_.apply()) }
   }
+
+  // Operators holding session-lifetime memos of CACHED frames (e.g. the
+  // k-means assignment) register an invalidation hook here: once the
+  // backing cache is retired, a stale memo would silently recompute
+  // uncached — strictly worse than re-registering a fresh cache.
+  private val retireHooks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+
+  def onRetire(hook: () => Unit): Unit =
+    retireHooks.synchronized { retireHooks += hook }
 }

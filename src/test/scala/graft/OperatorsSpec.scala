@@ -525,6 +525,16 @@ class OperatorsSpec extends AnyFunSuite {
     // stage 1: exact-dedup survivors only
     val keepIds = Dedup.exact(spark, sf).collect().map(_.getAs[Long]("keep_id")).toSet
     assert(ids.subsetOf(keepIds), "only first-seen fingerprints may train")
+    // stage 1b: near-dup exclusion — only cluster representatives train,
+    // and the stage actually BITES: some exact-dedup survivor that is
+    // not its cluster's representative must have been dropped
+    val reps = Dedup.keep(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(reps), "only near-dup cluster representatives may train")
+    val nonReps = Dedup.clusters(spark, sf).collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(nonReps.nonEmpty && ids.intersect(nonReps).isEmpty,
+      "near-dup cluster members other than the representative must not train")
     // stage 2: quality floor
     out.foreach(r => assert(r.getAs[Double]("quality") >= Corpus.TrainQualityMin))
     // stage 3a: the held-out benchmark split never trains
