@@ -85,6 +85,7 @@ object SparkEntry {
     // Dedup suite (north star)
     "dedup_exact" -> Dedup.exact _,
     "dedup_incremental" -> Dedup.incremental _,
+    "dedup_incremental_minhash" -> Dedup.incrementalMinHash _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh" -> Dedup.minHashLsh _,
     "dedup_simhash" -> Dedup.simHash _,
@@ -129,6 +130,7 @@ object SparkEntry {
     "stream_error_purchase" -> graft.streaming.EventStream.errorPurchaseJoin _,
     "stream_approx_users" -> graft.streaming.EventStream.approxUsersStream _,
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
+    "stream_dedup_watermark" -> graft.streaming.DocStream.streamDedupWatermark _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -867,7 +869,31 @@ object SparkEntry {
          |SELECT min(b.doc_id) AS doc_id, b.fp, count(*) AS n_batch_dups
          |FROM b WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)
          |GROUP BY b.fp ORDER BY doc_id""".stripMargin
+    // the incremental band-store probe: batch bands join history bands
+    // only; the oracle replays the banding bit-for-bit, then verifies
+    // candidates with exact Jaccard — mirroring incrementalMinHash
+    val incSplit = "substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1)"
+    val incMinhash =
+      s"""$docShinglesSql,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |sb AS (SELECT doc_id, band, bkey, $incSplit AS split FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS hist_id
+         |  FROM sb x JOIN sb y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.split < '${Dedup.IncBatchThreshold}'
+         |    AND y.split >= '${Dedup.IncBatchThreshold}')
+         |SELECT batch_id, hist_id, $jaccardSql AS jaccard
+         |FROM cand JOIN shx A ON cand.batch_id = A.doc_id
+         |          JOIN shx B ON cand.hist_id = B.doc_id
+         |WHERE $jaccardSql >= 0.3
+         |ORDER BY batch_id, hist_id""".stripMargin
     Map("dedup_exact" -> exact, "dedup_incremental" -> incremental,
+        "dedup_incremental_minhash" -> incMinhash,
         "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,
@@ -1246,6 +1272,12 @@ object SparkEntry {
          |SELECT event_type, ${kmvEstSql("nd", "hk")} AS est_users
          |FROM k ORDER BY event_type""".stripMargin,
     "stream_dedup" ->
+      """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY fp""".stripMargin,
+    // the watermark delay covers the synthetic event-time span, so no
+    // state eviction occurs within the drain and the horizon-bounded
+    // dedup equals the batch distinct (eviction itself is spec-driven)
+    "stream_dedup_watermark" ->
       """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY fp""".stripMargin,
     "stream_quality" ->

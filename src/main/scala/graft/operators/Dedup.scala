@@ -356,21 +356,19 @@ object Dedup {
     * groupBy over exploded shingles; the LSH join touches only
     * band-collisions — the whole point vs. the O(n²) alternative.
     */
-  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Signatures as a MAP-ONLY typed kernel over the per-doc shingle
+    * arrays: the min over each hash family is computed inside the row,
+    * so no shingle occurrence ever shuffles (the explode +
+    * 16×min(md5) groupBy formulation shuffled every occurrence — at
+    * 100 TB that exchange is the operator's bottleneck; here signature
+    * extraction is embarrassingly parallel, like the simhash kernel).
+    * Digest minima compare as unsigned bytes, which equals the
+    * fixed-width-hex string min the DuckDB oracle computes.
+    */
+  private def minHashSignatureKernel(shArr: DataFrame): DataFrame = {
+    val spark = shArr.sparkSession
     import spark.implicits._
-    retirePreviousCaches()
-    // shArr and bands each feed two join sides; cache so the shingle +
-    // signature pipeline runs once, not four times (4x wall measured)
-    val shArr = cacheTracked(docShingles(spark, dir))
-    // Signatures as a MAP-ONLY typed kernel over the per-doc shingle
-    // arrays: the min over each hash family is computed inside the row,
-    // so no shingle occurrence ever shuffles (the explode +
-    // 16×min(md5) groupBy formulation shuffled every occurrence — at
-    // 100 TB that exchange is the operator's bottleneck; here signature
-    // extraction is embarrassingly parallel, like the simhash kernel).
-    // Digest minima compare as unsigned bytes, which equals the
-    // fixed-width-hex string min the DuckDB oracle computes.
-    val sigs = shArr.as[(Long, Array[String])].mapPartitions { it =>
+    shArr.as[(Long, Array[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val prefixes = Array.tabulate(MinHashFns)(i => s"$i:".getBytes("UTF-8"))
       val hex = "0123456789abcdef".toCharArray
@@ -398,20 +396,68 @@ object Dedup {
         }
       }
     }.toDF("doc_id", "sig")
+  }
+
+  /** One (doc_id, band, bkey) row per band: the LSH index rows both the
+    * full-corpus join and the incremental band store are built from.
+    */
+  private def minHashBands(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until MinHashBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("|", (0 until MinHashRows).map(r =>
           element_at(col("sig"), MinHashRows * b + r + 1)): _*).as("bkey"))
     }
-    val bands = cacheTracked(sigs
+    sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey")))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    retirePreviousCaches()
+    // shArr and bands each feed two join sides; cache so the shingle +
+    // signature pipeline runs once, not four times (4x wall measured)
+    val shArr = cacheTracked(docShingles(spark, dir))
+    val bands = cacheTracked(minHashBands(minHashSignatureKernel(shArr)))
     val cand = bands.as("x")
       .join(bands.as("y"), Seq("band", "bkey"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
     verifyJaccard(shArr, cand).distinct()
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Incremental NEAR-dup — the production shape of [[minHashLsh]],
+    * completing [[incremental]] (exact-only) per its docstring: a new
+    * ingest batch's MinHash bands probe the HISTORICAL band store, and
+    * only band-collision candidates verify with exact Jaccard against
+    * the colliding history doc — never a full-corpus pair generation.
+    * Emitted: each (batch doc, history doc) near-dup pair with its
+    * Jaccard; a pipeline anti-joins its batch against `batch_id` to
+    * drop already-represented content (batch-internal near-dups are
+    * [[minHashLsh]]'s job on the batch alone, orders of magnitude
+    * smaller than the corpus).
+    *
+    * 100 TB shape: the batch/history split rides the scan (predicate on
+    * doc_id only; each doc is shingled and signed exactly once on one
+    * side); signatures are the map-only kernel; the store side reduces
+    * to (band, bkey, doc_id) rows — in production a pre-materialized,
+    * bucketed-by-bkey table that only APPENDS each ingest, here derived
+    * inline to stay self-contained; the probe join is batch-bands ×
+    * store collisions only. History-history pairs are never generated —
+    * the store is already deduplicated by construction.
+    */
+  def incrementalMinHash(spark: SparkSession, dir: String): DataFrame = {
+    retirePreviousCaches()
+    val shArr = cacheTracked(docShingles(spark, dir))
+    val split = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val bands = cacheTracked(minHashBands(minHashSignatureKernel(shArr))
+      .withColumn("split", split))
+    val cand = bands.filter(col("split") < IncBatchThreshold).as("x")
+      .join(bands.filter(col("split") >= IncBatchThreshold).as("y"), Seq("band", "bkey"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    verifyJaccard(shArr, cand).distinct()
+      .select(col("doc_a").as("batch_id"), col("doc_b").as("hist_id"), col("jaccard"))
+      .orderBy("batch_id", "hist_id")
   }
 
   val SimHashBits = 64

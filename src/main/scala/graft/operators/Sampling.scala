@@ -47,20 +47,44 @@ object Sampling {
 
   /** Per-stratum quota sample: the `StratifiedQuota` docs per source
     * ranked first under the deterministic hash order (tie-break doc_id).
-    * One shuffle on the stratum key; rank-within-group is the standard
-    * windowed top-k plan. At 100 TB the stratum count is small, so the
-    * window input is the skew risk — production would pre-filter with
-    * an approximate per-stratum threshold (sketch the hash distribution,
-    * keep rows below quantile ≈ quota/|stratum|, then rank exactly);
-    * the final exact rank here is already the post-filter shape.
+    *
+    * 100 TB shape — the window input is BOUNDED, not the whole stratum:
+    * a whale stratum would otherwise funnel every row through one
+    * window partition. A bottom-k threshold pass runs first, riding the
+    * bounded `graft_topk` partial aggregate (map tasks reduce to ≤
+    * quota entries per stratum BEFORE the exchange, so the threshold
+    * aggregate shuffles ≤ quota·|strata| rows); the per-stratum
+    * quota-th-smallest hash value then broadcasts, and only rows at or
+    * below it reach the exact rank window (≈ quota per stratum).
+    *
+    * The pre-filter is LOSSLESS, so the selection is identical to the
+    * plain full-stratum window: it compares the hash's first 52 bits
+    * (13 hex chars — exact in double), and truncation is monotone, so
+    * the q-th truncated order statistic IS the truncation of the q-th
+    * full hash; filtering `prefix ≤ threshold` inclusively keeps every
+    * row whose full hash is ≤ the q-th full hash (plus any
+    * prefix-collision stragglers, which the exact rank then drops).
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(saltedHash("str", col("doc_id")), col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"))
+    val h = saltedHash("str", col("doc_id"))
+    // first 52 hash bits as an exactly-representable double
+    val hv = conv(substring(h, 1, 13), 16, 10).cast("double")
+    val base = Tables.documents(spark, dir).select(col("source"), col("doc_id"))
+    // graft_topk orders score DESC, so the NEGATED prefix yields
+    // bottom-k; entry `least(size, quota)` is the quota-th smallest
+    // (or the stratum max when the stratum is smaller than the quota)
+    val bk = graft.functions.TopKFunctions.topK(
+      base.sparkSession, negate(hv), col("doc_id"), lit(StratifiedQuota))
+    val thresholds = base.groupBy("source").agg(bk.as("bk"))
+      .select(col("source"),
+        negate(element_at(col("bk"), least(size(col("bk")), lit(StratifiedQuota)))
+          .getField("score")).as("hmax"))
+    val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+    base.join(broadcast(thresholds), "source")
+      .filter(hv <= col("hmax"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= StratifiedQuota)
+      .select(col("source"), col("doc_id"), col("rk"))
       .orderBy("source", "doc_id")
   }
 

@@ -51,6 +51,54 @@ object DocStream {
     spark.table(name).orderBy("fp")
   }
 
+  /** Synthetic event time spanning [[WatermarkSpanSecs]] seconds — the
+    * testdata documents carry no timestamp, so ingest time is derived
+    * deterministically from doc_id (production would use the real
+    * ingest/crawl time). Span 1 h, watermark delay 2 h: the delay
+    * covers the whole span, so within this bounded drain NO state is
+    * evicted and the emitted set is exactly the distinct fingerprints —
+    * deterministic under any file-split/micro-batch ordering, which is
+    * what makes the query oracle-checkable.
+    */
+  val WatermarkSpanSecs = 3600L
+  val WatermarkDelay = "2 hours"
+  private val WatermarkBaseEpoch = 1704067200L // 2024-01-01 00:00:00 UTC
+
+  /** [[streamDedup]] with BOUNDED state — the production shape its
+    * docstring names: `dropDuplicatesWithinWatermark` keeps a state row
+    * only until the event-time watermark passes the fingerprint's first
+    * appearance plus [[WatermarkDelay]], so on infinite ingest state is
+    * proportional to the dedup horizon, not to all content ever seen.
+    * The trade is global uniqueness → horizon uniqueness: content
+    * recurring after the horizon re-emits (acceptable for pipelines
+    * that re-shard/re-dedup downstream, or whose duplicates cluster in
+    * time — the common crawl-ingest case). `StreamingRecoverySpec`
+    * drives the eviction behavior explicitly with a multi-era input;
+    * this query's horizon covers its whole input, so the oracle is the
+    * batch distinct.
+    */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val fps = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(md5(TextAnalysis.normalizedText(col("text"))).as("fp"),
+        timestamp_seconds(lit(WatermarkBaseEpoch)
+          + col("doc_id") % WatermarkSpanSecs).as("ts"))
+      .withWatermark("ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp")
+    val name = "stream_dedup_wm_out"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state stores sized to keys, see EventStream
+    try {
+      val q = fps.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("fp")
+  }
+
   val QualityThreshold = 0.5
 
   /** Streaming quality gate on continuous ingest: the same closed-form

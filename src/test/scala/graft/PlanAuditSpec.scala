@@ -111,7 +111,8 @@ class PlanAuditSpec extends AnyFunSuite {
           "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh(spark, sf),
           "dedup_simhash_pairs" -> Dedup.simHashPairs(spark, sf),
           "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
-          "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
+          "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf),
+          "dedup_incremental_minhash" -> Dedup.incrementalMinHash(spark, sf))) {
         val p = plan(df)
         assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
           s"$name must not plan an all-pairs join:\n${p.take(600)}")
@@ -248,6 +249,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"typed imperative aggregate expected:\n${p.take(800)}")
     assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
       s"map-side partial aggregation expected:\n${p.take(1500)}")
+  }
+
+  test("stratified sample rank-window reads the threshold-filtered frame") {
+    // the bottom-k threshold pass must partial-aggregate (bounded
+    // per-stratum state before the exchange), broadcast, and gate the
+    // corpus BEFORE the exact rank window — a whale stratum otherwise
+    // funnels every row through one window partition
+    val df = operators.Sampling.stratifiedSample(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+      s"threshold pass must partial-aggregate map-side:\n${p.take(1500)}")
+    assert("""BroadcastExchange \(""".r.findFirstIn(p).isDefined,
+      "per-stratum thresholds must broadcast, not shuffle the corpus")
+    // tree order: the rank Window's subtree must contain the broadcast
+    // threshold join (the window input IS the filtered frame, not the
+    // raw scan). In the explain tree a node's subtree prints AFTER it,
+    // and the only Window here is the rank — so the join index must be
+    // greater. (Structural traversal is awkward under AQE wrapping.)
+    val tree = df.queryExecution.executedPlan.toString
+    val winIdx = tree.indexOf("Window")
+    val joinIdx = tree.indexOf("Join")
+    assert(winIdx >= 0 && joinIdx > winIdx,
+      s"the rank window must consume the threshold-join output:\n${tree.take(1500)}")
+    // and the selection itself is unchanged: same rows as the plain
+    // full-stratum window formulation
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("source")
+        .orderBy(md5(concat(lit("str:"), col("doc_id").cast("string"))), col("doc_id"))
+      graft.Tables.documents(spark, sf)
+        .select(col("source"), col("doc_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= operators.Sampling.StratifiedQuota)
+    }
+    assert(df.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet,
+      "pre-filter must be lossless: selection identical to the plain window")
   }
 
   test("pack_sequences windows by shard, never a global single-partition sort") {

@@ -79,4 +79,56 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(afterA == wantA, "phase-1 canary: pre-crash state matches tranche A")
     assert(afterA != afterB, "tranche B must actually change the state")
   }
+
+  test("watermarked dedup state stays bounded while unbounded dedup's grows") {
+    import spark.implicits._
+    val in = tmpDir("graft-wmdedup-in")
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir(s"graft-wmstage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, in.resolve(name))
+    }
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType)))
+    def era(tag: String, hourOffset: Long) =
+      (1 to 10).map(i => (s"$tag-$i",
+        new java.sql.Timestamp((1704067200L + hourOffset * 3600 + i) * 1000L)))
+        .toDF("k", "ts")
+    // three eras, each 1 h apart; delay 10 min << era gap, so by the
+    // time era C processes, the watermark has passed era A's (and then
+    // era B's) event times + delay and their state rows are evicted
+    def run(name: String, withinWatermark: Boolean): (Long, Long) = {
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1") // one era per micro-batch, so the watermark advances between eras
+        .parquet(in.toString)
+        .withWatermark("ts", "10 minutes")
+      val dedup =
+        if (withinWatermark) src.dropDuplicatesWithinWatermark("k")
+        else src.dropDuplicates("k")
+      val q = dedup.select("k").writeStream
+        .outputMode(OutputMode.Append()).format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable() // sees whatever eras are on disk when called
+        val rows = spark.table(name).count()
+        val state = q.lastProgress.stateOperators(0).numRowsTotal
+        (rows, state)
+      } finally q.stop()
+    }
+    writeFile(era("a", 0), "a.parquet")
+    writeFile(era("b", 1), "b.parquet")
+    writeFile(era("c", 2), "c.parquet")
+    // micro-batch split of the three files is not guaranteed, but the
+    // LAST batch always carries era C, whose processing advances the
+    // watermark past A's expiry — so bounded state must end < 30
+    val (wmRows, wmState) = run("wm_dedup_bounded", withinWatermark = true)
+    val (unRows, unState) = run("wm_dedup_unbounded", withinWatermark = false)
+    assert(unState == 30L, s"unbounded dedup keeps every key forever, got $unState")
+    assert(wmState < 30L, s"watermarked dedup must evict expired keys, got $wmState")
+    assert(wmRows == 30L && unRows == 30L,
+      "all 30 distinct keys emit exactly once either way (no dups in input)")
+  }
 }
