@@ -59,6 +59,9 @@ object SparkEntry {
     "events_asof_purchase" -> Events.asofLastPurchase _,
     "events_user_profile" -> Events.userProfile _,
     "events_quantiles" -> Events.valueQuantiles _,
+    // bench/spec-gated only: GK vs DuckDB's t-digest cannot hash-match
+    // (no oracleSql entry → the driver records a rows-only check)
+    "events_quantiles_approx" -> Events.valueQuantilesApprox _,
     "events_funnel" -> Events.funnel _,
     "events_retention" -> Events.retention _,
     "events_error_context" -> Events.errorContext _,
@@ -97,6 +100,7 @@ object SparkEntry {
     // Similarity search (north star)
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
+    "ann_ivf_r2" -> Similarity.annIvfR2 _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -932,13 +936,15 @@ object SparkEntry {
     }.mkString(",\n    ")
     val bNames = (0 until nb).map(i => s"b$i").mkString(", ")
     val cellConcat = (0 until nb).map(i => s"b$i").mkString(" || ")
-    val flipVariants = (-1 until nb).map { f =>
-      val key = (0 until nb).map { i =>
-        if (i == f) s"(CASE WHEN b$i = '1' THEN '0' ELSE '1' END)" else s"b$i"
-      }.mkString(" || ")
-      s"SELECT vec_id, v, nrm, $key AS pcell FROM cells WHERE vec_id < ${Similarity.NumProbes}"
-    }.mkString("\n  UNION ALL ")
-    val ivf =
+    // probe-cell enumeration shared with Similarity.flipSets, so both
+    // engines search the identical Hamming-ball of cells
+    def ivfAtRadius(radius: Int): String = {
+      val flipVariants = Similarity.flipSets(radius).map { fs =>
+        val key = (0 until nb).map { i =>
+          if (fs.contains(i)) s"(CASE WHEN b$i = '1' THEN '0' ELSE '1' END)" else s"b$i"
+        }.mkString(" || ")
+        s"SELECT vec_id, v, nrm, $key AS pcell FROM cells WHERE vec_id < ${Similarity.NumProbes}"
+      }.mkString("\n  UNION ALL ")
       s"""$embNormSql,
          |bits AS (SELECT vec_id, v, nrm,
          |    $ivfBitCols
@@ -955,6 +961,8 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    }
+    val ivf = ivfAtRadius(1)
     val centroids =
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |x AS (SELECT label, unnest(v) AS x, unnest(generate_series(1, len(v))) AS dim FROM e)
@@ -1002,7 +1010,8 @@ object SparkEntry {
          |  FROM $lastA)
          |WHERE rk <= ${KMeansCodebook.BalancedQuota}
          |ORDER BY cluster, rk""".stripMargin
-    Map("ann_topk" -> topk, "ann_ivf" -> ivf, "embedding_centroids" -> centroids,
+    Map("ann_topk" -> topk, "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
+        "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
   }
 

@@ -126,6 +126,38 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** GK rank-error parameter for [[valueQuantilesApprox]]: guaranteed
+    * rank error ≤ n / accuracy per group.
+    */
+  val ApproxAccuracy = 10000
+
+  /** The PRODUCTION form [[valueQuantiles]]'s docstring names, shipped
+    * and benchmarked: `percentile_approx` (Greenwald–Khanna sketch,
+    * bounded mergeable state ~O(accuracy·log n) per group) replacing
+    * exact `percentile`'s full per-group value buffer — the swap a
+    * 100 TB deployment makes. Same query shape and column layout.
+    *
+    * Bench-and-spec-gated, NOT oracle-gated: DuckDB's approx_quantile
+    * is a t-digest — a different sketch with different estimates, so no
+    * cross-engine hash can match (the same reason the oracle-exact
+    * histogram sketch [[Sketches.approxQuantilesHist]] exists). The
+    * spec instead pins every estimate inside the GK rank-error window
+    * of the exact order statistics; the driver records a rows-only
+    * check.
+    */
+  def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val pts = QuantilePoints.mkString(", ")
+    val qcols = QuantilePoints.zipWithIndex.map { case (p, i) =>
+      round(element_at(col("qs"), i + 1), 4).as(s"p${(p * 100).toInt}")
+    }
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"percentile_approx(value, array($pts), $ApproxAccuracy)").as("qs"))
+      .select(Seq(col("event_type"), col("n_events")) ++ qcols: _*)
+      .orderBy("event_type")
+  }
+
   /** Ordered conversion funnel view → click → purchase: a user counts
     * at a stage only if the stage event happens AT OR AFTER their entry
     * to the previous stage (min-timestamp semantics, the standard

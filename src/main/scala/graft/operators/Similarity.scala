@@ -75,7 +75,33 @@ object Similarity {
     * (max cosine ≈ 0.51); raising the probe radius to Hamming ≤ 2 is
     * the standard recall/cost lever.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfRadius(spark, dir, radius = 1)
+
+  /** The Hamming ≤ 2 variant of [[annIvf]] — the recall/cost lever its
+    * docstring names, built: probes search 1 + 6 + 15 = 22 of the 64
+    * cells (~34% of the corpus) instead of 7 (~11%). Measured recall of
+    * the exact top-k at sf0.01 rises accordingly (the spec pins a
+    * floor); the cost stays a broadcast-probe equi-join — more probe
+    * rows, same plan shape, no extra corpus pass.
+    */
+  def annIvfR2(spark: SparkSession, dir: String): DataFrame =
+    annIvfRadius(spark, dir, radius = 2)
+
+  /** Bit-index sets to flip for a multi-probe search of all cells
+    * within the given Hamming radius of the probe's own cell (radius ≤
+    * 2 supported; shared with the oracle-SQL generator so both engines
+    * enumerate identical probe cells).
+    */
+  private[graft] def flipSets(radius: Int): Seq[Seq[Int]] = {
+    val singles = (0 until IvfBits).map(Seq(_))
+    val pairs = for { i <- 0 until IvfBits; j <- i + 1 until IvfBits } yield Seq(i, j)
+    Seq(Seq.empty[Int]) ++
+      (if (radius >= 1) singles else Nil) ++
+      (if (radius >= 2) pairs else Nil)
+  }
+
+  private def annIvfRadius(spark: SparkSession, dir: String, radius: Int): DataFrame = {
     val bitCols = (0 until IvfBits).map { h =>
       when(dot(spark, col("v"), array(Dedup.hyperplanes(h).map(lit(_)): _*)) >= 0,
         lit("1")).otherwise(lit("0")).as(s"b$h")
@@ -87,10 +113,11 @@ object Similarity {
       .select(Seq(col("vec_id"), col("v"), col("norm")) ++ bitCols: _*)
       .withColumn("cell", concat((0 until IvfBits).map(i => col(s"b$i")): _*))
     def flip(c: Column): Column = when(c === "1", lit("0")).otherwise(lit("1"))
-    // variant -1 = the exact cell; variant f flips bit f (7 distinct keys)
-    val variants = (-1 until IvfBits).map { f =>
+    // one probe row per cell within the Hamming radius (distinct keys
+    // by construction, so no candidate dedup is needed)
+    val variants = flipSets(radius).map { fs =>
       concat((0 until IvfBits).map { i =>
-        if (i == f) flip(col(s"b$i")) else col(s"b$i")
+        if (fs.contains(i)) flip(col(s"b$i")) else col(s"b$i")
       }: _*)
     }
     val probes = base.filter(col("vec_id") < NumProbes)

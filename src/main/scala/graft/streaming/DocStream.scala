@@ -112,10 +112,15 @@ object DocStream {
     * belong on the ingest stream, not in a later batch pass over
     * already-stored garbage.
     */
-  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** The unstarted quality-gate stream — shared by [[streamQuality]]'s
+    * memory-sink oracle drain and the file-sink spec
+    * (`StreamingRecoverySpec`), which writes it through a REAL parquet
+    * sink with checkpointing.
+    */
+  private[graft] def qualityStreamFrame(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
-    val scored = spark.readStream
+    spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -123,6 +128,10 @@ object DocStream {
       .select(col("doc_id"),
         round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
       .filter(col("quality") >= QualityThreshold)
+  }
+
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityStreamFrame(spark, dir)
     val name = "stream_quality_out"
     val q = scored.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(name).start()

@@ -175,6 +175,43 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally deleteRecursively(base)
   }
 
+  test("AQE splits the hot partition of a synthetically skewed join") {
+    // the documented backstop behind the band-join skew notes: when a
+    // key (or band bucket) runs hot, AQE's skew-join splits the
+    // oversized partition at runtime into advisory-sized slices — no
+    // code change. Exercised here with thresholds lowered to test
+    // scale; the assertion is the runtime plan marker, not a heuristic.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one whale key (80% of rows, payload-padded past the byte
+      // threshold) against a uniform dim side
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 < 8, lit(0L)).otherwise(col("id") % 100).as("k"),
+          concat_ws("", Seq.fill(8)(md5(col("id").cast("string"))): _*).as("pad"))
+      val right = spark.range(100).select(col("id").as("k"), lit("dim").as("d"))
+      val joined = left.join(right, "k")
+      // drive THIS frame's QueryExecution (count() would build a new,
+      // column-pruned one and the inspected plan would never finalize)
+      assert(joined.queryExecution.toRdd.count() == 200000L)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n${finalPlan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join equals the plain join and shuffles on (key, salt)") {
     import spark.implicits._
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -131,4 +131,28 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(wmRows == 30L && unRows == 30L,
       "all 30 distinct keys emit exactly once either way (no dups in input)")
   }
+
+  test("streaming writes the batch-equal result through a real file sink") {
+    // the oracle gate drains through a memory sink (test harness); a
+    // production stream writes FILES with a checkpoint. Same quality
+    // stream, parquet sink + checkpoint, read the files back: rows must
+    // equal the batch computation — closing the "memory sink is
+    // test-only" caveat with the sink a deployment actually uses.
+    val out = tmpDir("graft-fsink-out")
+    val ckpt = tmpDir("graft-fsink-ckpt")
+    val q = graft.streaming.DocStream.qualityStreamFrame(spark, SparkTestSession.Sf)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt.toString)
+      .format("parquet").option("path", out.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toSet
+    val want = graft.operators.TextAnalysis.qualityScore(spark, SparkTestSession.Sf)
+      .filter(col("quality") >= graft.streaming.DocStream.QualityThreshold)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"))).toSet
+    assert(got.nonEmpty && got == want,
+      "file-sink streaming output must equal the batch quality gate")
+  }
 }
