@@ -89,6 +89,8 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exact _,
     "dedup_incremental" -> Dedup.incremental _,
     "dedup_incremental_minhash" -> Dedup.incrementalMinHash _,
+    "dedup_incremental_bloom" -> Dedup.incrementalBloom _,
+    "dedup_spans" -> Dedup.spanDedup _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh" -> Dedup.minHashLsh _,
     "dedup_simhash" -> Dedup.simHash _,
@@ -123,6 +125,7 @@ object SparkEntry {
     "length_histogram" -> Corpus.lengthHistogram _,
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "vocab_top" -> Corpus.vocabTop _,
+    "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
     "pipeline_training_set" -> Corpus.trainingSet _,
@@ -896,8 +899,41 @@ object SparkEntry {
          |          JOIN shx B ON cand.hist_id = B.doc_id
          |WHERE $jaccardSql >= 0.3
          |ORDER BY batch_id, hist_id""".stripMargin
+    // ExactSubstr-style span dedup: the oracle marks removed
+    // occurrences via row_number over (doc_id, start) per gram
+    // fingerprint (rn > 1 ⟺ duplicated and not the corpus-wide first
+    // occurrence — the same predicate the Spark side expresses as
+    // min(struct)+count), then masks covered token positions with
+    // per-row list logic
+    val sk = Dedup.SpanK
+    val spanGramConcat = (0 until sk).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    val spans =
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |gx AS (SELECT doc_id, toks,
+         |    CASE WHEN len(toks) >= $sk
+         |      THEN list_transform(generate_series(1, len(toks) - ${sk - 1}), i -> md5($spanGramConcat))
+         |      ELSE CAST([] AS VARCHAR[]) END AS gs
+         |  FROM t),
+         |g AS (SELECT doc_id, unnest(generate_series(1, len(gs))) AS s, unnest(gs) AS fp FROM gx),
+         |r AS (SELECT doc_id, s,
+         |        row_number() OVER (PARTITION BY fp ORDER BY doc_id, s) AS rn
+         |      FROM g),
+         |rs AS (SELECT doc_id, list(s) AS starts FROM r WHERE rn > 1 GROUP BY doc_id),
+         |m AS (SELECT t.doc_id, t.toks,
+         |        list_filter(generate_series(1, len(t.toks)),
+         |          p -> len(list_filter(coalesce(rs.starts, CAST([] AS BIGINT[])),
+         |                 s -> s <= p AND s + ${sk - 1} >= p)) = 0) AS kept
+         |      FROM t LEFT JOIN rs ON t.doc_id = rs.doc_id)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(list_transform(kept, p -> toks[p]), ' '), '') AS text_dedup
+         |FROM m ORDER BY doc_id""".stripMargin
     Map("dedup_exact" -> exact, "dedup_incremental" -> incremental,
         "dedup_incremental_minhash" -> incMinhash,
+        // bit-identical to dedup_incremental by construction (bloom
+        // error is one-sided), so the SAME oracle gates both
+        "dedup_incremental_bloom" -> incremental,
+        "dedup_spans" -> spans,
         "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,
@@ -1265,11 +1301,19 @@ object SparkEntry {
          |SELECT doc_id, source, shard, run // ${Sampling.PackBudget} AS pack_no,
          |  n_tokens, quality
          |FROM r ORDER BY doc_id""".stripMargin
+    val bpe =
+      s"""WITH w AS (SELECT unnest($toksRawSql) AS w FROM documents),
+         |p AS (SELECT unnest(CASE WHEN length(w) >= 2
+         |    THEN list_transform(generate_series(1, length(w) - 1), i -> substr(w, i, 2))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS pair FROM w)
+         |SELECT pair, count(*) AS cnt FROM p
+         |GROUP BY pair ORDER BY cnt DESC, pair LIMIT ${Corpus.BpeTopPairs}""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
-        "vocab_top" -> vocab, "pipeline_training_set" -> pipeline)
+        "vocab_top" -> vocab, "bpe_merge_pairs" -> bpe,
+        "pipeline_training_set" -> pipeline)
   }
 
   private def streamingOracles: Map[String, String] = Map(

@@ -327,6 +327,34 @@ object Corpus {
       .orderBy("rk")
   }
 
+  val BpeTopPairs = 30
+
+  /** `bpe_merge_pairs`: the first BPE merge decision, distributed —
+    * corpus-wide frequencies of adjacent CHARACTER pairs within word
+    * tokens, every occurrence weighted (the byte-pair-encoding
+    * training count before any merge is applied). Tokenizer training
+    * over a 100 TB corpus is a pipeline job, and each merge round is
+    * exactly this query over the current symbol sequences — the
+    * library-side half of vocab induction ([[vocabTop]] being the
+    * coverage diagnostic).
+    *
+    * Shape: map-only pair generation (per-word sliding substr, no
+    * self-join), one combiner-friendly count shuffle over a pair
+    * vocabulary bounded by alphabet² (tiny), and the top cut as
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition heaps,
+    * never a global sort). Ties break on the pair text, so the cut is
+    * engine-exact.
+    */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(explode(when(length(col("w")) >= 2,
+        transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(BpeTopPairs)
+
   /** First hex byte below this ⇒ the doc survives the pipeline's
     * training-split sample (~50%).
     */

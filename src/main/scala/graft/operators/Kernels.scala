@@ -56,4 +56,17 @@ private[graft] object Kernels {
 
   def onRetire(hook: () => Unit): Unit =
     retireHooks.synchronized { retireHooks += hook }
+
+  /** Memo key for session-lifetime per-corpus products (trained
+    * codebooks, materialized keep-lists): the input dir PLUS a cheap
+    * recursive (name, length, mtime) listing of the backing table, so
+    * regenerating the data under the same path within a JVM session
+    * invalidates the memo instead of silently serving a stale product.
+    */
+  def inputKey(dir: String, table: String): (String, String) = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    (dir, s"$table|" + walk(new java.io.File(s"$dir/$table")).mkString("|"))
+  }
 }

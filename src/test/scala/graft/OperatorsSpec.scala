@@ -167,6 +167,56 @@ class OperatorsSpec extends AnyFunSuite {
         "probe-cell enumeration or banding has regressed")
   }
 
+  test("bloom-accelerated incremental dedup is bit-identical to the plain anti-join") {
+    // the accelerator's whole contract: bloom error is one-sided (extra
+    // anti-join work, never a false drop), so the two formulations must
+    // agree row-for-row
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups")))
+      .toSet
+    val plain = rows(Dedup.incremental(spark, sf))
+    val bloom = rows(Dedup.incrementalBloom(spark, sf))
+    Dedup.retireCaches()
+    assert(plain.nonEmpty && bloom == plain)
+  }
+
+  test("span dedup keeps first occurrences, removes covered tokens only") {
+    val rows = Dedup.spanDedup(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).count()
+    assert(rows.length == docs, "every document emits exactly one row")
+    var removedTotal = 0L
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= n && kept >= 0)
+      val words = r.getAs[String]("text_dedup")
+      val wc = if (words.isEmpty) 0 else words.split(" ").length
+      assert(wc == kept, "text_dedup must contain exactly the kept tokens")
+      // a doc shorter than the span length has no grams: unchanged
+      if (n < Dedup.SpanK) assert(kept == n)
+      removedTotal += n - kept
+    }
+    assert(removedTotal > 0, "testdata contains duplicated spans; some must be removed")
+    // every removed region traces to a gram occurring 2+ times: spot-
+    // check global token conservation — the corpus-wide FIRST occurrence
+    // of every duplicated gram survives, so total kept tokens must
+    // exceed total tokens minus (k × removed-occurrence count)
+    val totalKept = rows.map(_.getAs[Long]("n_kept")).sum
+    val totalToks = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalKept > totalToks / 2, "span dedup must not gut the corpus")
+  }
+
+  test("bpe merge pairs match a sequential recount") {
+    val got = Corpus.bpeMergePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    val words = Tables.documents(spark, sf).select(col("text")).collect()
+      .flatMap(_.getString(0).split("[^\\p{L}]+")).filter(_.nonEmpty)
+    val want = words.flatMap(w => w.sliding(2).filter(_.length == 2))
+      .groupBy(identity).map { case (p, o) => (p, o.length.toLong) }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(Corpus.BpeTopPairs)
+    assert(got.toSeq == want, "distributed pair counts must equal the sequential count")
+  }
+
   test("multimodal: chunks exactly tile each document") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))

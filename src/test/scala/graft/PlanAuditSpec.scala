@@ -175,6 +175,27 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally deleteRecursively(base)
   }
 
+  test("span dedup: no cartesian; gram stats partial-aggregate; dup-only join side") {
+    val p = plan(Dedup.spanDedup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span marking must be an equi-join on the gram fingerprint, never all-pairs")
+    assert(p.contains("partial_"),
+      "gram count/first-occurrence must partial-aggregate before the exchange")
+    // the stats side is filtered to DUPLICATED grams before the join —
+    // the cnt > 1 predicate must sit under the join, not above it
+    assert(p.contains("(cnt"), s"dup-only filter must exist in the plan:\n${p.take(900)}")
+  }
+
+  test("bloom incremental: anti-join stays a join; probe filters both routes") {
+    val p = plan(Dedup.incrementalBloom(spark, sf))
+    Dedup.retireCaches()
+    assert(p.contains("LeftAnti"), "exact verification must be an anti JOIN")
+    assert(!p.contains("CartesianProduct"))
+    // both batch routes carry the bloom probe (negated on the fast path)
+    val probes = "mightContain|UDF".r.findAllIn(p).length
+    assert(probes >= 2, s"bloom probe must pre-route the batch:\n${p.take(900)}")
+  }
+
   test("AQE splits the hot partition of a synthetically skewed join") {
     // the documented backstop behind the band-join skew notes: when a
     // key (or band bucket) runs hot, AQE's skew-join splits the
