@@ -103,6 +103,7 @@ object SparkEntry {
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
     "ann_ivf_r2" -> Similarity.annIvfR2 _,
+    "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -1046,7 +1047,29 @@ object SparkEntry {
          |  FROM $lastA)
          |WHERE rk <= ${KMeansCodebook.BalancedQuota}
          |ORDER BY cluster, rk""".stripMargin
+    // trained-codebook IVF: probe cells = top-N of the FINAL round's
+    // distance CTE (the same distances the assignment argmin ranks, so
+    // probe selection and cell membership replay bit-for-bit)
+    val ivfKmeans =
+      s"""$kmeansCtes,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |pr AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d${KMeansCodebook.LloydIters} WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |s AS (SELECT pr.vec_id AS probe_id, ca.vec_id AS neighbor_id,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM pr JOIN $lastA ca ON pr.cluster = ca.cluster AND pr.vec_id <> ca.vec_id
+         |  JOIN nn p ON p.vec_id = pr.vec_id
+         |  JOIN nn c ON c.vec_id = ca.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT probe_id, neighbor_id, sim, rnk FROM r
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("ann_topk" -> topk, "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
+        "ann_ivf_kmeans" -> ivfKmeans,
         "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
   }

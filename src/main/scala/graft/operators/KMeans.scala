@@ -161,11 +161,46 @@ object KMeansCodebook {
     scala.collection.mutable.Map.empty[(String, String), DataFrame]
   Kernels.onRetire(() => assignments.synchronized(assignments.clear()))
 
+  /** Top-`nProbe` nearest codebook cells for each of the first
+    * `nProbes` vectors — the probe-selection half of
+    * [[Similarity.annIvfKmeans]]: the same exact-decimal distance and
+    * lowest-cluster tie-break as [[assign]], keeping the `nProbe` best
+    * cells instead of only the argmin. Probe count is query-sized, so
+    * this is a filtered scan + tiny flatMap — no shuffle.
+    */
+  private[operators] def probeCells(
+      spark: SparkSession, dir: String, nProbes: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val cb = trainedCodebook(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < nProbes)
+      .as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val xd = v.map(dec9).toArray
+        cb.map { case (c, cent) =>
+          require(xd.length == cent.length,
+            s"vec_id=$id dim ${xd.length} != codebook dim ${cent.length}")
+          var s = JBig.ZERO
+          var j = 0
+          while (j < cent.length) {
+            val diff = xd(j).subtract(cent(j))
+            s = s.add(diff.multiply(diff))
+            j += 1
+          }
+          (s.setScale(6, RoundingMode.HALF_UP), c)
+        }.sortWith { case ((d1, c1), (d2, c2)) =>
+          val cmp = d1.compareTo(d2); cmp < 0 || (cmp == 0 && c1 < c2)
+        }.take(nProbe).map { case (_, c) => (id, c) }.toSeq
+      }.toDF("probe_id", "pcluster")
+  }
+
   /** Runs (or reuses) the Lloyd training and returns the FINAL
     * assignment frame (vec_id, cluster, v), cached — [[centroids]]
-    * re-aggregates it, [[clusterBalancedSample]] samples it.
+    * re-aggregates it, [[clusterBalancedSample]] samples it, and
+    * [[Similarity.annIvfKmeans]] searches it as the IVF index.
     */
-  private def lastAssignment(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def lastAssignment(spark: SparkSession, dir: String): DataFrame =
     assignments.synchronized {
       assignments.getOrElseUpdate(memoKey(dir), {
         val cb = trainedCodebook(spark, dir)

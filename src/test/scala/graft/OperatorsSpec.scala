@@ -165,6 +165,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rec2 >= 0.40,
       f"radius-2 multi-probe recall $rec2%.3f under the 0.40 floor — " +
         "probe-cell enumeration or banding has regressed")
+    // the trained-codebook IVF searches ~2/8 of the corpus; its recall
+    // gate uses the same exact-top-k reference (floor from the measured
+    // deterministic value, see the radius-2 note above)
+    val km = pairs(Similarity.annIvfKmeans(spark, sf))
+    Dedup.retireCaches()
+    val recKm = km.intersect(exact).size.toDouble / exact.size
+    info(f"recall@${Similarity.TopK}: kmeans-ivf=$recKm%.3f (searching ~${Similarity.KmProbeCells}/${KMeansCodebook.K} of the corpus)")
+    // 0.86 measured (deterministic) — searching 1/4 of the corpus via
+    // TRAINED cells doubles the recall of the SRP grid searching 1/3,
+    // which is the argument for training a codebook at all
+    assert(recKm >= 0.60,
+      f"trained-IVF recall $recKm%.3f under the 0.60 floor — " +
+        "codebook training or probe selection has regressed")
   }
 
   test("bloom-accelerated incremental dedup is bit-identical to the plain anti-join") {
