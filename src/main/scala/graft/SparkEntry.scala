@@ -127,6 +127,7 @@ object SparkEntry {
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "vocab_top" -> Corpus.vocabTop _,
     "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
+    "doc_surprisal" -> Corpus.docSurprisal _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
     "pipeline_training_set" -> Corpus.trainingSet _,
@@ -139,6 +140,7 @@ object SparkEntry {
     "stream_approx_users" -> graft.streaming.EventStream.approxUsersStream _,
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     "stream_dedup_watermark" -> graft.streaming.DocStream.streamDedupWatermark _,
+    "stream_incremental_dedup" -> graft.streaming.DocStream.streamIncrementalDedup _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -932,8 +934,10 @@ object SparkEntry {
     Map("dedup_exact" -> exact, "dedup_incremental" -> incremental,
         "dedup_incremental_minhash" -> incMinhash,
         // bit-identical to dedup_incremental by construction (bloom
-        // error is one-sided), so the SAME oracle gates both
+        // error is one-sided; the stream-static join replays the same
+        // anti-join semantics), so the SAME oracle gates all three
         "dedup_incremental_bloom" -> incremental,
+        "stream_incremental_dedup" -> incremental,
         "dedup_spans" -> spans,
         "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
@@ -1331,11 +1335,24 @@ object SparkEntry {
          |    ELSE CAST([] AS VARCHAR[]) END) AS pair FROM w)
          |SELECT pair, count(*) AS cnt FROM p
          |GROUP BY pair ORDER BY cnt DESC, pair LIMIT ${Corpus.BpeTopPairs}""".stripMargin
+    // per-token surprisal rounded to 6dp and summed as DECIMAL: exact
+    // addition, so the mean is engine- and partitioning-independent
+    val surprisal =
+      s"""WITH t AS (SELECT doc_id, unnest($toksLowerSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |tot AS (SELECT sum(cnt) AS total FROM c),
+         |s AS (SELECT t.doc_id,
+         |        CAST(round(-ln(CAST(c.cnt AS DOUBLE) / total), 6) AS DECIMAL(18,6)) AS surp
+         |      FROM t JOIN c USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(surp) AS DOUBLE) / count(*), 4) AS cross_entropy
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
         "vocab_top" -> vocab, "bpe_merge_pairs" -> bpe,
+        "doc_surprisal" -> surprisal,
         "pipeline_training_set" -> pipeline)
   }
 

@@ -327,6 +327,46 @@ object Corpus {
       .orderBy("rk")
   }
 
+  /** `doc_surprisal`: per-document unigram cross-entropy under the
+    * corpus's own unigram LM — the language-model quality signal of
+    * the CCNet/KenLM filtering family, self-contained (the corpus is
+    * its own LM; production swaps in a reference-corpus model the same
+    * way). High cross-entropy = rare-token-heavy documents (gibberish,
+    * OCR noise, wrong-language fragments) — the standard
+    * perplexity-filter
+    * axis next to the heuristic [[TextAnalysis.qualityScore]].
+    *
+    * Engine determinism: each token's surprisal −ln(cnt/total) is
+    * rounded to 6dp and summed as DECIMAL(18,6) — EXACT addition, so
+    * the per-doc mean is independent of partitioning and engine (a
+    * double sum would differ in the last bits by summation order; the
+    * PMI/log conventions here match [[bigramPmi]]).
+    *
+    * 100 TB shape: one tokenize pass (cached, feeding both the vocab
+    * count and the scoring join), one combiner-friendly vocab count
+    * shuffle, an equi-join occurrence→count on the token (AQE
+    * broadcasts when the vocab is small; shuffles otherwise — never a
+    * corpus×vocab product), and a combiner-friendly per-doc decimal
+    * sum. The 1-row total is an explicit broadcast.
+    */
+  def docSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Kernels.cacheTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok")))
+    val counts = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("total"))
+    occ.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("total")), 6)
+          .cast("decimal(18,6)").as("surp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("surp").as("ssum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ssum").cast("double") / col("n_tokens"), 4).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   val BpeTopPairs = 30
 
   /** `bpe_merge_pairs`: the first BPE merge decision, distributed —

@@ -99,6 +99,50 @@ object DocStream {
     spark.table(name).orderBy("fp")
   }
 
+  /** Streaming incremental dedup — [[graft.operators.Dedup.incremental]]
+    * as an INGEST STREAM, covering the stream-STATIC join shape (the
+    * one production join this suite hadn't exercised: stream-stream
+    * and stateful dedup are covered by [[EventStream]] and
+    * [[streamDedup]]): newly-arriving documents anti-join the static
+    * fingerprint store of the existing corpus per micro-batch — the
+    * store is a TABLE maintained by previous ingests, never shuffled
+    * into stream state — and a streaming aggregation keeps each
+    * first-seen batch fingerprint with its in-batch duplicate count.
+    * This is the production ingest topology for exact dedup: state is
+    * bounded by the BATCH's fingerprints (the aggregation), while the
+    * arbitrarily-large store stays on the static side. Complete-mode
+    * output equals the batch query bit-for-bit, so the SAME oracle
+    * gates both.
+    */
+  def streamIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val fpOf = md5(TextAnalysis.normalizedText(col("text")))
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val store = graft.Tables.documents(spark, dir)
+      .select(fpOf.as("fp"), splitOf.as("split"))
+      .filter(col("split") >= Dedup.IncBatchThreshold)
+      .select("fp").distinct()
+    val batch = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), fpOf.as("fp"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+    val deduped = batch.join(store, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
+      .select(col("doc_id"), col("fp"), col("n_batch_dups"))
+    val name = "stream_inc_dedup_out"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state stores sized to keys, see EventStream
+    try {
+      val q = deduped.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("doc_id")
+  }
+
   val QualityThreshold = 0.5
 
   /** Streaming quality gate on continuous ingest: the same closed-form

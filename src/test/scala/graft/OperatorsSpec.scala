@@ -219,6 +219,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(totalKept > totalToks / 2, "span dedup must not gut the corpus")
   }
 
+  test("doc_surprisal is partitioning-independent (exact decimal summation)") {
+    // the determinism claim: per-token surprisals are rounded then
+    // summed as DECIMAL, so the per-doc mean cannot depend on summation
+    // order — verified by running under different shuffle parallelism
+    def run(): Seq[(Long, Long, Double)] = {
+      val out = Corpus.docSurprisal(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("cross_entropy"))).toSeq
+      Dedup.retireCaches()
+      out
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    val b = try run() finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a.nonEmpty && a == b)
+    // semantic sanity: every doc's mean surprisal is positive and below
+    // the corpus-wide maximum possible (-ln of the rarest share)
+    a.foreach { case (_, n, ce) => assert(n > 0 && ce > 0.0) }
+  }
+
+  test("streaming incremental dedup equals the batch anti-join") {
+    val want = Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups")))
+      .toSet
+    val got = graft.streaming.DocStream.streamIncrementalDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups")))
+      .toSet
+    assert(want.nonEmpty && got == want,
+      "stream-static anti-join must reproduce the batch incremental dedup")
+  }
+
   test("bpe merge pairs match a sequential recount") {
     val got = Corpus.bpeMergePairs(spark, sf).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))

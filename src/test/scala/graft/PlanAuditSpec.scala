@@ -283,6 +283,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "a global permutation window would serialize the corpus through one task")
   }
 
+  test("doc_surprisal tokenizes the corpus once and joins the vocab, never a product") {
+    // the cached token stream feeds the vocab count AND the scoring
+    // join; only the 1-row total rides a broadcast product
+    val df = operators.Corpus.docSurprisal(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    Dedup.retireCaches()
+    // the tokenize pass is CACHED: both consumers read the cache (every
+    // FileScan in the plan string is the cache's one build plan,
+    // reprinted per InMemoryRelation reference)
+    val cacheReads = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(cacheReads >= 2,
+      s"vocab count and scoring join must both read the cached token stream:\n${p.take(1200)}")
+    assert(p.linesIterator
+        .filter(l => l.contains("FileScan") && l.contains("text"))
+        .forall(_ => p.contains("InMemoryRelation")),
+      "the only text scan is the cache build")
+    assert(!p.contains("CartesianProduct"),
+      "occurrence-to-count must be an equi-join; only the 1-row total broadcasts")
+  }
+
   test("tfidf tokenizes the corpus once: a single text-reading scan") {
     // tf feeds both the scores and the document frequencies; df as a
     // window over tf (not a second aggregate branch) keeps the corpus
