@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incremental _,
     "dedup_incremental_minhash" -> Dedup.incrementalMinHash _,
     "dedup_incremental_bloom" -> Dedup.incrementalBloom _,
+    "dedup_incremental_simhash" -> Dedup.incrementalSimHash _,
     "dedup_spans" -> Dedup.spanDedup _,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccard _,
     "dedup_minhash_lsh" -> Dedup.minHashLsh _,
@@ -829,6 +830,19 @@ object SparkEntry {
          |FROM sig A JOIN sig B ON A.doc_id < B.doc_id
          |WHERE $hammingSql <= ${Dedup.SimHashMaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin
+    // batch-vs-store band probe, replayed as the all-pairs split filter
+    // (lossless for the Hamming radius by pigeonhole, so the oracle
+    // checks the banding claim rather than replicating it)
+    val incSimSplitA = "substr(md5('inc:' || CAST(A.doc_id AS VARCHAR)), 1, 1)"
+    val incSimSplitB = "substr(md5('inc:' || CAST(B.doc_id AS VARCHAR)), 1, 1)"
+    val incSimhash =
+      s"""$sigCte
+         |SELECT A.doc_id AS batch_id, B.doc_id AS hist_id, CAST($hammingSql AS BIGINT) AS hamming
+         |FROM sig A JOIN sig B
+         |  ON $incSimSplitA < '${Dedup.IncBatchThreshold}'
+         | AND $incSimSplitB >= '${Dedup.IncBatchThreshold}'
+         |WHERE $hammingSql <= ${Dedup.SimHashMaxHamming}
+         |ORDER BY batch_id, hist_id""".stripMargin
     val nearDup =
       s"""$embNormSql
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosineSql("a", "b")} AS cosine
@@ -942,6 +956,7 @@ object SparkEntry {
         "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,
+        "dedup_incremental_simhash" -> incSimhash,
         "dedup_clusters" -> clusters, "dedup_keep" -> keep,
         "embedding_near_dup" -> nearDup,
         "embedding_near_dup_lsh" -> nearDupLsh)

@@ -295,7 +295,26 @@ object Dedup {
     * with exact Jaccard over the full shingle sets, so results are
     * identical to the all-pairs formulation the oracle runs.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramPairs(spark, dir).orderBy("doc_a", "doc_b")
+
+  // Like the label frame below, the VERIFIED pair set is a per-corpus
+  // product consumed by two query families (the pair listing and the
+  // component loop) — memoized per input and localCheckpoint'ed so the
+  // session pays the prefix-filtered join once, and the builder's
+  // SF-sized caches retire the moment the checkpoint materializes.
+  private val pairsMemo =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsMemo.synchronized {
+      pairsMemo.getOrElseUpdate(Kernels.inputKey(dir, "documents.parquet"),
+        { val out = buildNgramPairs(spark, dir).localCheckpoint(); retireCaches(); out })
+    }
+
+  // package-private so the plan audit inspects the BUILDER's join plan
+  // (the public query serves the materialized checkpoint once built)
+  private[graft] def buildNgramPairs(spark: SparkSession, dir: String): DataFrame = {
     retirePreviousCaches()
     // cached: feeds the df-agg + prefix build AND the verify join sides
     val shArr = cacheTracked(docShingles(spark, dir))
@@ -331,7 +350,6 @@ object Dedup {
               && col("a.nsh") * 10 >= col("b.nsh") * 3 - 10)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     verifyJaccard(shArr, cand).distinct()
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Connected-component dedup clustering: every document is labeled
@@ -371,18 +389,17 @@ object Dedup {
   private def clusterLabels(spark: SparkSession, dir: String): DataFrame =
     labelsMemo.synchronized {
       labelsMemo.getOrElseUpdate(Kernels.inputKey(dir, "documents.parquet"), {
-        // Eagerly materialize the pair set and CUT ITS LINEAGE before the
-        // loop: an iterative consumer that keeps the ngram pipeline in its
-        // plan re-executes pieces of it through every union branch /
-        // range-sort sampling pass (measured 197s for the FIRST round at
-        // sf0.1 vs 9.6s for ngramJaccard standalone). The edge set is the
-        // dedup OUTPUT — orders of magnitude smaller than the corpus — so
-        // checkpointing it is cheap at any scale (production would use a
-        // reliable checkpoint dir; localCheckpoint is the single-node twin).
-        val edges = ngramJaccard(spark, dir)
-          .select(col("doc_a"), col("doc_b"))
-          .localCheckpoint()
-        retireCaches() // the ngram caches served their purpose; free them for the loop
+        // The edge set arrives ALREADY materialized and lineage-free
+        // (the ngramPairs checkpoint): an iterative consumer that kept
+        // the ngram pipeline in its plan re-executed pieces of it
+        // through every union branch / range-sort sampling pass
+        // (measured 197s for the FIRST round at sf0.1 vs 9.6s for
+        // ngramJaccard standalone). The pair set is the dedup OUTPUT —
+        // orders of magnitude smaller than the corpus — so
+        // checkpointing it is cheap at any scale (production: a
+        // reliable checkpoint dir; localCheckpoint is the single-node
+        // twin).
+        val edges = ngramPairs(spark, dir).select(col("doc_a"), col("doc_b"))
         val docs = Tables.documents(spark, dir).select(col("doc_id"))
         val labels = clustersFromEdges(docs, edges).localCheckpoint()
         // the checkpoint is the materializing action: the loop's own
@@ -771,19 +788,7 @@ object Dedup {
     */
   def simHashPairs(spark: SparkSession, dir: String): DataFrame = {
     retirePreviousCaches()
-    // halves as longs so Hamming is bit_count(xor) — codegen, no arrays
-    val sigs = cacheTracked(simHashSignatures(spark, dir)
-      .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long")))
-    val bandStructs = (0 until SimHashBands).map { b =>
-      struct(lit(b).as("band"),
-        substring(col("simhash"), b * SimHashBandBits + 1, SimHashBandBits).as("bkey"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), col("h1"), col("h2"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("h1"), col("h2"),
-        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bands = simHashBandRows(spark, dir, withSplit = false)
     val hamming = (bit_count(col("x.h1").bitwiseXOR(col("y.h1")))
       + bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("long")
     bands.as("x")
@@ -794,5 +799,56 @@ object Dedup {
       .filter(col("hamming") <= SimHashMaxHamming)
       .distinct() // only verified survivors shuffle for the cross-band dedup
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exploded (doc_id, h1, h2[, split], band, bkey) band rows shared by
+    * [[simHashPairs]] and [[incrementalSimHash]]. Signature halves ride
+    * as longs so Hamming is `bit_count(xor)` — codegen, no arrays; the
+    * signature frame is cacheTracked (feeds both self-join sides).
+    */
+  private def simHashBandRows(
+      spark: SparkSession, dir: String, withSplit: Boolean): DataFrame = {
+    val split = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val base = simHashSignatures(spark, dir)
+      .withColumn("h1", conv(substring(col("simhash"), 1, 32), 2, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("simhash"), 33, 32), 2, 10).cast("long"))
+    val sigs = cacheTracked(
+      if (withSplit) base.withColumn("split", split) else base)
+    val bandStructs = (0 until SimHashBands).map { b =>
+      struct(lit(b).as("band"),
+        substring(col("simhash"), b * SimHashBandBits + 1, SimHashBandBits).as("bkey"))
+    }
+    val carried = Seq(col("doc_id"), col("h1"), col("h2")) ++
+      (if (withSplit) Seq(col("split")) else Nil)
+    sigs
+      .select(carried :+ explode(array(bandStructs: _*)).as("bk"): _*)
+      .select(carried :+ col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
+  }
+
+  /** Incremental SimHash near-dup — [[simHashPairs]]'s band probe in
+    * the batch-vs-store topology of [[incremental]], completing the
+    * incremental family (exact / MinHash / SimHash): the new batch's
+    * 4×16-bit band keys probe the historical band store, and colliding
+    * pairs verify with the inline `bit_count(xor)` Hamming ≤
+    * [[SimHashMaxHamming]]. The probe is LOSSLESS for the radius by
+    * the same pigeonhole as [[simHashPairs]], which is why the oracle
+    * can replay it as an all-pairs batch×history filter and still
+    * hash-match. 100 TB shape: signatures map-only on each side of the
+    * scan-riding split; the store is in production an append-only
+    * (band, bkey) → (doc, sig-halves) table bucketed by band key;
+    * history-history pairs are never generated.
+    */
+  def incrementalSimHash(spark: SparkSession, dir: String): DataFrame = {
+    retirePreviousCaches()
+    val bands = simHashBandRows(spark, dir, withSplit = true)
+    val hamming = (bit_count(col("x.h1").bitwiseXOR(col("y.h1")))
+      + bit_count(col("x.h2").bitwiseXOR(col("y.h2")))).cast("long")
+    bands.filter(col("split") < IncBatchThreshold).as("x")
+      .join(bands.filter(col("split") >= IncBatchThreshold).as("y"), Seq("band", "bkey"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("hist_id"),
+        hamming.as("hamming"))
+      .filter(col("hamming") <= SimHashMaxHamming)
+      .distinct()
+      .orderBy("batch_id", "hist_id")
   }
 }

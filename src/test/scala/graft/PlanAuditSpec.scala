@@ -91,8 +91,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // shingle-hash arrays after the first verify join — measured minutes
     // of sort spill at sf0.1; the shuffle_hash hints must hold
     try {
+      // buildNgramPairs, not ngramJaccard: the public query serves the
+      // per-corpus checkpoint once built — the audit targets the
+      // builder's verify-join plan
       for ((name, df) <- Seq(
-          "dedup_ngram_jaccard" -> Dedup.ngramJaccard(spark, sf),
+          "dedup_ngram_jaccard" -> Dedup.buildNgramPairs(spark, sf),
           "dedup_minhash_lsh" -> Dedup.minHashLsh(spark, sf))) {
         val p = plan(df)
         assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
