@@ -132,6 +132,7 @@ object SparkEntry {
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
     "pipeline_training_set" -> Corpus.trainingSet _,
+    "pipeline_ingest" -> Corpus.ingest _,
     // Structured Streaming twins (drained via memory sink for the gate)
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
@@ -945,8 +946,53 @@ object SparkEntry {
          |  CAST(len(kept) AS BIGINT) AS n_kept,
          |  coalesce(array_to_string(list_transform(kept, p -> toks[p]), ' '), '') AS text_dedup
          |FROM m ORDER BY doc_id""".stripMargin
+    // the ingest flagship: exact anti-join + minhash band probe +
+    // quality gate chained in ONE WITH (CTE names t/shx/ex/sig/bands/sb
+    // match what sigCols/bandSelects expect; quality CTEs renamed
+    // qt/qs to avoid colliding with the shingle fragment's t)
+    val ingestStopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val ingest =
+      s"""WITH d AS (SELECT doc_id,
+         |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         |    $incSplit AS split
+         |  FROM documents),
+         |fb AS (SELECT doc_id, fp FROM d WHERE split < '${Dedup.IncBatchThreshold}'),
+         |fh AS (SELECT DISTINCT fp FROM d WHERE split >= '${Dedup.IncBatchThreshold}'),
+         |firstb AS (SELECT min(fb.doc_id) AS doc_id, fb.fp, count(*) AS n_batch_dups
+         |  FROM fb WHERE NOT EXISTS (SELECT 1 FROM fh WHERE fh.fp = fb.fp)
+         |  GROUP BY fb.fp),
+         |t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |shx AS (SELECT doc_id, $shingleSql AS sh FROM t),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM shx),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM ex GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |sb AS (SELECT doc_id, band, bkey, $incSplit AS split FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS hist_id
+         |  FROM sb x JOIN sb y ON x.band = y.band AND x.bkey = y.bkey
+         |    AND x.split < '${Dedup.IncBatchThreshold}'
+         |    AND y.split >= '${Dedup.IncBatchThreshold}'),
+         |nd AS (SELECT DISTINCT batch_id FROM cand
+         |  JOIN shx A ON cand.batch_id = A.doc_id
+         |  JOIN shx B ON cand.hist_id = B.doc_id
+         |  WHERE $jaccardSql >= 0.3),
+         |qs AS (SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         |    CAST(len(list_filter(toks, w -> list_contains($ingestStopList, w))) AS DOUBLE) AS n_stop
+         |  FROM t),
+         |ql AS (SELECT doc_id, $qualityExprSql AS quality FROM qs)
+         |SELECT f.doc_id, f.fp, f.n_batch_dups, ql.quality
+         |FROM firstb f JOIN ql ON f.doc_id = ql.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM nd WHERE nd.batch_id = f.doc_id)
+         |  AND ql.quality >= ${Corpus.TrainQualityMin}
+         |ORDER BY f.doc_id""".stripMargin
     Map("dedup_exact" -> exact, "dedup_incremental" -> incremental,
         "dedup_incremental_minhash" -> incMinhash,
+        "pipeline_ingest" -> ingest,
         // bit-identical to dedup_incremental by construction (bloom
         // error is one-sided; the stream-static join replays the same
         // anti-join semantics), so the SAME oracle gates all three

@@ -457,6 +457,39 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** FLAGSHIP #2 — the INGEST pipeline, composing the incremental
+    * operator family into the job that runs on EVERY new batch (where
+    * [[trainingSet]] is the periodic full-corpus build): exact dedup
+    * against the historical fingerprint store → near-dup probe of the
+    * historical MinHash band store → quality gate, emitting the
+    * accepted new documents with their in-batch duplicate count and
+    * quality score.
+    *
+    * Composition notes: the exact stage is [[Dedup.incremental]] (the
+    * cache-free formulation composes cleanly; the bloom-accelerated
+    * twin is the drop-in deployment swap, proven bit-identical by its
+    * own oracle); the near-dup stage anti-joins the batch on
+    * [[Dedup.incrementalMinHash]]'s batch ids (band-collision verified
+    * J ≥ 0.3 against history only — batch-internal near-dups are
+    * [[Dedup.minHashLsh]]'s job on the batch alone); the quality gate
+    * shares [[TextAnalysis.qualityScore]]'s exact expression. 100 TB
+    * shape: every stage is the incremental (batch-sized) form — the
+    * corpus-sized store contributes one distinct-fingerprint side and
+    * one band store, both pre-materialized tables in production.
+    */
+  def ingest(spark: SparkSession, dir: String): DataFrame = {
+    val survivors = Dedup.incremental(spark, dir)
+    val nearDup = Dedup.incrementalMinHash(spark, dir)
+      .select(col("batch_id").as("doc_id")).distinct()
+    val quality = TextAnalysis.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality"))
+    survivors.join(nearDup, Seq("doc_id"), "left_anti")
+      .join(quality, "doc_id")
+      .filter(col("quality") >= TrainQualityMin)
+      .select(col("doc_id"), col("fp"), col("n_batch_dups"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   /** Per-(source, lang) corpus composition: doc counts, token and char
     * totals, mean document length — the mix report a pipeline checks
     * before setting sampling weights ([[Sampling.weightedMix]]).

@@ -251,6 +251,29 @@ class OperatorsSpec extends AnyFunSuite {
       "stream-static anti-join must reproduce the batch incremental dedup")
   }
 
+  test("ingest pipeline composes exactly its stages' own outputs") {
+    val inc = Dedup.incremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("fp"), r.getAs[Long]("n_batch_dups"))).toMap
+    Dedup.retireCaches()
+    val nd = Dedup.incrementalMinHash(spark, sf).collect()
+      .map(_.getAs[Long]("batch_id")).toSet
+    Dedup.retireCaches()
+    val q = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val want = inc.collect {
+      case (id, (fp, n)) if !nd.contains(id) && q(id) >= Corpus.TrainQualityMin =>
+        (id, fp, n, q(id))
+    }.toSet
+    val got = Corpus.ingest(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp"),
+        r.getAs[Long]("n_batch_dups"), r.getAs[Double]("quality"))).toSet
+    Dedup.retireCaches()
+    assert(want.nonEmpty && got == want,
+      "the composed plan must equal the stage-by-stage composition")
+    assert(got.size < inc.size, "the gates must drop documents at this SF")
+  }
+
   test("bpe merge pairs match a sequential recount") {
     val got = Corpus.bpeMergePairs(spark, sf).collect()
       .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
