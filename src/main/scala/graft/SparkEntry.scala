@@ -113,6 +113,7 @@ object SparkEntry {
     "mm_chunks" -> Multimodal.chunkPayloads _,
     "mm_resize" -> Multimodal.resizePlan _,
     "mm_features" -> Multimodal.featureStub _,
+    "mm_frames" -> Multimodal.frameSample _,
     // Sampling / mixing / packing (north star)
     "sample_hash" -> Sampling.hashSample _,
     "sample_stratified" -> Sampling.stratifiedSample _,
@@ -979,11 +980,12 @@ object SparkEntry {
          |  JOIN shx A ON cand.batch_id = A.doc_id
          |  JOIN shx B ON cand.hist_id = B.doc_id
          |  WHERE $jaccardSql >= 0.3),
+         |qt AS (SELECT doc_id, $toksRawSql AS toks FROM documents),
          |qs AS (SELECT doc_id,
          |    CAST(len(toks) AS DOUBLE) AS n_tok,
          |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
          |    CAST(len(list_filter(toks, w -> list_contains($ingestStopList, w))) AS DOUBLE) AS n_stop
-         |  FROM t),
+         |  FROM qt),
          |ql AS (SELECT doc_id, $qualityExprSql AS quality FROM qs)
          |SELECT f.doc_id, f.fp, f.n_batch_dups, ql.quality
          |FROM firstb f JOIN ql ON f.doc_id = ql.doc_id
@@ -1140,6 +1142,20 @@ object SparkEntry {
   }
 
   private def multimodalOracles: Map[String, String] = Map(
+    "mm_frames" -> {
+      val k = Multimodal.FrameSampleK
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) % 240 + 16 AS BIGINT) AS n_frames,
+         |    CAST(octet_length(encode(text)) % 24 + 6 AS BIGINT) AS fps
+         |  FROM documents),
+         |s AS (SELECT doc_id, n_frames, fps,
+         |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM m)
+         |SELECT doc_id, CAST(sample_no AS BIGINT) AS sample_no,
+         |  CAST((sample_no * n_frames) // $k AS BIGINT) AS frame_no,
+         |  CAST((((sample_no * n_frames) // $k) * 1000) // fps AS BIGINT) AS ts_ms,
+         |  n_frames, fps
+         |FROM s ORDER BY doc_id, sample_no""".stripMargin
+    },
     "mm_resize" -> {
       val t = Multimodal.ResizeTarget
       s"""WITH m AS (SELECT doc_id,

@@ -131,4 +131,31 @@ object Multimodal {
         length(col("chunk")).cast("long").as("chunk_len"),
         md5(col("chunk")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
+
+  val FrameSampleK = 8
+
+  /** Video frame sampling — the TEMPORAL analogue of
+    * [[chunkPayloads]]'s spatial tiling: each payload carries stream
+    * metadata (frame count and fps — STUB-derived from the byte
+    * length; real pipelines read container headers inside the same
+    * decode kernel as [[decodeStub]]) and the operator emits the
+    * standard uniform-K frame sample: sample k picks frame
+    * ⌊k·n/K⌋ with its millisecond timestamp. All integer arithmetic
+    * (engine-exact), map-only `sequence`+`explode` — no driver
+    * involvement, partition-count independent; the pixel fetch for the
+    * selected frames composes downstream exactly like the decode.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(spark, dir)
+      .select(col("doc_id"),
+        (col("n_bytes") % 240 + 16).as("n_frames"),
+        (col("n_bytes") % 24 + 6).as("fps"))
+      .select(col("doc_id"), col("n_frames"), col("fps"),
+        explode(sequence(lit(0L), lit(FrameSampleK - 1L))).as("sample_no"))
+      .withColumn("frame_no",
+        expr(s"CAST((sample_no * n_frames) DIV $FrameSampleK AS BIGINT)"))
+      .withColumn("ts_ms", expr("CAST((frame_no * 1000) DIV fps AS BIGINT)"))
+      .select(col("doc_id"), col("sample_no"), col("frame_no"), col("ts_ms"),
+        col("n_frames"), col("fps"))
+      .orderBy("doc_id", "sample_no")
 }

@@ -285,6 +285,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.toSeq == want, "distributed pair counts must equal the sequential count")
   }
 
+  test("multimodal: frame sample is uniform, in-bounds and strictly increasing") {
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.length == Multimodal.FrameSampleK)
+      val sorted = rs.sortBy(_.getAs[Long]("sample_no"))
+      assert(sorted.map(_.getAs[Long]("sample_no")).sameElements(0L until Multimodal.FrameSampleK.toLong))
+      val frames = sorted.map(_.getAs[Long]("frame_no"))
+      val n = rs.head.getAs[Long]("n_frames")
+      // n_frames >= 16 > K guarantees distinct, strictly increasing picks
+      assert(frames.zip(frames.tail).forall { case (a, b) => a < b })
+      assert(frames.forall(f => f >= 0 && f < n))
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("ts_ms") == r.getAs[Long]("frame_no") * 1000 / r.getAs[Long]("fps"))
+      }
+    }
+  }
+
   test("multimodal: chunks exactly tile each document") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))
