@@ -52,6 +52,7 @@ object SparkEntry {
     "nation_balance_full_outer" -> Relational.nationBalanceFullOuter _,
     "orders_percentile_rank" -> Relational.ordersPercentileRank _,
     "above_avg_balance" -> Relational.aboveAvgBalance _,
+    "cdc_merge" -> Relational.cdcMerge _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
     "events_json" -> Events.jsonExtract _,
@@ -118,6 +119,7 @@ object SparkEntry {
     "sample_hash" -> Sampling.hashSample _,
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
+    "sample_temperature" -> Sampling.temperatureMix _,
     "mix_epochs" -> Sampling.mixEpochs _,
     "pack_sequences" -> Sampling.packSequences _,
     "export_shuffle" -> Sampling.exportShuffle _,
@@ -418,6 +420,38 @@ object SparkEntry {
         |      FROM customer GROUP BY c_nationkey) a ON c.c_nationkey = a.nk
         |WHERE c.c_acctbal > a.nat_avg
         |ORDER BY c_custkey""".stripMargin,
+    // the synthetic change log, compaction window and three-way merge
+    // mirror Relational.cdcMerge stage for stage
+    "cdc_merge" ->
+      s"""WITH touched AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 10 < 2),
+         |versions AS (
+         |  SELECT o_orderkey, v,
+         |    CASE WHEN o_orderkey % 10 = 0 AND v = 2 THEN 'D' ELSE 'U' END AS op,
+         |    o_totalprice + v * ${Relational.CdcUpdateDelta} AS c_totalprice,
+         |    o_custkey AS c_custkey
+         |  FROM (SELECT t.*, unnest([1, 2]) AS v FROM touched t)),
+         |inserts AS (
+         |  SELECT o_orderkey + ${Relational.CdcInsertOffset} AS o_orderkey, 3 AS v,
+         |    'I' AS op, o_totalprice + ${Relational.CdcInsertDelta} AS c_totalprice,
+         |    o_custkey AS c_custkey
+         |  FROM touched WHERE o_orderkey % 10 = 1),
+         |changes AS (SELECT * FROM versions UNION ALL SELECT * FROM inserts),
+         |latest AS (SELECT o_orderkey, op, c_totalprice, c_custkey FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+         |  FROM changes c) WHERE rn = 1)
+         |SELECT o_orderkey, o_custkey, o_totalprice, src FROM (
+         |  SELECT b.o_orderkey, b.o_custkey,
+         |    coalesce(l.c_totalprice, b.o_totalprice) AS o_totalprice,
+         |    CASE WHEN l.c_totalprice IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+         |  FROM orders b
+         |  LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey AND l.op = 'U'
+         |  WHERE NOT EXISTS (SELECT 1 FROM latest d
+         |                    WHERE d.o_orderkey = b.o_orderkey AND d.op = 'D')
+         |  UNION ALL
+         |  SELECT o_orderkey, c_custkey, c_totalprice, 'cdc' FROM latest WHERE op = 'I')
+         |ORDER BY o_orderkey""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,
@@ -1215,6 +1249,22 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents
         |WHERE substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 2)
         |    < substr(md5('w:' || source), 1, 2)
+        |ORDER BY doc_id""".stripMargin,
+    // integer-exact keep test u²·n_lang < 2^64·n_min (HUGEINT here,
+    // DECIMAL(38,0) on the Spark side — both exact, so they agree on
+    // every boundary row); u is the first 8 md5 hex digits as an int
+    "sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |u AS (SELECT doc_id, lang,
+        |        CAST(CAST(list_sum(list_transform(generate_series(1, 8),
+        |          i -> (strpos('0123456789abcdef',
+        |                  substr(substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8), i, 1)) - 1)
+        |               * (16 ** (8 - i)))) AS BIGINT) AS HUGEINT) AS u
+        |      FROM documents)
+        |SELECT doc_id, lang FROM u JOIN c USING (lang) CROSS JOIN m
+        |WHERE u * u * CAST(n_s AS HUGEINT)
+        |      < CAST('18446744073709551616' AS HUGEINT) * CAST(n_min AS HUGEINT)
         |ORDER BY doc_id""".stripMargin,
     "mix_epochs" ->
       s"""SELECT doc_id, source, n_epochs, unnest(generate_series(1, n_epochs)) AS epoch

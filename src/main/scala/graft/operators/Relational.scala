@@ -358,4 +358,79 @@ object Relational {
               round(col("c_acctbal"), 2).as("c_acctbal"))
       .orderBy("c_custkey")
   }
+
+  /** Inserted keys live above every base key so the synthetic change
+    * batch never collides with an existing order.
+    */
+  val CdcInsertOffset = 1000000000L
+  val CdcUpdateDelta  = 50.0
+  val CdcInsertDelta  = 1000.0
+
+  /** `cdc_merge`: change-data-capture maintenance — compact a log of
+    * keyed change events (multiple versions per key: updates, a final
+    * delete, brand-new inserts) down to the latest change per key, then
+    * MERGE it into the base table (delete wins, update overwrites,
+    * insert appends, untouched rows pass through). This is the batch
+    * half of keeping a 100 TB table in sync with an upstream OLTP feed
+    * (the Debezium→lakehouse pattern); the change log here is derived
+    * deterministically from the base table itself (keys ≡ 0 mod 10 get
+    * two updates then a delete-as-latest; keys ≡ 1 mod 10 get two
+    * updates with the second winning, plus an insert under a fresh
+    * key), standing in for the CDC topic a production job would read.
+    *
+    * 100 TB shape, in two halves:
+    *  - COMPACTION is one shuffle of the change batch on its key
+    *    (row_number over (key, version desc)) — the batch, not the
+    *    base, pays the window; a CDC batch is periodic-interval-sized,
+    *    orders of magnitude under the table it maintains.
+    *  - The MERGE deliberately avoids a full-outer join: Spark cannot
+    *    broadcast either side of FULL OUTER (BroadcastHashJoin supports
+    *    outer only toward the stream side), so the canonical
+    *    `base FULL OUTER latest` formulation forces a sort-merge
+    *    exchange of the ENTIRE base. Decomposed instead into
+    *    anti-join (deletes) + left join (updates) + union (inserts),
+    *    every join keeps the huge base on the streamed side and the
+    *    bounded change batch on the build side — AQE plans both as
+    *    broadcast-hash when the batch fits, and the base is never
+    *    shuffled. (The lakehouse refinement — pruning base FILES that
+    *    contain no changed key before rewriting, as Delta/Iceberg
+    *    MERGE does — is a storage-format concern on top of this same
+    *    join shape.)
+    */
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val touched = base.filter(col("o_orderkey") % 10 < 2)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // two versioned updates per touched key; v2 of a ≡0 key is a delete
+    val versions = touched
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        explode(sequence(lit(1L), lit(2L))).as("v"))
+      .select(col("o_orderkey"), col("v"),
+        when(col("o_orderkey") % 10 === 0 && col("v") === 2, "D")
+          .otherwise("U").as("op"),
+        (col("o_totalprice") + col("v") * lit(CdcUpdateDelta)).as("c_totalprice"),
+        col("o_custkey").as("c_custkey"))
+    val inserts = touched.filter(col("o_orderkey") % 10 === 1)
+      .select((col("o_orderkey") + CdcInsertOffset).as("o_orderkey"),
+        lit(3L).as("v"), lit("I").as("op"),
+        (col("o_totalprice") + CdcInsertDelta).as("c_totalprice"),
+        col("o_custkey").as("c_custkey"))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("v").desc)
+    val latest = versions.unionByName(inserts)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("o_orderkey", "op", "c_totalprice", "c_custkey")
+    val dels = latest.filter(col("op") === "D").select("o_orderkey")
+    val ups  = latest.filter(col("op") === "U").select("o_orderkey", "c_totalprice")
+    val ins  = latest.filter(col("op") === "I")
+    base
+      .join(dels, Seq("o_orderkey"), "left_anti")
+      .join(ups, Seq("o_orderkey"), "left_outer")
+      .select(col("o_orderkey"), col("o_custkey"),
+        coalesce(col("c_totalprice"), col("o_totalprice")).as("o_totalprice"),
+        when(col("c_totalprice").isNotNull, "cdc").otherwise("base").as("src"))
+      .unionByName(ins.select(col("o_orderkey"),
+        col("c_custkey").as("o_custkey"),
+        col("c_totalprice").as("o_totalprice"), lit("cdc").as("src")))
+      .orderBy("o_orderkey")
+  }
 }

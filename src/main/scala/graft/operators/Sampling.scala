@@ -105,6 +105,47 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** 2^64 — the keep test compares against `u² < 2^64 · n_min/n_s`
+    * cross-multiplied into pure integers (see [[temperatureMix]]).
+    */
+  private val TwoPow64 = "18446744073709551616"
+
+  /** `sample_temperature`: temperature-scaled language rebalancing —
+    * the mT5/XLM-R recipe. Each language's keep probability is
+    * p_lang = (n_lang / n_min)^(α−1) with α = 0.5, i.e.
+    * √(n_min/n_lang): the smallest language is kept whole and every
+    * larger one is down-sampled toward the α-tempered multinomial,
+    * flattening the head without starving the tail. Unlike
+    * [[weightedMix]] (rates supplied as config), the rates here are
+    * DATA-DEPENDENT — computed from the per-language counts the corpus
+    * itself yields.
+    *
+    * Determinism at the boundary: the per-doc uniform draw is
+    * u = first 8 md5 hex digits ∈ [0, 2^32), and the keep test
+    * `(u/2^32)² < n_min/n_lang` is cross-multiplied to
+    * `u²·n_lang < 2^64·n_min` — evaluated in exact integer (decimal)
+    * arithmetic, so there is NO floating-point at the selection
+    * boundary and both engines agree bit-for-bit on every row (a
+    * double sqrt threshold would make boundary rows engine-dependent).
+    *
+    * 100 TB shape: one combiner-friendly count aggregate producing
+    * |languages| rows, broadcast back over the corpus; the keep test
+    * itself is map-only and rides the scan. Rebalancing a corpus never
+    * shuffles the corpus.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+    val rates = counts.crossJoin(broadcast(counts.agg(min("n_s").as("n_min"))))
+    val u = conv(substring(saltedHash("temp", col("doc_id")), 1, 8), 16, 10)
+      .cast("decimal(20,0)")
+    docs.join(broadcast(rates), "lang")
+      .filter(u * u * col("n_s").cast("decimal(12,0)") <
+        lit(TwoPow64).cast("decimal(20,0)") * col("n_min").cast("decimal(12,0)"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   val ExportShards = 8
 
   /** Deterministic global shuffle for training export: order the corpus

@@ -363,6 +363,56 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix keeps the smallest language whole and tempers the rest") {
+    val langCounts = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = langCounts.values.min
+    val kept = Sampling.temperatureMix(spark, sf).collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong).toMap
+    val minLangs = langCounts.filter(_._2 == nMin).keySet
+    minLangs.foreach { l =>
+      assert(kept.getOrElse(l, 0L) == nMin, s"smallest language $l kept whole")
+    }
+    langCounts.foreach { case (l, n) =>
+      val expected = math.sqrt(nMin.toDouble / n)
+      val rate = kept.getOrElse(l, 0L).toDouble / n
+      assert(math.abs(rate - expected) < 0.2,
+        s"$l keep-rate $rate within sampling noise of √(n_min/n)=$expected")
+    }
+    // determinism at any parallelism
+    val a = Sampling.temperatureMix(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.temperatureMix(spark, sf).repartition(5).orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("cdc merge: deletes drop, latest update wins, inserts append, rest untouched") {
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val merged = Relational.cdcMerge(spark, sf).collect()
+    val byKey = merged.map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    assert(merged.length == byKey.size, "one row per key after merge")
+    val dels = base.keySet.filter(_ % 10 == 0)
+    assert(dels.nonEmpty && !dels.exists(byKey.contains), "deleted keys are gone")
+    base.keySet.filter(_ % 10 == 1).foreach { k =>
+      val r = byKey(k)
+      assert(r.getAs[String]("src") == "cdc")
+      assert(r.getAs[Double]("o_totalprice") == base(k) + 2 * Relational.CdcUpdateDelta,
+        "latest (v=2) update wins over v=1")
+      val ins = byKey(k + Relational.CdcInsertOffset)
+      assert(ins.getAs[String]("src") == "cdc" &&
+        ins.getAs[Double]("o_totalprice") == base(k) + Relational.CdcInsertDelta)
+    }
+    base.keySet.filter(k => k % 10 >= 2).foreach { k =>
+      val r = byKey(k)
+      assert(r.getAs[String]("src") == "base" &&
+        r.getAs[Double]("o_totalprice") == base(k), "untouched rows pass through")
+    }
+    assert(merged.length ==
+      base.size - dels.size + base.keySet.count(_ % 10 == 1))
+  }
+
   test("sequence packing: full coverage, packs start at 0, fill monotonically") {
     val rows = Sampling.packSequences(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
