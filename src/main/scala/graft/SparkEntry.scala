@@ -146,6 +146,7 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     "stream_dedup_watermark" -> graft.streaming.DocStream.streamDedupWatermark _,
     "stream_incremental_dedup" -> graft.streaming.DocStream.streamIncrementalDedup _,
+    "stream_cdc_merge" -> graft.streaming.ChangeStream.streamCdcMerge _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -183,6 +184,42 @@ object SparkEntry {
        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
        |k AS (SELECT event_type, MAX(nd) AS nd,
        |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r GROUP BY event_type)""".stripMargin
+
+  /** The CDC maintenance oracle: synthetic change log, compaction
+    * window and three-way merge mirror Relational.cdcMerge stage for
+    * stage. Shared verbatim with `stream_cdc_merge` — the per-batch
+    * version-guarded merge must land on the same final table.
+    */
+  private lazy val cdcMergeSql =
+    s"""WITH touched AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |  WHERE o_orderkey % 10 < 2),
+       |versions AS (
+       |  SELECT o_orderkey, v,
+       |    CASE WHEN o_orderkey % 10 = 0 AND v = 2 THEN 'D' ELSE 'U' END AS op,
+       |    o_totalprice + v * ${operators.Relational.CdcUpdateDelta} AS c_totalprice,
+       |    o_custkey AS c_custkey
+       |  FROM (SELECT t.*, unnest([1, 2]) AS v FROM touched t)),
+       |inserts AS (
+       |  SELECT o_orderkey + ${operators.Relational.CdcInsertOffset} AS o_orderkey, 3 AS v,
+       |    'I' AS op, o_totalprice + ${operators.Relational.CdcInsertDelta} AS c_totalprice,
+       |    o_custkey AS c_custkey
+       |  FROM touched WHERE o_orderkey % 10 = 1),
+       |changes AS (SELECT * FROM versions UNION ALL SELECT * FROM inserts),
+       |latest AS (SELECT o_orderkey, op, c_totalprice, c_custkey FROM (
+       |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+       |  FROM changes c) WHERE rn = 1)
+       |SELECT o_orderkey, o_custkey, o_totalprice, src FROM (
+       |  SELECT b.o_orderkey, b.o_custkey,
+       |    coalesce(l.c_totalprice, b.o_totalprice) AS o_totalprice,
+       |    CASE WHEN l.c_totalprice IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
+       |  FROM orders b
+       |  LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey AND l.op = 'U'
+       |  WHERE NOT EXISTS (SELECT 1 FROM latest d
+       |                    WHERE d.o_orderkey = b.o_orderkey AND d.op = 'D')
+       |  UNION ALL
+       |  SELECT o_orderkey, c_custkey, c_totalprice, 'cdc' FROM latest WHERE op = 'I')
+       |ORDER BY o_orderkey""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wc" ->
@@ -422,36 +459,7 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
     // the synthetic change log, compaction window and three-way merge
     // mirror Relational.cdcMerge stage for stage
-    "cdc_merge" ->
-      s"""WITH touched AS (
-         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         |  WHERE o_orderkey % 10 < 2),
-         |versions AS (
-         |  SELECT o_orderkey, v,
-         |    CASE WHEN o_orderkey % 10 = 0 AND v = 2 THEN 'D' ELSE 'U' END AS op,
-         |    o_totalprice + v * ${Relational.CdcUpdateDelta} AS c_totalprice,
-         |    o_custkey AS c_custkey
-         |  FROM (SELECT t.*, unnest([1, 2]) AS v FROM touched t)),
-         |inserts AS (
-         |  SELECT o_orderkey + ${Relational.CdcInsertOffset} AS o_orderkey, 3 AS v,
-         |    'I' AS op, o_totalprice + ${Relational.CdcInsertDelta} AS c_totalprice,
-         |    o_custkey AS c_custkey
-         |  FROM touched WHERE o_orderkey % 10 = 1),
-         |changes AS (SELECT * FROM versions UNION ALL SELECT * FROM inserts),
-         |latest AS (SELECT o_orderkey, op, c_totalprice, c_custkey FROM (
-         |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
-         |  FROM changes c) WHERE rn = 1)
-         |SELECT o_orderkey, o_custkey, o_totalprice, src FROM (
-         |  SELECT b.o_orderkey, b.o_custkey,
-         |    coalesce(l.c_totalprice, b.o_totalprice) AS o_totalprice,
-         |    CASE WHEN l.c_totalprice IS NOT NULL THEN 'cdc' ELSE 'base' END AS src
-         |  FROM orders b
-         |  LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey AND l.op = 'U'
-         |  WHERE NOT EXISTS (SELECT 1 FROM latest d
-         |                    WHERE d.o_orderkey = b.o_orderkey AND d.op = 'D')
-         |  UNION ALL
-         |  SELECT o_orderkey, c_custkey, c_totalprice, 'cdc' FROM latest WHERE op = 'I')
-         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_merge" -> cdcMergeSql,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,
@@ -1484,6 +1492,9 @@ object SparkEntry {
   }
 
   private def streamingOracles: Map[String, String] = Map(
+    // per-micro-batch version-guarded maintenance must reach the same
+    // final table as the one-shot batch merge — identical oracle
+    "stream_cdc_merge" -> cdcMergeSql,
     // The md5-deterministic bottom-k sketch streams to the SAME
     // estimate a batch pass produces (lossless sketch merge), so the
     // oracle is the batch KMV estimator.

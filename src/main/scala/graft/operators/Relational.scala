@@ -397,9 +397,17 @@ object Relational {
     *    MERGE does — is a storage-format concern on top of this same
     *    join shape.)
     */
-  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.orders(spark, dir)
-    val touched = base.filter(col("o_orderkey") % 10 < 2)
+  /** The synthetic versioned change log (updates, a delete-as-latest,
+    * inserts under fresh keys) derived deterministically from an orders
+    * frame — shared by [[cdcMerge]] and its streaming twin
+    * [[graft.streaming.ChangeStream.streamCdcMerge]], so batch and
+    * per-micro-batch maintenance consume the identical event set.
+    * Every transform here is streaming-compatible (filter / project /
+    * explode / union — no window, no aggregate): compaction happens on
+    * the consumer side, where the frame is a bounded batch.
+    */
+  private[graft] def cdcChangeLog(orders: DataFrame): DataFrame = {
+    val touched = orders.filter(col("o_orderkey") % 10 < 2)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     // two versioned updates per touched key; v2 of a ≡0 key is a delete
     val versions = touched
@@ -415,8 +423,13 @@ object Relational {
         lit(3L).as("v"), lit("I").as("op"),
         (col("o_totalprice") + CdcInsertDelta).as("c_totalprice"),
         col("o_custkey").as("c_custkey"))
+    versions.unionByName(inserts)
+  }
+
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
     val w = Window.partitionBy("o_orderkey").orderBy(col("v").desc)
-    val latest = versions.unionByName(inserts)
+    val latest = cdcChangeLog(base)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("o_orderkey", "op", "c_totalprice", "c_custkey")
     val dels = latest.filter(col("op") === "D").select("o_orderkey")

@@ -413,6 +413,22 @@ class OperatorsSpec extends AnyFunSuite {
       base.size - dels.size + base.keySet.count(_ % 10 == 1))
   }
 
+  test("cdc micro-batch merge is order-robust: any batch split reaches the batch result") {
+    import graft.streaming.ChangeStream
+    val log = Relational.cdcChangeLog(Tables.orders(spark, sf))
+    // adversarial split: all v=2 changes (deletes and winning updates)
+    // land BEFORE the v=1 updates they must not be overwritten by
+    val high = log.filter(col("v") >= 2)
+    val low  = log.filter(col("v") < 2)
+    val expected = Relational.cdcMerge(spark, sf).collect().toSeq
+    Seq(Seq(high, low), Seq(low, high)).foreach { batches =>
+      var target = ChangeStream.baseStore(spark, sf)
+      batches.foreach(b => target = ChangeStream.mergeBatch(target, b))
+      assert(ChangeStream.finish(target).collect().toSeq == expected,
+        "version guard + tombstones make the final store split-order-independent")
+    }
+  }
+
   test("sequence packing: full coverage, packs start at 0, fill monotonically") {
     val rows = Sampling.packSequences(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
