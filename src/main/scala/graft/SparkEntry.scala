@@ -53,6 +53,7 @@ object SparkEntry {
     "orders_percentile_rank" -> Relational.ordersPercentileRank _,
     "above_avg_balance" -> Relational.aboveAvgBalance _,
     "cdc_merge" -> Relational.cdcMerge _,
+    "cdc_scd2" -> Relational.cdcScd2 _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
     "events_json" -> Events.jsonExtract _,
@@ -190,7 +191,10 @@ object SparkEntry {
     * stage. Shared verbatim with `stream_cdc_merge` — the per-batch
     * version-guarded merge must land on the same final table.
     */
-  private lazy val cdcMergeSql =
+  /** Shared CTE prefix replaying Relational.cdcChangeLog in SQL —
+    * consumed by the merge, streaming-merge and SCD2-history oracles.
+    */
+  private lazy val cdcChangeCtes =
     s"""WITH touched AS (
        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
        |  WHERE o_orderkey % 10 < 2),
@@ -205,7 +209,10 @@ object SparkEntry {
        |    'I' AS op, o_totalprice + ${operators.Relational.CdcInsertDelta} AS c_totalprice,
        |    o_custkey AS c_custkey
        |  FROM touched WHERE o_orderkey % 10 = 1),
-       |changes AS (SELECT * FROM versions UNION ALL SELECT * FROM inserts),
+       |changes AS (SELECT * FROM versions UNION ALL SELECT * FROM inserts)""".stripMargin
+
+  private lazy val cdcMergeSql =
+    s"""$cdcChangeCtes,
        |latest AS (SELECT o_orderkey, op, c_totalprice, c_custkey FROM (
        |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
        |  FROM changes c) WHERE rn = 1)
@@ -220,6 +227,24 @@ object SparkEntry {
        |  UNION ALL
        |  SELECT o_orderkey, c_custkey, c_totalprice, 'cdc' FROM latest WHERE op = 'I')
        |ORDER BY o_orderkey""".stripMargin
+
+  /** The scale decomposition (touched-keys semi/anti split) is
+    * plan-shape only — the full-history window here is value-identical.
+    */
+  private lazy val cdcScd2Sql =
+    s"""$cdcChangeCtes,
+       |hist AS (
+       |  SELECT *, lead(v) OVER (PARTITION BY o_orderkey ORDER BY v) AS valid_to_v
+       |  FROM (SELECT o_orderkey, 0 AS v, 'B' AS op, o_totalprice AS c_totalprice
+       |        FROM orders
+       |        UNION ALL
+       |        SELECT o_orderkey, v, op, c_totalprice FROM changes))
+       |SELECT o_orderkey, CAST(v AS BIGINT) AS v, op,
+       |  c_totalprice AS o_totalprice, CAST(valid_to_v AS BIGINT) AS valid_to_v,
+       |  CASE WHEN op = 'D' THEN 'deleted'
+       |       WHEN valid_to_v IS NULL THEN 'current'
+       |       ELSE 'superseded' END AS status
+       |FROM hist ORDER BY o_orderkey, v""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "wc" ->
@@ -460,6 +485,7 @@ object SparkEntry {
     // the synthetic change log, compaction window and three-way merge
     // mirror Relational.cdcMerge stage for stage
     "cdc_merge" -> cdcMergeSql,
+    "cdc_scd2" -> cdcScd2Sql,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,

@@ -426,6 +426,48 @@ object Relational {
     versions.unionByName(inserts)
   }
 
+  /** `cdc_scd2`: Type-2 slowly-changing-dimension history over the
+    * same change log [[cdcMerge]] compacts away — instead of keeping
+    * only the latest value per key, every version becomes a validity
+    * interval: `valid_to_v` is the next version's number (NULL while
+    * open), and the row's status is `deleted` (a terminal tombstone),
+    * `current` (open interval) or `superseded`. The base row enters
+    * the history as version 0.
+    *
+    * 100 TB shape — the interval window never sees the base table:
+    * only keys PRESENT in the change batch need their history
+    * re-threaded, so the base is split by a broadcastable semi/anti
+    * join on the batch's distinct keys; the lead() window runs over
+    * (touched base rows ∪ change rows) — batch-sized — and the
+    * untouched base (the overwhelming majority at scale) passes
+    * through as open version-0 intervals without being shuffled at
+    * all. A full-history formulation (window over base ∪ changes)
+    * would re-shuffle 100 TB to re-derive intervals that cannot have
+    * changed.
+    */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), lit(0L).as("v"), lit("B").as("op"),
+        col("o_totalprice").as("c_totalprice"))
+    val changes = cdcChangeLog(Tables.orders(spark, dir))
+      .select("o_orderkey", "v", "op", "c_totalprice")
+    val changedKeys = changes.select("o_orderkey").distinct()
+    val w = Window.partitionBy("o_orderkey").orderBy("v")
+    val touchedHist = base.join(changedKeys, Seq("o_orderkey"), "left_semi")
+      .unionByName(changes)
+      .withColumn("valid_to_v", lead(col("v"), 1).over(w))
+    val untouched = base.join(changedKeys, Seq("o_orderkey"), "left_anti")
+      .withColumn("valid_to_v", lit(null).cast("long"))
+    touchedHist.unionByName(untouched)
+      .select(col("o_orderkey"), col("v"), col("op"),
+        col("c_totalprice").as("o_totalprice"),
+        col("valid_to_v"),
+        when(col("op") === "D", "deleted")
+          .when(col("valid_to_v").isNull, "current")
+          .otherwise("superseded").as("status"))
+      .orderBy("o_orderkey", "v")
+  }
+
   def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.orders(spark, dir)
     val w = Window.partitionBy("o_orderkey").orderBy(col("v").desc)

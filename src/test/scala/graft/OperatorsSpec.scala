@@ -413,6 +413,29 @@ class OperatorsSpec extends AnyFunSuite {
       base.size - dels.size + base.keySet.count(_ % 10 == 1))
   }
 
+  test("cdc scd2 history chains intervals and agrees with the compacted merge") {
+    val hist = Relational.cdcScd2(spark, sf).collect()
+    hist.groupBy(_.getAs[Long]("o_orderkey")).foreach { case (_, rows) =>
+      val byV = rows.sortBy(_.getAs[Long]("v"))
+      // each version's valid_to_v is exactly the next version's v
+      byV.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_v") == b.getAs[Long]("v"), "intervals chain")
+        case _ =>
+      }
+      assert(byV.init.forall(_.getAs[String]("status") == "superseded"))
+      val last = byV.last
+      assert(last.isNullAt(last.fieldIndex("valid_to_v")), "last interval is open")
+      assert(last.getAs[String]("status") == (if (last.getAs[String]("op") == "D") "deleted" else "current"))
+    }
+    // the open non-deleted intervals ARE the merged table
+    val current = hist.filter(_.getAs[String]("status") == "current")
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    val merged = Relational.cdcMerge(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    assert(current == merged, "SCD2 current slice == Type-1 merge result")
+  }
+
   test("cdc micro-batch merge is order-robust: any batch split reaches the batch result") {
     import graft.streaming.ChangeStream
     val log = Relational.cdcChangeLog(Tables.orders(spark, sf))
