@@ -71,6 +71,7 @@ object SparkEntry {
     "events_salted_share" -> Skew.eventShareOfUser _,
     "events_anomaly" -> Events.valueAnomalies _,
     "events_resample" -> Events.resample _,
+    "events_ohlc" -> Events.ohlcResample _,
     "events_sliding_window" -> Events.slidingWindowCounts _,
     "events_heatmap" -> Events.activityHeatmap _,
     "events_type_counts" -> Events.typeCounts _,
@@ -615,6 +616,14 @@ object SparkEntry {
          |  $cols
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     },
+    "events_ohlc" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
     "events_resample" -> {
       val bu = Events.ResampleBucketUs
       s"""WITH e AS (SELECT user_id, epoch_us(ts) // $bu AS b, ts,

@@ -328,6 +328,36 @@ object Events {
       .orderBy("user_id", "bucket_start")
   }
 
+  /** `events_ohlc`: open/high/low/close candles per (event_type, hour)
+    * — the canonical downsampling of a value stream for charting and
+    * feature windows. Every component is a PARTIAL-AGGREGABLE monoid:
+    * count, min, max, and first/last via `min_by`/`max_by` over a
+    * fixed-width (epoch_us, event_id) string key (a composite that
+    * makes first/last deterministic even when two users share a
+    * timestamp inside a bucket — lexicographic on the padded string
+    * equals numeric on the pair). One combiner-friendly shuffle to
+    * |types|·|hours| rows; no window, no per-group materialization —
+    * the contrast to `events_quantiles`, whose exact percentiles
+    * cannot partial-aggregate. open/close are PICKED values and
+    * min/max touch single elements, so no accumulation-order concern
+    * exists and doubles cross engines bit-exactly.
+    */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame = {
+    val ord = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("value"), ord.as("ord"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        expr("min_by(value, ord)").as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        expr("max_by(value, ord)").as("close"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Per-type value outliers at |z| > 3. The moments come from EXACT
     * decimal sums (Σx, Σx² as DECIMAL — double accumulation would make
     * mean/variance depend on partition order, i.e. differ run-to-run

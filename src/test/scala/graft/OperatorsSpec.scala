@@ -413,6 +413,18 @@ class OperatorsSpec extends AnyFunSuite {
       base.size - dels.size + base.keySet.count(_ % 10 == 1))
   }
 
+  test("ohlc candles: bounds hold and buckets cover every event") {
+    val rows = Events.ohlcResample(spark, sf).collect()
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h, "open/close inside [low, high]")
+      if (r.getAs[Long]("n_events") == 1L) assert(o == c && o == h && o == l)
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == total, "candles partition the stream")
+  }
+
   test("cdc scd2 history chains intervals and agrees with the compacted merge") {
     val hist = Relational.cdcScd2(spark, sf).collect()
     hist.groupBy(_.getAs[Long]("o_orderkey")).foreach { case (_, rows) =>
