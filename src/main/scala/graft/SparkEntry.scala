@@ -149,6 +149,7 @@ object SparkEntry {
     "stream_dedup_watermark" -> graft.streaming.DocStream.streamDedupWatermark _,
     "stream_incremental_dedup" -> graft.streaming.DocStream.streamIncrementalDedup _,
     "stream_cdc_merge" -> graft.streaming.ChangeStream.streamCdcMerge _,
+    "stream_session_window" -> graft.streaming.EventStream.sessionWindows _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -1603,6 +1604,31 @@ object SparkEntry {
         | AND epoch_us(p.ts) >= epoch_us(e.ts) - 600000000
         | AND epoch_us(p.ts) < epoch_us(e.ts)
         |ORDER BY error_id, purchase_id""".stripMargin,
+    // Built-in session_window is end-EXCLUSIVE: an exactly-30-minute
+    // gap starts a new session (>=), unlike the batch lag() rule (>).
+    // Append mode seals a session once end + delay <= max event time.
+    "stream_session_window" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS seq
+        |  FROM flagged),
+        |s AS (SELECT user_id, min(ts) AS session_start,
+        |        max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |        count(*) AS n_events,
+        |        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |      FROM sessions GROUP BY user_id, seq)
+        |SELECT user_id, session_start, session_end, n_events, session_value
+        |FROM s, m WHERE session_end + INTERVAL 1 HOUR <= mx
+        |ORDER BY user_id, session_start""".stripMargin,
     // Append mode emits only watermark-sealed windows: window end + the
     // 1-hour delay must be <= the max event time seen.
     "stream_windowed" ->

@@ -137,6 +137,38 @@ object EventStream {
     * have emitted so far). Money in integer cents, as in
     * [[userTotals]].
     */
+  /** `stream_session_window`: per-user gap sessions via the BUILT-IN
+    * `session_window` aggregation — the declarative complement to
+    * [[sessionizeStream]]'s hand-rolled `mapGroupsWithState`. Spark
+    * merges windows whose events fall strictly inside `last + gap`
+    * (end-exclusive), so an exactly-30-minute gap STARTS a session
+    * here, whereas the batch lag()-formulation breaks only at
+    * `gap > 30 min` — the oracle encodes the `>=` rule and seals
+    * emission at `session_end + delay <= max event time`, the same
+    * watermark model `stream_windowed` proves. State is bounded: a
+    * session evicts once the watermark passes its end, which is THE
+    * reason this shape survives unbounded ingest while a global batch
+    * sessionize over all history cannot.
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+    val name = "stream_session_window_out"
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("user_id", "session_start")
+  }
+
   def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
     implicit val inEnc: Encoder[(Long, Long, Long, Double)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble)

@@ -123,6 +123,28 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Dedup.retireCaches()
   }
 
+  test("cdc maintenance: the base table is never sort-merge-shuffled") {
+    // cdcMerge decomposes MERGE so every join keeps the base streamed
+    // against a broadcast change batch; cdcScd2 windows only the
+    // change-touched keys. A SortMergeJoin anywhere means the base
+    // (100 TB at scale) got exchanged.
+    for ((name, df) <- Seq(
+        "cdc_merge" -> Relational.cdcMerge(spark, sf),
+        "cdc_scd2" -> Relational.cdcScd2(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("SortMergeJoin"),
+        s"$name must broadcast the change batch, not exchange the base:\n${p.take(600)}")
+      assert(p.contains("BroadcastHashJoin"), s"$name should broadcast-join")
+    }
+    // the scd2 interval window must sit above the touched-keys union,
+    // not above the untouched base branch (which joins left_anti)
+    val scd2 = plan(Relational.cdcScd2(spark, sf))
+    val windowPos = scd2.indexOf("Window")
+    val antiPos = scd2.indexOf("LeftAnti")
+    assert(windowPos >= 0 && antiPos >= 0 && windowPos < antiPos,
+      "lead() window runs over the touched branch; untouched rows bypass it")
+  }
+
   test("bucketed fact tables join with ZERO exchange (co-located join)") {
     // The 100 TB co-location story made concrete: orders and lineitem
     // written bucketed by their join key join WITHOUT any shuffle — the
