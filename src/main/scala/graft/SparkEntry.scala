@@ -108,6 +108,7 @@ object SparkEntry {
     "ann_ivf" -> Similarity.annIvf _,
     "ann_ivf_r2" -> Similarity.annIvfR2 _,
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
+    "ann_hard_negatives" -> Similarity.hardNegatives _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -1213,8 +1214,23 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    val hardNeg =
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT vec_id, label, v,
+         |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |s AS (
+         |  SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM n p JOIN n c ON p.vec_id < ${Similarity.NumProbes}
+         |    AND p.vec_id <> c.vec_id AND p.label <> c.label),
+         |r AS (SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |      FROM s)
+         |SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM r
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("ann_topk" -> topk, "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
-        "ann_ivf_kmeans" -> ivfKmeans,
+        "ann_ivf_kmeans" -> ivfKmeans, "ann_hard_negatives" -> hardNeg,
         "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
   }

@@ -55,6 +55,37 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** `ann_hard_negatives`: hard-negative mining for contrastive
+    * training — for each probe, the [[TopK]] most-similar vectors
+    * carrying a DIFFERENT label. In-batch random negatives are mostly
+    * easy (near-orthogonal); the negatives that actually move a
+    * contrastive loss are the high-similarity wrong-label ones this
+    * query surfaces. Same exact broadcast-probe shape as [[annTopK]]
+    * with the label-mismatch predicate riding the join condition (it
+    * prunes candidates BEFORE the similarity evaluation, not after the
+    * rank); at production scale the identical predicate rides the IVF
+    * candidate join ([[annIvfKmeans]]) instead of the exact one.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Kernels.fanOut(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")))
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+    val probes = emb.filter(col("vec_id") < NumProbes)
+    broadcast(probes).as("p")
+      .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id") &&
+        col("p.label") =!= col("c.label"))
+      .select(col("p.vec_id").as("probe_id"), col("p.label").as("probe_label"),
+        col("c.vec_id").as("neighbor_id"), col("c.label").as("neighbor_label"),
+        cosine(spark).as("sim"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
   val IvfBits = 6 // 2^6 = 64 coarse cells
 
   /** Multi-probe IVF-bucketed ANN. The codebook is sign-random-

@@ -413,6 +413,21 @@ class OperatorsSpec extends AnyFunSuite {
       base.size - dels.size + base.keySet.count(_ % 10 == 1))
   }
 
+  test("hard negatives never share the probe's label and rank below the true top-k") {
+    val hn = Similarity.hardNegatives(spark, sf).collect()
+    assert(hn.nonEmpty)
+    hn.foreach(r => assert(r.getAs[Int]("probe_label") != r.getAs[Int]("neighbor_label")))
+    // every hard negative appears in the unrestricted ranking with a
+    // sim no higher than the same probe's true top-1
+    val top1 = Similarity.annTopK(spark, sf).collect()
+      .filter(_.getAs[Long]("rnk") == 1L)
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Double]("sim")).toMap
+    hn.filter(_.getAs[Long]("rnk") == 1L).foreach { r =>
+      assert(r.getAs[Double]("sim") <= top1(r.getAs[Long]("probe_id")),
+        "label-filtered top-1 cannot beat the unrestricted top-1")
+    }
+  }
+
   test("ohlc candles: bounds hold and buckets cover every event") {
     val rows = Events.ohlcResample(spark, sf).collect()
     rows.foreach { r =>
