@@ -109,6 +109,7 @@ object SparkEntry {
     "ann_ivf_r2" -> Similarity.annIvfR2 _,
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
+    "embedding_quantize" -> Similarity.quantize _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -1229,8 +1230,18 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, probe_label, neighbor_id, neighbor_label, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    val quantize =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+        |x AS (SELECT vec_id, s, unnest(v) AS x,
+        |        unnest(generate_series(1, len(v))) AS dim FROM s)
+        |SELECT vec_id, CAST(dim AS BIGINT) AS dim, round(s, 6) AS scale,
+        |  CAST(CASE WHEN s = 0 THEN 0
+        |       ELSE sign(x) * floor(abs(x) / s * 127) END AS BIGINT) AS q
+        |FROM x ORDER BY vec_id, dim""".stripMargin
     Map("ann_topk" -> topk, "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
         "ann_ivf_kmeans" -> ivfKmeans, "ann_hard_negatives" -> hardNeg,
+        "embedding_quantize" -> quantize,
         "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
   }

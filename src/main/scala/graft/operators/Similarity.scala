@@ -86,6 +86,29 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** `embedding_quantize`: symmetric per-vector int8 quantization —
+    * the standard 4× storage/bandwidth cut for serving a vector index
+    * (the IVF cells of [[annIvfKmeans]] would store these codes plus
+    * the per-vector scale for dequantization). q = sign(x)·⌊|x|/s·127⌋
+    * with s = max|x_i|: the TRUNCATING round is deliberate — floor,
+    * abs and sign are bit-identical across engines, whereas a
+    * half-up/half-even round() diverges between Spark and DuckDB on
+    * exact .5 quotients. Map-only: the whole transform rides the
+    * embedding scan, zero shuffle at any scale; output is exploded to
+    * (vec_id, dim) rows for the oracle's sake.
+    */
+  def quantize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("s", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), col("s"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("s"), 6).as("scale"),
+        when(col("s") === 0d, 0d)
+          .otherwise(signum(col("x")) * floor(abs(col("x")) / col("s") * 127))
+          .cast("long").as("q"))
+      .orderBy("vec_id", "dim")
+
   val IvfBits = 6 // 2^6 = 64 coarse cells
 
   /** Multi-probe IVF-bucketed ANN. The codebook is sign-random-

@@ -428,6 +428,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantization: codes bounded, max-magnitude dim saturates, dequant error < 1/127 of scale") {
+    val rows = Similarity.quantize(spark, sf).collect()
+    val raw = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, rs) =>
+      val v = raw(id)
+      val scale = v.map(math.abs).max
+      rs.foreach { r =>
+        val q = r.getAs[Long]("q")
+        assert(q >= -127 && q <= 127)
+        val x = v(r.getAs[Long]("dim").toInt - 1)
+        assert(math.abs(math.abs(q) * scale / 127 - math.abs(x)) <= scale / 127 + 1e-12,
+          "dequantization error within one code step")
+      }
+      assert(rs.map(r => math.abs(r.getAs[Long]("q"))).max == 127L,
+        "the max-magnitude dimension saturates the code range")
+    }
+  }
+
   test("ohlc candles: bounds hold and buckets cover every event") {
     val rows = Events.ohlcResample(spark, sf).collect()
     rows.foreach { r =>
