@@ -110,6 +110,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
     "embedding_quantize" -> Similarity.quantize _,
+    "ann_quantized" -> Similarity.annTopKQuantized _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -1239,9 +1240,27 @@ object SparkEntry {
         |  CAST(CASE WHEN s = 0 THEN 0
         |       ELSE sign(x) * floor(abs(x) / s * 127) END AS BIGINT) AS q
         |FROM x ORDER BY vec_id, dim""".stripMargin
+    // scales cancel in quantized cosine: pure integer dots + one division
+    val quantCosine =
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv FROM embeddings),
+        |sc AS (SELECT vec_id, fv, list_max(list_transform(fv, x -> abs(x))) AS s FROM e),
+        |q AS (SELECT vec_id, list_transform(fv, x -> CASE WHEN s = 0 THEN 0
+        |        ELSE sign(x) * floor(abs(x) / s * 127) END) AS v FROM sc),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM q),
+        |s2 AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(list_zip(p.v, c.v), z -> z[1] * z[2])) / (p.nrm * c.nrm), 6) AS sim
+        |  FROM n p JOIN n c ON p.vec_id < %PROBES% AND p.vec_id <> c.vec_id),
+        |r AS (SELECT probe_id, neighbor_id, sim,
+        |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |      FROM s2)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM r
+        |WHERE rnk <= %TOPK% ORDER BY probe_id, rnk""".stripMargin
+        .replace("%PROBES%", Similarity.NumProbes.toString)
+        .replace("%TOPK%", Similarity.TopK.toString)
     Map("ann_topk" -> topk, "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
         "ann_ivf_kmeans" -> ivfKmeans, "ann_hard_negatives" -> hardNeg,
-        "embedding_quantize" -> quantize,
+        "embedding_quantize" -> quantize, "ann_quantized" -> quantCosine,
         "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
   }

@@ -109,6 +109,40 @@ object Similarity {
           .cast("long").as("q"))
       .orderBy("vec_id", "dim")
 
+  /** `ann_quantized`: the search half of [[quantize]] — top-k cosine
+    * over the INT8 CODES instead of the floats. The symmetric
+    * per-vector scale cancels out of cosine entirely
+    * (q = sign·⌊|x|/s·127⌋ ⇒ cos(q_p, q_c) needs no dequantization),
+    * so the whole similarity is integer dot products plus one double
+    * division — the arithmetic a production int8 index serves, at a
+    * quarter of the memory bandwidth of floats. Same broadcast-probe
+    * shape and ranking contract as [[annTopK]]; a spec pins the
+    * recall of the float top-k (quantization noise may reorder
+    * near-ties — that recall, not exactness, is the quality contract
+    * of a quantized index).
+    */
+  def annTopKQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Kernels.fanOut(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("fv")))
+      .withColumn("s", array_max(transform(col("fv"), x => abs(x))))
+      .withColumn("v", transform(col("fv"), x =>
+        when(col("s") === 0d, 0d)
+          .otherwise(signum(x) * floor(abs(x) / col("s") * 127))))
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+      .select("vec_id", "v", "norm")
+    val probes = emb.filter(col("vec_id") < NumProbes)
+    broadcast(probes).as("p")
+      .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(spark).as("sim"))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("probe_id")
+          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .orderBy("probe_id", "rnk")
+  }
+
   val IvfBits = 6 // 2^6 = 64 coarse cells
 
   /** Multi-probe IVF-bucketed ANN. The codebook is sign-random-

@@ -448,6 +448,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantized search holds >= 0.9 recall of the float top-k") {
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val quant = Similarity.annTopKQuantized(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 cosine recall $recall dropped below the gate")
+  }
+
   test("ohlc candles: bounds hold and buckets cover every event") {
     val rows = Events.ohlcResample(spark, sf).collect()
     rows.foreach { r =>
