@@ -67,6 +67,7 @@ object SparkEntry {
     "events_funnel" -> Events.funnel _,
     "events_retention" -> Events.retention _,
     "events_error_context" -> Events.errorContext _,
+    "events_nearby" -> Events.nearbyEvents _,
     "events_moving_avg" -> Events.movingAvgDaily _,
     "events_salted_share" -> Skew.eventShareOfUser _,
     "events_anomaly" -> Events.valueAnomalies _,
@@ -566,6 +567,16 @@ object SparkEntry {
         | AND epoch_us(e.ts) >= epoch_us(r.ts) - 300000000
         | AND epoch_us(e.ts) < epoch_us(r.ts)
         |GROUP BY r.event_id ORDER BY error_id""".stripMargin,
+    // the oracle replays the SEMANTICS (plain inequality join — fine at
+    // oracle scale); the Spark side's banded equi-join must select the
+    // identical neighbor set
+    "events_nearby" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+         |SELECT e.user_id, e.event_id, count(*) - 1 AS n_nearby
+         |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+         |JOIN ev c ON e.user_id = c.user_id
+         |  AND abs(c.us - e.us) <= ${operators.Events.NearbyWindowMicros}
+         |GROUP BY e.user_id, e.event_id ORDER BY e.user_id, e.event_id""".stripMargin,
     "events_moving_avg" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_n, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),

@@ -432,6 +432,49 @@ object Events {
       .orderBy("dow", "hour")
   }
 
+  /** `events_nearby`: for each error event, how many events the same
+    * user produced within ±[[NearbyWindowMicros]] (5 minutes) — the
+    * "activity around an anchor" range join that backs blast-radius
+    * and co-occurrence features.
+    *
+    * The naive formulation is a per-user INEQUALITY join (`|Δts| ≤ w`)
+    * — Spark plans that as a per-user nested loop, quadratic in the
+    * busiest user's event count, and a whale user makes it a
+    * scale-killer. Banded instead: both sides bucket `ts` into
+    * window-width bands with INTEGER `div` (double division could
+    * misround at band edges), the anchor side expands to its 3
+    * adjacent bands (`explode` of a 3-element array — anchors are the
+    * rare side, so the 3× blowup is on the small input), and the join
+    * is a pure EQUI-join on (user_id, band) that hash-partitions and
+    * never nest-loops. A candidate event lives in exactly one band, so
+    * each true neighbor is matched exactly once — no post-dedup. The
+    * exact `|Δus| ≤ w` predicate rides the join condition as a
+    * residual filter. Self-matches are kept in the join (every anchor
+    * matches itself, so no zero-group vanishes) and subtracted from
+    * the count. `PlanAuditSpec` asserts no nested-loop/cartesian
+    * operator appears.
+    */
+  def nearbyEvents(spark: SparkSession, dir: String): DataFrame = {
+    val w = NearbyWindowMicros
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("us"))
+    val cands = ev.select(col("user_id"),
+      expr(s"us div $w").as("band"), col("us").as("n_us"))
+    val anchors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("us"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .withColumn("band", expr(s"us div $w") + col("off"))
+    anchors.join(cands, Seq("user_id", "band"))
+      .filter(abs(col("n_us") - col("us")) <= w)
+      .groupBy("user_id", "event_id")
+      .agg((count(lit(1)) - 1L).as("n_nearby"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Band width (and neighborhood half-width) for [[nearbyEvents]]. */
+  val NearbyWindowMicros: Long = 5L * 60 * 1000000
+
   /** Per-user behavior profile: pivot-style conditional aggregation. */
   def userProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

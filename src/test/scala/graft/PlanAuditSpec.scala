@@ -413,6 +413,20 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("nearby events band join is a pure equi-join on (user_id, band)") {
+    // unlike error context (equi on user_id alone, interval residual),
+    // the nearby join puts the BAND in the equi key, so even a whale
+    // user's events spread across hash buckets — no per-user quadratic
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(operators.Events.nearbyEvents(spark, sf))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"banded range join must not plan all-pairs:\n${p.take(800)}")
+      assert(p.contains("hashpartitioning(user_id") && p.contains("band"),
+        s"join must hash on (user_id, band):\n${p.take(800)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("embedding centroids partial-aggregate before the (label, dim)-sized exchange") {
     val p = plan(operators.Similarity.labelCentroids(spark, sf))
     assert(p.contains("partial_"),
