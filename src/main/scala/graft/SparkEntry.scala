@@ -54,6 +54,7 @@ object SparkEntry {
     "above_avg_balance" -> Relational.aboveAvgBalance _,
     "cdc_merge" -> Relational.cdcMerge _,
     "cdc_scd2" -> Relational.cdcScd2 _,
+    "cdc_incremental_agg" -> Relational.cdcIncrementalAgg _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
     "events_json" -> Events.jsonExtract _,
@@ -492,6 +493,25 @@ object SparkEntry {
     // mirror Relational.cdcMerge stage for stage
     "cdc_merge" -> cdcMergeSql,
     "cdc_scd2" -> cdcScd2Sql,
+    // the oracle RECOMPUTES the aggregate from the merged table — the
+    // incremental MV + Σdeltas path must land on the identical decimals
+    "cdc_incremental_agg" ->
+      s"""$cdcChangeCtes,
+         |latest AS (SELECT o_orderkey, op, c_totalprice, c_custkey FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+         |  FROM changes c) WHERE rn = 1),
+         |merged AS (
+         |  SELECT b.o_orderkey, b.o_custkey,
+         |    coalesce(l.c_totalprice, b.o_totalprice) AS o_totalprice
+         |  FROM orders b
+         |  LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey AND l.op = 'U'
+         |  WHERE NOT EXISTS (SELECT 1 FROM latest d
+         |                    WHERE d.o_orderkey = b.o_orderkey AND d.op = 'D')
+         |  UNION ALL
+         |  SELECT o_orderkey, c_custkey, c_totalprice FROM latest WHERE op = 'I')
+         |SELECT o_custkey, count(*) AS n_orders,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n_events,

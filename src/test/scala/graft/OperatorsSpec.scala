@@ -386,6 +386,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("cdc incremental agg equals re-aggregating the merged table") {
+    // MV + Σdeltas must land on the exact decimals of a full recompute
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val recomputed = Relational.cdcMerge(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val inc = Relational.cdcIncrementalAgg(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(inc == recomputed, "incremental maintenance diverged from recompute")
+  }
+
   test("cdc merge: deletes drop, latest update wins, inserts append, rest untouched") {
     val base = Tables.orders(spark, sf)
       .select("o_orderkey", "o_totalprice").collect()

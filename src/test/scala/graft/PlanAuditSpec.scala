@@ -145,6 +145,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "lead() window runs over the touched branch; untouched rows bypass it")
   }
 
+  test("incremental agg maintenance: base-keyed joins broadcast; MV joins reuse its partitioning") {
+    // two different scale contracts in one plan: joins on o_orderkey
+    // touch the BASE table and must stream it against a broadcast of
+    // the bounded change batch (an exchange there moves 100 TB); joins
+    // on o_custkey touch only the MV, which the groupBy already
+    // hash-partitioned — a sort-merge there exchanges just the
+    // batch-sized delta side, which is the right plan, so SMJ is
+    // allowed on o_custkey but banned on o_orderkey.
+    val p = plan(Relational.cdcIncrementalAgg(spark, sf))
+    assert(!p.contains("SortMergeJoin [o_orderkey"),
+      s"base row-key joins must broadcast the batch:\n${p.take(900)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the old-values semi-join streams the base against the batch keys")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("bucketed fact tables join with ZERO exchange (co-located join)") {
     // The 100 TB co-location story made concrete: orders and lineitem
     // written bucketed by their join key join WITHOUT any shuffle — the
