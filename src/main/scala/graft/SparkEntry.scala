@@ -113,6 +113,9 @@ object SparkEntry {
     "ann_hard_negatives" -> Similarity.hardNegatives _,
     "embedding_quantize" -> Similarity.quantize _,
     "ann_quantized" -> Similarity.annTopKQuantized _,
+    "embedding_pq" -> ProductQuant.encode _,
+    "ann_pq" -> ProductQuant.annPq _,
+    "ann_pq_rerank" -> ProductQuant.annPqRerank _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -750,7 +753,7 @@ object SparkEntry {
          |WHERE (npos >= ${TextAnalysis.WinnowW} AND i >= ${TextAnalysis.WinnowW})
          |   OR (npos < ${TextAnalysis.WinnowW} AND i = npos)
          |ORDER BY doc_id, fp""".stripMargin,
-  ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++
+  ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++ pqOracles ++
     multimodalOracles ++ samplingOracles ++ corpusOracles ++ streamingOracles
 
   /** quality_score + lang_id oracles are built programmatically so the
@@ -1294,6 +1297,78 @@ object SparkEntry {
         "embedding_quantize" -> quantize, "ann_quantized" -> quantCosine,
         "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
+  }
+
+  /** Product-quantization oracles: the per-subspace Lloyd chain is the
+    * kmeansCtes pattern with a subspace key threaded through every CTE
+    * (ProductQuant trains dim/SubDim independent codebooks); encoding
+    * is the final round's assignment, ADC replays the probe distance
+    * tables from the final codebooks.
+    */
+  private def pqOracles: Map[String, String] = {
+    val sd = ProductQuant.SubDim
+    val rounds = (1 to ProductQuant.PqIters).map { i =>
+      val prev = s"pc${i - 1}"
+      s"""pd$i AS (SELECT x.vec_id, x.ss, $prev.cluster,
+         |    round(SUM((x.x - $prev.c)*(x.x - $prev.c)), 6) AS dist
+         |  FROM x JOIN $prev ON x.ss = $prev.ss AND x.dim = $prev.dim
+         |  GROUP BY x.vec_id, x.ss, $prev.cluster),
+         |pa$i AS (SELECT vec_id, ss, cluster FROM (
+         |    SELECT vec_id, ss, cluster,
+         |      row_number() OVER (PARTITION BY vec_id, ss ORDER BY dist, cluster) AS rn FROM pd$i)
+         |  WHERE rn = 1),
+         |pc$i AS (SELECT x.ss, pa$i.cluster, x.dim,
+         |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
+         |  FROM x JOIN pa$i ON x.vec_id = pa$i.vec_id AND x.ss = pa$i.ss
+         |  GROUP BY x.ss, pa$i.cluster, x.dim)"""
+    }.mkString(",\n")
+    val ctes =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS gdim FROM e),
+         |x AS (SELECT vec_id, CAST((gdim - 1) // $sd AS BIGINT) AS ss,
+         |      (gdim - 1) % $sd + 1 AS dim, CAST(xr AS DECIMAL(18,9)) AS x FROM x0),
+         |pc0 AS (SELECT ss, vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${ProductQuant.PqK}),
+         |$rounds"""
+    val last = ProductQuant.PqIters
+    val encode =
+      s"""$ctes
+         |SELECT vec_id, ss, cluster AS code FROM pa$last ORDER BY vec_id, ss""".stripMargin
+    // the distance table must use the books the ENCODER used — the
+    // round-(last-1) codebooks pa$last's argmin ranked against, not the
+    // post-assignment recompute
+    val enc = s"pc${last - 1}"
+    val adc =
+      s"""$ctes,
+         |codes AS (SELECT vec_id, ss, cluster FROM pa$last),
+         |td AS (SELECT x.vec_id AS probe_id, x.ss, $enc.cluster,
+         |    round(SUM((x.x - $enc.c)*(x.x - $enc.c)), 6) AS td
+         |  FROM x JOIN $enc ON x.ss = $enc.ss AND x.dim = $enc.dim
+         |  WHERE x.vec_id < ${Similarity.NumProbes}
+         |  GROUP BY x.vec_id, x.ss, $enc.cluster),
+         |s AS (SELECT td.probe_id, codes.vec_id AS neighbor_id, SUM(td.td) AS adist_d
+         |  FROM codes JOIN td ON td.ss = codes.ss AND td.cluster = codes.cluster
+         |  WHERE codes.vec_id <> td.probe_id
+         |  GROUP BY td.probe_id, codes.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, CAST(adist_d AS DOUBLE) AS adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s)"""
+    val adcTopK =
+      s"""$adc
+         |SELECT probe_id, neighbor_id, adist, rnk FROM r
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    val rerank =
+      s"""$adc,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |rr AS (SELECT r.probe_id, r.neighbor_id, ${cosineSql("p", "c")} AS sim
+         |  FROM r JOIN nn p ON p.vec_id = r.probe_id
+         |         JOIN nn c ON c.vec_id = r.neighbor_id
+         |  WHERE r.rnk <= ${ProductQuant.Shortlist}),
+         |f AS (SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rr)
+         |SELECT probe_id, neighbor_id, sim, rnk FROM f
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    Map("embedding_pq" -> encode, "ann_pq" -> adcTopK, "ann_pq_rerank" -> rerank)
   }
 
   private def multimodalOracles: Map[String, String] = Map(

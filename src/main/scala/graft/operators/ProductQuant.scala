@@ -1,0 +1,245 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBig, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Product quantization over the `embeddings` table (north star; the
+  * reference has no similarity operators) — the memory-compression
+  * half of large-scale ANN, complementing [[Similarity.annIvfKmeans]]
+  * (which prunes WHICH vectors a probe touches, while PQ shrinks WHAT
+  * each touched vector costs).
+  *
+  * The vector is split into [[SubDim]]-wide subspaces; each subspace
+  * gets its own k-means codebook ([[PqK]] entries, trained with the
+  * exact-decimal Lloyd kernel of [[KMeansCodebook]]); a vector is
+  * stored as M = dim/[[SubDim]] small codes — here 4 × 3 bits against
+  * 64 × 4-byte floats, a ~85× compression. Search is ASYMMETRIC
+  * distance computation (ADC): the probe stays exact, its distance to
+  * every codebook entry of every subspace is tabulated once
+  * (|probes| · M · [[PqK]] rows — query-sized), and a candidate's
+  * approximate distance is the sum of M table lookups on its codes.
+  *
+  * 100 TB shape: training and encoding are the [[KMeansCodebook]]
+  * contract (map-only assignment with the codebooks in the task
+  * closure, one combiner-friendly (subspace, cluster, dim) aggregate
+  * per Lloyd round — only codebook-sized data ever reaches the
+  * driver). The ADC search joins the corpus' code table against a
+  * BROADCAST distance table on (subspace, code) — the corpus is never
+  * shuffled for the join, and a row's M subspace entries are
+  * co-located (they come from the same scanned row), so the map-side
+  * combine collapses them before the per-probe rank exchange.
+  *
+  * Determinism: identical to [[KMeansCodebook]] — DECIMAL(18,9)
+  * coordinates, squared-L2 rounded to 6dp, argmin ties to the lowest
+  * cluster id, means re-fixed to 6dp — so codes, distance tables and
+  * ADC sums replay bit-for-bit in the DuckDB oracle's CTE chain. The
+  * corpus vectors are unit-norm, making squared L2 (= 2 − 2·cos for
+  * unit vectors) rank exactly like cosine: `PipelineSpec` pins ADC
+  * recall against the float [[Similarity.annTopK]].
+  */
+object ProductQuant {
+
+  /** Subspace width; M = dim / SubDim subspaces (64-dim corpus → 8). */
+  val SubDim = 8
+  /** Codebook entries per subspace. */
+  val PqK: Int = 16
+  /** Lloyd rounds after the deterministic first-[[PqK]]-vectors init. */
+  val PqIters: Int = KMeansCodebook.LloydIters
+
+  private def dec9(d: Double): JBig =
+    JBig.valueOf(d).setScale(9, RoundingMode.HALF_UP)
+
+  /** codebooks per subspace: ss -> sorted (cluster, centroid coords). */
+  private type PqBooks = Map[Long, Array[(Long, Array[JBig])]]
+
+  /** (vec_id, ss, sub): each vector exploded into its M subvectors —
+    * a map-only transform; a row's subvectors stay in its partition.
+    */
+  private def subBase(spark: SparkSession, dir: String): DataFrame =
+    Kernels.fanOut(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .select(col("vec_id"),
+        // integer div: `size/16` via Column./ is DOUBLE division
+        explode(expr(s"sequence(0, size(v) div $SubDim - 1)")).as("ss"),
+        col("v"))
+      .select(col("vec_id"), col("ss").cast("long").as("ss"),
+        slice(col("v"), col("ss") * SubDim + 1, lit(SubDim)).as("sub"))
+
+  /** Exact-decimal squared L2 between a dec9'd subvector and a
+    * codebook centroid, rounded to 6dp (the argmin/table contract).
+    */
+  private def d6(xd: Array[JBig], cent: Array[JBig], id: Long): JBig = {
+    require(xd.length == cent.length,
+      s"vec_id=$id subvector dim ${xd.length} != codebook dim ${cent.length}")
+    var s = JBig.ZERO
+    var j = 0
+    while (j < cent.length) {
+      val diff = xd(j).subtract(cent(j))
+      s = s.add(diff.multiply(diff))
+      j += 1
+    }
+    s.setScale(6, RoundingMode.HALF_UP)
+  }
+
+  /** Map-only encoding pass: every (vector, subspace) to its nearest
+    * codebook entry; the books ride the task closure (M·K·SubDim
+    * values — corpus-size-independent).
+    */
+  private def assign(spark: SparkSession, base: DataFrame, books: PqBooks): DataFrame = {
+    import spark.implicits._
+    base.as[(Long, Long, Seq[Double])].mapPartitions { it =>
+      it.map { case (id, ss, sub) =>
+        val xd = sub.map(dec9).toArray
+        var bestC = Long.MaxValue
+        var bestD: JBig = null
+        books(ss).foreach { case (c, cent) =>
+          val d = d6(xd, cent, id)
+          val cmp = if (bestD == null) -1 else d.compareTo(bestD)
+          if (cmp < 0 || (cmp == 0 && c < bestC)) { bestD = d; bestC = c }
+        }
+        (id, ss, bestC, sub)
+      }
+    }.toDF("vec_id", "ss", "code", "sub")
+  }
+
+  /** One combiner-friendly (ss, code, dim) aggregate recomputing every
+    * subspace codebook — M·K·SubDim output rows, never corpus-sized.
+    */
+  private def recompute(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("ss"), col("code"), posexplode(col("sub")).as(Seq("pos", "x")))
+      .groupBy(col("ss"), col("code"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast("decimal(18,9)")).as("sx"))
+      .select(col("ss"), col("code"), col("dim"),
+        round(col("sx").cast("double") / col("n"), 6).as("c"))
+
+  private def collectBooks(cent: DataFrame): PqBooks =
+    cent.select("ss", "code", "dim", "c").collect()
+      .groupBy(_.getLong(0))
+      .map { case (ss, rows) =>
+        ss -> rows.groupBy(_.getLong(1)).map { case (c, rs) =>
+          (c, rs.sortBy(_.getLong(2)).map(r => dec9(r.getDouble(3))))
+        }.toArray.sortBy(_._1)
+      }
+
+  // Trained books and the encoded corpus are memoized per input
+  // fingerprint, mirroring KMeansCodebook's train-once contract; the
+  // codes cache retires with Kernels.retireCaches.
+  private val trainedBooksMemo =
+    scala.collection.mutable.Map.empty[(String, String), PqBooks]
+  private val codesMemo =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  Kernels.onRetire(() => codesMemo.synchronized(codesMemo.clear()))
+
+  private def trainedBooks(spark: SparkSession, dir: String): PqBooks =
+    trainedBooksMemo.synchronized {
+      trainedBooksMemo.getOrElseUpdate(Kernels.inputKey(dir, "embeddings"), {
+        import spark.implicits._
+        val base = subBase(spark, dir)
+        var books: PqBooks = base.filter(col("vec_id") < PqK)
+          .as[(Long, Long, Seq[Double])].collect()
+          .groupBy(_._2)
+          .map { case (ss, rows) =>
+            ss -> rows.map { case (id, _, sub) => (id, sub.map(dec9).toArray) }
+              .sortBy(_._1)
+          }
+        for (_ <- 1 until PqIters)
+          books = collectBooks(recompute(assign(spark, base, books)))
+        books
+      })
+    }
+
+  /** Final encoded corpus (vec_id, ss, code), cached per input. */
+  private def codesOf(spark: SparkSession, dir: String): DataFrame =
+    codesMemo.synchronized {
+      codesMemo.getOrElseUpdate(Kernels.inputKey(dir, "embeddings"), {
+        val books = trainedBooks(spark, dir)
+        Kernels.cacheTracked(
+          assign(spark, subBase(spark, dir), books)
+            .select(col("vec_id"), col("ss"), col("code")))
+      })
+    }
+
+  /** `embedding_pq`: the encoded corpus — M codes per vector. */
+  def encode(spark: SparkSession, dir: String): DataFrame =
+    codesOf(spark, dir).orderBy("vec_id", "ss")
+
+  /** Full per-probe ADC ranking (probe_id, neighbor_id, adist, rnk).
+    * The per-probe distance table is query-sized and BROADCAST; the
+    * corpus side contributes only its code rows.
+    */
+  private def adcRanked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val books = trainedBooks(spark, dir)
+    val td = subBase(spark, dir).filter(col("vec_id") < Similarity.NumProbes)
+      .as[(Long, Long, Seq[Double])]
+      .flatMap { case (id, ss, sub) =>
+        val xd = sub.map(dec9).toArray
+        books(ss).map { case (c, cent) => (id, ss, c, d6(xd, cent, id)) }
+      }
+      .toDF("probe_id", "ss", "code", "td")
+    codesOf(spark, dir)
+      .join(broadcast(td), Seq("ss", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("td").as("adist_d"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("adist_d").cast("double").as("adist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id")))
+        .cast("long"))
+  }
+
+  /** `ann_pq`: ADC top-k — exact probes against the quantized corpus.
+    * Standalone ADC recall on this corpus is modest (the planted
+    * neighbor gaps are smaller than the quantization distortion — see
+    * the spec's measured numbers); the production query is
+    * [[annPqRerank]], which uses ADC only as the cheap shortlist.
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    adcRanked(spark, dir)
+      .filter(col("rnk") <= Similarity.TopK)
+      .orderBy("probe_id", "rnk")
+
+  /** ADC shortlist width for the re-ranked query. */
+  val Shortlist = 50
+
+  /** `ann_pq_rerank`: the production PQ search — ADC prunes the corpus
+    * to a [[Shortlist]]-deep candidate set per probe (touching only
+    * code rows), then ONLY the shortlisted vectors' floats are fetched
+    * for an exact cosine re-rank. The float fetch is a broadcast join
+    * of the query-sized shortlist against the streamed corpus — the
+    * expensive full-precision data is read for |probes|·[[Shortlist]]
+    * rows, not the whole table. Recall is gated in the spec (measured
+    * 0.88 at sf0.001 vs 0.22 for raw ADC).
+    */
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val short = adcRanked(spark, dir)
+      .filter(col("rnk") <= Shortlist)
+      .select("probe_id", "neighbor_id")
+    val emb = Kernels.fanOut(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+      .withColumn("nrm", sqrt(dot(spark, col("v"), col("v"))))
+    val probes = emb.filter(col("vec_id") < Similarity.NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    short
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+        col("nrm").as("cn")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(dot(spark, col("pv"), col("cv")) / (col("pn") * col("cn")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id")))
+        .cast("long"))
+      .filter(col("rnk") <= Similarity.TopK)
+      .orderBy("probe_id", "rnk")
+  }
+}

@@ -470,6 +470,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 cosine recall $recall dropped below the gate")
   }
 
+  test("pq ADC search holds the recall floor against the float top-k") {
+    // the corpus is unit-norm, so squared L2 ranks exactly like cosine
+    // and the float cosine top-k is the right reference; the gate makes
+    // a codebook/encoding regression (to ~random neighbors) fail loudly
+    // even though the oracle replays the quantization faithfully
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    // raw ADC: the corpus' planted neighbor gaps (~0.01 in cosine) sit
+    // below the quantization distortion, so standalone ADC recall is
+    // structurally modest — the floor guards against a regression to
+    // RANDOM neighbors (expected recall TopK/n ≈ 0.01), not against
+    // distortion
+    val adc = recallOf(ProductQuant.annPq(spark, sf))
+    // the production shape: ADC shortlist + exact re-rank
+    val rr = recallOf(ProductQuant.annPqRerank(spark, sf))
+    info(f"pq recall@${Similarity.TopK}: adc=$adc%.3f reranked=$rr%.3f " +
+      f"(M=8 x ${ProductQuant.PqK} codes, shortlist=${ProductQuant.Shortlist})")
+    assert(adc >= 0.15, f"raw ADC recall $adc%.3f under the 0.15 floor")
+    assert(rr >= adc, "exact re-rank must never lose recall vs raw ADC")
+    assert(rr >= 0.7, f"re-ranked pq recall $rr%.3f under the 0.7 floor")
+  }
+
   test("ohlc candles: bounds hold and buckets cover every event") {
     val rows = Events.ohlcResample(spark, sf).collect()
     rows.foreach { r =>
