@@ -77,6 +77,7 @@ object SparkEntry {
     "events_sliding_window" -> Events.slidingWindowCounts _,
     "events_heatmap" -> Events.activityHeatmap _,
     "events_type_counts" -> Events.typeCounts _,
+    "layout_zorder" -> Layout.zorderStats _,
     "events_approx_users" -> Sketches.approxDistinctUsers _,
     "events_approx_users_union" -> Sketches.approxUsersUnion _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
@@ -600,6 +601,27 @@ object SparkEntry {
          |JOIN ev c ON e.user_id = c.user_id
          |  AND abs(c.us - e.us) <= ${operators.Events.NearbyWindowMicros}
          |GROUP BY e.user_id, e.event_id ORDER BY e.user_id, e.event_id""".stripMargin,
+    // the z-value expression is generated from the same shift/mask loop
+    // as Layout.interleave, so bucket edges and file splits are
+    // engine-exact
+    "layout_zorder" -> {
+      val scale = (1L << operators.Layout.Bits) - 1
+      val terms = (0 until operators.Layout.Bits).map { i =>
+        s"((bu >> $i) & 1) * ${1L << (2 * i + 1)} + ((bt >> $i) & 1) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH s AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |mm AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+         |       min(us) AS tmin, max(us) AS tmax FROM s),
+         |b AS (SELECT user_id, us,
+         |    (user_id - umin) * $scale // greatest(umax - umin, 1) AS bu,
+         |    (us - tmin) * $scale // greatest(tmax - tmin, 1) AS bt
+         |  FROM s, mm),
+         |z AS (SELECT user_id, us, ($terms) AS zv FROM b)
+         |SELECT zv >> ${operators.Layout.FileShift} AS file_no, count(*) AS n_rows,
+         |  min(user_id) AS u_min, max(user_id) AS u_max,
+         |  min(us) AS t_min, max(us) AS t_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "events_moving_avg" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day_n, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),

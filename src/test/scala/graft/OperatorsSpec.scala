@@ -497,6 +497,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rr >= 0.7, f"re-ranked pq recall $rr%.3f under the 0.7 floor")
   }
 
+  test("z-order layout prunes point-user queries a time-sorted layout cannot") {
+    case class F(uMin: Long, uMax: Long, tMin: Long, tMax: Long, n: Long)
+    val zFiles = Layout.zorderStats(spark, sf).collect().map(r =>
+      F(r.getAs[Long]("u_min"), r.getAs[Long]("u_max"),
+        r.getAs[Long]("t_min"), r.getAs[Long]("t_max"), r.getAs[Long]("n_rows")))
+    val rows = Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(ts) AS us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(zFiles.map(_.n).sum == rows.length, "z files partition the table")
+    // linear baseline: the same file count over a pure time sort
+    val nf = zFiles.length
+    val chunk = math.ceil(rows.length.toDouble / nf).toInt
+    val linFiles = rows.sortBy(_._2).grouped(chunk).map { g =>
+      F(g.map(_._1).min, g.map(_._1).max, g.map(_._2).min, g.map(_._2).max, g.size)
+    }.toArray
+    val uq = rows.map(_._1).sorted.apply(rows.length / 2)
+    def userFrac(fs: Array[F]) =
+      fs.count(f => f.uMin <= uq && uq <= f.uMax).toDouble / fs.length
+    val ts = rows.map(_._2)
+    val (t0, t1) = (ts.min + (ts.max - ts.min) * 45 / 100,
+      ts.min + (ts.max - ts.min) * 55 / 100)
+    def timeFrac(fs: Array[F]) =
+      fs.count(f => !(f.tMax < t0 || f.tMin > t1)).toDouble / fs.length
+    info(f"user-point files touched: z=${userFrac(zFiles)}%.3f lin=${userFrac(linFiles)}%.3f; " +
+      f"10%%-time-slice: z=${timeFrac(zFiles)}%.3f lin=${timeFrac(linFiles)}%.3f")
+    assert(userFrac(linFiles) >= 0.9, "time sort cannot prune a user point query")
+    assert(userFrac(zFiles) <= 0.3, "z-order must prune most files for a user point query")
+    assert(timeFrac(zFiles) <= 0.5, "z-order still prunes the time dimension usefully")
+  }
+
   test("ohlc candles: bounds hold and buckets cover every event") {
     val rows = Events.ohlcResample(spark, sf).collect()
     rows.foreach { r =>
