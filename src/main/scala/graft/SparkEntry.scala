@@ -159,6 +159,7 @@ object SparkEntry {
     "stream_incremental_dedup" -> graft.streaming.DocStream.streamIncrementalDedup _,
     "stream_cdc_merge" -> graft.streaming.ChangeStream.streamCdcMerge _,
     "stream_session_window" -> graft.streaming.EventStream.sessionWindows _,
+    "stream_topk" -> graft.streaming.EventStream.trendingTopK _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -1811,5 +1812,18 @@ object SparkEntry {
         |FROM events, m
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // same watermark-sealed horizon as stream_windowed, ranked per hour
+    "stream_topk" ->
+      s"""WITH m AS (SELECT max(ts) AS mx FROM events),
+         |c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events
+         |  FROM events, m
+         |  WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
+         |  GROUP BY 1, 2),
+         |r AS (SELECT hour, event_type, n_events,
+         |    row_number() OVER (PARTITION BY hour ORDER BY n_events DESC, event_type) AS rnk
+         |  FROM c)
+         |SELECT hour, event_type, n_events, rnk FROM r
+         |WHERE rnk <= ${graft.streaming.EventStream.TrendK}
+         |ORDER BY hour, rnk""".stripMargin,
   )
 }

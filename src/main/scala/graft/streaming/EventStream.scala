@@ -243,6 +243,41 @@ object EventStream {
     spark.table(name).orderBy("hour", "event_type")
   }
 
+  /** Ranks kept per finalized window by [[trendingTopK]]. */
+  val TrendK = 3
+
+  /** `stream_topk`: trending event types — the top-[[TrendK]] types of
+    * each watermark-FINALIZED hour window. The streaming half is the
+    * bounded-state windowed count (watermark evicts each window's
+    * state once it seals); the per-window rank runs DOWNSTREAM of the
+    * append stream, over the emitted |windows × types| rows — in
+    * production that is a foreachBatch/serving-store step, here the
+    * drained sink table. Ranking inside the stream itself would need
+    * complete mode (unbounded result re-emission); splitting
+    * count-then-rank keeps state and output both bounded while
+    * emitting each window's leaderboard exactly once.
+    */
+  def trendingTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = readEventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n_events"))
+    val name = "stream_topk_out"
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("hour").orderBy(col("n_events").desc, col("event_type")))
+        .cast("long"))
+      .filter(col("rnk") <= TrendK)
+      .orderBy("hour", "rnk")
+  }
+
   /** STREAM-STREAM interval join: each error event joined to the same
     * user's purchases in the 10 minutes strictly before it, both sides
     * watermarked. The time band is expressed directly on the two

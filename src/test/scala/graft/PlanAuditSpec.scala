@@ -161,6 +161,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("runtime bloom filter prunes the big fact side of a selective join") {
+    // the runtime-filter half of the pruning story: when one join side
+    // carries a selective filter, Spark can build a bloom filter over
+    // its join keys at runtime and push it into the OTHER side's scan —
+    // at 100 TB that turns "shuffle all of lineitem, drop 99% in the
+    // join" into "drop 99% at the scan". Static thresholds gate the
+    // feature on estimated sizes, so the audit pins the deployment
+    // configuration that enables it and asserts the filter actually
+    // lands in the plan at test scale.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = graft.Tables.lineitem(spark, sf)
+      val joined = li.join(orders,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterMightContain") ||
+        p.toLowerCase.contains("mightcontain"),
+        s"runtime bloom filter must inject into the lineitem side:\n${p.take(1200)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed fact tables join with ZERO exchange (co-located join)") {
     // The 100 TB co-location story made concrete: orders and lineitem
     // written bucketed by their join key join WITHOUT any shuffle — the
