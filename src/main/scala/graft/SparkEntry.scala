@@ -55,6 +55,7 @@ object SparkEntry {
     "cdc_merge" -> Relational.cdcMerge _,
     "cdc_scd2" -> Relational.cdcScd2 _,
     "cdc_incremental_agg" -> Relational.cdcIncrementalAgg _,
+    "profile_orders" -> Profiling.profileOrders _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
     "events_json" -> Events.jsonExtract _,
@@ -104,6 +105,8 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simHashPairs _,
     "dedup_clusters" -> Dedup.clusters _,
     "dedup_keep" -> Dedup.keep _,
+    "dedup_keep_best" -> Dedup.keepBest _,
+    "dedup_cross_source" -> Dedup.crossSource _,
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh _,
     // Similarity search (north star)
@@ -160,6 +163,7 @@ object SparkEntry {
     "stream_cdc_merge" -> graft.streaming.ChangeStream.streamCdcMerge _,
     "stream_session_window" -> graft.streaming.EventStream.sessionWindows _,
     "stream_topk" -> graft.streaming.EventStream.trendingTopK _,
+    "stream_ohlc" -> graft.streaming.EventStream.ohlcStream _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -498,6 +502,27 @@ object SparkEntry {
     // mirror Relational.cdcMerge stage for stage
     "cdc_merge" -> cdcMergeSql,
     "cdc_scd2" -> cdcScd2Sql,
+    // generated per column from the same (name, kind) list shape the
+    // Spark side derives from the schema
+    "profile_orders" -> {
+      val cols = Seq(
+        ("o_custkey", "num"), ("o_orderdate", "ts"), ("o_orderkey", "num"),
+        ("o_orderpriority", "str"), ("o_orderstatus", "str"), ("o_totalprice", "num"))
+      val sels = cols.map { case (c, k) =>
+        val (mn, mx, ms, xs) = k match {
+          case "num" => (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)", "NULL", "NULL")
+          case "ts" => (s"CAST(epoch_us(min($c)) AS DOUBLE)", s"CAST(epoch_us(max($c)) AS DOUBLE)", "NULL", "NULL")
+          case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"min($c)", s"max($c)")
+        }
+        s"""SELECT '$c' AS column_name,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num,
+           |  CAST($ms AS VARCHAR) AS min_str, CAST($xs AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }
+      sels.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
     // the oracle RECOMPUTES the aggregate from the merged table — the
     // incremental MV + Σdeltas path must land on the identical decimals
     "cdc_incremental_agg" ->
@@ -1130,7 +1155,33 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM nd WHERE nd.batch_id = f.doc_id)
          |  AND ql.quality >= ${Corpus.TrainQualityMin}
          |ORDER BY f.doc_id""".stripMargin
+    // quality-aware keep-list: the component closure is shared with
+    // dedup_clusters; quality reuses the quality_score CTE chain
+    val keepBest =
+      s"""$qualityCteSql,
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM s),
+         |lab AS (SELECT doc_id, cluster FROM ($clustersSql)),
+         |r AS (SELECT lab.cluster, lab.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY lab.cluster
+         |      ORDER BY q.quality DESC, lab.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lab.cluster) AS n_members
+         |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
+         |SELECT cluster, doc_id AS keep_id, quality, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
+    val crossSource =
+      """WITH d AS (SELECT
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    doc_id, CAST(substr(source, 4) AS BIGINT) AS prio, source
+        |  FROM documents),
+        |g AS (SELECT fp, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        |  FROM d GROUP BY fp),
+        |w AS (SELECT fp, doc_id, prio,
+        |    row_number() OVER (PARTITION BY fp ORDER BY prio, doc_id) AS rn FROM d)
+        |SELECT g.fp, w.doc_id AS keep_id, w.prio AS keep_prio, g.n_docs, g.n_sources
+        |FROM g JOIN w ON g.fp = w.fp AND w.rn = 1 ORDER BY g.fp""".stripMargin
     Map("dedup_exact" -> exact, "dedup_incremental" -> incremental,
+        "dedup_keep_best" -> keepBest,
+        "dedup_cross_source" -> crossSource,
         "dedup_incremental_minhash" -> incMinhash,
         "pipeline_ingest" -> ingest,
         // bit-identical to dedup_incremental by construction (bloom
@@ -1812,6 +1863,18 @@ object SparkEntry {
         |FROM events, m
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // the batch candle oracle on the watermark-sealed horizon
+    "stream_ohlc" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+        |SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events,
+        |  arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+        |                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close
+        |FROM events, m
+        |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
+        |GROUP BY 1, 2 ORDER BY event_type, hour""".stripMargin,
     // same watermark-sealed horizon as stream_windowed, ranked per hour
     "stream_topk" ->
       s"""WITH m AS (SELECT max(ts) AS mx FROM events),

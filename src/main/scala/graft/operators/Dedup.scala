@@ -425,6 +425,64 @@ object Dedup {
       .select(col("cluster").as("doc_id"), col("n_members"))
       .orderBy("doc_id")
 
+  /** `dedup_keep_best`: the QUALITY-AWARE keep-list — instead of
+    * [[keep]]'s positional representative (smallest doc_id), each
+    * near-dup cluster keeps its highest-quality member (tie → lowest
+    * doc_id), the policy real pipelines want: when a cleaned copy and
+    * a boilerplate-ridden copy of the same article collide, keep the
+    * clean one.
+    *
+    * Shape: quality is the map-only [[TextAnalysis.qualityParts]]
+    * expression riding the document scan; the label frame (memoized
+    * per corpus) joins it on doc_id and ONE combiner-friendly
+    * aggregate picks the argmax via `max(struct(quality, -doc_id))` —
+    * a monoid, so no per-cluster window over the corpus. The partial
+    * aggregation makes the representative choice partition-order
+    * independent by construction.
+    */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val (lenScore, diversity, stopScore) =
+      graft.operators.TextAnalysis.qualityParts(col("toks"))
+    val quality = docs.select(col("doc_id"),
+      round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+    clusterLabels(spark, dir)
+      .join(quality, "doc_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("nneg"))).as("best"))
+      .select(col("cluster"), (-col("best.nneg")).as("keep_id"),
+        col("best.quality").as("quality"), col("n_members"))
+      .orderBy("cluster")
+  }
+
+  /** `dedup_cross_source`: exact dedup with SOURCE PRECEDENCE — when
+    * the same content arrives from several sources, keep the copy from
+    * the most-trusted one (curated beats crawled), not merely the
+    * smallest id. Priority here is the source's numeric suffix
+    * (src0 strongest), an explicit stand-in for the per-source trust
+    * rank a production pipeline configures.
+    *
+    * Same one-shuffle shape as [[exact]]: the fingerprint and priority
+    * are map-side expressions, and the winner is the monoid
+    * `min(struct(priority, doc_id))` — combiner-friendly, no window,
+    * no second pass. `n_sources` (distinct sources per group) rides
+    * the same aggregate.
+    */
+  def crossSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(TextAnalysis.normalizedText(col("text"))).as("fp"), col("doc_id"),
+        substring(col("source"), 4, 10).cast("long").as("prio"),
+        col("source"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(struct(col("prio"), col("doc_id"))).as("best"))
+      .select(col("fp"), col("best.doc_id").as("keep_id"),
+        col("best.prio").as("keep_prio"), col("n_docs"), col("n_sources"))
+      .orderBy("fp")
+
   /** [[keep]]'s doc_id set without the output sort or member counts —
     * the composition-side shape: [[graft.operators.Corpus.trainingSet]]
     * semi-joins it, where a sort (and the count aggregate's second

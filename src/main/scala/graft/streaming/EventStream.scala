@@ -278,6 +278,39 @@ object EventStream {
       .orderBy("hour", "rnk")
   }
 
+  /** `stream_ohlc`: the streaming twin of [[graft.operators.Events.ohlcResample]]
+    * — per-(type, hour) candles in append mode. Every component is a
+    * partial-aggregable monoid (count, min, max, `min_by`/`max_by`
+    * over the padded (epoch_us, event_id) composite), so the state
+    * store holds ONE row per open window per type and the watermark
+    * evicts it at seal time — the same bounded-state contract as the
+    * windowed counts, extended to picked-value aggregates. Oracle =
+    * the batch candles restricted to the watermark-sealed horizon.
+    */
+  def ohlcStream(spark: SparkSession, dir: String): DataFrame = {
+    val ord = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    val agg = readEventsStream(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"), ord.as("ord"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min_by(value, ord)").as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        expr("max_by(value, ord)").as("close"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("open"), col("high"), col("low"), col("close"))
+    val name = "stream_ohlc_out"
+    withStatePartitions(spark) {
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("event_type", "hour")
+  }
+
   /** STREAM-STREAM interval join: each error event joined to the same
     * user's purchases in the 10 minutes strictly before it, both sides
     * watermarked. The time band is expressed directly on the two

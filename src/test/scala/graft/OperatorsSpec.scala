@@ -386,6 +386,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("keep-best representatives come from the same clusters with max quality") {
+    val keep = Dedup.keep(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_members")).toMap
+    val best = Dedup.keepBest(spark, sf).collect()
+    // same partition of the corpus: one row per cluster, same members
+    assert(best.length == keep.size)
+    best.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      assert(keep(c) == r.getAs[Long]("n_members"), s"cluster $c member count")
+      assert(r.getAs[Long]("keep_id") >= c,
+        "representative is a member, so >= the cluster min label")
+    }
+    // the representative really is argmax quality: spot-check against
+    // a driver-side recompute on multi-member clusters
+    val quality = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val labels = Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster")))
+    val byCluster = labels.groupBy(_._2)
+    best.filter(_.getAs[Long]("n_members") > 1).foreach { r =>
+      val members = byCluster(r.getAs[Long]("cluster")).map(_._1)
+      val want = members.minBy(d => (-quality(d), d))
+      assert(r.getAs[Long]("keep_id") == want,
+        s"cluster ${r.getAs[Long]("cluster")}: expected argmax-quality $want")
+    }
+  }
+
+  test("cross-source dedup prefers the stronger source over the smaller id") {
+    val rows = Dedup.crossSource(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "CAST(substr(source, 4, 10) AS LONG) AS prio",
+        "md5(trim(regexp_replace(lower(text), '\\\\s+', ' '))) AS fp").collect()
+      .map(r => (r.getAs[String]("fp"), r.getAs[Long]("doc_id"), r.getAs[Long]("prio")))
+    val byFp = docs.groupBy(_._1)
+    assert(rows.length == byFp.size, "one row per fingerprint group")
+    rows.foreach { r =>
+      val members = byFp(r.getAs[String]("fp"))
+      val (_, wantId, wantPrio) = members.minBy { case (_, d, p) => (p, d) }
+      assert(r.getAs[Long]("keep_id") == wantId && r.getAs[Long]("keep_prio") == wantPrio)
+    }
+    // the policy must actually differ from plain min-id on some group
+    // (otherwise the test proves nothing about precedence)
+    val diverging = byFp.values.exists { ms =>
+      ms.size > 1 && ms.minBy { case (_, d, p) => (p, d) }._2 != ms.map(_._2).min
+    }
+    if (diverging)
+      assert(rows.exists { r =>
+        val ms = byFp(r.getAs[String]("fp"))
+        ms.size > 1 && r.getAs[Long]("keep_id") != ms.map(_._2).min
+      }, "some group's winner must differ from the min-id policy")
+    else info("corpus has no group where precedence diverges from min-id")
+  }
+
   test("cdc incremental agg equals re-aggregating the merged table") {
     // MV + Σdeltas must land on the exact decimals of a full recompute
     import org.apache.spark.sql.functions.{col, count, lit, sum}
