@@ -38,7 +38,13 @@ object SparkEntry {
     "q1_pricing_summary" -> Relational.q1PricingSummary _,
     "q3_shipping_priority" -> Relational.q3ShippingPriority _,
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
     "q14_promo_revenue" -> Relational.q14PromoRevenue _,
+    "q15_top_supplier" -> Relational.q15TopSupplier _,
+    "q17_small_quantity" -> Relational.q17SmallQuantity _,
+    "q18_large_volume" -> Relational.q18LargeVolume _,
     "top_orders" -> Relational.topOrders _,
     "top_orders_per_customer" -> Relational.topOrdersPerCustomer _,
     "top_orders_per_customer_agg" -> Relational.topOrdersPerCustomerAgg _,
@@ -340,6 +346,63 @@ object SparkEntry {
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  CAST(sum($revenueExpr) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM pc
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, sum($revenueExpr) AS total
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey),
+         |mx AS (SELECT max(total) AS mx FROM rev)
+         |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+         |FROM rev JOIN mx ON total = mx
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_quantity" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')),
+        |pp AS (SELECT l_partkey AS t_partkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n_li
+        |  FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 4)
+        |    AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM li JOIN pp ON l_partkey = t_partkey
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n_li < sum_qty""".stripMargin,
+    "q18_large_volume" ->
+      """WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q14_promo_revenue" ->
       s"""WITH j AS (SELECT date_trunc('month', l_shipdate) AS month, p_type,
          |    $revenueExpr AS rev

@@ -130,6 +130,131 @@ object Relational {
       .orderBy("month")
   }
 
+  /** TPC-H Q6 shape: forecast revenue change — a pure filter + global
+    * aggregate. The whole query is ONE map-side pass: every predicate
+    * (date window, discount band, quantity cap) pushes to the parquet
+    * scan, the sum partial-aggregates, and a single 1-row partial per
+    * task crosses the wire. The simplest possible 100 TB plan; its job
+    * here is to pin that the filters actually reach `PushedFilters`.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(dec(col("l_extendedprice")) * dec(col("l_discount")).cast("decimal(3,2)"))
+             .as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** TPC-H Q10 shape: returned-item revenue per customer for one
+    * quarter. customer/nation broadcast (dimensions); orders⋈lineitem
+    * is the fact join and shuffles on orderkey; top-20 rides
+    * TakeOrderedAndProject.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val revenue = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 shape: customer order-count distribution INCLUDING the
+    * zero-order customers (the left join is the point of the query —
+    * an inner join silently drops exactly the bucket the analyst
+    * wants). Two combiner-friendly shuffles: per-customer count, then
+    * the |distinct-counts|-sized histogram.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape: top supplier by quarterly revenue. The per-
+    * supplier revenue aggregates once; the max is a 1-row aggregate
+    * broadcast back as a cross-join filter (never a second scan of
+    * the revenue view, never a global sort). Ties surface as multiple
+    * rows, deterministically ordered.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenue).as("total"))
+    val top = rev.agg(max(col("total")).as("mx"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total") === col("mx"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    * brand. The per-part average-quantity threshold is a correlated
+    * subquery in the spec; here it's a broadcast of the |brand parts|-
+    * sized aggregate, and the `quantity < 0.2·avg` test CROSS-
+    * MULTIPLIES into exact decimals (`5·qty·n < Σqty`) so no float
+    * division sits at the keep/drop boundary.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n_li"))
+    li.join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+      .filter(dec(col("l_quantity")) * 5 * col("n_li") < col("sum_qty"))
+      .agg(round(dsum(dec(col("l_extendedprice"))) / 7.0, 4).as("avg_yearly"),
+           count(lit(1)).as("n_small"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders. The HAVING on the per-order
+    * quantity sum runs FIRST (combiner-friendly, orderkey-partitioned)
+    * and only the surviving ~1% of orderkeys join back — orders joins
+    * a bounded key set, customer broadcasts, and the top-100 rides
+    * TakeOrderedAndProject.
+    */
+  def q18LargeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Top-k with a deterministic tie-break — `orderBy.limit` lets Spark
     * run TakeOrderedAndProject: per-partition heaps, no full sort.
     */

@@ -37,6 +37,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "map-side partial aggregation expected")
   }
 
+  test("q6: every predicate reaches the parquet scan; one partial-agg pass") {
+    val p = plan(Relational.q6ForecastRevenue(spark, sf))
+    assert(p.contains("PushedFilters:") && p.contains("l_quantity") &&
+      p.contains("l_discount"),
+      s"discount/quantity predicates must push to the scan:\n${p.take(800)}")
+    assert(p.contains("partial_"), "map-side partials: 1 row per task crosses the wire")
+  }
+
+  test("q18: the quantity HAVING aggregates before any join") {
+    // the having-filtered aggregate must sit BELOW the orders join in
+    // the plan (filter the fact first, then join the ~1% survivors)
+    val p = plan(Relational.q18LargeVolume(spark, sf))
+    val aggPos = p.indexOf("sum_qty")
+    val joinPos = p.indexOf("o_orderkey")
+    assert(aggPos >= 0 && joinPos >= 0,
+      s"expected aggregate and join in plan:\n${p.take(600)}")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+  }
+
   test("q5: dims broadcast via hints, orders is NOT broadcast (fact join shuffles)") {
     // Disable stats-based auto-broadcast so the plan shows only what the
     // CODE asks for: at sf0.001 everything is tiny and Spark would
