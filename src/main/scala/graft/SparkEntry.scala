@@ -61,6 +61,7 @@ object SparkEntry {
     "cdc_merge" -> Relational.cdcMerge _,
     "cdc_scd2" -> Relational.cdcScd2 _,
     "cdc_incremental_agg" -> Relational.cdcIncrementalAgg _,
+    "cdc_asof_version" -> Relational.cdcAsOfVersion _,
     "profile_orders" -> Profiling.profileOrders _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
@@ -233,11 +234,17 @@ object SparkEntry {
        |  FROM touched WHERE o_orderkey % 10 = 1),
        |changes AS (SELECT * FROM versions UNION ALL SELECT * FROM inserts)""".stripMargin
 
-  private lazy val cdcMergeSql =
+  private lazy val cdcMergeSql = cdcMergeSqlThrough(Long.MaxValue)
+
+  /** The merge oracle with the change log capped at `v ≤ maxV` —
+    * maxV = Long.MaxValue is the plain merge; CdcAsOfVersion is the
+    * time-travel read.
+    */
+  private def cdcMergeSqlThrough(maxV: Long) =
     s"""$cdcChangeCtes,
        |latest AS (SELECT o_orderkey, op, c_totalprice, c_custkey FROM (
        |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
-       |  FROM changes c) WHERE rn = 1)
+       |  FROM changes c WHERE v <= $maxV) WHERE rn = 1)
        |SELECT o_orderkey, o_custkey, o_totalprice, src FROM (
        |  SELECT b.o_orderkey, b.o_custkey,
        |    coalesce(l.c_totalprice, b.o_totalprice) AS o_totalprice,
@@ -564,6 +571,7 @@ object SparkEntry {
     // the synthetic change log, compaction window and three-way merge
     // mirror Relational.cdcMerge stage for stage
     "cdc_merge" -> cdcMergeSql,
+    "cdc_asof_version" -> cdcMergeSqlThrough(operators.Relational.CdcAsOfVersion),
     "cdc_scd2" -> cdcScd2Sql,
     // generated per column from the same (name, kind) list shape the
     // Spark side derives from the schema

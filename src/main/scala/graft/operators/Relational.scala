@@ -593,10 +593,31 @@ object Relational {
       .orderBy("o_orderkey", "v")
   }
 
-  def cdcMerge(spark: SparkSession, dir: String): DataFrame = {
+  def cdcMerge(spark: SparkSession, dir: String): DataFrame =
+    mergeThroughVersion(spark, dir, Long.MaxValue)
+
+  /** `cdc_asof_version`: TIME TRAVEL over the change log — the table
+    * reconstructed as of version [[CdcAsOfVersion]], i.e. the merge
+    * applied to only the changes with `v ≤` the cap. This is the log-
+    * replay half of snapshot isolation (what a lakehouse answers from
+    * stored snapshots, a CDC consumer answers by bounded replay); the
+    * plan is IDENTICAL to [[cdcMerge]] — the version cap is one extra
+    * pushed-down predicate on the bounded change batch, so historical
+    * reads cost the same as current ones and the base still never
+    * shuffles. At v=2 the capped log contains updates and the delete
+    * tombstone but not yet the v=3 inserts, so all three op classes
+    * diverge observably from the latest state.
+    */
+  def cdcAsOfVersion(spark: SparkSession, dir: String): DataFrame =
+    mergeThroughVersion(spark, dir, CdcAsOfVersion)
+
+  val CdcAsOfVersion = 2L
+
+  private def mergeThroughVersion(spark: SparkSession, dir: String, maxV: Long): DataFrame = {
     val base = Tables.orders(spark, dir)
     val w = Window.partitionBy("o_orderkey").orderBy(col("v").desc)
     val latest = cdcChangeLog(base)
+      .filter(col("v") <= maxV)
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select("o_orderkey", "op", "c_totalprice", "c_custkey")
     val dels = latest.filter(col("op") === "D").select("o_orderkey")
