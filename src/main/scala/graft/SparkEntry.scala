@@ -152,6 +152,8 @@ object SparkEntry {
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "vocab_top" -> Corpus.vocabTop _,
     "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
+    "bpe_vocab_encode" -> Bpe.vocabEncode _,
+    "bpe_merge_table" -> Bpe.mergeTable _,
     "doc_surprisal" -> Corpus.docSurprisal _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
@@ -873,7 +875,57 @@ object SparkEntry {
          |   OR (npos < ${TextAnalysis.WinnowW} AND i = npos)
          |ORDER BY doc_id, fp""".stripMargin,
   ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++ pqOracles ++
-    multimodalOracles ++ samplingOracles ++ corpusOracles ++ streamingOracles
+    bpeOracles ++ multimodalOracles ++ samplingOracles ++ corpusOracles ++
+    streamingOracles
+
+  /** BPE trainer oracles: the per-round window chain (pair counts →
+    * 1-row best → chain-parity merge → rebuild) generated for
+    * [[operators.Bpe.Rounds]] rounds — the same shape the Spark loop
+    * builds, so merge rules and segmentations replay bit-for-bit.
+    */
+  private def bpeOracles: Map[String, String] = {
+    val rounds = (1 to Bpe.Rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT word, cnt, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM $prev),
+         |b$r AS (SELECT sym AS s1, nxt AS s2, sum(cnt) AS total FROM p$r
+         |  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |  ORDER BY total DESC, s1, s2 LIMIT 1),
+         |m$r AS (SELECT p.word, p.cnt, p.pos, p.sym, p.nxt,
+         |    (p.sym = b.s1 AND p.nxt IS NOT NULL AND p.nxt = b.s2) AS pairh
+         |  FROM p$r p, b$r b),
+         |g$r AS (SELECT *, pos - row_number() OVER (PARTITION BY word, pairh ORDER BY pos) AS grp
+         |  FROM m$r),
+         |c$r AS (SELECT *, CASE WHEN pairh THEN
+         |      (row_number() OVER (PARTITION BY word, pairh, grp ORDER BY pos) - 1) % 2 = 0
+         |    ELSE false END AS mrg FROM g$r),
+         |k$r AS (SELECT *, lag(mrg, 1, false) OVER (PARTITION BY word ORDER BY pos) AS consumed
+         |  FROM c$r),
+         |s$r AS (SELECT word, cnt,
+         |    CAST(row_number() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+         |  FROM k$r WHERE NOT consumed)"""
+    }.mkString(",\n")
+    val ctes =
+      s"""WITH v AS (SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksLowerSql) AS word FROM documents)
+         |  GROUP BY word),
+         |s0 AS (SELECT word, cnt, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
+         |  FROM (SELECT word, cnt, unnest(generate_series(1, length(word))) AS i FROM v)),
+         |$rounds"""
+    val last = s"s${Bpe.Rounds}"
+    val encode =
+      s"""$ctes
+         |SELECT word, cnt, count(*) AS n_syms,
+         |  string_agg(sym, ' ' ORDER BY pos) AS encoding
+         |FROM $last GROUP BY word, cnt ORDER BY word""".stripMargin
+    val table = (1 to Bpe.Rounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, s1, s2, CAST(total AS BIGINT) AS total FROM b$r")
+      .mkString("\nUNION ALL\n")
+    val mergeTable = s"""$ctes\n$table\nORDER BY round""".stripMargin
+    Map("bpe_vocab_encode" -> encode, "bpe_merge_table" -> mergeTable)
+  }
 
   /** quality_score + lang_id oracles are built programmatically so the
     * marker lists / weights live in exactly one place (TextAnalysis).

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Iterative BPE tokenizer TRAINING + vocabulary encoding (north
+  * star) — the real multi-round byte-pair-encoding loop, not just the
+  * single pair-count round of [[Corpus.bpeMergePairs]].
+  *
+  * The key scale decision is the STATE SPACE: merges operate on the
+  * distinct-WORD frequency table (the classic Sennrich et al. 2016
+  * trainer shape), never on the corpus itself — after the one
+  * tokenize+count shuffle, every round touches |vocab| rows
+  * (corpus-size-independent), and encoding a 100 TB corpus afterwards
+  * is a broadcast join of the trained segmentation against the
+  * token stream.
+  *
+  * Each round is fully declarative (no driver-side pick):
+  *  1. pair counts: `lead(sym)` per word, weighted by word count —
+  *     one combiner-friendly aggregate;
+  *  2. the best pair: `ORDER BY total DESC, s1, s2 LIMIT 1` — a
+  *     1-row frame CROSS-joined (broadcast) back, so ties break
+  *     deterministically and nothing round-trips through the driver;
+  *  3. merge application: greedy left-to-right non-overlapping, via
+  *     CHAIN PARITY — contiguous runs of pair hits (gaps-and-islands
+  *     `pos − row_number()`) merge at even offsets only. For s1 ≠ s2
+  *     a hit chain is provably length-1 (a second consecutive hit
+  *     would force s2 = s1), so the parity rule degenerates to "merge
+  *     every hit"; for s1 = s2 it yields exactly the ⌊run/2⌋
+  *     left-aligned merges of a sequential scanner. The consumed
+  *     right-neighbor drops via `lag(merge)`, positions renumber, and
+  *     the next round reads the rebuilt symbols.
+  * The DuckDB oracle replays the identical window chain per round, so
+  * the trained merge table and the full vocabulary segmentation are
+  * engine-exact.
+  */
+object Bpe {
+
+  /** Merge rounds trained (each = one learned merge rule). */
+  val Rounds = 4
+
+  /** (word, cnt): the distinct lowercase letter-run vocabulary. */
+  private def vocab(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbols: one row per character position. */
+  private def charSyms(v: DataFrame): DataFrame =
+    v.select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("word"), col("cnt"), col("i").cast("long").as("pos"),
+        expr("substr(word, i, 1)").as("sym"))
+
+  /** One merge round: returns (rebuilt symbols, the 1-row best pair). */
+  private def oneRound(syms: DataFrame): (DataFrame, DataFrame) = {
+    val wpos = Window.partitionBy("word").orderBy("pos")
+    val p = syms.withColumn("nxt", lead(col("sym"), 1).over(wpos))
+    val best = p.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("s1"), col("nxt").as("s2"))
+      .agg(sum("cnt").as("total"))
+      .orderBy(col("total").desc, col("s1"), col("s2"))
+      .limit(1)
+    val m = p.crossJoin(broadcast(best))
+      .withColumn("pairh",
+        col("sym") === col("s1") && col("nxt").isNotNull && col("nxt") === col("s2"))
+    val c = m
+      .withColumn("grp",
+        col("pos") - row_number().over(Window.partitionBy("word", "pairh").orderBy("pos")))
+      .withColumn("mrg", when(col("pairh"),
+          (row_number().over(
+            Window.partitionBy("word", "pairh", "grp").orderBy("pos")) - 1) % 2 === 0)
+        .otherwise(lit(false)))
+    val rebuilt = c
+      .withColumn("consumed", lag(col("mrg"), 1, false).over(wpos))
+      .filter(!col("consumed"))
+      .select(col("word"), col("cnt"),
+        row_number().over(wpos).cast("long").as("pos"),
+        when(col("mrg"), concat(col("sym"), col("nxt"))).otherwise(col("sym")).as("sym"))
+    (rebuilt, best)
+  }
+
+  /** Final symbol frame + the per-round merge rules. */
+  private def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
+    var syms = charSyms(vocab(spark, dir))
+    val merges = (1 to Rounds).map { _ =>
+      val (next, best) = oneRound(syms)
+      syms = next
+      best
+    }
+    (syms, merges)
+  }
+
+  /** `bpe_vocab_encode`: every vocabulary word's segmentation after
+    * [[Rounds]] learned merges, with its corpus frequency.
+    */
+  def vocabEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (syms, _) = train(spark, dir)
+    syms.groupBy("word", "cnt")
+      .agg(count(lit(1)).as("n_syms"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x.getField("sym"))).as("encoding"))
+      .orderBy("word")
+  }
+
+  /** `bpe_merge_table`: the learned merge rules in training order with
+    * their weighted pair counts — the tokenizer artifact a 100 TB
+    * encode job broadcasts.
+    */
+  def mergeTable(spark: SparkSession, dir: String): DataFrame = {
+    val (_, merges) = train(spark, dir)
+    merges.zipWithIndex.map { case (b, i) =>
+      b.select(lit(i + 1L).as("round"), col("s1"), col("s2"),
+        col("total").cast("long").as("total"))
+    }.reduce(_.unionByName(_)).orderBy("round")
+  }
+}

@@ -439,6 +439,25 @@ class OperatorsSpec extends AnyFunSuite {
     else info("corpus has no group where precedence diverges from min-id")
   }
 
+  test("bpe: segmentations reconstruct their words; every learned rule is used") {
+    val enc = Bpe.vocabEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    enc.foreach { r =>
+      val word = r.getAs[String]("word")
+      val syms = r.getAs[String]("encoding").split(" ")
+      assert(syms.mkString("") == word, s"segmentation must tile '$word'")
+      assert(syms.length.toLong == r.getAs[Long]("n_syms"))
+    }
+    val merges = Bpe.mergeTable(spark, sf).collect()
+    assert(merges.length == Bpe.Rounds)
+    val allSyms = enc.flatMap(_.getAs[String]("encoding").split(" ")).toSet
+    merges.foreach { m =>
+      val merged = m.getAs[String]("s1") + m.getAs[String]("s2")
+      assert(allSyms.exists(_.contains(merged)),
+        s"learned merge '$merged' must survive into some segmentation")
+    }
+  }
+
   test("cdc incremental agg equals re-aggregating the merged table") {
     // MV + Σdeltas must land on the exact decimals of a full recompute
     import org.apache.spark.sql.functions.{col, count, lit, sum}
