@@ -173,6 +173,7 @@ object SparkEntry {
     "stream_session_window" -> graft.streaming.EventStream.sessionWindows _,
     "stream_topk" -> graft.streaming.EventStream.trendingTopK _,
     "stream_ohlc" -> graft.streaming.EventStream.ohlcStream _,
+    "stream_error_purchase_outer" -> graft.streaming.EventStream.errorPurchaseLeftOuter _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -1986,6 +1987,34 @@ object SparkEntry {
         |FROM events, m
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= mx
         |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // matched rows = the full batch interval join (matches emit
+    // immediately); null-extended rows only for errors the GLOBAL
+    // watermark (min of the two streams' max-event-time, minus the 1h
+    // delay) has sealed — unmatched errors inside the final band stay
+    // pending forever on a drained static input (verified empirically
+    // at both sf0.001 and sf0.01: the emission set equals e_ts < wm)
+    "stream_error_purchase_outer" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |      - INTERVAL 1 HOUR AS w),
+        |e AS (SELECT event_id AS error_id, user_id, ts AS e_ts FROM events
+        |      WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |matched AS (SELECT e.error_id, e.user_id, p.purchase_id,
+        |    CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        |  FROM e JOIN p ON e.user_id = p.p_user
+        |   AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
+        |   AND epoch_us(p.p_ts) < epoch_us(e.e_ts)),
+        |unmatched AS (SELECT e.error_id, e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM e, wm WHERE e.e_ts < wm.w
+        |   AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = e.user_id
+        |     AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
+        |     AND epoch_us(p.p_ts) < epoch_us(e.e_ts)))
+        |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY error_id, purchase_id""".stripMargin,
     // the batch candle oracle on the watermark-sealed horizon
     "stream_ohlc" ->
       """WITH m AS (SELECT max(ts) AS mx FROM events)

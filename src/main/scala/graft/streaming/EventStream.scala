@@ -347,6 +347,44 @@ object EventStream {
     spark.table(name).orderBy("error_id", "purchase_id")
   }
 
+  /** `stream_error_purchase_outer`: the LEFT OUTER stream-stream
+    * interval join — same bounded time-band as the inner twin, plus
+    * the "errors with NO preceding purchase" rows a funnel/alerting
+    * consumer actually wants. Outer semantics are where streaming
+    * departs from batch: a match emits immediately, but a
+    * null-extended row can only emit once the WATERMARK proves no
+    * future purchase can still arrive for that error (right-side
+    * event time < e_ts exhausted ⇔ watermark ≥ e_ts), i.e. at state
+    * eviction. Errors inside the final watermark band stay pending
+    * forever on a drained static input, so the oracle restricts the
+    * UNMATCHED branch to the sealed horizon while keeping every
+    * matched row — exactly the rows the drain emits.
+    */
+  def errorPurchaseLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val errors = readEventsStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = readEventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") < col("e_ts"), "left_outer")
+      .select(col("error_id"), col("user_id"), col("purchase_id"),
+        col("p_value").cast("decimal(18,2)").cast("double").as("purchase_value"))
+    val name = "stream_error_purchase_outer_out"
+    withStatePartitions(spark) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("error_id", "purchase_id")
+  }
+
   /** Streaming cardinality sketch: per-type distinct-user estimates on
     * continuous ingest, state BOUNDED at k (hash, user) entries per
     * type no matter how many events arrive — the streaming twin of
