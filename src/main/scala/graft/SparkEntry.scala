@@ -62,6 +62,7 @@ object SparkEntry {
     "cdc_scd2" -> Relational.cdcScd2 _,
     "cdc_incremental_agg" -> Relational.cdcIncrementalAgg _,
     "cdc_asof_version" -> Relational.cdcAsOfVersion _,
+    "cdc_snapshot_diff" -> Relational.cdcSnapshotDiff _,
     "profile_orders" -> Profiling.profileOrders _,
     // Event analytics
     "events_hourly" -> Events.hourlyRollup _,
@@ -575,6 +576,42 @@ object SparkEntry {
     // mirror Relational.cdcMerge stage for stage
     "cdc_merge" -> cdcMergeSql,
     "cdc_asof_version" -> cdcMergeSqlThrough(operators.Relational.CdcAsOfVersion),
+    // first-principles diff: reconstruct BOTH snapshots and full-outer
+    // them (the Spark side replays only the bounded log — opposite
+    // shapes, same rows)
+    "cdc_snapshot_diff" ->
+      s"""$cdcChangeCtes,
+         |l1 AS (SELECT o_orderkey, op, c_totalprice FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+         |  FROM changes c WHERE v <= 1) WHERE rn = 1),
+         |lL AS (SELECT o_orderkey, op, c_totalprice FROM (
+         |  SELECT c.*, row_number() OVER (PARTITION BY o_orderkey ORDER BY v DESC) AS rn
+         |  FROM changes c) WHERE rn = 1),
+         |m1 AS (
+         |  SELECT b.o_orderkey, coalesce(l.c_totalprice, b.o_totalprice) AS price
+         |  FROM orders b
+         |  LEFT JOIN l1 l ON b.o_orderkey = l.o_orderkey AND l.op = 'U'
+         |  WHERE NOT EXISTS (SELECT 1 FROM l1 d
+         |                    WHERE d.o_orderkey = b.o_orderkey AND d.op = 'D')
+         |  UNION ALL
+         |  SELECT o_orderkey, c_totalprice FROM l1 WHERE op = 'I'),
+         |mL AS (
+         |  SELECT b.o_orderkey, coalesce(l.c_totalprice, b.o_totalprice) AS price
+         |  FROM orders b
+         |  LEFT JOIN lL l ON b.o_orderkey = l.o_orderkey AND l.op = 'U'
+         |  WHERE NOT EXISTS (SELECT 1 FROM lL d
+         |                    WHERE d.o_orderkey = b.o_orderkey AND d.op = 'D')
+         |  UNION ALL
+         |  SELECT o_orderkey, c_totalprice FROM lL WHERE op = 'I')
+         |SELECT coalesce(m1.o_orderkey, mL.o_orderkey) AS o_orderkey,
+         |  CASE WHEN m1.o_orderkey IS NULL THEN 'added'
+         |       WHEN mL.o_orderkey IS NULL THEN 'removed'
+         |       ELSE 'updated' END AS change,
+         |  m1.price AS old_price, mL.price AS new_price
+         |FROM m1 FULL OUTER JOIN mL ON m1.o_orderkey = mL.o_orderkey
+         |WHERE m1.o_orderkey IS NULL OR mL.o_orderkey IS NULL
+         |   OR m1.price <> mL.price
+         |ORDER BY o_orderkey""".stripMargin,
     "cdc_scd2" -> cdcScd2Sql,
     // generated per column from the same (name, kind) list shape the
     // Spark side derives from the schema

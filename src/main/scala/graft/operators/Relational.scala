@@ -613,6 +613,43 @@ object Relational {
 
   val CdcAsOfVersion = 2L
 
+  /** `cdc_snapshot_diff`: what changed between the version-1 state and
+    * the latest state — per key: `added` (insert arrived later),
+    * `removed` (delete tombstone), `updated` (price moved), with old
+    * and new values.
+    *
+    * The scale point is WHERE the diff is computed: both snapshots'
+    * latest-per-key states derive from the BOUNDED change log alone
+    * (two compaction windows over the batch), so the diff is a
+    * full-outer join of two batch-sized frames — the base table never
+    * participates at all. The oracle deliberately takes the opposite
+    * route (reconstruct both full snapshots, full-outer them) so the
+    * cheap log-replay plan is checked against the expensive
+    * first-principles one.
+    */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val log = cdcChangeLog(Tables.orders(spark, dir))
+    val w = Window.partitionBy("o_orderkey").orderBy(col("v").desc)
+    def latestAt(maxV: Long) = log.filter(col("v") <= maxV)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("op"), col("c_totalprice"))
+    val a = latestAt(1L)
+      .select(col("o_orderkey"), col("c_totalprice").as("old_price"))
+    val b = latestAt(Long.MaxValue)
+      .select(col("o_orderkey"), col("op"), col("c_totalprice").as("new_price"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        when(col("old_price").isNull, "added")
+          .when(col("op") === "D", "removed")
+          .otherwise("updated").as("change"),
+        col("old_price"),
+        when(col("op") === "D", lit(null).cast("double"))
+          .otherwise(col("new_price")).as("new_price"))
+      .filter(col("change") =!= "updated" ||
+        col("old_price") =!= col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   private def mergeThroughVersion(spark: SparkSession, dir: String, maxV: Long): DataFrame = {
     val base = Tables.orders(spark, dir)
     val w = Window.partitionBy("o_orderkey").orderBy(col("v").desc)

@@ -611,6 +611,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sum == total, "candles partition the stream")
   }
 
+  test("cdc snapshot diff replays the v1 snapshot into the latest merged state") {
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // first-principles v1 snapshot: every touched key carries its v=1 update
+    val snap1 = base.map { case (k, p) =>
+      k -> (if (k % 10 < 2) p + Relational.CdcUpdateDelta else p)
+    }
+    val diff = Relational.cdcSnapshotDiff(spark, sf).collect()
+    val replayed = diff.foldLeft(snap1) { (acc, r) =>
+      val k = r.getAs[Long]("o_orderkey")
+      r.getAs[String]("change") match {
+        case "removed" =>
+          assert(acc.contains(k) && r.isNullAt(r.fieldIndex("new_price")))
+          acc - k
+        case "added" =>
+          assert(!acc.contains(k) && r.isNullAt(r.fieldIndex("old_price")))
+          acc + (k -> r.getAs[Double]("new_price"))
+        case "updated" =>
+          assert(acc(k) == r.getAs[Double]("old_price"),
+            s"diff's old_price for $k must match the v1 snapshot")
+          acc + (k -> r.getAs[Double]("new_price"))
+      }
+    }
+    val latest = Relational.cdcMerge(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    assert(replayed == latest, "v1 snapshot + diff must equal the latest snapshot")
+  }
+
   test("cdc scd2 history chains intervals and agrees with the compacted merge") {
     val hist = Relational.cdcScd2(spark, sf).collect()
     hist.groupBy(_.getAs[Long]("o_orderkey")).foreach { case (_, rows) =>
