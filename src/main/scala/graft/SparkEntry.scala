@@ -40,11 +40,18 @@ object SparkEntry {
     "q5_local_supplier" -> Relational.q5LocalSupplier _,
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q4_priority_check" -> Relational.q4PriorityCheck _,
+    "q7_volume_shipping" -> Relational.q7VolumeShipping _,
+    "q8_market_share" -> Relational.q8MarketShare _,
+    "q12_discount_bands" -> Relational.q12DiscountBands _,
     "q13_customer_distribution" -> Relational.q13CustomerDistribution _,
     "q14_promo_revenue" -> Relational.q14PromoRevenue _,
     "q15_top_supplier" -> Relational.q15TopSupplier _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "q18_large_volume" -> Relational.q18LargeVolume _,
+    "q19_discounted_revenue" -> Relational.q19DiscountedRevenue _,
+    "q21_waiting_supplier" -> Relational.q21WaitingSupplier _,
+    "q22_dormant_customers" -> Relational.q22DormantCustomers _,
     "top_orders" -> Relational.topOrders _,
     "top_orders_per_customer" -> Relational.topOrdersPerCustomer _,
     "top_orders_per_customer_agg" -> Relational.topOrdersPerCustomerAgg _,
@@ -377,6 +384,95 @@ object SparkEntry {
          |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
          |GROUP BY c_custkey, c_name, c_acctbal, n_name
          |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year, CAST(sum($revenueExpr) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH j AS (SELECT year(o_orderdate) AS o_year, n_name AS supp_nation,
+         |    $revenueExpr AS rev
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+         |    AND o_custkey IN (SELECT c_custkey FROM customer
+         |                      JOIN nation ON c_nationkey = n_nationkey
+         |                      JOIN region ON n_regionkey = r_regionkey
+         |                      WHERE r_name = 'EUROPE')
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+         |SELECT o_year,
+         |  round(CAST(coalesce(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev END), 0)
+         |             AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+         |  CAST(sum(rev) AS DOUBLE) AS total_volume
+         |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q12_discount_bands" ->
+      """WITH li AS (SELECT l_orderkey,
+        |    CASE WHEN l_discount >= 0.05 THEN 'DEEP' ELSE 'SHALLOW' END AS disc_band
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT disc_band,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM li JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY disc_band ORDER BY disc_band""".stripMargin,
+    "q19_discounted_revenue" ->
+      s"""SELECT CAST(sum($revenueExpr) AS DOUBLE) AS revenue, count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_discount BETWEEN 0.02 AND 0.08
+         |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |    OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 35
+         |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q21_waiting_supplier" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS was_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, l_suppkey),
+        |po AS (SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late
+        |  FROM ps GROUP BY l_orderkey)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM ps JOIN po USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE was_late = 1 AND n_supp >= 2 AND n_late = 1
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin,
+    "q22_dormant_customers" ->
+      """WITH thr AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s_bal,
+        |    count(*) AS n_pos
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, thr
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > s_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q13_customer_distribution" ->
       """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -255,6 +255,209 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q4 shape: order-priority checking — orders per priority
+    * with at least one heavy line. (The spec's EXISTS predicate is a
+    * late commit; this corpus carries no commit/receipt dates, so the
+    * existence test is a heavy-quantity line — the SHAPE under test is
+    * the decorrelated EXISTS.) The left-semi join is the scale point:
+    * the lineitem side reduces toward distinct orderkeys before the
+    * orders join, and the priority histogram is a 5-row aggregate.
+    */
+  def q4PriorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+    val heavy = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 45).select("l_orderkey")
+    ord.join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7 shape: volume shipped between two nations, either
+    * direction, by ship year. Both nation lookups ride BROADCAST
+    * dimension joins (supplier and customer each filtered to the two
+    * nations at the broadcast side, so the fact stream thins before
+    * the pair test); with only the two nations surviving, the spec's
+    * OR-of-pairs condition reduces to `supp_nation ≠ cust_nation`.
+    * The only shuffle is the lineitem⋈orders fact join.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(nations, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(nations, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val revenue = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(revenue).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 shape: national market share — of EUROPE customers'
+    * PROMO-part volume, the fraction supplied by NATION_1, per order
+    * year. Every dimension (promo parts, EUROPE customers via
+    * nation⋈region, supplier nations) broadcasts; the fact join
+    * lineitem⋈orders shuffles once; the share is a conditional-sum
+    * ratio inside ONE aggregate pass — decimal sums, double division
+    * only at the surface.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val promoParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val euroNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val euroCust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(euroNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val revenue = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    val natRev = coalesce(sum(when(col("supp_nation") === "NATION_1", revenue)),
+      lit(0).cast("decimal(18,2)"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(euroCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(natRev.cast("double") / sum(revenue).cast("double"), 6).as("mkt_share"),
+           dsum(revenue).as("total_volume"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q12 shape: order-priority composition per line category.
+    * (The spec's shipmode column doesn't exist in this corpus; the
+    * category is the discount band — deep vs shallow.) One fact join
+    * on orderkey, then a 2-row conditional-count aggregate; the date
+    * window is a pushed scan predicate.
+    */
+  def q12DiscountBands(spark: SparkSession, dir: String): DataFrame = {
+    val isUrgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        when(col("l_discount") >= 0.05, "DEEP").otherwise("SHALLOW").as("disc_band"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("disc_band")
+      .agg(sum(when(isUrgent, 1L).otherwise(0L)).as("high_line_count"),
+           sum(when(isUrgent, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("disc_band")
+  }
+
+  /** TPC-H Q19 shape: discounted revenue under a DISJUNCTION of
+    * (brand, size-range, quantity-range) conjunctions. The test is
+    * that an OR-of-ANDs join predicate still plans as a broadcast
+    * EQUI-join on partkey — the OR only constrains columns, it never
+    * hides the equality — and that the shared discount-band predicate
+    * pushes to the lineitem scan rather than evaluating post-join.
+    */
+  def q19DiscountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_discount").between(0.02, 0.08))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    val revenue = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey") && cond)
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — on multi-
+    * supplier orders where EXACTLY ONE supplier shipped late (late =
+    * shipped >60 days after the order date; the corpus has no
+    * commit/receipt dates), count the orders each such supplier
+    * solely delayed. The spec phrases this as correlated EXISTS and
+    * NOT-EXISTS lineitem self-joins; here both collapse into
+    * aggregation — per-(order, supplier) lateness, then per-order
+    * supplier/late counts via a WINDOW over the same orderkey
+    * partitioning (no second shuffle, no self-join materializes) —
+    * the difference between O(lines) and O(lines²/order) at 100 TB.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"),
+        1L).otherwise(0L)).as("was_late"))
+    val w = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("was_late")).over(w))
+      .filter(col("was_late") === 1L && col("n_supp") >= 2 && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape: dormant high-balance customers — above the
+    * positive-balance global average with no RECENT orders (this
+    * corpus gives every customer some order, so the spec's no-orders
+    * test becomes a recency window; the spec's phone country code
+    * doesn't exist either, so the grouping is the market segment).
+    * The global average is a 1-row aggregate broadcast back as a
+    * cross join; the comparison CROSS-MULTIPLIES into exact decimals
+    * (`bal · n > Σbal`) so no float division sits at the keep
+    * boundary; the dormancy test is an anti join whose build side is
+    * pre-shrunk by a pushed date predicate and shuffles only custkeys.
+    */
+  def q22DormantCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val thr = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(dec(col("c_acctbal"))).as("s_bal"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(thr))
+      .filter(dec(col("c_acctbal")) * col("n_pos") > col("s_bal"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), dsum(dec(col("c_acctbal"))).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Top-k with a deterministic tie-break — `orderBy.limit` lets Spark
     * run TakeOrderedAndProject: per-partition heaps, no full sort.
     */

@@ -81,6 +81,53 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q19: the OR-of-ANDs predicate still plans a broadcast EQUI-join") {
+    // the disjunction only constrains columns — the partkey equality
+    // must stay the join key; a nested-loop here is the scale bug
+    val p = plan(Relational.q19DiscountedRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"equi-join expected:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "OR-of-ANDs must not degrade the join to a nested loop")
+    assert(p.contains("PushedFilters") && p.contains("l_discount"),
+      "the shared discount band must push to the lineitem scan")
+  }
+
+  test("q21: agg and window reuse the fact join's orderkey partitioning") {
+    // the decorrelated-EXISTS shape only beats the spec's self-joins if
+    // the per-(order,supp) aggregate AND the per-order window both ride
+    // the lineitem⋈orders exchange: expect exactly the SMJ's two input
+    // exchanges plus the final suppkey aggregation, nothing else
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(Relational.q21WaitingSupplier(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "fact join shuffles with broadcast off")
+      val exchanges = """\+- Exchange \(""".r.findAllIn(p).length
+      assert(exchanges == 3,
+        s"expected 3 hash exchanges (join inputs + suppkey agg), got $exchanges:\n${p.take(1200)}")
+      assert("""BroadcastExchange \(""".r.findAllIn(p).length == 1,
+        "only the supplier dim broadcasts")
+      assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q7/q8: dims broadcast, lineitem⋈orders is the only fact shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val treeBx = """BroadcastExchange \(""".r
+      val p7 = plan(Relational.q7VolumeShipping(spark, sf))
+      assert(treeBx.findAllIn(p7).length == 2,
+        s"q7: exactly the supplier and customer nation maps broadcast:\n${p7.take(800)}")
+      assert(p7.contains("SortMergeJoin") || p7.contains("ShuffledHashJoin"),
+        "q7: the fact join shuffles")
+      val p8 = plan(Relational.q8MarketShare(spark, sf))
+      assert(treeBx.findAllIn(p8).length >= 4,
+        s"q8: part/region/nation/customer sides all broadcast:\n${p8.take(800)}")
+      assert(p8.contains("SortMergeJoin") || p8.contains("ShuffledHashJoin"),
+        "q8: the fact join shuffles")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("top_orders plans as TakeOrderedAndProject (no global sort)") {
     val p = plan(Relational.topOrders(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
