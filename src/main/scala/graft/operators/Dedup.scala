@@ -660,6 +660,28 @@ object Dedup {
       .orderBy("batch_id", "hist_id")
   }
 
+  /** Static sides of the STREAMING ingest twin
+    * ([[graft.streaming.DocStream.streamPipelineIngest]]): the
+    * historical split's MinHash band store carrying the hashed shingle
+    * set the Jaccard verify reads — in production a pre-materialized
+    * table bucketed by bkey that only appends per ingest (see
+    * [[incrementalMinHash]]); derived inline here to stay
+    * self-contained.
+    */
+  private[graft] def historyBandStore(spark: SparkSession, dir: String): DataFrame = {
+    val split = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val shArr = docShingles(spark, dir)
+      .withColumn("split", split)
+      .filter(col("split") >= IncBatchThreshold)
+      .select("doc_id", "sh")
+    val hashed = shArr.select(col("doc_id"),
+      sort_array(transform(col("sh"), s => xxhash64(s))).as("h_shh"),
+      size(col("sh")).as("h_nsh"))
+    minHashBands(minHashSignatureKernel(shArr))
+      .join(hashed, "doc_id")
+      .select(col("band"), col("bkey"), col("h_shh"), col("h_nsh"))
+  }
+
   val SimHashBits = 64
 
   /** 64-bit SimHash per document over token md5s, emitted as a

@@ -143,6 +143,102 @@ object DocStream {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** STREAMING FLAGSHIP — [[graft.operators.Corpus.ingest]] run as a
+    * continuous stream: the full per-batch ingest composition (quality
+    * gate → exact dedup vs the historical fingerprint store → MinHash
+    * near-dup probe vs the historical band store → first-seen batch
+    * aggregation) with every stage in its streaming-legal shape, and
+    * the result bit-identical to the batch composition, so the SAME
+    * oracle gates both.
+    *
+    * Why each stage is stateless (the whole design):
+    *  - quality + fingerprint + MinHash signatures are per-row
+    *    projections (the declarative [[graft.operators.Dedup.shingles]]
+    *    twin of the batch kernel) — they ride the micro-batch scan;
+    *  - exact dedup is a stream-STATIC anti join on the fp store;
+    *  - the near-dup probe is FOUR stream-static anti joins, one per
+    *    band, each an equi-join on that band's key with the exact
+    *    Jaccard (`graft_overlap` on the hashed shingle sets, ≥ 0.3) as
+    *    the residual condition — an anti join per band is exactly "drop
+    *    the doc if ANY band collides and verifies", and the band store
+    *    is probed the way production probes a bucketed-by-bkey table;
+    *  - the only STATE is the final first-seen aggregation, bounded by
+    *    the batch's distinct fingerprints (as [[streamIncrementalDedup]]).
+    *
+    * Pre-agg filter placement is safe because every dropped row's fp
+    * group drops WITH it: same fp ⟹ same normalized text ⟹ same
+    * letter-run tokens ⟹ same shingles, quality, bands and Jaccard —
+    * so per-group counts (`n_batch_dups`) are unchanged, which is what
+    * makes the batch oracle replay the stream bit-for-bit.
+    */
+  def streamPipelineIngest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Corpus, Dedup, Kernels}
+    val fpOf = md5(TextAnalysis.normalizedText(col("text")))
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    // static sides — in production: materialized store tables appended
+    // per ingest; cached because four band probes (and every
+    // micro-batch) re-read them
+    val fpStore = graft.Tables.documents(spark, dir)
+      .select(fpOf.as("fp"), splitOf.as("split"))
+      .filter(col("split") >= Dedup.IncBatchThreshold)
+      .select("fp").distinct()
+    val bandStore = Kernels.cacheTracked(Dedup.historyBandStore(spark, dir))
+
+    val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
+    val toksLower = filter(
+      split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
+    val sigs = (0 until Dedup.MinHashFns).map(i =>
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))))
+    val bkeys = (0 until Dedup.MinHashBands).map(b =>
+      when(size(col("sh")) > 0, concat_ws("|",
+        (0 until Dedup.MinHashRows).map(r => sigs(Dedup.MinHashRows * b + r)): _*)))
+
+    val batch = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"), fpOf.as("fp"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .withColumn("quality",
+        round((lenScore + diversity + stopScore) / lit(3.0), 4))
+      .filter(col("quality") >= Corpus.TrainQualityMin)
+      .withColumn("sh", Dedup.shingles(toksLower, 3))
+      .withColumn("shh", sort_array(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("nsh", size(col("sh")))
+    val withBands = bkeys.zipWithIndex.foldLeft(batch) { case (df, (bk, b)) =>
+      df.withColumn(s"bk$b", bk)
+    }.select((Seq("doc_id", "fp", "quality", "shh", "nsh") ++
+      (0 until Dedup.MinHashBands).map(b => s"bk$b")).map(col): _*)
+
+    val exactDeduped = withBands.join(fpStore, Seq("fp"), "left_anti")
+    val nearDeduped = (0 until Dedup.MinHashBands).foldLeft(exactDeduped) { (df, b) =>
+      val hb = bandStore.filter(col("band") === b).as(s"h$b")
+      val common = graft.functions.VectorFunctions
+        .overlap(spark, col("shh"), col(s"h$b.h_shh")).cast("double")
+      val sz = (col("nsh") + col(s"h$b.h_nsh")).cast("double")
+      df.join(hb,
+        col(s"bk$b") === col(s"h$b.bkey") &&
+          round(common / (sz - common), 6) >= 0.3,
+        "left_anti")
+    }
+    val result = nearDeduped
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"),
+        min("quality").as("quality"))
+      .select("doc_id", "fp", "n_batch_dups", "quality")
+
+    val name = "stream_pipeline_ingest_out"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // state stores sized to keys, see EventStream
+    try {
+      val q = result.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name).orderBy("doc_id")
+  }
+
   val QualityThreshold = 0.5
 
   /** Streaming quality gate on continuous ingest: the same closed-form

@@ -296,6 +296,40 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("parquet footer stats answer min/max/count without scanning rows") {
+    // the deployment lever behind Profiling.profile at 100 TB: under
+    // the DSv2 parquet reader with aggregate pushdown, the range/count
+    // half of a table profile is answered from file FOOTERS — the scan
+    // reads statistics, not data. (The shared Verify/Bench session
+    // keeps the v1 reader, so this is deployment-config guidance
+    // pinned by a test, like the bloom-filter audit.)
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+      val stats = orders.agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.min("o_totalprice").as("min_price"),
+        org.apache.spark.sql.functions.max("o_totalprice").as("max_price"))
+      val p = plan(stats)
+      assert(p.contains("PushedAggregation: [COUNT(*)") ||
+             p.contains("PushedAggregation: [MIN") ||
+             p.contains("PushedAggregation"),
+        s"min/max/count must push to the parquet footer scan:\n${p.take(900)}")
+      // and the footer answer must equal the row-scan answer
+      val r = stats.collect()(0)
+      val want = Tables.orders(spark, sf)
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.min("o_totalprice"),
+          org.apache.spark.sql.functions.max("o_totalprice")).collect()(0)
+      assert(r.getLong(0) == want.getLong(0) && r.getDouble(1) == want.getDouble(1) &&
+        r.getDouble(2) == want.getDouble(2), "footer stats must equal row-scan stats")
+    } finally {
+      spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      spark.conf.unset("spark.sql.sources.useV1SourceList")
+    }
+  }
+
   test("hive-partitioned writes prune partitions at the scan") {
     // the other half of the layout story next to the bucketed-join
     // audit: a corpus written partitioned by source must answer a
