@@ -78,8 +78,6 @@ object SparkEntry {
     "events_asof_purchase" -> Events.asofLastPurchase _,
     "events_user_profile" -> Events.userProfile _,
     "events_quantiles" -> Events.valueQuantiles _,
-    // bench/spec-gated only: GK vs DuckDB's t-digest cannot hash-match
-    // (no oracleSql entry → the driver records a rows-only check)
     "events_quantiles_approx" -> Events.valueQuantilesApprox _,
     "events_funnel" -> Events.funnel _,
     "events_retention" -> Events.retention _,
@@ -791,6 +789,17 @@ object SparkEntry {
       }.mkString(",\n  ")
       s"""SELECT event_type, count(*) AS n_events,
          |  $qcols
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    },
+    // GK estimates themselves can't cross-engine match (DuckDB sketches
+    // with a t-digest), but the query emits its estimates' RANK-ERROR
+    // verdicts — deterministic under GK's guarantee, so the oracle pins
+    // them all to 1 (see Events.valueQuantilesApprox).
+    "events_quantiles_approx" -> {
+      val okCols = Events.QuantilePoints
+        .map(p => s"CAST(1 AS BIGINT) AS p${(p * 100).toInt}_ok").mkString(",\n|  ")
+      s"""SELECT event_type, count(*) AS n_events,
+         |  $okCols
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
     },
     "events_funnel" ->

@@ -55,7 +55,18 @@ object Bpe {
       .select(col("word"), col("cnt"), col("i").cast("long").as("pos"),
         expr("substr(word, i, 1)").as("sym"))
 
-  /** One merge round: returns (rebuilt symbols, the 1-row best pair). */
+  /** One merge round: returns (rebuilt symbols, the 1-row best pair).
+    *
+    * The best pair is `localCheckpoint`ed (eager, 1 row) before the
+    * cross-join back: `p` (and through it `syms`) would otherwise be
+    * embedded TWICE in the round's plan — once under `best`, once under
+    * `m` — and with rounds nesting that doubling compounds to ~2^R
+    * copies of the tokenize+count subtree (the r3 `dedup_clusters`
+    * lineage bug in miniature; at a real tokenizer's 32k merges it's a
+    * scale-killer). The caller checkpoints the rebuilt symbols, so
+    * every round starts from a materialized vocab-sized frame and the
+    * plan depth stays CONSTANT per round.
+    */
   private def oneRound(syms: DataFrame): (DataFrame, DataFrame) = {
     val wpos = Window.partitionBy("word").orderBy("pos")
     val p = syms.withColumn("nxt", lead(col("sym"), 1).over(wpos))
@@ -64,6 +75,7 @@ object Bpe {
       .agg(sum("cnt").as("total"))
       .orderBy(col("total").desc, col("s1"), col("s2"))
       .limit(1)
+      .localCheckpoint()
     val m = p.crossJoin(broadcast(best))
       .withColumn("pairh",
         col("sym") === col("s1") && col("nxt").isNotNull && col("nxt") === col("s2"))
@@ -83,16 +95,30 @@ object Bpe {
     (rebuilt, best)
   }
 
+  // Trained state (final symbols + merge rules) is memoized per corpus
+  // fingerprint — `bpe_vocab_encode` and `bpe_merge_table` are two
+  // views of ONE training run and must not re-derive it (the
+  // ProductQuant.trainedBooks pattern). The memo holds only
+  // localCheckpoint-backed vocab-sized frames, so keeping it for the
+  // session costs |vocab| rows, not corpus.
+  private val trainMemo =
+    scala.collection.mutable.Map.empty[(String, String), (DataFrame, Seq[DataFrame])]
+
   /** Final symbol frame + the per-round merge rules. */
-  private def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
-    var syms = charSyms(vocab(spark, dir))
-    val merges = (1 to Rounds).map { _ =>
-      val (next, best) = oneRound(syms)
-      syms = next
-      best
+  private def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
+    trainMemo.synchronized {
+      trainMemo.getOrElseUpdate(Kernels.inputKey(dir, "documents.parquet"), {
+        var syms = charSyms(vocab(spark, dir))
+        val merges = (1 to Rounds).map { _ =>
+          val (next, best) = oneRound(syms)
+          // materialize each round's output: bounds lineage depth AND
+          // runs the per-round shuffle exactly once across both queries
+          syms = next.localCheckpoint()
+          best
+        }
+        (syms, merges)
+      })
     }
-    (syms, merges)
-  }
 
   /** `bpe_vocab_encode`: every vocabulary word's segmentation after
     * [[Rounds]] learned merges, with its corpus frequency.

@@ -135,26 +135,48 @@ object Events {
     * and benchmarked: `percentile_approx` (Greenwald–Khanna sketch,
     * bounded mergeable state ~O(accuracy·log n) per group) replacing
     * exact `percentile`'s full per-group value buffer — the swap a
-    * 100 TB deployment makes. Same query shape and column layout.
+    * 100 TB deployment makes.
     *
-    * Bench-and-spec-gated, NOT oracle-gated: DuckDB's approx_quantile
-    * is a t-digest — a different sketch with different estimates, so no
-    * cross-engine hash can match (the same reason the oracle-exact
-    * histogram sketch [[Sketches.approxQuantilesHist]] exists). The
-    * spec instead pins every estimate inside the GK rank-error window
-    * of the exact order statistics; the driver records a rows-only
-    * check.
+    * DuckDB's approx_quantile is a t-digest — a different sketch with
+    * different estimates, so the raw GK values can never cross-engine
+    * hash-match. What IS deterministic is GK's CONTRACT: every returned
+    * value's rank sits within n/accuracy of the target rank. So the
+    * query verifies its own estimates — each estimate's exact rank
+    * interval [#(value < est)+1, #(value ≤ est)] (one broadcast join of
+    * the |types|·|points| estimate rows back against the corpus, one
+    * combiner aggregate) must intersect [p·n − bound, p·n + bound] with
+    * bound = ⌈n/accuracy⌉ + 2 — and emits the per-point verdicts, which
+    * the oracle pins to all-1s. A sketch regression (wrong estimates,
+    * broken merge) flips a verdict and fails the hash gate, closing the
+    * hole that made this the one rows-only-checked query.
     */
   def valueQuantilesApprox(spark: SparkSession, dir: String): DataFrame = {
     val pts = QuantilePoints.mkString(", ")
-    val qcols = QuantilePoints.zipWithIndex.map { case (p, i) =>
-      round(element_at(col("qs"), i + 1), 4).as(s"p${(p * 100).toInt}")
-    }
-    Tables.events(spark, dir)
-      .groupBy("event_type")
+    val k = QuantilePoints.length
+    val ev = Tables.events(spark, dir).select("event_type", "value")
+    val est = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         expr(s"percentile_approx(value, array($pts), $ApproxAccuracy)").as("qs"))
-      .select(Seq(col("event_type"), col("n_events")) ++ qcols: _*)
+    val probes = est
+      .select(col("event_type"), col("n_events"),
+        explode(sequence(lit(1), lit(k))).as("i"), col("qs"))
+      .select(col("event_type"), col("n_events"), col("i"),
+        element_at(lit(QuantilePoints.toArray), col("i")).as("p"),
+        element_at(col("qs"), col("i")).as("est"))
+    val ranked = ev.join(broadcast(probes), "event_type")
+      .groupBy("event_type", "n_events", "i", "p", "est")
+      .agg(sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("r_lt"),
+           sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("r_le"))
+    val target = col("p") * col("n_events")
+    val bound = ceil(col("n_events").cast("double") / ApproxAccuracy) + lit(2)
+    val ok = when(col("r_le") >= target - bound && col("r_lt") + 1 <= target + bound,
+      1L).otherwise(0L)
+    val okCols = QuantilePoints.zipWithIndex.map { case (p, idx) =>
+      max(when(col("i") === idx + 1, ok)).as(s"p${(p * 100).toInt}_ok")
+    }
+    ranked
+      .groupBy("event_type", "n_events")
+      .agg(okCols.head, okCols.tail: _*)
       .orderBy("event_type")
   }
 

@@ -41,19 +41,27 @@ case class KmvEstimate(event_type: String, n_rows: Long, est_users: Long)
   */
 object EventStream {
 
-  /** events.parquet schema, with ts as raw nanos (nanosAsLong). */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  private def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** Stream twin of [[graft.Tables.events]]: a file stream source needs
+    * its schema up front, so probe the parquet footer for the actual
+    * `ts` encoding (raw nanos long / TIMESTAMP_NTZ micros / TIMESTAMP
+    * micros — the driver has regenerated the file across all three) and
+    * normalize through the SAME type dispatch as the batch loader. A
+    * hardcoded schema here once turned a driver-side nanos→micros
+    * re-encode into silently-1000×-early event times (every window,
+    * watermark and session gap wrong, no error) — the footer probe +
+    * shared normalizer is the fix, pinned by `EventsEncodingSpec`.
+    */
+  private[graft] def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val tsType = graft.Tables.eventsRawTsType(spark, dir)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    graft.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir))
   }
 
   /** Run a streaming drain with shuffle partitions sized to the STATE

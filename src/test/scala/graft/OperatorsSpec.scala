@@ -121,24 +121,41 @@ class OperatorsSpec extends AnyFunSuite {
     // estimate must lie between the order statistics at the window edges
     // (exact `percentile` interpolates, so it is compared via ranks, not
     // via its own output)
-    val rows = Events.valueQuantilesApprox(spark, sf).collect()
-    assert(rows.nonEmpty)
+    // raw estimates computed here (the QUERY now emits rank-error
+    // VERDICTS, not values — the verdicts are what the oracle can pin;
+    // this spec keeps the deeper value-level check on the same sketch)
+    val pts = Events.QuantilePoints.mkString(", ")
+    val raw = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr(s"percentile_approx(value, array($pts), ${Events.ApproxAccuracy})").as("qs"))
+      .collect()
+    assert(raw.nonEmpty)
     val byType = Tables.events(spark, sf)
       .select(col("event_type"), col("value").cast("double")).collect()
       .groupBy(_.getString(0))
       .map { case (t, rs) => t -> rs.map(_.getDouble(1)).sorted }
     val eps = 1.0 / Events.ApproxAccuracy
-    rows.foreach { r =>
+    raw.foreach { r =>
       val vs = byType(r.getAs[String]("event_type"))
       val n = vs.length
-      assert(r.getAs[Long]("n_events") == n)
-      for ((p, nme) <- Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99")) {
+      val qs = r.getSeq[Double](1)
+      for ((p, i) <- Events.QuantilePoints.zipWithIndex) {
         val lo = math.max(math.ceil((p - eps) * n).toInt - 1, 0)
         val hi = math.min(math.floor((p + eps) * n).toInt, n - 1)
-        val est = r.getAs[Double](nme)
-        // 1e-4 slack: the emitted estimate is rounded to 4dp
-        assert(est >= vs(lo) - 1e-4 && est <= vs(hi) + 1e-4,
-          f"$nme=$est%.4f outside rank window [${vs(lo)}%.4f, ${vs(hi)}%.4f] (n=$n)")
+        val est = qs(i)
+        assert(est >= vs(lo) && est <= vs(hi),
+          f"p$p%.2f=$est%.4f outside rank window [${vs(lo)}%.4f, ${vs(hi)}%.4f] (n=$n)")
+      }
+    }
+    // and the query's own emitted verdicts must all be 1 (the oracle
+    // pins exactly this)
+    val verdicts = Events.valueQuantilesApprox(spark, sf).collect()
+    assert(verdicts.nonEmpty)
+    verdicts.foreach { r =>
+      assert(r.getAs[Long]("n_events") == byType(r.getAs[String]("event_type")).length)
+      Events.QuantilePoints.foreach { p =>
+        assert(r.getAs[Long](s"p${(p * 100).toInt}_ok") == 1L,
+          s"rank-error verdict p${(p * 100).toInt}_ok != 1 for ${r.getAs[String]("event_type")}")
       }
     }
   }
