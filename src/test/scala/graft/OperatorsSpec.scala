@@ -173,6 +173,12 @@ class OperatorsSpec extends AnyFunSuite {
     val rec2 = r2.intersect(exact).size.toDouble / exact.size
     info(f"recall@${Similarity.TopK}: radius1=$rec1%.3f radius2=$rec2%.3f")
     assert(rec2 >= rec1, "widening the probe radius must never lose recall")
+    // 0.28 measured (deterministic, same fixed-data/fixed-hyperplane
+    // argument as the radius-2 note below); the single-cell probe scans
+    // only the probe's own SRP bucket, so its floor sits below radius-2's
+    assert(rec1 >= 0.25,
+      f"radius-1 IVF recall $rec1%.3f under the 0.25 floor — " +
+        "cell assignment or the bucket join has regressed")
     // 0.42 measured on this corpus (deterministic: fixed data, fixed
     // hyperplanes — identical every run, so a tight floor is safe). The
     // synthetic embeddings are near-uncorrelated (max cosine ≈ 0.5), the
