@@ -128,6 +128,7 @@ object SparkEntry {
     "ann_ivf_r2" -> Similarity.annIvfR2 _,
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
+    "ann_range" -> Similarity.annRange _,
     "embedding_quantize" -> Similarity.quantize _,
     "ann_quantized" -> Similarity.annTopKQuantized _,
     "embedding_pq" -> ProductQuant.encode _,
@@ -147,6 +148,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
     "sample_temperature" -> Sampling.temperatureMix _,
+    "mix_token_budget" -> Sampling.mixTokenBudget _,
     "mix_epochs" -> Sampling.mixEpochs _,
     "pack_sequences" -> Sampling.packSequences _,
     "export_shuffle" -> Sampling.exportShuffle _,
@@ -156,6 +158,7 @@ object SparkEntry {
     "bigram_pmi" -> Corpus.bigramPmi _,
     "length_histogram" -> Corpus.lengthHistogram _,
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
+    "bm25_search" -> Retrieval.bm25Search _,
     "vocab_top" -> Corpus.vocabTop _,
     "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
     "bpe_vocab_encode" -> Bpe.vocabEncode _,
@@ -180,6 +183,7 @@ object SparkEntry {
     "stream_topk" -> graft.streaming.EventStream.trendingTopK _,
     "stream_ohlc" -> graft.streaming.EventStream.ohlcStream _,
     "stream_error_purchase_outer" -> graft.streaming.EventStream.errorPurchaseLeftOuter _,
+    "stream_error_purchase_full" -> graft.streaming.EventStream.errorPurchaseFullOuter _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
@@ -1484,6 +1488,16 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    // threshold filter on the ROUNDED sim, so the boundary is exact on
+    // both engines (mirrors Similarity.annRange)
+    val range =
+      s"""$embNormSql,
+         |s AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM n p JOIN n c ON p.vec_id < ${Similarity.NumProbes} AND p.vec_id <> c.vec_id)
+         |SELECT probe_id, neighbor_id, sim FROM s
+         |WHERE sim >= ${Similarity.RangeTau} ORDER BY probe_id, neighbor_id""".stripMargin
     // multi-probe SRP-cell IVF: same ±1 hyperplane literals as the Spark
     // side (Dedup.hyperplanes rows 0..5), probes search their exact cell
     // plus every Hamming-1 neighbor cell
@@ -1632,7 +1646,8 @@ object SparkEntry {
         |WHERE rnk <= %TOPK% ORDER BY probe_id, rnk""".stripMargin
         .replace("%PROBES%", Similarity.NumProbes.toString)
         .replace("%TOPK%", Similarity.TopK.toString)
-    Map("ann_topk" -> topk, "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
+    Map("ann_topk" -> topk, "ann_range" -> range,
+        "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
         "ann_ivf_kmeans" -> ivfKmeans, "ann_hard_negatives" -> hardNeg,
         "embedding_quantize" -> quantize, "ann_quantized" -> quantCosine,
         "embedding_centroids" -> centroids,
@@ -1802,6 +1817,20 @@ object SparkEntry {
         |WHERE u * u * CAST(n_s AS HUGEINT)
         |      < CAST('18446744073709551616' AS HUGEINT) * CAST(n_min AS HUGEINT)
         |ORDER BY doc_id""".stripMargin,
+    // exact cumulative token-budget cut in hash order (mirrors
+    // Sampling.mixTokenBudget; default window frame = RANGE UNBOUNDED
+    // PRECEDING..CURRENT on both engines, ties impossible — doc_id is
+    // unique within the ordering key)
+    "mix_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($toksRawSql) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5('tb:' || CAST(doc_id AS VARCHAR)), doc_id) AS cum
+         |  FROM d)
+         |SELECT source, doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+         |FROM c WHERE cum <= ${Sampling.TokenBudget}
+         |ORDER BY source, cum_tokens""".stripMargin,
     "mix_epochs" ->
       s"""SELECT doc_id, source, n_epochs, unnest(generate_series(1, n_epochs)) AS epoch
          |FROM (SELECT doc_id, source,
@@ -1885,6 +1914,42 @@ object SparkEntry {
          |      FROM scored)
          |SELECT doc_id, rk, term, score FROM r
          |WHERE rk <= ${Corpus.TfIdfTopK} ORDER BY doc_id, rk""".stripMargin
+    // BM25 replay: the same posting/df/dl/stats frames and the same
+    // single-expression per-term contribution as Retrieval.bm25Search
+    // (identical expression shape → identical doubles), rounded to 9dp
+    // and summed as DECIMAL so the per-doc total is order-exact
+    val bmQValues = Retrieval.Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => s"($qid, '$t')") }
+      .mkString(", ")
+    val bm25 =
+      s"""WITH tf AS (
+         |  SELECT doc_id, word AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksRawSql) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |              (SELECT sum(tf) FROM tf) AS total_tokens),
+         |q(query_id, term) AS (VALUES $bmQValues),
+         |c AS (SELECT q.query_id, tf.doc_id,
+         |    CAST(round(
+         |      ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         |        * (CAST(tf.tf AS DOUBLE) * ${Retrieval.K1 + 1})
+         |        / (tf.tf + ${Retrieval.K1} * (1 - ${Retrieval.B}
+         |             + ${Retrieval.B} * dl.dl
+         |               / (CAST(st.total_tokens AS DOUBLE) / st.n_docs))),
+         |      9) AS DECIMAL(18,9)) AS contrib
+         |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |  JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+         |sc AS (SELECT query_id, doc_id,
+         |         round(CAST(sum(contrib) AS DOUBLE), 6) AS score
+         |       FROM c GROUP BY query_id, doc_id),
+         |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |      FROM sc)
+         |SELECT query_id, doc_id, score, rnk FROM r
+         |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
     // counts measure substitutions actually made: each pattern counted
     // AFTER the previous redactions (mirrors Corpus.piiScrub exactly)
     val pii =
@@ -2011,7 +2076,7 @@ object SparkEntry {
          |  round(CAST(sum(surp) AS DOUBLE) / count(*), 4) AS cross_entropy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
-        "tfidf_top_terms" -> tfidf, "pii_scrub" -> pii,
+        "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
         "vocab_top" -> vocab, "bpe_merge_pairs" -> bpe,
@@ -2156,6 +2221,40 @@ object SparkEntry {
         |     AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
         |     AND epoch_us(p.p_ts) < epoch_us(e.e_ts)))
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+        |ORDER BY error_id, purchase_id""".stripMargin,
+    // full outer = matched ∪ left-null (errors sealed at e_ts < wm, the
+    // left-outer rule) ∪ right-null (purchases sealed once no error in
+    // (p_ts, p_ts+10min] can arrive: p_ts + 10min < wm) — boundaries
+    // verified empirically on the drained static input
+    "stream_error_purchase_full" ->
+      """WITH wm AS (SELECT least(
+        |    (SELECT max(ts) FROM events WHERE event_type = 'error'),
+        |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        |      - INTERVAL 1 HOUR AS w),
+        |e AS (SELECT event_id AS error_id, user_id, ts AS e_ts FROM events
+        |      WHERE event_type = 'error'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts, value
+        |      FROM events WHERE event_type = 'purchase'),
+        |matched AS (SELECT e.error_id, e.user_id, p.purchase_id,
+        |    CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        |  FROM e JOIN p ON e.user_id = p.p_user
+        |   AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
+        |   AND epoch_us(p.p_ts) < epoch_us(e.e_ts)),
+        |left_null AS (SELECT e.error_id, e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS DOUBLE) AS purchase_value
+        |  FROM e, wm WHERE e.e_ts < wm.w
+        |   AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = e.user_id
+        |     AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
+        |     AND epoch_us(p.p_ts) < epoch_us(e.e_ts))),
+        |right_null AS (SELECT CAST(NULL AS BIGINT) AS error_id, p.p_user AS user_id,
+        |    p.purchase_id,
+        |    CAST(CAST(p.value AS DECIMAL(18,2)) AS DOUBLE) AS purchase_value
+        |  FROM p, wm WHERE p.p_ts + INTERVAL 10 MINUTE < wm.w
+        |   AND NOT EXISTS (SELECT 1 FROM e WHERE e.user_id = p.p_user
+        |     AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
+        |     AND epoch_us(p.p_ts) < epoch_us(e.e_ts)))
+        |SELECT * FROM matched UNION ALL SELECT * FROM left_null
+        |UNION ALL SELECT * FROM right_null
         |ORDER BY error_id, purchase_id""".stripMargin,
     // the batch candle oracle on the watermark-sealed horizon
     "stream_ohlc" ->

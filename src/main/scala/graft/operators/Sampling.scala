@@ -105,6 +105,41 @@ object Sampling {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  /** Per-source token budget for [[mixTokenBudget]]. */
+  val TokenBudget = 800L
+
+  /** `mix_token_budget`: EXACT per-source token-budget selection — keep
+    * documents in deterministic hash order until each source's
+    * cumulative token count reaches [[TokenBudget]]. This is the mixing
+    * primitive recipes state in TOKENS ("50 B tokens of web, 10 B of
+    * code"): [[weightedMix]]'s rate-based filter hits a budget only in
+    * expectation and drifts with the source's size and length mix; the
+    * cumulative cut lands the budget exactly (to one document) and
+    * REBALANCES itself as the corpus grows — the keep-set is a pure
+    * function of (hash order, token counts, budget).
+    *
+    * Scale: the cumulative sum needs a per-source window, but its input
+    * is the NARROW (source, doc_id, n_tokens) projection — token
+    * counting itself is map-only on the scan — and the kept prefix is
+    * bounded by budget/min-doc-tokens rows regardless of source size.
+    * For whale strata the [[stratifiedSample]] bounded-topk pre-filter
+    * composes in front (budget-many docs is a lossless upper bound on
+    * the kept prefix); at this budget the plain window is the simpler
+    * correct plan.
+    */
+  def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("source")
+      .orderBy(saltedHash("tb", col("doc_id")), col("doc_id"))
+    docs
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "cum_tokens")
+  }
+
   /** 2^64 — the keep test compares against `u² < 2^64 · n_min/n_s`
     * cross-multiplied into pure integers (see [[temperatureMix]]).
     */

@@ -86,6 +86,33 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Cosine threshold for [[annRange]] (rounded sims compare against
+    * it, so the boundary is engine-exact).
+    */
+  val RangeTau = 0.25
+
+  /** `ann_range`: RANGE search — every neighbor within cosine ≥
+    * [[RangeTau]] of each probe, the complement of [[annTopK]]'s
+    * fixed-k cut (dedup and contamination audits want "everything this
+    * similar", not "the 5 nearest"; k-NN under-reports in dense
+    * neighborhoods and pads with noise in sparse ones). Same
+    * broadcast-probe map-only shape as [[annTopK]] — the threshold
+    * filter rides the similarity projection, so nothing but hits
+    * survives the scan; no rank window at all (output order is plain
+    * (probe, neighbor)). At production scale the identical predicate
+    * rides the IVF candidate join instead of the exact product.
+    */
+  def annRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(spark, Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < NumProbes)
+    broadcast(probes).as("p")
+      .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+              cosine(spark).as("sim"))
+      .filter(col("sim") >= RangeTau)
+      .orderBy("probe_id", "neighbor_id")
+  }
+
   /** `embedding_quantize`: symmetric per-vector int8 quantization —
     * the standard 4× storage/bandwidth cut for serving a vector index
     * (the IVF cells of [[annIvfKmeans]] would store these codes plus

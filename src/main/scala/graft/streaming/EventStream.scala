@@ -393,6 +393,46 @@ object EventStream {
     spark.table(name).orderBy("error_id", "purchase_id")
   }
 
+  /** `stream_error_purchase_full`: the FULL OUTER stream-stream
+    * interval join — both unmatched sides survive: errors with no
+    * preceding purchase (the alerting view) AND purchases followed by
+    * no error (the healthy-cohort view), in one pass over both
+    * streams. Emission timing is side-specific because the state the
+    * watermark must exhaust differs: a LEFT null-row needs no purchase
+    * in [e_ts − 10 min, e_ts) possible ⇔ wm ≥ e_ts (the left-outer
+    * rule); a RIGHT null-row needs no error in (p_ts, p_ts + 10 min]
+    * possible ⇔ wm > p_ts + 10 min. The oracle encodes both sealed
+    * horizons over the drained static input (boundaries verified
+    * empirically at sf0.001 and sf0.01, like the left-outer twin);
+    * state stays the same bounded sliding band as the inner join.
+    */
+  def errorPurchaseFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val errors = readEventsStream(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 hour")
+    val purchases = readEventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = errors.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") < col("e_ts"), "full_outer")
+      .select(col("error_id"),
+        coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("purchase_id"),
+        col("p_value").cast("decimal(18,2)").cast("double").as("purchase_value"))
+    val name = "stream_error_purchase_full_out"
+    withStatePartitions(spark) {
+      val q = joined.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("error_id", "purchase_id")
+  }
+
   /** Streaming cardinality sketch: per-type distinct-user estimates on
     * continuous ingest, state BOUNDED at k (hash, user) entries per
     * type no matter how many events arrive — the streaming twin of

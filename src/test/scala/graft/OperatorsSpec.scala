@@ -160,6 +160,114 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_range equals the brute-force threshold set (sound and complete)") {
+    // recompute every probe-candidate cosine from the raw vectors and
+    // assert the operator's hit set is EXACTLY the >= tau set — a range
+    // query has no rank cut to hide behind, so this pins both no-misses
+    // and no-false-positives
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = (for {
+      p <- vecs.keys if p < Similarity.NumProbes
+      c <- vecs.keys if c != p
+      s = cos(vecs(p), vecs(c)) if s >= Similarity.RangeTau
+    } yield (p, c)).toSet
+    val got = Similarity.annRange(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "threshold too high for the corpus — the query tests nothing")
+  }
+
+  test("bm25 ranks are dense, scores non-increasing, and hits contain a query term") {
+    val rows = Retrieval.bm25Search(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet == Retrieval.Queries.map(_._1).toSet,
+      "every benchmark query must retrieve at least one document")
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).sameElements(1L to sorted.length))
+      sorted.map(_.getAs[Double]("score")).sliding(2).foreach {
+        case Array(x, y) => assert(x >= y); case _ =>
+      }
+      assert(sorted.length <= Retrieval.BmTopK)
+    }
+    // soundness: a retrieved doc must share at least one term with its query
+    val qt = Retrieval.Queries.toMap
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    rows.foreach { r =>
+      val terms = qt(r.getAs[Long]("query_id")).split(" ").toSet
+      val docTerms = texts(r.getAs[Long]("doc_id"))
+        .toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSet
+      assert(terms.intersect(docTerms).nonEmpty,
+        s"doc ${r.getAs[Long]("doc_id")} shares no term with its query")
+    }
+  }
+
+  test("mix_token_budget lands each source exactly at the budget boundary") {
+    val rows = Sampling.mixTokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val all = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"),
+        md5(concat(lit("tb:"), col("doc_id").cast("string"))).as("h"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+                 r.getAs[Long]("n"), r.getAs[String]("h")))
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, kept) =>
+      val cum = kept.map(_.getAs[Long]("cum_tokens")).max
+      assert(cum <= Sampling.TokenBudget)
+      // maximality: the NEXT doc in hash order (if any) would overflow
+      val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+      val next = all.filter(t => t._1 == src && !keptIds.contains(t._2))
+        .sortBy(t => (t._4, t._2)).headOption
+      next.foreach { case (_, _, n, _) =>
+        assert(cum + n > Sampling.TokenBudget,
+          s"source $src stopped early: next doc ($n tokens) still fits under ${Sampling.TokenBudget}")
+      }
+      // the kept set IS the hash-order prefix: every kept hash precedes
+      // every dropped hash
+      val maxKeptH = all.filter(t => t._1 == src && keptIds.contains(t._2)).map(_._4).max
+      val minDropH = all.filter(t => t._1 == src && !keptIds.contains(t._2))
+        .map(_._4).minOption.getOrElse("g") // > any hex hash
+      assert(maxKeptH < minDropH, s"source $src kept a non-prefix set")
+    }
+  }
+
+  test("full-outer stream join is the union of inner, left-null and right-null parts") {
+    import graft.streaming.EventStream
+    val full = EventStream.errorPurchaseFullOuter(spark, sf).collect()
+    val inner = EventStream.errorPurchaseJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id"))).toSet
+    val leftNulls = EventStream.errorPurchaseLeftOuter(spark, sf).collect()
+      .filter(_.isNullAt(2)).map(_.getAs[Long]("error_id")).toSet
+    val matched = full.filter(r => !r.isNullAt(0) && !r.isNullAt(2))
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(matched == inner, "matched part must equal the inner join")
+    val fullLeftNulls = full.filter(r => !r.isNullAt(0) && r.isNullAt(2))
+      .map(_.getAs[Long]("error_id")).toSet
+    assert(fullLeftNulls == leftNulls,
+      "left-null part must equal the left-outer twin's null rows")
+    val rightNulls = full.filter(r => r.isNullAt(0))
+    assert(rightNulls.nonEmpty, "drained static input must seal some purchases")
+    rightNulls.foreach { r =>
+      assert(!r.isNullAt(2) && !r.isNullAt(1),
+        "right-null rows carry the purchase and its user")
+      assert(!inner.exists(_._2 == r.getAs[Long]("purchase_id")),
+        "a matched purchase must not also emit null-extended")
+    }
+  }
+
   test("multi-probe IVF recall rises with radius and holds the floor") {
     // the recall GATE the radius lever exists for: without it, a
     // regression to ~random recall would pass every oracle (the oracle
