@@ -122,6 +122,7 @@ object SparkEntry {
     "dedup_cross_source" -> Dedup.crossSource _,
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh _,
+    "dedup_semantic" -> Dedup.semanticNearDup _,
     // Similarity search (north star)
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
@@ -152,6 +153,7 @@ object SparkEntry {
     "mix_epochs" -> Sampling.mixEpochs _,
     "pack_sequences" -> Sampling.packSequences _,
     "export_shuffle" -> Sampling.exportShuffle _,
+    "export_curriculum" -> Sampling.exportCurriculum _,
     // Corpus hygiene (north star)
     "decontaminate" -> Corpus.decontaminate _,
     "repetition_stats" -> Corpus.repetitionStats _,
@@ -1604,6 +1606,20 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    // SemDeDup replay: the SAME Lloyd-assignment CTE chain as the
+    // kmeans oracles feeds an in-cluster pair join (mirrors
+    // Dedup.semanticNearDup — cells bit-for-bit, threshold on the
+    // rounded cosine)
+    val semDedup =
+      s"""$kmeansCtes,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |s AS (SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${cosineSql("p", "c")} AS cosine
+         |  FROM $lastA a JOIN $lastA b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  JOIN nn p ON p.vec_id = a.vec_id
+         |  JOIN nn c ON c.vec_id = b.vec_id)
+         |SELECT cluster, vec_a, vec_b, cosine FROM s
+         |WHERE cosine >= ${Dedup.CosineDupThreshold} ORDER BY vec_a, vec_b""".stripMargin
     val hardNeg =
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT vec_id, label, v,
@@ -1648,7 +1664,8 @@ object SparkEntry {
         .replace("%TOPK%", Similarity.TopK.toString)
     Map("ann_topk" -> topk, "ann_range" -> range,
         "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
-        "ann_ivf_kmeans" -> ivfKmeans, "ann_hard_negatives" -> hardNeg,
+        "ann_ivf_kmeans" -> ivfKmeans, "dedup_semantic" -> semDedup,
+        "ann_hard_negatives" -> hardNeg,
         "embedding_quantize" -> quantize, "ann_quantized" -> quantCosine,
         "embedding_centroids" -> centroids,
         "kmeans_centroids" -> kmeans, "sample_cluster_balanced" -> clusterBalanced)
@@ -1984,6 +2001,25 @@ object SparkEntry {
          |      ORDER BY $shufHash, doc_id) AS BIGINT) AS pos
          |  FROM documents)
          |ORDER BY shard, pos""".stripMargin
+    // curriculum export: the shared quality CTE + exportShuffle's
+    // shard/pos idiom, ordered band-DESC within shard (mirrors
+    // Sampling.exportCurriculum)
+    val curHash = "md5('cur:' || CAST(doc_id AS VARCHAR))"
+    val exportCurriculum =
+      s"""$qualityCteSql,
+         |q AS (SELECT doc_id, $qualityExprSql AS quality FROM s),
+         |b AS (SELECT doc_id, quality,
+         |    least(CAST(floor(quality * ${Sampling.CurriculumBands}) AS BIGINT),
+         |          ${Sampling.CurriculumBands - 1}) AS band,
+         |    $curHash AS h FROM q),
+         |sh AS (SELECT doc_id, quality, band, h,
+         |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |         % ${Sampling.ExportShards} AS BIGINT) AS shard
+         |  FROM b)
+         |SELECT doc_id, quality, band, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY band DESC, h, doc_id) AS BIGINT) AS pos
+         |FROM sh ORDER BY shard, pos""".stripMargin
     val pmi =
       s"""WITH t AS (SELECT $toksLowerSql AS toks FROM documents),
          |p AS (SELECT toks[i] AS term, CASE WHEN i < len(toks) THEN toks[i+1] END AS next
@@ -2078,6 +2114,7 @@ object SparkEntry {
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
+        "export_curriculum" -> exportCurriculum,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
         "vocab_top" -> vocab, "bpe_merge_pairs" -> bpe,
         "doc_surprisal" -> surprisal,

@@ -763,6 +763,37 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** `dedup_semantic`: SemDeDup-style near-dup — all-pairs cosine
+    * restricted to WITHIN each trained k-means cluster (Abbas et al.
+    * 2023: semantic duplicates co-locate in embedding-space cells, so
+    * the quadratic search runs per cell, never across the corpus).
+    * This is the TRAINED-structure complement of
+    * [[embeddingNearDupLsh]]'s data-independent hyperplane buckets:
+    * the same candidate-bounding idea, but cells adapt to the corpus
+    * (SemDeDup runs ~11k clusters over LAION; here [[KMeansCodebook.K]]
+    * cells over the test corpus). Reuses the memoized Lloyd assignment
+    * — training is shared with `kmeans_centroids` / `ann_ivf_kmeans` /
+    * `sample_cluster_balanced`, so the marginal cost is one
+    * cluster-equi-join. Recall vs the exact all-pairs verifier is the
+    * co-clustering rate of true near-dups (spec-pinned); the oracle
+    * replays the cells bit-for-bit, so the gate checks the bucketing
+    * contract, recall being [[embeddingNearDup]]'s job.
+    */
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val a = KMeansCodebook.lastAssignment(spark, dir)
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+    a.as("a")
+      .join(a.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(dot(spark, col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= CosineDupThreshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val HyperplaneBits = 16
   val HyperplaneBands = 4
   val HyperplaneRows: Int = HyperplaneBits / HyperplaneBands // 4

@@ -203,6 +203,46 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** Quality bands for [[exportCurriculum]] (band = ⌊quality·4⌋,
+    * clamped — four coarse difficulty tiers).
+    */
+  val CurriculumBands = 4L
+
+  /** `export_curriculum`: curriculum-ordered training export — within
+    * each shard, documents are ordered highest-quality-band FIRST
+    * (clean data early, the standard curriculum/annealing recipe),
+    * hash-shuffled within a band so a band is not source- or
+    * id-ordered. Composes the shared quality expression
+    * ([[TextAnalysis.qualityParts]] — bit-identical to
+    * `quality_score`) with [[exportShuffle]]'s shard/pos contract:
+    * same per-shard windows (scale: |corpus|/shards rows each, never a
+    * global sort), same deterministic md5 order, so a trainer reading
+    * shards in parallel streams band-descending data with zero extra
+    * passes. At 100 TB the quality column is a map-only expression on
+    * the scan and the only exchange is the shard partitioning the
+    * export writes with anyway.
+    */
+  def exportCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
+    val h = saltedHash("cur", col("doc_id"))
+    val q = docs
+      .select(col("doc_id"),
+        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+      .withColumn("band",
+        least(floor(col("quality") * CurriculumBands).cast("long"),
+          lit(CurriculumBands - 1)))
+      .withColumn("h", h)
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 1), 16, 10).cast("long") % ExportShards))
+    val w = Window.partitionBy("shard")
+      .orderBy(col("band").desc, col("h"), col("doc_id"))
+    q.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("quality"), col("band"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val MaxEpochs = 3
 
   /** Epoch-weighted mixing, the >1-epoch side of [[weightedMix]]: each

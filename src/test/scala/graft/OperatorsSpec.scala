@@ -244,6 +244,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum export covers every doc once, bands descend within each shard") {
+    val rows = Sampling.exportCurriculum(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, "curriculum must cover the corpus exactly once")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == nDocs)
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).sameElements(1L to sorted.length),
+        "positions must be dense per shard")
+      sorted.map(_.getAs[Long]("band")).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, "quality band must never rise along a shard")
+        case _ =>
+      }
+    }
+    // band is the clamped quality quartile
+    rows.foreach { r =>
+      val expected = math.min((r.getAs[Double]("quality") * Sampling.CurriculumBands).toLong,
+        Sampling.CurriculumBands - 1)
+      assert(r.getAs[Long]("band") == expected)
+    }
+  }
+
+  test("semantic near-dup is a subset of the exact verifier and holds its recall floor") {
+    val sem = Dedup.semanticNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    val exact = Dedup.embeddingNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(sem.subsetOf(exact),
+      "an in-cluster pair below the exact set would be a false positive")
+    assert(sem.nonEmpty)
+    val recall = sem.size.toDouble / exact.size
+    info(f"semantic-dedup recall=$recall%.3f (${sem.size}/${exact.size} near-dup pairs co-cluster)")
+    // deterministic on fixed data + fixed Lloyd init; K=8 coarse cells
+    // — real SemDeDup runs thousands, recall rises with K
+    assert(recall >= 0.20,
+      f"co-clustering recall $recall%.3f under the 0.20 floor — training or assignment regressed")
+  }
+
   test("full-outer stream join is the union of inner, left-null and right-null parts") {
     import graft.streaming.EventStream
     val full = EventStream.errorPurchaseFullOuter(spark, sf).collect()
