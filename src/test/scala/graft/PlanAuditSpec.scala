@@ -29,6 +29,44 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_range: probes broadcast, corpus never shuffles before the filter") {
+    val p = plan(Similarity.annRange(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n${p.take(600)}")
+    // the only exchange below the output sort must be the fan-out
+    // repartition / broadcast — a corpus-wide shuffle before the
+    // threshold filter would be the 100 TB killer
+    val beforeSort = p.substring(0, math.max(p.indexOf("Sort"), 0))
+    assert(!beforeSort.contains("SortMergeJoin"),
+      "range search must not shuffle-join the corpus")
+  }
+
+  test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
+    val p = plan(Retrieval.bm25Search(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "query join must be a broadcast equi-join, never a product")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "posting-frame tf aggregate must map-side combine")
+    assert(p.contains("BroadcastExchange"), "query-term set must broadcast")
+  }
+
+  test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
+    val p = plan(Dedup.semanticNearDup(spark, sf))
+    Dedup.retireCaches()
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster bucketing must make the pair join an equi-join:\n${p.take(600)}")
+  }
+
+  test("mix_token_budget: token counting is map-only; the only wide ops are the source window") {
+    val p = plan(Sampling.mixTokenBudget(spark, sf))
+    // narrow projection reaches the scan: text is consumed by the
+    // map-side token count and must not survive into the window input
+    assert(p.contains("ReadSchema"), p.take(300))
+    assert(!p.contains("CartesianProduct"))
+    val windows = "Window \\(".r.findAllIn(p).length
+    assert(windows == 1, s"exactly the per-source cumulative window, got $windows")
+  }
+
   test("q1: filter + column pruning reach the parquet scan; partial agg present") {
     val p = plan(Relational.q1PricingSummary(spark, sf))
     assert(p.contains("PushedFilters"), p.take(500))
