@@ -166,6 +166,7 @@ object SparkEntry {
     "bpe_vocab_encode" -> Bpe.vocabEncode _,
     "bpe_merge_table" -> Bpe.mergeTable _,
     "doc_surprisal" -> Corpus.docSurprisal _,
+    "doc_perplexity" -> Corpus.docPerplexityBigram _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
     "pipeline_training_set" -> Corpus.trainingSet _,
@@ -2111,13 +2112,30 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(surp) AS DOUBLE) / count(*), 4) AS cross_entropy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    // bigram-LM scoring replay: same pair stream, Laplace probabilities
+    // and DECIMAL NLL sums as Corpus.docPerplexityBigram
+    val perplexity =
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |      FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |            FROM t WHERE len(toks) >= 2)),
+         |b AS (SELECT w1, w2, count(*) AS cb FROM p GROUP BY w1, w2),
+         |u AS (SELECT w1, count(*) AS cu FROM p GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w2) AS v FROM p),
+         |s AS (SELECT p.doc_id,
+         |        CAST(round(-ln(CAST(b.cb + 1 AS DOUBLE) / (u.cu + v.v)), 6)
+         |             AS DECIMAL(18,6)) AS nll
+         |      FROM p JOIN b USING (w1, w2) JOIN u USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS cross_entropy
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "export_curriculum" -> exportCurriculum,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
         "vocab_top" -> vocab, "bpe_merge_pairs" -> bpe,
-        "doc_surprisal" -> surprisal,
+        "doc_surprisal" -> surprisal, "doc_perplexity" -> perplexity,
         "pipeline_training_set" -> pipeline)
   }
 

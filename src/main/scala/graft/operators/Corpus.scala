@@ -367,6 +367,51 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** `doc_perplexity`: BIGRAM-LM cross-entropy per document — the
+    * KenLM-shaped perplexity-filter axis, one order up from
+    * [[docSurprisal]]'s unigram scorer (a doc of common words in
+    * UNCOMMON order scores high here and low there; quality pipelines
+    * filter on exactly that difference). Laplace (+1) smoothing over
+    * the next-word event space: p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V),
+    * V = |distinct next-words|. Cross-entropy is emitted rather than
+    * exp(CE) perplexity: exp is a libm call whose last-ulp varies
+    * across engines, and the filter decision is monotone in CE anyway.
+    *
+    * Shape: the adjacent-pair stream is built MAP-ONLY (per-doc index
+    * transform, no window) and cached once (tracked, retired by the
+    * Bench/Verify hygiene) to feed its four readers — bigram counts,
+    * context counts, the 1-row vocab size, and the scoring join; both
+    * count frames are vocabulary-bounded shuffles and per-pair NLLs
+    * round to 6dp into DECIMAL so the per-doc sum is
+    * aggregation-order-exact (the [[docSurprisal]] contract).
+    */
+  def docPerplexityBigram(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Kernels.cacheTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          explode(when(size(col("toks")) >= 2,
+            transform(sequence(lit(1), size(col("toks")) - 1),
+              i => struct(element_at(col("toks"), i).as("w1"),
+                          element_at(col("toks"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = pairs.agg(countDistinct("w2").as("v"))
+    pairs
+      .join(big, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        round(-log((col("cb") + 1).cast("double") / (col("cu") + col("v"))), 6)
+          .cast("decimal(18,6)").as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ssum").cast("double") / col("n_bigrams"), 4).as("cross_entropy"))
+      .orderBy("doc_id")
+  }
+
   val BpeTopPairs = 30
 
   /** `bpe_merge_pairs`: the first BPE merge decision, distributed —

@@ -244,6 +244,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram cross-entropy is positive, bigram counts tile, and order matters") {
+    val rows = Corpus.docPerplexityBigram(spark, sf).collect()
+    Dedup.retireCaches()
+    assert(rows.nonEmpty)
+    val nToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cross_entropy") > 0.0)
+      assert(r.getAs[Long]("n_bigrams") == nToks(r.getAs[Long]("doc_id")) - 1,
+        "every adjacent pair must be scored exactly once")
+    }
+    // the reason a BIGRAM scorer exists: unigram surprisal is invariant
+    // under token shuffling, bigram cross-entropy is not — so the two
+    // statistics must not be a monotone re-ranking of each other
+    val uni = Corpus.docSurprisal(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("cross_entropy")).toMap
+    Dedup.retireCaches()
+    val biRank = rows.sortBy(_.getAs[Double]("cross_entropy")).map(_.getAs[Long]("doc_id"))
+    val uniRank = biRank.sortBy(uni)
+    assert(biRank.toSeq != uniRank.toSeq,
+      "bigram ordering collapsed to the unigram ordering — the context term is dead")
+  }
+
   test("curriculum export covers every doc once, bands descend within each shard") {
     val rows = Sampling.exportCurriculum(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
