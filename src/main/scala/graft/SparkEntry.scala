@@ -1942,7 +1942,7 @@ object SparkEntry {
     val bm25 =
       s"""WITH tf AS (
          |  SELECT doc_id, word AS term, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest($toksRawSql) AS word FROM documents)
+         |  FROM (SELECT doc_id, unnest($toksLowerSql) AS word FROM documents)
          |  GROUP BY doc_id, word),
          |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
          |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),

@@ -100,14 +100,21 @@ object Bpe {
   // views of ONE training run and must not re-derive it (the
   // ProductQuant.trainedBooks pattern). The memo holds only
   // localCheckpoint-backed vocab-sized frames, so keeping it for the
-  // session costs |vocab| rows, not corpus.
+  // session costs |vocab| rows, not corpus. The key includes the
+  // SESSION identity: localCheckpoint blocks belong to the session
+  // that created them, so serving a memoized frame to a different
+  // SparkSession in the same JVM would either throw (first session
+  // stopped — truncated lineage is unrecoverable) or silently run
+  // against foreign session state. A dead session's entries linger
+  // (bounded: vocab-sized, few sessions per JVM) but are never served.
   private val trainMemo =
-    scala.collection.mutable.Map.empty[(String, String), (DataFrame, Seq[DataFrame])]
+    scala.collection.mutable.Map.empty[(Int, String, String), (DataFrame, Seq[DataFrame])]
 
   /** Final symbol frame + the per-round merge rules. */
   private def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
     trainMemo.synchronized {
-      trainMemo.getOrElseUpdate(Kernels.inputKey(dir, "documents.parquet"), {
+      val (d, fp) = Kernels.inputKey(dir, "documents.parquet")
+      trainMemo.getOrElseUpdate((System.identityHashCode(spark), d, fp), {
         var syms = charSyms(vocab(spark, dir))
         val merges = (1 to Rounds).map { _ =>
           val (next, best) = oneRound(syms)

@@ -145,8 +145,10 @@ object Events {
     * interval [#(value < est)+1, #(value ≤ est)] (one broadcast join of
     * the |types|·|points| estimate rows back against the corpus, one
     * combiner aggregate) must intersect [p·n − bound, p·n + bound] with
-    * bound = ⌈n/accuracy⌉ + 2 — and emits the per-point verdicts, which
-    * the oracle pins to all-1s. A sketch regression (wrong estimates,
+    * bound = 2·⌈n/accuracy⌉ + 2 (2× the single-sketch guarantee —
+    * partial sketches merge across partitions and merge error
+    * composes) — and emits the per-point verdicts, which the oracle
+    * pins to all-1s. A sketch regression (wrong estimates,
     * broken merge) flips a verdict and fails the hash gate, closing the
     * hole that made this the one rows-only-checked query.
     */
@@ -166,9 +168,18 @@ object Events {
     val ranked = ev.join(broadcast(probes), "event_type")
       .groupBy("event_type", "n_events", "i", "p", "est")
       .agg(sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("r_lt"),
-           sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("r_le"))
-    val target = col("p") * col("n_events")
-    val bound = ceil(col("n_events").cast("double") / ApproxAccuracy) + lit(2)
+           sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("r_le"),
+           // GK sketches only non-null values; rank targets must use
+           // that n, not count(*), or a null-bearing column would shift
+           // the window off the estimate's true rank
+           count(col("value")).as("n_vals"))
+    val target = col("p") * col("n_vals")
+    // 2× the single-sketch ε·n guarantee: partial sketches merge across
+    // partitions and merge error composes — the documented bound holds
+    // per sketch, not per merge tree. Doubling keeps the gate green
+    // under any partitioning while still failing on gross estimator
+    // regressions (a broken merge or wrong estimate is off by >> 2εn).
+    val bound = lit(2) * ceil(col("n_vals").cast("double") / ApproxAccuracy) + lit(2)
     val ok = when(col("r_le") >= target - bound && col("r_lt") + 1 <= target + bound,
       1L).otherwise(0L)
     val okCols = QuantilePoints.zipWithIndex.map { case (p, idx) =>

@@ -55,13 +55,16 @@ object Retrieval {
   def bm25Search(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    // lowercased tokens: queries are lowercase literals, and retrieval
+    // must match 'Spark' to 'spark' — the one surface where case-folding
+    // matters most (the LM scorers fold for the same reason)
     val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(
-        docs.select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+        docs.select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
           .agg(sum("n").as("total_tokens")))
     val enriched = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))

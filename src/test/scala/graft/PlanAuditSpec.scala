@@ -33,11 +33,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(Similarity.annRange(spark, sf))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"probe side must broadcast:\n${p.take(600)}")
-    // the only exchange below the output sort must be the fan-out
-    // repartition / broadcast — a corpus-wide shuffle before the
-    // threshold filter would be the 100 TB killer
-    val beforeSort = p.substring(0, math.max(p.indexOf("Sort"), 0))
-    assert(!beforeSort.contains("SortMergeJoin"),
+    // the join must be the broadcast nested-loop against the tiny probe
+    // set — ANY shuffle join of the corpus would be the 100 TB killer
+    // (the output orderBy is a Sort, not a join, so a whole-plan check
+    // is safe and never vacuous)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "range search must not shuffle-join the corpus")
   }
 
