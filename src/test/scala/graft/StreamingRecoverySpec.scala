@@ -80,6 +80,82 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(afterA != afterB, "tranche B must actually change the state")
   }
 
+  test("stream-stream join buffers survive a checkpointed restart") {
+    // the interval-join twin of the aggregation-recovery test: tranche A
+    // is ONLY purchases (no matches emit), the query stops, tranche B is
+    // ONLY errors — so every match the restarted query emits requires
+    // the purchase-side join buffer recovered from the checkpoint, not
+    // reprocessing (offsets say tranche A is consumed). This is the
+    // contract stream_error_purchase{,_outer,_full} rely on in
+    // production: join state lives in the state store, not the process.
+    import spark.implicits._
+    val in = tmpDir("graft-ssj-in")
+    val ckpt = tmpDir("graft-ssj-ckpt")
+    def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = tmpDir(s"graft-ssj-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, in.resolve(name))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("kind", StringType),
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def sides(df: org.apache.spark.sql.DataFrame) = {
+      val errors = df.filter(col("kind") === "e")
+        .select(col("id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+      val purchases = df.filter(col("kind") === "p")
+        .select(col("id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      (errors, purchases)
+    }
+    val joinCond =
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("e_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") < col("e_ts")
+    // append-mode MEMORY sinks refuse checkpoint recovery; a restartable
+    // stream needs a real sink — parquet files, as production would
+    val out = tmpDir("graft-ssj-out")
+    def startQuery() = {
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(in.toString)
+      val (errors, purchases) = sides(src)
+      errors.withWatermark("e_ts", "1 hour")
+        .join(purchases.withWatermark("p_ts", "1 hour"), joinCond)
+        .select("error_id", "purchase_id")
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt.toString)
+        .format("parquet").option("path", out.toString).start()
+    }
+    val base = 1704067200L
+    def t(min: Long) = new java.sql.Timestamp((base + min * 60) * 1000L)
+    // two purchases per user, 4 min apart; the later error at +6 min
+    // sees both inside its 10-minute lookback
+    val purchases = (for { u <- 1L to 5L; i <- 0L to 1L }
+      yield (u * 100 + i, "p", u, t(u + i * 4))).toDF("id", "kind", "user_id", "ts")
+    writeFile(purchases, "a.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(spark.read.schema("error_id BIGINT, purchase_id BIGINT")
+      .parquet(out.toString).count() == 0,
+      "tranche A is purchases only — nothing can match yet")
+
+    val errors = (1L to 5L).map(u => (u * 1000, "e", u, t(u + 6)))
+      .toDF("id", "kind", "user_id", "ts")
+    writeFile(errors, "b.parquet")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id"))).toSet
+    val (be, bp) = sides(purchases.unionByName(errors))
+    val want = be.join(bp, joinCond).select("error_id", "purchase_id").collect()
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(want.size == 10, "test shape: each of 5 errors matches both purchases")
+    assert(got == want,
+      "restarted join must emit every cross-restart match from recovered state")
+  }
+
   test("watermarked dedup state stays bounded while unbounded dedup's grows") {
     import spark.implicits._
     val in = tmpDir("graft-wmdedup-in")
