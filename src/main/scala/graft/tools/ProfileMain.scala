@@ -51,6 +51,10 @@ object ProfileMain {
     time("events_approx_quantiles")(println(Sketches.approxQuantilesHist(spark, dir).count()))
     time("q3")(println(Relational.q3ShippingPriority(spark, dir).count()))
     time("q5")(println(Relational.q5LocalSupplier(spark, dir).count()))
+    time("bm25_search")(println(Retrieval.bm25Search(spark, dir).count()))
+    time("doc_perplexity")(println(Corpus.docPerplexityBigram(spark, dir).count()))
+    time("dedup_semantic")(println(Dedup.semanticNearDup(spark, dir).count()))
+    time("bpe_vocab_encode")(println(Bpe.vocabEncode(spark, dir).count()))
     spark.stop()
   }
 }
