@@ -36,16 +36,20 @@ object Retrieval {
 
   /** `bm25_search`: top-[[BmTopK]] documents per query by BM25.
     *
-    * 100 TB shape — the corpus is tokenized and SHUFFLED once into the
-    * (doc, term, tf) posting frame: document length rides a
-    * doc-partitioned window over that frame and document frequency a
-    * term-partitioned one; N and the average length are a 1-row
-    * broadcast whose branch re-scans the text map-only (an extra
+    * 100 TB shape — the corpus is tokenized and shuffled EXACTLY ONCE,
+    * into the (doc, term, tf) posting frame. Document length is free:
+    * `size(tokens)` is computed map-side in the same tokenize pass and
+    * carried through the tf aggregate as part of the (functionally
+    * dependent) group key, so it costs zero extra exchanges. Document
+    * frequency is computed AFTER the postings are semi-joined down to
+    * the broadcast query-term set — filtering by term drops no postings
+    * of a kept term, so the per-term df over the matched frame equals
+    * the corpus df, and the window input shrinks from |postings| to
+    * |postings of matched terms|. N and the average length are a 1-row
+    * broadcast from one map-only re-scan of the text (an extra
     * tokenize pass, but caching the corpus-sized posting frame to save
     * it would pin corpus-scale memory — the [[Corpus.bigramPmi]]
-    * trade, decided the same way). The query set is a broadcast literal
-    * — the expensive posting frame is joined DOWN to |matched terms|
-    * rows before any scoring math, and the per-query rank window sees
+    * trade, decided the same way). The per-query rank window sees
     * only each query's candidate set, never the corpus. In production
     * the posting frame is the thing you materialize (bucketed by term)
     * and this query is a broadcast-probe of it; scores round to 6dp
@@ -59,19 +63,20 @@ object Retrieval {
     // must match 'Spark' to 'spark' — the one surface where case-folding
     // matters most (the LM scorers fold for the same reason)
     val tf = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-      .groupBy("doc_id", "term")
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(
-        docs.select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
-          .agg(sum("n").as("total_tokens")))
-    val enriched = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .withColumn("dl", sum("tf").over(Window.partitionBy("doc_id")))
+    val stats = docs
+      .select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
     val qterms = Queries
       .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
       .toDF("query_id", "term")
+    val enriched = tf
+      .join(broadcast(qterms), "term")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
     val avgdl = col("total_tokens").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
@@ -83,7 +88,6 @@ object Retrieval {
     // a double sum's result depends on aggregation order, which Spark
     // does not fix across partitionings
     val scores = enriched
-      .join(broadcast(qterms), "term")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
         round(idf * tfNorm, 9).cast("decimal(18,9)").as("contrib"))

@@ -49,6 +49,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"),
       "posting-frame tf aggregate must map-side combine")
     assert(p.contains("BroadcastExchange"), "query-term set must broadcast")
+    // exactly two windows: df over the query-matched postings and the
+    // per-query rank — doc length must ride the tokenize pass + tf
+    // group key, NOT a third corpus-wide doc_id window (the round-7
+    // plan's avoidable second corpus shuffle)
+    val windows = "Window \\(".r.findAllIn(p).length
+    assert(windows == 2, s"expected df + rank windows only, got $windows:\n${p.take(800)}")
+    // the df window must consume the matched frame: its Window node
+    // sits ABOVE (before, in formatted top-down order) the broadcast
+    // query-term join, never below it on the corpus-sized postings
+    val firstWindow = p.indexOf("Window")
+    val bcastJoin = p.indexOf("BroadcastHashJoin")
+    assert(firstWindow >= 0 && bcastJoin >= 0 && firstWindow < bcastJoin,
+      "df window must run on the query-matched postings, not the full posting frame")
   }
 
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
