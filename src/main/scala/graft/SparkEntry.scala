@@ -1610,13 +1610,22 @@ object SparkEntry {
     // SemDeDup replay: the SAME Lloyd-assignment CTE chain as the
     // kmeans oracles feeds an in-cluster pair join (mirrors
     // Dedup.semanticNearDup — cells bit-for-bit, threshold on the
-    // rounded cosine)
+    // rounded cosine). The rank-based SemCellCap split is replayed
+    // identically: same salted md5 order, same sub-cell arithmetic,
+    // so the oracle replays the cap wherever it binds (sf0.1's
+    // ~250-member cells; inactive at the sf0.01 gate's ~62).
     val semDedup =
       s"""$kmeansCtes,
          |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |sub AS (SELECT vec_id, cluster,
+         |    CAST(floor((row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5('sd:' || CAST(vec_id AS VARCHAR)), vec_id) - 1)
+         |      / ${Dedup.SemCellCap}) AS BIGINT) AS sub
+         |  FROM $lastA),
          |s AS (SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    ${cosineSql("p", "c")} AS cosine
-         |  FROM $lastA a JOIN $lastA b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |  FROM sub a JOIN sub b ON a.cluster = b.cluster AND a.sub = b.sub
+         |    AND a.vec_id < b.vec_id
          |  JOIN nn p ON p.vec_id = a.vec_id
          |  JOIN nn c ON c.vec_id = b.vec_id)
          |SELECT cluster, vec_a, vec_b, cosine FROM s

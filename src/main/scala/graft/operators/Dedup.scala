@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -763,6 +764,39 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Max members a SemDeDup cell may contribute to one within-cell
+    * pair join. Real embedding corpora have heavy-tailed cluster
+    * sizes — one hot cell would make the "quadratic only within
+    * cells" claim quadratic in that cell — so cells above the cap are
+    * deterministically split (the Abbas et al. cap-or-split practice).
+    * 200 binds on the sf0.1 bench corpus (2000 vectors / 8 cells ≈ 250
+    * per cell — differentially verified against the oracle there), is
+    * inactive at the smaller tiers (cells ≈ 62, so the recall-floor
+    * spec still measures the uncapped co-clustering rate), and the
+    * synthetic hot-cluster spec pins the exact bound either way.
+    */
+  val SemCellCap = 200
+
+  /** Deterministic cap/split for [[semanticNearDup]]: members of each
+    * cell are ranked by a salted md5 of their id (ties to the id —
+    * the [[KMeansCodebook.clusterBalancedSample]] ordering contract,
+    * so the split is uncorrelated with id assignment order) and the
+    * ranked run is cut into sub-cells of at most `cap` members. Unlike
+    * a hash split, the rank split makes the bound EXACT — no sub-cell
+    * ever exceeds `cap`, so candidate pairs per (cell, sub) are ≤
+    * C(cap, 2) by construction (spec-asserted on a synthetic hot
+    * cluster). The rank window partitions by cell: bounded work per
+    * cell at production cell counts (SemDeDup runs ~11k cells over
+    * LAION; cells scale out with the corpus, cap stays fixed).
+    */
+  private[graft] def capCells(assignment: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
+    assignment
+      .withColumn("h", md5(concat(lit("sd:"), col("vec_id").cast("string"))))
+      .withColumn("sub", floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
+      .drop("h")
+  }
+
   /** `dedup_semantic`: SemDeDup-style near-dup — all-pairs cosine
     * restricted to WITHIN each trained k-means cluster (Abbas et al.
     * 2023: semantic duplicates co-locate in embedding-space cells, so
@@ -777,15 +811,19 @@ object Dedup {
     * cluster-equi-join. Recall vs the exact all-pairs verifier is the
     * co-clustering rate of true near-dups (spec-pinned); the oracle
     * replays the cells bit-for-bit, so the gate checks the bucketing
-    * contract, recall being [[embeddingNearDup]]'s job.
+    * contract, recall being [[embeddingNearDup]]'s job. Oversized
+    * cells are deterministically split to [[SemCellCap]] members via
+    * [[capCells]] before the pair join, so no single hot cell can turn
+    * the within-cell search quadratic in the cell.
     */
   def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val a = KMeansCodebook.lastAssignment(spark, dir)
+    val a = capCells(KMeansCodebook.lastAssignment(spark, dir), SemCellCap)
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     a.as("a")
       .join(a.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+        col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.cluster").as("cluster"),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(spark, col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)

@@ -307,6 +307,34 @@ class OperatorsSpec extends AnyFunSuite {
       f"co-clustering recall $recall%.3f under the 0.20 floor — training or assignment regressed")
   }
 
+  test("semantic near-dup cell cap bounds candidate pairs on a synthetic hot cluster") {
+    import spark.implicits._
+    // one pathological cell: 1000 members in cluster 0 (the heavy-tailed
+    // case the Abbas et al. cap/split practice exists for), plus a small
+    // cell that must NOT be split
+    val cap = 100
+    val assignment = ((0L until 1000L).map(i => (i, 0L)) ++
+      (1000L until 1040L).map(i => (i, 1L)))
+      .toDF("vec_id", "cluster")
+    val sub = Dedup.capCells(assignment, cap)
+      .select("vec_id", "cluster", "sub").collect()
+    val bySub = sub.groupBy(r => (r.getAs[Long]("cluster"), r.getAs[Long]("sub")))
+    // the rank split makes the bound EXACT: no sub-cell exceeds the cap,
+    // so the within-(cell, sub) pair join is ≤ C(cap, 2) candidates
+    bySub.foreach { case ((c, s), rs) =>
+      assert(rs.length <= cap, s"sub-cell ($c, $s) has ${rs.length} members > cap $cap")
+      val pairs = rs.length.toLong * (rs.length - 1) / 2
+      assert(pairs <= cap.toLong * (cap - 1) / 2)
+    }
+    // the hot cluster splits into exactly ceil(1000/100) full sub-cells;
+    // the small cluster stays whole
+    assert(bySub.keys.count(_._1 == 0L) == 10)
+    assert(bySub.keys.filter(_._1 == 1L).toSeq == Seq((1L, 0L)))
+    // every member keeps exactly one (cluster, sub) home — the split
+    // re-buckets, it never drops or duplicates
+    assert(sub.length == 1040 && sub.map(_.getAs[Long]("vec_id")).distinct.length == 1040)
+  }
+
   test("full-outer stream join is the union of inner, left-null and right-null parts") {
     import graft.streaming.EventStream
     val full = EventStream.errorPurchaseFullOuter(spark, sf).collect()
