@@ -130,6 +130,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
     "ann_range" -> Similarity.annRange _,
+    "ann_range_ivf" -> Similarity.annRangeIvf _,
     "embedding_quantize" -> Similarity.quantize _,
     "ann_quantized" -> Similarity.annTopKQuantized _,
     "embedding_pq" -> ProductQuant.encode _,
@@ -1607,6 +1608,24 @@ object SparkEntry {
          |      FROM s)
          |SELECT probe_id, neighbor_id, sim, rnk FROM r
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    // trained-cell IVF range search: the ivfKmeans probe/cell replay
+    // with the rank window swapped for the range threshold (mirrors
+    // Similarity.annRangeIvf)
+    val rangeIvf =
+      s"""$kmeansCtes,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |pr AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d${KMeansCodebook.LloydIters} WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |s AS (SELECT pr.vec_id AS probe_id, ca.vec_id AS neighbor_id,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM pr JOIN $lastA ca ON pr.cluster = ca.cluster AND pr.vec_id <> ca.vec_id
+         |  JOIN nn p ON p.vec_id = pr.vec_id
+         |  JOIN nn c ON c.vec_id = ca.vec_id)
+         |SELECT probe_id, neighbor_id, sim FROM s
+         |WHERE sim >= ${Similarity.RangeTau} ORDER BY probe_id, neighbor_id""".stripMargin
     // SemDeDup replay: the SAME Lloyd-assignment CTE chain as the
     // kmeans oracles feeds an in-cluster pair join (mirrors
     // Dedup.semanticNearDup — cells bit-for-bit, threshold on the
@@ -1672,7 +1691,7 @@ object SparkEntry {
         |WHERE rnk <= %TOPK% ORDER BY probe_id, rnk""".stripMargin
         .replace("%PROBES%", Similarity.NumProbes.toString)
         .replace("%TOPK%", Similarity.TopK.toString)
-    Map("ann_topk" -> topk, "ann_range" -> range,
+    Map("ann_topk" -> topk, "ann_range" -> range, "ann_range_ivf" -> rangeIvf,
         "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
         "ann_ivf_kmeans" -> ivfKmeans, "dedup_semantic" -> semDedup,
         "ann_hard_negatives" -> hardNeg,

@@ -187,6 +187,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "threshold too high for the corpus — the query tests nothing")
   }
 
+  test("ann_range_ivf is a sound subset of exact range with a recall floor, touching a corpus fraction") {
+    val exact = Similarity.annRange(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annRangeIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Dedup.retireCaches()
+    // soundness: same rounded cosine + threshold over fewer candidates
+    // — a hit outside the exact answer would be a scoring divergence
+    assert(ivf.subsetOf(exact))
+    assert(ivf.nonEmpty)
+    val recall = ivf.size.toDouble / exact.size
+    // the cost side of the ANN trade: 2 of 8 trained cells per probe
+    // means the candidate join touches ~1/4 of the corpus, never all
+    // of it — the annIvfKmeans posture, which its 0.86 top-k recall
+    // showed concentrates true neighbors in the probed cells
+    info(f"range-ivf recall=$recall%.3f (${ivf.size}/${exact.size} range hits in probed cells)")
+    assert(recall >= 0.60,
+      f"recall $recall%.3f under the 0.60 floor — probe-cell selection regressed")
+  }
+
   test("bm25 ranks are dense, scores non-increasing, and hits contain a query term") {
     val rows = Retrieval.bm25Search(spark, sf).collect()
     assert(rows.nonEmpty)

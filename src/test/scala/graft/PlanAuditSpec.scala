@@ -42,6 +42,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "range search must not shuffle-join the corpus")
   }
 
+  test("ann_range_ivf: probes broadcast, candidates come from a cell equi-join") {
+    val p = plan(Similarity.annRangeIvf(spark, sf))
+    Dedup.retireCaches()
+    assert(p.contains("BroadcastExchange"), "probe set must broadcast")
+    // the whole point vs ann_range: candidates arrive via the trained-
+    // cell equi-join, never a corpus-wide nested-loop product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cell bucketing must make the candidate join an equi-join:\n${p.take(600)}")
+  }
+
   test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
     val p = plan(Retrieval.bm25Search(spark, sf))
     assert(!p.contains("CartesianProduct"),
