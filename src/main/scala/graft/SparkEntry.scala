@@ -2282,7 +2282,9 @@ object SparkEntry {
     // watermark (min of the two streams' max-event-time, minus the 1h
     // delay) has sealed — unmatched errors inside the final band stay
     // pending forever on a drained static input (verified empirically
-    // at both sf0.001 and sf0.01: the emission set equals e_ts < wm)
+    // at both sf0.001 and sf0.01, and the exact boundary pinned by the
+    // sealing-boundary spec: an error AT the watermark already emits,
+    // so the left horizon is e_ts <= wm, inclusive)
     "stream_error_purchase_outer" ->
       """WITH wm AS (SELECT least(
         |    (SELECT max(ts) FROM events WHERE event_type = 'error'),
@@ -2299,16 +2301,17 @@ object SparkEntry {
         |   AND epoch_us(p.p_ts) < epoch_us(e.e_ts)),
         |unmatched AS (SELECT e.error_id, e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
         |    CAST(NULL AS DOUBLE) AS purchase_value
-        |  FROM e, wm WHERE e.e_ts < wm.w
+        |  FROM e, wm WHERE e.e_ts <= wm.w
         |   AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = e.user_id
         |     AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
         |     AND epoch_us(p.p_ts) < epoch_us(e.e_ts)))
         |SELECT * FROM matched UNION ALL SELECT * FROM unmatched
         |ORDER BY error_id, purchase_id""".stripMargin,
-    // full outer = matched ∪ left-null (errors sealed at e_ts < wm, the
-    // left-outer rule) ∪ right-null (purchases sealed once no error in
-    // (p_ts, p_ts+10min] can arrive: p_ts + 10min < wm) — boundaries
-    // verified empirically on the drained static input
+    // full outer = matched ∪ left-null (errors sealed at e_ts <= wm,
+    // inclusive — the left-outer rule) ∪ right-null (purchases sealed
+    // once no error in (p_ts, p_ts+10min] can arrive: p_ts + 10min <
+    // wm, strict) — both boundaries pinned row-exactly by the
+    // sealing-boundary spec, not just empirically
     "stream_error_purchase_full" ->
       """WITH wm AS (SELECT least(
         |    (SELECT max(ts) FROM events WHERE event_type = 'error'),
@@ -2325,7 +2328,7 @@ object SparkEntry {
         |   AND epoch_us(p.p_ts) < epoch_us(e.e_ts)),
         |left_null AS (SELECT e.error_id, e.user_id, CAST(NULL AS BIGINT) AS purchase_id,
         |    CAST(NULL AS DOUBLE) AS purchase_value
-        |  FROM e, wm WHERE e.e_ts < wm.w
+        |  FROM e, wm WHERE e.e_ts <= wm.w
         |   AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = e.user_id
         |     AND epoch_us(p.p_ts) >= epoch_us(e.e_ts) - 600000000
         |     AND epoch_us(p.p_ts) < epoch_us(e.e_ts))),

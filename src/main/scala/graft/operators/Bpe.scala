@@ -101,20 +101,23 @@ object Bpe {
   // ProductQuant.trainedBooks pattern). The memo holds only
   // localCheckpoint-backed vocab-sized frames, so keeping it for the
   // session costs |vocab| rows, not corpus. The key includes the
-  // SESSION identity: localCheckpoint blocks belong to the session
+  // SESSION — the SparkSession reference itself, not an identity hash
+  // (identity hashes can be reused after GC, so a hash key could alias
+  // a dead session's entry and serve localCheckpoint frames whose
+  // blocks are gone): localCheckpoint blocks belong to the session
   // that created them, so serving a memoized frame to a different
   // SparkSession in the same JVM would either throw (first session
   // stopped — truncated lineage is unrecoverable) or silently run
   // against foreign session state. A dead session's entries linger
   // (bounded: vocab-sized, few sessions per JVM) but are never served.
   private val trainMemo =
-    scala.collection.mutable.Map.empty[(Int, String, String), (DataFrame, Seq[DataFrame])]
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), (DataFrame, Seq[DataFrame])]
 
   /** Final symbol frame + the per-round merge rules. */
   private def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
     trainMemo.synchronized {
       val (d, fp) = Kernels.inputKey(dir, "documents.parquet")
-      trainMemo.getOrElseUpdate((System.identityHashCode(spark), d, fp), {
+      trainMemo.getOrElseUpdate((spark, d, fp), {
         var syms = charSyms(vocab(spark, dir))
         val merges = (1 to Rounds).map { _ =>
           val (next, best) = oneRound(syms)
@@ -150,5 +153,47 @@ object Bpe {
       b.select(lit(i + 1L).as("round"), col("s1"), col("s2"),
         col("total").cast("long").as("total"))
     }.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** Materializes the trained merge table to `path` as parquet — the
+    * DURABLE half of the memoization story. The session-local
+    * [[trainMemo]] only caches within the training session
+    * (localCheckpoint blocks die with it); production pipelines train
+    * once in a build job, write this artifact, and every consumer — a
+    * 100 TB encode job, a fresh session, another JVM — reads the
+    * parquet instead of retraining. Tiny ([[Rounds]] rows), so the
+    * single output file is deliberate.
+    */
+  def writeMergeTable(spark: SparkSession, dir: String, path: String): Unit =
+    mergeTable(spark, dir).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Serves the merge table from a [[writeMergeTable]] artifact — no
+    * training, no memo, no dependence on the writer session being
+    * alive; callable from any session that can read the path. Returned
+    * in training order, the [[mergeTable]] contract.
+    */
+  def mergeTableFrom(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).orderBy("round")
+
+  /** Training-loop probe (not a query): runs `rounds` merge rounds and
+    * returns, per round, the analyzed-plan node count of the round's
+    * REBUILT frame and its wall-clock seconds. The node count is the
+    * lineage-depth contract made observable: every round starts from
+    * the previous round's localCheckpoint, so the count must stay
+    * CONSTANT from round 2 on — growth here is exactly the ~2^R plan
+    * compounding the checkpoint cut exists to prevent (spec-asserted
+    * at 16 rounds; ProfileMain records 64-round wall times at sf0.1).
+    */
+  private[graft] def roundProbe(
+      spark: SparkSession, dir: String, rounds: Int): Seq[(Int, Double)] = {
+    var syms = charSyms(vocab(spark, dir))
+    (1 to rounds).map { _ =>
+      val t0 = System.nanoTime()
+      val (next, best) = oneRound(syms)
+      val nodes = next.queryExecution.analyzed.collect { case n => n }.size
+      syms = next.localCheckpoint() // eager: forces the round's work
+      best.count()
+      (nodes, (System.nanoTime() - t0) / 1e9)
+    }
   }
 }

@@ -64,17 +64,42 @@ object EventStream {
         .parquet(dir))
   }
 
-  /** Run a streaming drain with shuffle partitions sized to the STATE
-    * cardinality, not the batch default: every stateful shuffle
+  /** Target state-store keys per stateful shuffle partition. Each
     * partition owns a state-store instance with per-batch checkpoint
-    * I/O, and these queries keep a few hundred keys — 32 stores were
-    * pure fixed overhead (~4× the useful work at sf0.1). Production
-    * sizes this to |keys|/target-store-size; the result is identical
-    * for any partition count (the oracle gate asserts so).
+    * I/O, so the partition count should follow state CARDINALITY, not
+    * the batch shuffle default — the knob production turns is this
+    * per-store key budget, with partitions = |keys| / budget.
     */
-  private def withStatePartitions[T](spark: SparkSession)(f: => T): T = {
+  val TargetKeysPerStore = 64L
+
+  /** Expected state keys for this suite's queries (event types ×
+    * hours, user ids, session keys — a few hundred at every SF the
+    * gate runs): |keys|/[[TargetKeysPerStore]] → 8 partitions, where
+    * the 32-partition batch default was pure fixed overhead (~4× the
+    * useful work at sf0.1).
+    */
+  val ExpectedStateKeys = 512L
+
+  /** partitions = ceil(expectedKeys / [[TargetKeysPerStore]]), clamped
+    * to [1, the session's batch shuffle parallelism] — state sizing
+    * should never EXCEED the compute parallelism the session asked for.
+    */
+  private[graft] def statePartitionsFor(spark: SparkSession, expectedKeys: Long): Int = {
+    val batchDefault = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val wanted = math.ceil(expectedKeys.toDouble / TargetKeysPerStore).toInt
+    math.max(1, math.min(batchDefault, wanted))
+  }
+
+  /** Run a streaming drain with shuffle partitions sized to the given
+    * state cardinality via [[statePartitionsFor]]. The result is
+    * identical for ANY partition count — the oracle gate asserts so,
+    * and a spec drains one query at two sizings to pin the invariance.
+    */
+  private[graft] def withStatePartitions[T](
+      spark: SparkSession, expectedKeys: Long = ExpectedStateKeys)(f: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsFor(spark, expectedKeys).toString)
     try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 

@@ -14,13 +14,7 @@ import graft.operators._
 object ProfileMain {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = graft.GraftSession.builder("local[32]", "32")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .getOrCreate()
@@ -55,6 +49,22 @@ object ProfileMain {
     time("doc_perplexity")(println(Corpus.docPerplexityBigram(spark, dir).count()))
     time("dedup_semantic")(println(Dedup.semanticNearDup(spark, dir).count()))
     time("bpe_vocab_encode")(println(Bpe.vocabEncode(spark, dir).count()))
+    // 64-round trainer depth probe: per-round wall time must stay flat
+    // at realistic merge counts (the localCheckpoint lineage cut's
+    // observable contract — Rounds=4 queries can't show compounding)
+    locally {
+      val probe = Bpe.roundProbe(spark, dir, 64)
+      val secs = probe.map(_._2)
+      probe.zipWithIndex.foreach { case ((nodes, s), i) =>
+        println(f"[profile] bpe round ${i + 1}%2d: $s%.2f s ($nodes plan nodes)")
+      }
+      val firstHalf = secs.take(32).sum / 32
+      val secondHalf = secs.drop(32).sum / 32
+      println(f"[profile] bpe 64-round flatness: rounds 1-32 mean=$firstHalf%.2f s, " +
+        f"rounds 33-64 mean=$secondHalf%.2f s, max=${secs.max}%.2f s")
+      Dedup.retireCaches()
+      System.gc()
+    }
     spark.stop()
   }
 }

@@ -700,6 +700,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe merge table round-trips through a parquet artifact into a fresh session") {
+    // the durable half of the memo story: the session-local
+    // localCheckpoint memo can never serve another session (its blocks
+    // die with the creator), so the production "materialize once"
+    // contract is the written artifact — build in session A, write,
+    // read back in a DIFFERENT session, value-equal
+    val out = SparkTestSession.tmpDir("bpe-artifact").resolve("merges").toString
+    Bpe.writeMergeTable(spark, sf, out)
+    val trained = Bpe.mergeTable(spark, sf).collect().map(_.toSeq).toSeq
+    val fresh = spark.newSession() // distinct session state: the train memo keys on session and must not serve it
+    val served = Bpe.mergeTableFrom(fresh, out).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == trained)
+  }
+
+  test("bpe trainer plan depth is constant per round over many rounds") {
+    // 16 rounds (4x the query constant): every round starts from the
+    // previous round's localCheckpoint, so the analyzed-plan node count
+    // must be IDENTICAL from round 2 on — any growth is the ~2^R
+    // lineage compounding the checkpoint cut exists to prevent, which
+    // only shows at realistic merge counts, never at Rounds=4
+    val probe = Bpe.roundProbe(spark, sf, 16)
+    val nodes = probe.map(_._1)
+    assert(nodes.drop(1).distinct.size == 1,
+      s"plan node counts must be flat after round 1, got $nodes")
+  }
+
   test("cdc incremental agg equals re-aggregating the merged table") {
     // MV + Σdeltas must land on the exact decimals of a full recompute
     import org.apache.spark.sql.functions.{col, count, lit, sum}

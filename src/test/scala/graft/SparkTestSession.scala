@@ -10,15 +10,8 @@ object SparkTestSession {
     // local[4,2]: 4 threads, maxFailures=2 — task retry must be ON so the
     // crash-injection spec (MapReduceSpec) can exercise re-execution the
     // way the reference's crash test does; retries are inert elsewhere.
-    val s = SparkSession.builder()
-      .master("local[4,2]")
+    val s = GraftSession.builder("local[4,2]", "4")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -231,4 +231,93 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want,
       "file-sink streaming output must equal the batch quality gate")
   }
+
+  test("full-outer sealing boundaries pinned row-exactly: inclusive left, strict right") {
+    import spark.implicits._
+    // The full-outer oracle's sealing horizons were originally derived
+    // empirically; this frame pins them ROW-EXACTLY (one row at each
+    // boundary, one 1 ms inside), so a Spark-version change to
+    // interval-join state eviction fails this named test instead of an
+    // opaque oracle hash. Writing it surfaced that the two horizons
+    // differ in strictness: an error AT the watermark already emits
+    // (left-null: e_ts <= wm, inclusive) while a purchase whose match
+    // band closes AT the watermark stays pending (right-null:
+    // p_ts + 10min < wm, strict) — the oracle encodes exactly this.
+    val T = 1700007600000000L // µs; both side maxima → wm = T − 1h
+    val wm = T - 3600L * 1000000L
+    val tenMin = 600L * 1000000L
+    val ms = 1000L
+    val rows = Seq(
+      // (event_id, us, user_id, event_type, value)
+      (10L, wm, 1L, "error", 0.0),                    // e_ts == wm: sealed (inclusive)
+      (11L, wm - ms, 2L, "error", 0.0),               // 1 ms inside: sealed
+      (12L, wm - tenMin, 3L, "purchase", 5.0),        // p_ts+10min == wm: NOT sealed
+      (13L, wm - tenMin - ms, 4L, "purchase", 7.0),   // 1 ms inside: sealed
+      (98L, T, 98L, "error", 0.0),                    // clock: pins the error-side max
+      (99L, T, 99L, "purchase", 9.0))                 // clock: pins the purchase-side max
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // single plain events.parquet file — the testdata/stream-reader shape
+    val dir = tmpDir("graft-seal")
+    val stage = tmpDir("graft-seal-stage").resolve("out")
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try rows.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, dir.resolve("events.parquet"))
+
+    val got = graft.streaming.EventStream.errorPurchaseFullOuter(spark, dir.toString)
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("error_id")).map(_.toLong),
+        r.getAs[Long]("user_id"),
+        Option(r.getAs[java.lang.Long]("purchase_id")).map(_.toLong)))
+      .toSet
+    // no user has both an error and a purchase, so every emitted row is
+    // null-extended: the at-watermark error (inclusive left horizon),
+    // both 1ms-inside rows, and NOT the at-boundary purchase (strict
+    // right horizon) or the clock rows
+    assert(got == Set(
+      (Some(10L), 1L, None),
+      (Some(11L), 2L, None),
+      (None, 4L, Some(13L))),
+      s"sealing boundary drifted, emitted: $got")
+  }
+
+  test("state-partition sizing follows key cardinality and never changes results") {
+    import graft.streaming.EventStream
+    // the sizing arithmetic: one store per TargetKeysPerStore keys,
+    // clamped to [1, the session's batch parallelism] (4 in this suite)
+    assert(EventStream.statePartitionsFor(spark, 1L) == 1)
+    assert(EventStream.statePartitionsFor(spark, EventStream.TargetKeysPerStore) == 1)
+    assert(EventStream.statePartitionsFor(spark, 2 * EventStream.TargetKeysPerStore) == 2)
+    val batchDefault = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(EventStream.statePartitionsFor(spark, 1000000L) == batchDefault,
+      "state sizing must not exceed the session's compute parallelism")
+    // result invariance across sizings: the SAME stateful drain at 1
+    // store and at the clamp must emit identical aggregates — the
+    // property that makes the partition count a pure perf knob
+    def drain(name: String, expectedKeys: Long): Set[(Long, String, Long)] =
+      EventStream.withStatePartitions(spark, expectedKeys) {
+        assert(spark.conf.get("spark.sql.shuffle.partitions").toInt ==
+          EventStream.statePartitionsFor(spark, expectedKeys))
+        val agg = EventStream.readEventsStream(spark, SparkTestSession.Sf)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getAs[java.sql.Timestamp]("hour").getTime,
+            r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      }
+    val small = drain("state_size_small", 1L)
+    val large = drain("state_size_large", 1000000L)
+    assert(small.nonEmpty && small == large,
+      "stateful results must be invariant to the state-partition sizing")
+  }
 }
