@@ -95,6 +95,7 @@ object SparkEntry {
     "events_approx_users" -> Sketches.approxDistinctUsers _,
     "events_approx_users_union" -> Sketches.approxUsersUnion _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
+    "events_heavy_hitters" -> Sketches.heavyHitters _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -650,6 +651,25 @@ object SparkEntry {
          |  $ests,
          |  round((mx - mn) / ${Sketches.HistBins}, 4) AS max_err
          |FROM q ORDER BY event_type""".stripMargin
+    },
+    // Count-min frequency sketch: md5-derived row hashes, so the
+    // 4×64-counter sketch and its min-estimates replay engine-exactly;
+    // a sketch built by summing per-user exact counts equals one
+    // counting events directly (grouping is associative).
+    "events_heavy_hitters" -> {
+      val w = Sketches.CmsWidth
+      s"""WITH u AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+         |rb AS (SELECT u.user_id, u.exact_cnt, t.j,
+         |    CAST(('0x' || substr(md5('cms' || CAST(t.j AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $w AS b
+         |  FROM u, generate_series(0, ${Sketches.CmsRows - 1}) t(j)),
+         |sk AS (SELECT j, b, CAST(SUM(exact_cnt) AS BIGINT) AS cnt FROM rb GROUP BY j, b),
+         |est AS (SELECT rb.user_id, rb.exact_cnt, MIN(sk.cnt) AS est_cnt
+         |  FROM rb JOIN sk USING (j, b) GROUP BY rb.user_id, rb.exact_cnt),
+         |r AS (SELECT est.*,
+         |    row_number() OVER (ORDER BY est_cnt DESC, user_id) AS rnk FROM est)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, user_id, est_cnt, exact_cnt,
+         |  CAST(est_cnt >= exact_cnt AS BIGINT) AS never_under
+         |FROM r WHERE rnk <= ${Sketches.HeavyHittersK} ORDER BY rnk""".stripMargin
     },
     // Merged per-type sketches == one global sketch (lossless bottom-k
     // merge), so the oracle just sketches the union directly.

@@ -153,4 +153,75 @@ object Sketches {
         round((col("mx") - col("mn")) / HistBins, 4).as("max_err"))
       .orderBy("event_type")
   }
+
+  /** Count-min rows / buckets: 4 independent md5 hash rows × 64
+    * counters — 256 integers of state however many events arrive, the
+    * ε=e/w, δ=e^−d point of Cormode & Muthukrishnan 2005.
+    */
+  val CmsRows = 4
+  val CmsWidth = 64L
+  val HeavyHittersK = 20
+
+  /** Row-j bucket of a user id: md5("cms<j>:" + id), first 8 hex chars
+    * as a 32-bit int, mod width — the same deterministic-permutation
+    * trick as [[kmvHash]], replayed verbatim by the oracle.
+    */
+  private def cmsBucket(j: Int, user: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"cms$j:"), user.cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(CmsWidth))
+
+  /** `events_heavy_hitters`: top-[[HeavyHittersK]] users by COUNT-MIN
+    * estimated event count — the frequency-sketch companion to the
+    * KMV cardinality and histogram quantile sketches, completing the
+    * family (cardinality / quantiles / frequency).
+    *
+    * Sketch shape at 100 TB: the build is ONE pass over events that
+    * partial-aggregates map-side into [[CmsRows]]·[[CmsWidth]] = 256
+    * counters — the exchange carries ≤ 256 rows per map task and the
+    * sketch itself broadcasts everywhere (CM sketches also merge by
+    * cell-wise addition, so per-shard sketches combine losslessly —
+    * same distributive contract the KMV union query demonstrates).
+    * The probe side enumerates candidate keys (here: every distinct
+    * user, with its exact count riding along as the differential
+    * column; a 100 TB run feeds per-partition local heavy hitters
+    * instead — the sketch answers any candidate set after one build).
+    * est = min over rows of the key's bucket counter, which can only
+    * OVER-estimate (collisions add, never subtract) — the `never_under`
+    * verdict pins that invariant into the hash gate exactly like the
+    * GK rank-error verdicts. The top-k cut is orderBy+limit
+    * (TakeOrderedAndProject: per-partition heaps, no global sort); the
+    * rank window then sees only the K survivors. Like every sketch
+    * here, the md5 permutations make the estimate itself engine-exact,
+    * so the approximation hash-matches the oracle rather than being
+    * rows-only-checked.
+    */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id")
+    def rowBuckets(user: Column): Column = array(
+      (0 until CmsRows).map(j => struct(lit(j).as("j"), cmsBucket(j, user).as("b"))): _*)
+    val sketch = ev
+      .select(explode(rowBuckets(col("user_id"))).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val users = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
+    val est = users
+      .select(col("user_id"), col("exact_cnt"),
+        explode(rowBuckets(col("user_id"))).as("rb"))
+      .join(broadcast(sketch),
+        col("rb.j") === col("j") && col("rb.b") === col("b"))
+      .groupBy("user_id", "exact_cnt")
+      .agg(min("cnt").as("est_cnt"))
+    // top-k FIRST (orderBy+limit plans as TakeOrderedAndProject — per-
+    // partition heaps, never a full sort), THEN rank the K survivors:
+    // the rank window runs on a K-row frame instead of dragging every
+    // distinct key to one partition
+    est
+      .orderBy(col("est_cnt").desc, col("user_id"))
+      .limit(HeavyHittersK)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("est_cnt").desc, col("user_id"))).cast("long"))
+      .select(col("rnk"), col("user_id"), col("est_cnt"), col("exact_cnt"),
+        (col("est_cnt") >= col("exact_cnt")).cast("long").as("never_under"))
+      .orderBy("rnk")
+  }
 }

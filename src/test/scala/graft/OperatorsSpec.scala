@@ -187,6 +187,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "threshold too high for the corpus — the query tests nothing")
   }
 
+  test("count-min heavy hitters never underestimate and find the true top keys") {
+    val rows = Sketches.heavyHitters(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    val k = math.min(Sketches.HeavyHittersK.toLong, nUsers)
+    assert(rows.length.toLong == k, s"top-k must emit min(K, |users|) = $k rows")
+    assert(rows.map(_.getAs[Long]("rnk")).sameElements(1L to k))
+    // the CMS one-sided error contract: collisions add, never subtract
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_cnt") >= r.getAs[Long]("exact_cnt"),
+        s"CMS underestimated user ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Long]("never_under") == 1L)
+    }
+    // utility: the sketch's top-k must substantially overlap the exact
+    // top-k (overestimates can reorder near-ties, not bury a true
+    // heavy hitter — its own counter is a lower bound on its estimate)
+    val exactTop = Tables.events(spark, sf).groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id"))
+      .limit(k.toInt).collect().map(_.getAs[Long]("user_id")).toSet
+    val gotTop = rows.map(_.getAs[Long]("user_id")).toSet
+    val overlap = gotTop.intersect(exactTop).size.toDouble / k
+    info(f"heavy-hitter overlap with exact top-$k: $overlap%.2f")
+    assert(overlap >= 0.5, f"sketch top-k lost the true heavy hitters ($overlap%.2f)")
+  }
+
   test("ann_range_ivf is a sound subset of exact range with a recall floor, touching a corpus fraction") {
     val exact = Similarity.annRange(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
