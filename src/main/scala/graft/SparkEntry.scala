@@ -183,6 +183,7 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     "stream_dedup_watermark" -> graft.streaming.DocStream.streamDedupWatermark _,
     "stream_incremental_dedup" -> graft.streaming.DocStream.streamIncrementalDedup _,
+    "stream_dedup_spans" -> graft.streaming.DocStream.streamSpanDedup _,
     "stream_cdc_merge" -> graft.streaming.ChangeStream.streamCdcMerge _,
     "stream_session_window" -> graft.streaming.EventStream.sessionWindows _,
     "stream_topk" -> graft.streaming.EventStream.trendingTopK _,
@@ -1383,6 +1384,34 @@ object SparkEntry {
     // per-row list logic
     val sk = Dedup.SpanK
     val spanGramConcat = (0 until sk).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    // streaming span probe: batch docs' grams vs the HISTORY's distinct
+    // gram store (split by the shared inc: hash) — mirrors
+    // DocStream.streamSpanDedup stage for stage; zero-gram batch docs
+    // survive via the final left join, like posexplode_outer does
+    val streamSpans =
+      s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks, $incSplit AS split FROM documents),
+         |gx AS (SELECT doc_id, split, len(toks) AS n_tokens,
+         |    CASE WHEN len(toks) >= $sk
+         |      THEN list_transform(generate_series(1, len(toks) - ${sk - 1}), i -> md5($spanGramConcat))
+         |      ELSE CAST([] AS VARCHAR[]) END AS gs
+         |  FROM t),
+         |store AS (SELECT DISTINCT unnest(gs) AS fp FROM gx
+         |  WHERE split >= '${Dedup.IncBatchThreshold}'),
+         |bg AS (SELECT doc_id, unnest(generate_series(1, len(gs))) AS s, unnest(gs) AS fp
+         |  FROM gx WHERE split < '${Dedup.IncBatchThreshold}'),
+         |h AS (SELECT bg.doc_id, bg.s, (store.fp IS NOT NULL) AS hit
+         |  FROM bg LEFT JOIN store ON bg.fp = store.fp),
+         |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(count(CASE WHEN hit THEN 1 END) AS BIGINT) AS n_dup_spans,
+         |    coalesce(array_to_string(list(s ORDER BY s) FILTER (WHERE hit), ','), '') AS dup_starts
+         |  FROM h GROUP BY doc_id)
+         |SELECT g.doc_id, CAST(g.n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+         |  coalesce(a.dup_starts, '') AS dup_starts
+         |FROM gx g LEFT JOIN a ON g.doc_id = a.doc_id
+         |WHERE g.split < '${Dedup.IncBatchThreshold}'
+         |ORDER BY g.doc_id""".stripMargin
     val spans =
       s"""WITH t AS (SELECT doc_id, $toksLowerSql AS toks FROM documents),
          |gx AS (SELECT doc_id, toks,
@@ -1484,6 +1513,7 @@ object SparkEntry {
         "dedup_incremental_bloom" -> incremental,
         "stream_incremental_dedup" -> incremental,
         "dedup_spans" -> spans,
+        "stream_dedup_spans" -> streamSpans,
         "dedup_ngram_jaccard" -> ngram,
         "dedup_minhash_lsh" -> minhash, "dedup_simhash" -> simhash,
         "dedup_simhash_pairs" -> simhashPairs,

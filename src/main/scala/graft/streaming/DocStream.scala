@@ -143,6 +143,72 @@ object DocStream {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** `stream_dedup_spans`: the INGEST-stream twin of
+    * [[graft.operators.Dedup.spanDedup]], closing the last batch-only
+    * dedup shape. Newly-arriving documents' k-token-gram fingerprints
+    * probe the HISTORICAL corpus' gram store per micro-batch — the
+    * [[streamIncrementalDedup]] stream-STATIC topology, span-level: the
+    * store is a table of the history's distinct gram fingerprints
+    * (bucketed-by-fp in production, never stream state), the stream
+    * side explodes grams map-side, left-joins the store, and one
+    * bounded streaming aggregation folds each doc's hits back into a
+    * span report: n_spans probed, n_dup_spans already in history, and
+    * the sorted start positions — the mask a downstream writer applies
+    * (the batch operator's token masking needs the full token array
+    * next to the aggregated starts, which streaming forbids joining
+    * after an aggregation; emitting the positions keeps the state
+    * bounded by the BATCH's rows and leaves masking to the consumer,
+    * exactly how a production span-scrubber splits the work).
+    * In-batch first-occurrence dedup is deliberately out of scope here
+    * — that is [[graft.operators.Dedup.spanDedup]]'s backfill job; the
+    * incremental semantics dedup ONLY against history, the same trade
+    * [[graft.operators.Dedup.incremental]] makes at doc level.
+    * Complete-mode output is deterministic under any micro-batch
+    * split, so the DuckDB replay gates it exactly.
+    */
+  def streamSpanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val k = Dedup.SpanK
+    val toksOf = TextAnalysis.tokens(lower(col("text")))
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    def gramsOf(toks: org.apache.spark.sql.Column) =
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(k))))))
+        .otherwise(array().cast("array<string>"))
+    val store = graft.Tables.documents(spark, dir)
+      .select(toksOf.as("toks"), splitOf.as("split"))
+      .filter(col("split") >= Dedup.IncBatchThreshold)
+      .select(explode(gramsOf(col("toks"))).as("fp"))
+      .distinct()
+      .withColumn("hit", lit(true))
+    val batchGrams = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), toksOf.as("toks"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        posexplode_outer(gramsOf(col("toks"))).as(Seq("i", "fp")))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("i") + 1).cast("long").as("s"), col("fp"))
+    val report = batchGrams
+      .join(store, Seq("fp"), "left")
+      .groupBy("doc_id", "n_tokens")
+      .agg(count(col("fp")).as("n_spans"),
+        count(when(col("hit"), lit(1))).as("n_dup_spans"),
+        concat_ws(",", transform(
+          sort_array(collect_list(when(col("hit"), col("s")))),
+          x => x.cast("string"))).as("dup_starts"))
+    val name = "stream_dedup_spans_out"
+    EventStream.withStatePartitions(spark) {
+      val q = report.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    spark.table(name).orderBy("doc_id")
+  }
+
   /** STREAMING FLAGSHIP — [[graft.operators.Corpus.ingest]] run as a
     * continuous stream: the full per-batch ingest composition (quality
     * gate → exact dedup vs the historical fingerprint store → MinHash

@@ -750,6 +750,55 @@ class OperatorsSpec extends AnyFunSuite {
       s"plan node counts must be flat after round 1, got $nodes")
   }
 
+  test("streaming span dedup reports exactly the batch-doc spans present in history") {
+    val rows = graft.streaming.DocStream.streamSpanDedup(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // internal consistency: the starts list IS the dup count, bounded
+    // by the probed span count, and every doc has n_tokens-k+1 spans
+    rows.foreach { r =>
+      val starts = r.getAs[String]("dup_starts")
+      val nDup = r.getAs[Long]("n_dup_spans")
+      val nSpans = r.getAs[Long]("n_spans")
+      assert(nDup <= nSpans)
+      assert((if (starts.isEmpty) 0L else starts.split(",").length.toLong) == nDup)
+      val expectSpans = math.max(0L,
+        r.getAs[Long]("n_tokens") - (graft.operators.Dedup.SpanK - 1))
+      assert(nSpans == (if (r.getAs[Long]("n_tokens") >= graft.operators.Dedup.SpanK)
+        expectSpans else 0L))
+      starts.split(",").filter(_.nonEmpty).map(_.toLong).foreach { s =>
+        assert(s >= 1 && s <= nSpans, s"start $s outside [1, $nSpans]")
+      }
+    }
+    // differential vs a direct batch recompute of the same incremental
+    // semantics: a span is dup iff its gram fingerprint occurs anywhere
+    // in the history split
+    import org.apache.spark.sql.functions.{col, concat, lit, lower, md5, substring}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"),
+        substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1).as("split"))
+      .collect()
+    def grams(text: String): Seq[String] = {
+      val toks = text.toLowerCase(java.util.Locale.ROOT)
+        .split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (toks.length < graft.operators.Dedup.SpanK) Seq.empty
+      else toks.sliding(graft.operators.Dedup.SpanK).map { w =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }.toSeq
+    }
+    val store = docs.filter(_.getAs[String]("split") >= graft.operators.Dedup.IncBatchThreshold)
+      .flatMap(r => grams(r.getAs[String]("text"))).toSet
+    val want = docs.filter(_.getAs[String]("split") < graft.operators.Dedup.IncBatchThreshold)
+      .map { r =>
+        val g = grams(r.getAs[String]("text"))
+        val starts = g.zipWithIndex.collect { case (fp, i) if store(fp) => (i + 1).toLong }
+        (r.getAs[Long]("doc_id"), starts.mkString(","))
+      }.toMap
+    val got = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dup_starts")).toMap
+    assert(got == want, "streamed span report diverged from the sequential recompute")
+  }
+
   test("cdc incremental agg equals re-aggregating the merged table") {
     // MV + Σdeltas must land on the exact decimals of a full recompute
     import org.apache.spark.sql.functions.{col, count, lit, sum}
