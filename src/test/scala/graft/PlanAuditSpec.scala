@@ -42,6 +42,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "range search must not shuffle-join the corpus")
   }
 
+  test("events_heavy_hitters: sketch broadcasts, aggregates combine map-side, top-k never global-sorts") {
+    val p = plan(Sketches.heavyHitters(spark, sf))
+    assert(p.contains("BroadcastExchange"), "the 256-counter sketch must broadcast")
+    assert(p.contains("partial_"), "sketch build and probe aggregates must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must be per-partition heaps, not a full sort of all keys")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("ann_range_ivf: probes broadcast, candidates come from a cell equi-join") {
     val p = plan(Similarity.annRangeIvf(spark, sf))
     Dedup.retireCaches()
