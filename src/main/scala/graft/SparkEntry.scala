@@ -137,6 +137,7 @@ object SparkEntry {
     "embedding_pq" -> ProductQuant.encode _,
     "ann_pq" -> ProductQuant.annPq _,
     "ann_pq_rerank" -> ProductQuant.annPqRerank _,
+    "ann_ivf_pq" -> ProductQuant.annIvfPq _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -1527,6 +1528,33 @@ object SparkEntry {
     """WITH e AS (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS (SELECT vec_id, embedding, v,
       |        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)""".stripMargin
+
+  // Lloyd's k-means replayed as chained CTEs: c0 = the first K
+  // vectors; round i = exact-decimal distances (d_i) -> argmin
+  // assignment (a_i) -> recomputed means (c_i). Mirrors
+  // KMeansCodebook round for round; shared by the kmeans, IVF,
+  // SemDeDup and composed IVF-PQ oracles.
+  private lazy val kmeansCtes: String = {
+    val rounds = (1 to KMeansCodebook.LloydIters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""d$i AS (SELECT x.vec_id, $prev.cluster,
+         |    round(SUM((x.x - $prev.c)*(x.x - $prev.c)), 6) AS dist
+         |  FROM x JOIN $prev USING (dim) GROUP BY x.vec_id, $prev.cluster),
+         |a$i AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |c$i AS (SELECT a$i.cluster, x.dim,
+         |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
+         |  FROM x JOIN a$i USING (vec_id) GROUP BY a$i.cluster, x.dim)"""
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM e),
+       |x AS (SELECT vec_id, CAST(xr AS DECIMAL(18,9)) AS x, dim FROM x0),
+       |c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${KMeansCodebook.K}),
+       |$rounds"""
+  }
+  private val lastA = s"a${KMeansCodebook.LloydIters}"
   private def cosineSql(p: String, c: String): String =
     s"round(list_sum(list_transform(list_zip($p.v, $c.v), z -> z[1] * z[2])) / ($p.nrm * $c.nrm), 6)"
 
@@ -1596,31 +1624,8 @@ object SparkEntry {
         |SELECT label, CAST(dim AS BIGINT) AS dim, count(*) AS n_vecs,
         |  round(CAST(sum(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / count(*), 6) AS c
         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
-    // Lloyd's k-means replayed as chained CTEs: c0 = the first K
-    // vectors; round i = exact-decimal distances (d_i) -> argmin
-    // assignment (a_i) -> recomputed means (c_i). Mirrors
-    // KMeansCodebook round for round; shared by both kmeans oracles.
-    val kmeansCtes = {
-      val rounds = (1 to KMeansCodebook.LloydIters).map { i =>
-        val prev = s"c${i - 1}"
-        s"""d$i AS (SELECT x.vec_id, $prev.cluster,
-           |    round(SUM((x.x - $prev.c)*(x.x - $prev.c)), 6) AS dist
-           |  FROM x JOIN $prev USING (dim) GROUP BY x.vec_id, $prev.cluster),
-           |a$i AS (SELECT vec_id, cluster FROM (
-           |    SELECT vec_id, cluster,
-           |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM d$i)
-           |  WHERE rn = 1),
-           |c$i AS (SELECT a$i.cluster, x.dim,
-           |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
-           |  FROM x JOIN a$i USING (vec_id) GROUP BY a$i.cluster, x.dim)"""
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM e),
-         |x AS (SELECT vec_id, CAST(xr AS DECIMAL(18,9)) AS x, dim FROM x0),
-         |c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${KMeansCodebook.K}),
-         |$rounds"""
-    }
-    val lastA = s"a${KMeansCodebook.LloydIters}"
+    val kmeansCtes = SparkEntry.kmeansCtes
+    val lastA = SparkEntry.lastA
     val kmeans =
       s"""$kmeansCtes
          |SELECT $lastA.cluster, x.dim, COUNT(*) AS n_members,
@@ -1756,46 +1761,77 @@ object SparkEntry {
     * is the final round's assignment, ADC replays the probe distance
     * tables from the final codebooks.
     */
-  private def pqOracles: Map[String, String] = {
+  /** The PQ Lloyd chain as composable CTEs (no WITH prefix; assumes an
+    * `e(vec_id, v)` CTE upstream). Base CTEs are px-named so the chain
+    * coexists with [[kmeansCtes]]' full-dim x0/x in one WITH — the
+    * composed IVF-PQ oracle needs both codebooks in a single query.
+    */
+  private lazy val pqChainCtes: String = {
     val sd = ProductQuant.SubDim
     val rounds = (1 to ProductQuant.PqIters).map { i =>
       val prev = s"pc${i - 1}"
-      s"""pd$i AS (SELECT x.vec_id, x.ss, $prev.cluster,
-         |    round(SUM((x.x - $prev.c)*(x.x - $prev.c)), 6) AS dist
-         |  FROM x JOIN $prev ON x.ss = $prev.ss AND x.dim = $prev.dim
-         |  GROUP BY x.vec_id, x.ss, $prev.cluster),
+      s"""pd$i AS (SELECT px.vec_id, px.ss, $prev.cluster,
+         |    round(SUM((px.x - $prev.c)*(px.x - $prev.c)), 6) AS dist
+         |  FROM px JOIN $prev ON px.ss = $prev.ss AND px.dim = $prev.dim
+         |  GROUP BY px.vec_id, px.ss, $prev.cluster),
          |pa$i AS (SELECT vec_id, ss, cluster FROM (
          |    SELECT vec_id, ss, cluster,
          |      row_number() OVER (PARTITION BY vec_id, ss ORDER BY dist, cluster) AS rn FROM pd$i)
          |  WHERE rn = 1),
-         |pc$i AS (SELECT x.ss, pa$i.cluster, x.dim,
-         |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
-         |  FROM x JOIN pa$i ON x.vec_id = pa$i.vec_id AND x.ss = pa$i.ss
-         |  GROUP BY x.ss, pa$i.cluster, x.dim)"""
+         |pc$i AS (SELECT px.ss, pa$i.cluster, px.dim,
+         |    CAST(round(CAST(SUM(px.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
+         |  FROM px JOIN pa$i ON px.vec_id = pa$i.vec_id AND px.ss = pa$i.ss
+         |  GROUP BY px.ss, pa$i.cluster, px.dim)"""
     }.mkString(",\n")
+    s"""px0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS gdim FROM e),
+       |px AS (SELECT vec_id, CAST((gdim - 1) // $sd AS BIGINT) AS ss,
+       |      (gdim - 1) % $sd + 1 AS dim, CAST(xr AS DECIMAL(18,9)) AS x FROM px0),
+       |pc0 AS (SELECT ss, vec_id AS cluster, dim, x AS c FROM px WHERE vec_id < ${ProductQuant.PqK}),
+       |$rounds"""
+  }
+
+  /** codes + probe ADC distance-table CTEs downstream of
+    * [[pqChainCtes]] — the distance table must use the books the
+    * ENCODER used (the round-(last-1) codebooks the final argmin
+    * ranked against, not the post-assignment recompute).
+    */
+  private lazy val pqCodesTdCtes: String = {
+    val last = ProductQuant.PqIters
+    val enc = s"pc${last - 1}"
+    s"""codes AS (SELECT vec_id, ss, cluster FROM pa$last),
+       |td AS (SELECT px.vec_id AS probe_id, px.ss, $enc.cluster,
+       |    round(SUM((px.x - $enc.c)*(px.x - $enc.c)), 6) AS td
+       |  FROM px JOIN $enc ON px.ss = $enc.ss AND px.dim = $enc.dim
+       |  WHERE px.vec_id < ${Similarity.NumProbes}
+       |  GROUP BY px.vec_id, px.ss, $enc.cluster)"""
+  }
+
+  /** Exact-cosine rerank of the shortlist in `r` (rnk ≤ shortlist) —
+    * shared tail of the plain and IVF-composed PQ rerank oracles.
+    */
+  private lazy val pqRerankTail: String =
+    s"""nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+       |rr AS (SELECT r.probe_id, r.neighbor_id, ${cosineSql("p", "c")} AS sim
+       |  FROM r JOIN nn p ON p.vec_id = r.probe_id
+       |         JOIN nn c ON c.vec_id = r.neighbor_id
+       |  WHERE r.rnk <= ${ProductQuant.Shortlist}),
+       |f AS (SELECT probe_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+       |  FROM rr)
+       |SELECT probe_id, neighbor_id, sim, rnk FROM f
+       |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk"""
+
+  private def pqOracles: Map[String, String] = {
+    val last = ProductQuant.PqIters
     val ctes =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS gdim FROM e),
-         |x AS (SELECT vec_id, CAST((gdim - 1) // $sd AS BIGINT) AS ss,
-         |      (gdim - 1) % $sd + 1 AS dim, CAST(xr AS DECIMAL(18,9)) AS x FROM x0),
-         |pc0 AS (SELECT ss, vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${ProductQuant.PqK}),
-         |$rounds"""
-    val last = ProductQuant.PqIters
+         |$pqChainCtes"""
     val encode =
       s"""$ctes
          |SELECT vec_id, ss, cluster AS code FROM pa$last ORDER BY vec_id, ss""".stripMargin
-    // the distance table must use the books the ENCODER used — the
-    // round-(last-1) codebooks pa$last's argmin ranked against, not the
-    // post-assignment recompute
-    val enc = s"pc${last - 1}"
     val adc =
       s"""$ctes,
-         |codes AS (SELECT vec_id, ss, cluster FROM pa$last),
-         |td AS (SELECT x.vec_id AS probe_id, x.ss, $enc.cluster,
-         |    round(SUM((x.x - $enc.c)*(x.x - $enc.c)), 6) AS td
-         |  FROM x JOIN $enc ON x.ss = $enc.ss AND x.dim = $enc.dim
-         |  WHERE x.vec_id < ${Similarity.NumProbes}
-         |  GROUP BY x.vec_id, x.ss, $enc.cluster),
+         |$pqCodesTdCtes,
          |s AS (SELECT td.probe_id, codes.vec_id AS neighbor_id, SUM(td.td) AS adist_d
          |  FROM codes JOIN td ON td.ss = codes.ss AND td.cluster = codes.cluster
          |  WHERE codes.vec_id <> td.probe_id
@@ -1809,17 +1845,35 @@ object SparkEntry {
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     val rerank =
       s"""$adc,
-         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
-         |rr AS (SELECT r.probe_id, r.neighbor_id, ${cosineSql("p", "c")} AS sim
-         |  FROM r JOIN nn p ON p.vec_id = r.probe_id
-         |         JOIN nn c ON c.vec_id = r.neighbor_id
-         |  WHERE r.rnk <= ${ProductQuant.Shortlist}),
-         |f AS (SELECT probe_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
-         |  FROM rr)
-         |SELECT probe_id, neighbor_id, sim, rnk FROM f
-         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
-    Map("embedding_pq" -> encode, "ann_pq" -> adcTopK, "ann_pq_rerank" -> rerank)
+         |$pqRerankTail""".stripMargin
+    // the composed IVFPQ index: the kmeans chain supplies the cells and
+    // probe-cell selection (exactly as ann_ivf_kmeans), the pq chain the
+    // codes and ADC table; candidates are cell-restricted BEFORE the
+    // ADC sum, then the shortlist reranks exactly (mirrors
+    // ProductQuant.annIvfPq stage for stage)
+    val ivfPq =
+      s"""$kmeansCtes,
+         |$pqChainCtes,
+         |$pqCodesTdCtes,
+         |pr AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d${KMeansCodebook.LloydIters} WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |s AS (SELECT td.probe_id, codes.vec_id AS neighbor_id, SUM(td.td) AS adist_d
+         |  FROM codes
+         |  JOIN $lastA ca ON codes.vec_id = ca.vec_id
+         |  JOIN pr ON pr.cluster = ca.cluster
+         |  JOIN td ON td.probe_id = pr.vec_id
+         |    AND td.ss = codes.ss AND td.cluster = codes.cluster
+         |  WHERE codes.vec_id <> pr.vec_id
+         |  GROUP BY td.probe_id, codes.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, CAST(adist_d AS DOUBLE) AS adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s),
+         |$pqRerankTail""".stripMargin
+    Map("embedding_pq" -> encode, "ann_pq" -> adcTopK,
+        "ann_pq_rerank" -> rerank, "ann_ivf_pq" -> ivfPq)
   }
 
   private def multimodalOracles: Map[String, String] = Map(

@@ -170,22 +170,29 @@ object ProductQuant {
   def encode(spark: SparkSession, dir: String): DataFrame =
     codesOf(spark, dir).orderBy("vec_id", "ss")
 
-  /** Full per-probe ADC ranking (probe_id, neighbor_id, adist, rnk).
-    * The per-probe distance table is query-sized and BROADCAST; the
-    * corpus side contributes only its code rows.
+  /** The probes' ADC distance table (probe_id, ss, code, td): each
+    * probe's exact-decimal distance to every codebook entry of every
+    * subspace — |probes| · M · [[PqK]] rows, query-sized, always
+    * broadcast by consumers.
     */
-  private def adcRanked(spark: SparkSession, dir: String): DataFrame = {
+  private def adcTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val books = trainedBooks(spark, dir)
-    val td = subBase(spark, dir).filter(col("vec_id") < Similarity.NumProbes)
+    subBase(spark, dir).filter(col("vec_id") < Similarity.NumProbes)
       .as[(Long, Long, Seq[Double])]
       .flatMap { case (id, ss, sub) =>
         val xd = sub.map(dec9).toArray
         books(ss).map { case (c, cent) => (id, ss, c, d6(xd, cent, id)) }
       }
       .toDF("probe_id", "ss", "code", "td")
-    codesOf(spark, dir)
-      .join(broadcast(td), Seq("ss", "code"))
+  }
+
+  /** Folds (probe_id, vec_id, ss-level td rows) into the ranked ADC
+    * frame (probe_id, neighbor_id, adist, rnk) — shared by the
+    * full-corpus and cell-restricted searches.
+    */
+  private def adcRank(joined: DataFrame): DataFrame =
+    joined
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy("probe_id", "vec_id")
       .agg(sum("td").as("adist_d"))
@@ -194,7 +201,15 @@ object ProductQuant {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id")))
         .cast("long"))
-  }
+
+  /** Full per-probe ADC ranking (probe_id, neighbor_id, adist, rnk).
+    * The per-probe distance table is query-sized and BROADCAST; the
+    * corpus side contributes only its code rows.
+    */
+  private def adcRanked(spark: SparkSession, dir: String): DataFrame =
+    adcRank(
+      codesOf(spark, dir)
+        .join(broadcast(adcTable(spark, dir)), Seq("ss", "code")))
 
   /** `ann_pq`: ADC top-k — exact probes against the quantized corpus.
     * Standalone ADC recall on this corpus is modest (the planted
@@ -219,11 +234,20 @@ object ProductQuant {
     * rows, not the whole table. Recall is gated in the spec (measured
     * 0.88 at sf0.001 vs 0.22 for raw ADC).
     */
-  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame =
+    rerankExact(spark, dir,
+      adcRanked(spark, dir)
+        .filter(col("rnk") <= Shortlist)
+        .select("probe_id", "neighbor_id"))
+
+  /** Exact-cosine re-rank of a query-sized (probe_id, neighbor_id)
+    * shortlist: only the shortlisted vectors' floats are fetched (a
+    * join of the tiny shortlist against the streamed corpus), so the
+    * full-precision read is |probes|·shortlist rows, never the table.
+    */
+  private def rerankExact(
+      spark: SparkSession, dir: String, short: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val short = adcRanked(spark, dir)
-      .filter(col("rnk") <= Shortlist)
-      .select("probe_id", "neighbor_id")
     val emb = Kernels.fanOut(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
@@ -241,5 +265,41 @@ object ProductQuant {
         .cast("long"))
       .filter(col("rnk") <= Similarity.TopK)
       .orderBy("probe_id", "rnk")
+  }
+
+  /** `ann_ivf_pq`: the COMPLETE production ANN index shape — the
+    * FAISS IVFPQ composition of the three pieces this suite ships
+    * separately: the trained IVF cells prune WHICH vectors a probe
+    * touches ([[KMeansCodebook]] — each probe searches its
+    * [[Similarity.KmProbeCells]] nearest cells, ~1/4 of the corpus),
+    * PQ codes shrink WHAT each touched vector costs (ADC over the
+    * [[SubDim]]-subspace codebooks — code rows only, ~85× smaller
+    * than floats), and the exact re-rank restores precision on the
+    * [[Shortlist]]-deep survivors (full floats fetched for
+    * |probes|·shortlist rows only).
+    *
+    * 100 TB shape: the stored index is the codes table WITH the
+    * vector's cell id alongside (the one-time build join below — in
+    * production codes are written partitioned by cell, so a probe
+    * reads only its probed cells' files); the search itself is two
+    * BROADCAST joins (probe cells, ADC table) + one map-side-combined
+    * sum + a per-probe rank over candidates from 2 cells. Every stage
+    * replays engine-exactly (decimal distances, lowest-id ties), so
+    * the composed index is oracle-gated end to end; the spec pins
+    * recall vs the exact float top-k.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val celledCodes = codesOf(spark, dir)
+      .join(KMeansCodebook.lastAssignment(spark, dir).select("vec_id", "cluster"),
+        "vec_id")
+    val pcells = KMeansCodebook.probeCells(
+      spark, dir, Similarity.NumProbes, Similarity.KmProbeCells)
+    val short = adcRank(
+      celledCodes
+        .join(broadcast(pcells), col("cluster") === col("pcluster"))
+        .join(broadcast(adcTable(spark, dir)), Seq("probe_id", "ss", "code")))
+      .filter(col("rnk") <= Shortlist)
+      .select("probe_id", "neighbor_id")
+    rerankExact(spark, dir, short)
   }
 }

@@ -231,6 +231,22 @@ class OperatorsSpec extends AnyFunSuite {
       f"recall $recall%.3f under the 0.60 floor — probe-cell selection regressed")
   }
 
+  test("ann_ivf_pq holds a recall floor against the exact float top-k") {
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivfpq = ProductQuant.annIvfPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Dedup.retireCaches()
+    assert(ivfpq.nonEmpty && ivfpq.size == exact.size)
+    val recall = ivfpq.intersect(exact).size.toDouble / exact.size
+    // the composed index loses only where BOTH stages lose: a true
+    // neighbor outside the probed cells (IVF recall 0.86 here) that the
+    // shortlist's exact rerank can't recover
+    info(f"ivf-pq recall=$recall%.3f (|probed-cell ADC→rerank| ∩ exact top-k)")
+    assert(recall >= 0.60,
+      f"recall $recall%.3f under the 0.60 floor — cell probing, codes or rerank regressed")
+  }
+
   test("bm25 ranks are dense, scores non-increasing, and hits contain a query term") {
     val rows = Retrieval.bm25Search(spark, sf).collect()
     assert(rows.nonEmpty)

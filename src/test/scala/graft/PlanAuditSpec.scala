@@ -61,6 +61,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"cell bucketing must make the candidate join an equi-join:\n${p.take(600)}")
   }
 
+  test("ann_ivf_pq: probe cells + ADC table broadcast, no corpus product anywhere") {
+    val p = plan(ProductQuant.annIvfPq(spark, sf))
+    Dedup.retireCaches()
+    assert(p.contains("BroadcastExchange"),
+      "probe cells and the ADC distance table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every stage must be an equi-join — a product anywhere kills the index at scale:\n${p.take(600)}")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      "the ADC sum must map-side combine")
+  }
+
   test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
     val p = plan(Retrieval.bm25Search(spark, sf))
     assert(!p.contains("CartesianProduct"),
