@@ -426,6 +426,26 @@ object Dedup {
       .select(col("cluster").as("doc_id"), col("n_members"))
       .orderBy("doc_id")
 
+  /** Materializes the near-dup keep-list to `path` as parquet — the
+    * dedup counterpart of [[graft.operators.Bpe.writeMergeTable]]'s
+    * durable-artifact contract: the connected-components closure and
+    * its memoized edge caches are session-local, but the DECISION (who
+    * survives) is what every downstream job needs — production
+    * computes it once per corpus version, writes it, and exports /
+    * training-set builds semi-join the written artifact instead of
+    * re-running the dedup (the "materialize the keep-list once" story).
+    */
+  def writeKeepList(spark: SparkSession, dir: String, path: String): Unit =
+    keep(spark, dir).write.mode("overwrite").parquet(path)
+
+  /** Serves the keep-list from a [[writeKeepList]] artifact — no
+    * shingling, no component closure, no dependence on the writer
+    * session; any session that can read the path filters its corpus
+    * with one semi-join against this frame.
+    */
+  def keepListFrom(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).orderBy("doc_id")
+
   /** `dedup_keep_best`: the QUALITY-AWARE keep-list — instead of
     * [[keep]]'s positional representative (smallest doc_id), each
     * near-dup cluster keeps its highest-quality member (tie → lowest

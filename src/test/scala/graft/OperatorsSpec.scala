@@ -754,6 +754,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served.nonEmpty && served == trained)
   }
 
+  test("dedup keep-list round-trips through a parquet artifact into a fresh session") {
+    // same durable-artifact contract as the BPE merge table: the
+    // component closure's caches are session-local, the written
+    // keep-list serves any session
+    val out = SparkTestSession.tmpDir("keep-artifact").resolve("keep").toString
+    Dedup.writeKeepList(spark, sf, out)
+    val computed = Dedup.keep(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    val fresh = spark.newSession()
+    val served = Dedup.keepListFrom(fresh, out).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == computed)
+  }
+
   test("bpe trainer plan depth is constant per round over many rounds") {
     // 16 rounds (4x the query constant): every round starts from the
     // previous round's localCheckpoint, so the analyzed-plan node count
