@@ -124,6 +124,7 @@ object SparkEntry {
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
     "embedding_near_dup_lsh" -> Dedup.embeddingNearDupLsh _,
     "dedup_semantic" -> Dedup.semanticNearDup _,
+    "dedup_incremental_semantic" -> Dedup.incrementalSemantic _,
     // Similarity search (north star)
     "ann_topk" -> Similarity.annTopK _,
     "ann_ivf" -> Similarity.annIvf _,
@@ -1746,7 +1747,29 @@ object SparkEntry {
         |WHERE rnk <= %TOPK% ORDER BY probe_id, rnk""".stripMargin
         .replace("%PROBES%", Similarity.NumProbes.toString)
         .replace("%TOPK%", Similarity.TopK.toString)
+    // the SemDeDup ingest twin: same cells + cap split + threshold,
+    // sides disjoint by the inc: hash (mirrors Dedup.incrementalSemantic)
+    val semInc =
+      s"""$kmeansCtes,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |sub AS (SELECT vec_id, cluster,
+         |    CAST(floor((row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5('sd:' || CAST(vec_id AS VARCHAR)), vec_id) - 1)
+         |      / ${Dedup.SemCellCap}) AS BIGINT) AS sub
+         |  FROM $lastA),
+         |sp AS (SELECT vec_id, cluster, sub,
+         |    substr(md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 1) AS split FROM sub),
+         |s AS (SELECT a.vec_id AS batch_id, b.vec_id AS hist_id,
+         |    ${cosineSql("p", "c")} AS cosine
+         |  FROM sp a JOIN sp b ON a.cluster = b.cluster AND a.sub = b.sub
+         |    AND a.split < '${Dedup.IncBatchThreshold}'
+         |    AND b.split >= '${Dedup.IncBatchThreshold}'
+         |  JOIN nn p ON p.vec_id = a.vec_id
+         |  JOIN nn c ON c.vec_id = b.vec_id)
+         |SELECT batch_id, hist_id, cosine FROM s
+         |WHERE cosine >= ${Dedup.CosineDupThreshold} ORDER BY batch_id, hist_id""".stripMargin
     Map("ann_topk" -> topk, "ann_range" -> range, "ann_range_ivf" -> rangeIvf,
+        "dedup_incremental_semantic" -> semInc,
         "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
         "ann_ivf_kmeans" -> ivfKmeans, "dedup_semantic" -> semDedup,
         "ann_hard_negatives" -> hardNeg,

@@ -852,6 +852,37 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** `dedup_incremental_semantic`: the SemDeDup ingest shape,
+    * completing the incremental family (exact / minhash / simhash /
+    * semantic all have batch-vs-history twins): a NEW batch of
+    * embeddings (the shared `inc:` hash split, on vec_id) is checked
+    * against the HISTORICAL corpus within trained cells only — batch
+    * vectors join history vectors in the same (cell, sub-cell), exact
+    * cosine ≥ [[CosineDupThreshold]] verifies. The trained cells are a
+    * stored artifact of the historical index (the memoized Lloyd
+    * assignment stands in for the production celled table — codebooks
+    * are NOT retrained per ingest, new vectors are assigned map-side);
+    * [[capCells]] bounds the per-cell candidate count exactly as in
+    * the full [[semanticNearDup]]. Sides are disjoint by split, so no
+    * id ordering is needed; emitted pairs mirror
+    * [[incrementalMinHash]]'s (batch_id, hist_id, score) shape.
+    */
+  def incrementalSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val split = substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+    val a = capCells(KMeansCodebook.lastAssignment(spark, dir), SemCellCap)
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+      .withColumn("split", split)
+    a.filter(col("split") < IncBatchThreshold).as("a")
+      .join(a.filter(col("split") >= IncBatchThreshold).as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub"))
+      .select(col("a.vec_id").as("batch_id"), col("b.vec_id").as("hist_id"),
+        round(dot(spark, col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= CosineDupThreshold)
+      .orderBy("batch_id", "hist_id")
+  }
+
   val HyperplaneBits = 16
   val HyperplaneBands = 4
   val HyperplaneRows: Int = HyperplaneBits / HyperplaneBands // 4

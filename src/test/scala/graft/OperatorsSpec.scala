@@ -367,6 +367,29 @@ class OperatorsSpec extends AnyFunSuite {
       f"co-clustering recall $recall%.3f under the 0.20 floor — training or assignment regressed")
   }
 
+  test("incremental semantic dedup is the cross-split slice of the full in-cell pairs") {
+    val inc = Dedup.incrementalSemantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("hist_id"))).toSet
+    Dedup.retireCaches()
+    val full = Dedup.semanticNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    def split(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"inc:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(1)
+    // every emitted pair crosses the split in the right direction...
+    inc.foreach { case (b, h) =>
+      assert(split(b) < Dedup.IncBatchThreshold && split(h) >= Dedup.IncBatchThreshold)
+    }
+    // ...and the emitted set IS the cross-split slice of the full
+    // within-cell pair set (unordered pairs there, directed here)
+    val expected = full.flatMap { case (x, y) =>
+      Seq((x, y), (y, x)).filter { case (b, h) =>
+        split(b) < Dedup.IncBatchThreshold && split(h) >= Dedup.IncBatchThreshold }
+    }
+    assert(inc == expected, "incremental slice diverged from the full pair set")
+    assert(inc.nonEmpty)
+  }
+
   test("semantic near-dup cell cap bounds candidate pairs on a synthetic hot cluster") {
     import spark.implicits._
     // one pathological cell: 1000 members in cluster 0 (the heavy-tailed
