@@ -16,6 +16,18 @@ import graft.sources.{KeyValueTextSink, WholeTextInput}
   * parallelism assertions.
   */
 class PipelineSpec extends AnyFunSuite {
+
+  test("driver flagship entry() returns rows and every declared query has an oracle") {
+    // the two contract surfaces the driver checks blind: entry() must
+    // produce rows at sf0.001, and every queries key needs an oracleSql
+    // twin (a missing oracle silently downgrades a query to a weaker
+    // rows-only check — this test makes the downgrade loud)
+    val lazySpark = SparkTestSession.spark
+    assert(SparkEntry.entry(lazySpark).count() > 0, "flagship must return rows")
+    graft.operators.Dedup.retireCaches()
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without an oracle: ${missing.toSeq.sorted}")
+  }
   lazy val spark = SparkTestSession.spark
 
   private def tmpDir(prefix: String): Path = SparkTestSession.tmpDir(prefix)
