@@ -108,14 +108,46 @@ object Bpe {
   // that created them, so serving a memoized frame to a different
   // SparkSession in the same JVM would either throw (first session
   // stopped — truncated lineage is unrecoverable) or silently run
-  // against foreign session state. A dead session's entries linger
-  // (bounded: vocab-sized, few sessions per JVM) but are never served.
+  // against foreign session state. Dead sessions' entries are EVICTED,
+  // not just never served: a context-end listener (registered once per
+  // SparkContext at first training) plus an is-stopped sweep on every
+  // train call drop entries whose context died, so a long-lived JVM
+  // cycling getOrCreate/stop sessions (a server, a test harness) does
+  // not strongly retain every stopped session and its frames for the
+  // process lifetime. (Sibling `newSession()`s of one LIVE context can
+  // still accumulate entries — bounded at vocab-size each and freed the
+  // moment that shared context stops.)
   private val trainMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String, String), (DataFrame, Seq[DataFrame])]
+
+  private val hookedContexts =
+    scala.collection.mutable.Set.empty[org.apache.spark.SparkContext]
+
+  private[graft] def evictStopped(): Unit = trainMemo.synchronized {
+    trainMemo.filterInPlace { case ((s, _, _), _) => !s.sparkContext.isStopped }
+  }
+
+  private[graft] def memoSize: Int = trainMemo.synchronized(trainMemo.size)
+
+  private def ensureEvictionHook(spark: SparkSession): Unit =
+    hookedContexts.synchronized {
+      val sc = spark.sparkContext
+      if (hookedContexts.add(sc)) {
+        sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            evictStopped()
+            hookedContexts.synchronized { hookedContexts -= sc }
+          }
+        })
+      }
+    }
 
   /** Final symbol frame + the per-round merge rules. */
   private def train(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
     trainMemo.synchronized {
+      evictStopped() // belt next to the listener's braces
+      ensureEvictionHook(spark)
       val (d, fp) = Kernels.inputKey(dir, "documents.parquet")
       trainMemo.getOrElseUpdate((spark, d, fp), {
         var syms = charSyms(vocab(spark, dir))

@@ -836,9 +836,25 @@ object Dedup {
     * [[capCells]] before the pair join, so no single hot cell can turn
     * the within-cell search quadratic in the cell.
     */
-  def semanticNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def semanticNearDup(spark: SparkSession, dir: String): DataFrame =
+    semanticNearDupCapped(spark, dir, SemCellCap)
+
+  /** Cap-parameterized body of [[semanticNearDup]] — the production
+    * query fixes cap = [[SemCellCap]]; `SemDedupCapSpec` runs this with
+    * a cap that BINDS at test scale (cells ≈ 62 > cap = 20) against the
+    * uncapped twin to measure the split's actual recall cost, which the
+    * production-tier recall-floor spec alone cannot see (the cap is
+    * inactive at sf0.001's cell sizes). Measured there: capped pairs
+    * are a strict subset of uncapped (the split only ever REMOVES
+    * candidate pairs — soundness by construction) retaining ~30% of
+    * within-cell pairs at cap/cellsize ≈ 0.32, i.e. recall loss tracks
+    * the uniform-split expectation Σ C(cap,2)/C(n,2), not worse — the
+    * salted-rank split is uncorrelated with similarity.
+    */
+  private[graft] def semanticNearDupCapped(
+      spark: SparkSession, dir: String, cap: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val a = capCells(KMeansCodebook.lastAssignment(spark, dir), SemCellCap)
+    val a = capCells(KMeansCodebook.lastAssignment(spark, dir), cap)
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     a.as("a")
       .join(a.as("b"),

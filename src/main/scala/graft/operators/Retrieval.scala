@@ -56,7 +56,15 @@ object Retrieval {
     * before ranking so the cut never hinges on sub-1e-6 libm
     * differences between engines.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Search(spark, dir, Queries)
+
+  /** Query-set-parameterized form; scores for a query must not depend on
+    * what OTHER queries are in the set (df is a corpus statistic), which
+    * `RetrievalSpec` pins by running overlapping query sets.
+    */
+  def bm25Search(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     // lowercased tokens: queries are lowercase literals, and retrieval
@@ -71,12 +79,19 @@ object Retrieval {
     val stats = docs
       .select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
       .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
-    val qterms = Queries
+    val qterms = queries
       .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
       .toDF("query_id", "term")
-    val enriched = tf
-      .join(broadcast(qterms), "term")
+    // df FIRST, over a TRUE semi-join: `tf` has one row per (doc, term),
+    // so after a leftsemi against the DISTINCT query vocabulary the
+    // per-term window count equals the corpus df exactly. Joining the
+    // (query_id, term) frame before counting would duplicate each
+    // posting row once per query that shares the term, inflating df by
+    // that factor — silent idf corruption whenever two queries overlap.
+    val matched = tf
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val enriched = matched.join(broadcast(qterms), "term")
     val avgdl = col("total_tokens").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))

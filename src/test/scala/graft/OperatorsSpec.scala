@@ -274,6 +274,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 scores are query-set independent when queries share a term") {
+    // df is a corpus statistic: adding a SECOND query that reuses a term
+    // must not change the first query's scores. (Regression pin for the
+    // df-inflation bug: an inner join against (query_id, term) before
+    // the df window duplicated each posting per sharing query.)
+    val alone = Retrieval.bm25Search(spark, sf, Seq(1L -> "spark stream"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        r.getAs[Double]("score")).toMap
+    val shared = Retrieval.bm25Search(spark, sf,
+        Seq(1L -> "spark stream", 2L -> "spark batch", 3L -> "spark stream window"))
+      .collect()
+      .filter(_.getAs[Long]("query_id") == 1L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rnk")) ->
+        r.getAs[Double]("score")).toMap
+    assert(alone.nonEmpty)
+    assert(shared == alone,
+      "query 1's ranking changed when other queries reused its terms — df leaked across queries")
+  }
+
   test("mix_token_budget lands each source exactly at the budget boundary") {
     val rows = Sampling.mixTokenBudget(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -416,6 +436,41 @@ class OperatorsSpec extends AnyFunSuite {
     // every member keeps exactly one (cluster, sub) home — the split
     // re-buckets, it never drops or duplicates
     assert(sub.length == 1040 && sub.map(_.getAs[Long]("vec_id")).distinct.length == 1040)
+  }
+
+  test("semantic cell cap: recall cost where the cap BINDS is measured and bounded") {
+    // the production-tier recall spec above runs with the cap inactive
+    // (sf0.001 cells ≈ 62 < SemCellCap = 200); this differential forces
+    // the cap to bind (cap = 20) and pins what the split actually
+    // costs: capped pairs must be a strict SUBSET of uncapped (the
+    // split only removes candidates, soundness by construction), and
+    // retention must track the uniform-split expectation — the salted
+    // rank is uncorrelated with similarity, so a collapse far below
+    // Σ C(cap,2)/C(n,2) would mean the split correlates with the very
+    // pairs it should preserve
+    val uncapped = Dedup.semanticNearDupCapped(spark, sf, Int.MaxValue).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    val capped = Dedup.semanticNearDupCapped(spark, sf, 20).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    assert(capped.subsetOf(uncapped),
+      "the split must only remove pairs — a new pair would be a false positive")
+    assert(capped.nonEmpty && capped.size < uncapped.size,
+      "cap=20 over ~62-member cells must bind (otherwise this spec tests nothing)")
+    val retention = capped.size.toDouble / uncapped.size
+    info(f"cap-binding retention=$retention%.3f (${capped.size}/${uncapped.size} within-cell pairs survive cap=20)")
+    // uniform expectation at n≈62, cap=20: 3·C(20,2)+C(2,2≈0) over
+    // C(62,2) ≈ 0.30; floor at a third of that leaves room for cell-size
+    // variance while still catching a similarity-correlated split
+    assert(retention >= 0.10,
+      f"retention $retention%.3f collapsed far below the uniform-split expectation")
+    // and at the PRODUCTION cap the tier is unchanged: cap inactive here
+    val prodCap = Dedup.semanticNearDupCapped(spark, sf, Dedup.SemCellCap).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    assert(prodCap == uncapped,
+      "SemCellCap must be inactive at this tier (cells smaller than the cap)")
   }
 
   test("full-outer stream join is the union of inner, left-null and right-null parts") {

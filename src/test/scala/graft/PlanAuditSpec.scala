@@ -85,13 +85,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan's avoidable second corpus shuffle)
     val windows = "Window \\(".r.findAllIn(p).length
     assert(windows == 2, s"expected df + rank windows only, got $windows:\n${p.take(800)}")
-    // the df window must consume the matched frame: its Window node
-    // sits ABOVE (before, in formatted top-down order) the broadcast
-    // query-term join, never below it on the corpus-sized postings
-    val firstWindow = p.indexOf("Window")
-    val bcastJoin = p.indexOf("BroadcastHashJoin")
-    assert(firstWindow >= 0 && bcastJoin >= 0 && firstWindow < bcastJoin,
-      "df window must run on the query-matched postings, not the full posting frame")
+    // df must be counted over a TRUE semi-join (one row per (doc, term))
+    // — the (query_id, term) inner join sits ABOVE the df window, so a
+    // term shared by two queries cannot double its postings in the count
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "df input must be the leftsemi-matched postings (one row per doc-term)")
+    // tree order (root-first): rank Window > (query_id,term) inner join
+    // > df Window > leftsemi — df counts the semi-joined frame, the
+    // scoring join attaches query ids afterwards. ("Window (" skips the
+    // WindowGroupLimit nodes the rank's top-k inserts.)
+    val dfWindow = p.indexOf("Window (", p.indexOf("Window (") + 1) // 2nd = df
+    val semiJoin = p.indexOf("BroadcastHashJoin LeftSemi")
+    val innerJoin = p.indexOf("BroadcastHashJoin Inner")
+    assert(innerJoin < dfWindow && dfWindow < semiJoin,
+      s"tree order must be inner join > df window > leftsemi, got $innerJoin/$dfWindow/$semiJoin")
   }
 
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
