@@ -139,6 +139,11 @@ object SparkEntry {
     "ann_pq" -> ProductQuant.annPq _,
     "ann_pq_rerank" -> ProductQuant.annPqRerank _,
     "ann_ivf_pq" -> ProductQuant.annIvfPq _,
+    // the artifact READ path under the same oracle: build (memoized per
+    // corpus) the durable index, then serve the probes from it — proves
+    // write-index-then-probe produces the trained answer end to end
+    "ann_ivf_pq_served" -> ((s, dir) =>
+      ProductQuant.annIvfPqFrom(s, dir, ProductQuant.ensureIndexArtifact(s, dir))),
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -1896,7 +1901,11 @@ object SparkEntry {
          |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s),
          |$pqRerankTail""".stripMargin
     Map("embedding_pq" -> encode, "ann_pq" -> adcTopK,
-        "ann_pq_rerank" -> rerank, "ann_ivf_pq" -> ivfPq)
+        "ann_pq_rerank" -> rerank, "ann_ivf_pq" -> ivfPq,
+        // the artifact serve path stores exact decimals, so served ==
+        // trained — one oracle text gates both (value-equality is
+        // additionally spec-pinned cross-session)
+        "ann_ivf_pq_served" -> ivfPq)
   }
 
   private def multimodalOracles: Map[String, String] = Map(

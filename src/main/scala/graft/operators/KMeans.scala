@@ -52,7 +52,7 @@ object KMeansCodebook {
   private def dec9(d: Double): JBig =
     JBig.valueOf(d).setScale(9, RoundingMode.HALF_UP)
 
-  private type Codebook = Array[(Long, Array[JBig])]
+  private[operators] type Codebook = Array[(Long, Array[JBig])]
 
   /** Map-only assignment: each vector to its nearest codebook entry by
     * exact-decimal squared L2, rounded to 6dp, ties to the lowest
@@ -169,9 +169,17 @@ object KMeansCodebook {
     * this is a filtered scan + tiny flatMap — no shuffle.
     */
   private[operators] def probeCells(
-      spark: SparkSession, dir: String, nProbes: Int, nProbe: Int): DataFrame = {
+      spark: SparkSession, dir: String, nProbes: Int, nProbe: Int): DataFrame =
+    probeCellsOf(spark, dir, trainedCodebook(spark, dir), nProbes, nProbe)
+
+  /** [[probeCells]] against an EXPLICIT codebook — the serve path: a
+    * consumer session reads the trained codebook from a [[writeIndex]]
+    * artifact instead of retraining ([[codebookFromArtifact]]).
+    */
+  private[operators] def probeCellsOf(
+      spark: SparkSession, dir: String, cb: Codebook,
+      nProbes: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
-    val cb = trainedCodebook(spark, dir)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(col("vec_id") < nProbes)
@@ -227,6 +235,65 @@ object KMeansCodebook {
     * semantic cluster at the quota. The rank window partitions by
     * cluster — K bounded partitions, each quota-truncated.
     */
+  /** Materializes the trained IVF half of the ANN index to `path` —
+    * the durable twin of the session memos, completing the
+    * train-once/probe-many production story ([[graft.operators.Bpe.writeMergeTable]]'s
+    * contract applied to the vector index):
+    *
+    *  - `path/coarse_codebook`: the K·dim trained centroids as
+    *    DECIMAL(18,9) (the exact coordinates the assignment argmin
+    *    uses, so a serving session reproduces distances bit-for-bit;
+    *    K·dim rows — the single file is deliberate);
+    *  - `path/assignment`: every vector's cell id, written PARTITIONED
+    *    BY cluster — the IVF storage layout: a probe's candidate read
+    *    touches only its probed cells' directories, so the scan cost
+    *    scales with nprobe/K of the corpus, not the corpus.
+    *
+    * Production builds run this once per corpus build; every consumer
+    * (a probe service, another JVM, tomorrow's session) reads the
+    * artifact instead of retraining — `ann_ivf_pq` served from it in a
+    * fresh session is value-equal (spec-pinned).
+    */
+  def writeIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    val cb = trainedCodebook(spark, dir)
+    cb.toSeq.flatMap { case (c, coords) =>
+        coords.zipWithIndex.map { case (x, i) => (c, (i + 1).toLong, x.toPlainString) }
+      }
+      .toDF("cluster", "dim", "c_str")
+      .select(col("cluster"), col("dim"), col("c_str").cast("decimal(18,9)").as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse_codebook")
+    lastAssignment(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assignment")
+  }
+
+  /** Reads a [[writeIndex]] artifact back as DataFrames — (codebook,
+    * assignment), no training, no memo, serveable from any session
+    * that can read the path. The assignment's partition column comes
+    * back as the inferred partition type; it is re-cast to long so
+    * consumers see the training-session schema.
+    */
+  def indexFrom(spark: SparkSession, path: String): (DataFrame, DataFrame) = (
+    spark.read.parquet(s"$path/coarse_codebook").orderBy("cluster", "dim"),
+    spark.read.parquet(s"$path/assignment")
+      .withColumn("cluster", col("cluster").cast("long")))
+
+  /** The artifact's codebook in the exact in-memory form the
+    * assignment/probe kernels consume — scale-9 decimals, sorted by
+    * cluster then dim. DECIMAL(18,9) round-trips parquet exactly, so
+    * this equals the training session's [[trainedCodebook]].
+    */
+  private[operators] def codebookFromArtifact(
+      spark: SparkSession, path: String): Codebook =
+    spark.read.parquet(s"$path/coarse_codebook")
+      .select("cluster", "dim", "c").collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rows) =>
+        (c, rows.sortBy(_.getLong(1)).map(_.getDecimal(2).setScale(9)))
+      }
+      .toArray.sortBy(_._1)
+
   def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))

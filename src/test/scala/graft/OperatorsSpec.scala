@@ -845,6 +845,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served.nonEmpty && served == computed)
   }
 
+  test("ann index artifact round-trips: served ann_ivf_pq equals trained in a fresh session") {
+    // the train-once/probe-many production story: session A trains and
+    // writes the full index (coarse codebook + celled assignment + PQ
+    // books + codes partitioned by cell); a FRESH session — no training
+    // memos, no caches, writer state irrelevant — serves the same
+    // probes from the parquet alone and must produce the identical
+    // ranked answer (exact decimals round-trip, so equality is exact,
+    // not approximate)
+    val root = SparkTestSession.tmpDir("ann-index").resolve("index").toString
+    KMeansCodebook.writeIndex(spark, sf, root)
+    ProductQuant.writeCodebooks(spark, sf, root)
+    val trained = ProductQuant.annIvfPq(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    val fresh = spark.newSession()
+    val served = ProductQuant.annIvfPqFrom(fresh, sf, root).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == trained)
+  }
+
+  test("ann index artifact components are complete and cell-partitioned") {
+    val root = SparkTestSession.tmpDir("ann-index-parts").resolve("index").toString
+    KMeansCodebook.writeIndex(spark, sf, root)
+    ProductQuant.writeCodebooks(spark, sf, root)
+    val (cb, asg) = KMeansCodebook.indexFrom(spark, root)
+    val (books, codes) = ProductQuant.codebooksFrom(spark, root)
+    // coarse codebook: K cells × 64 dims (a cell can drop only by
+    // losing every member, which the fixed corpus doesn't do)
+    assert(cb.count() == KMeansCodebook.K.toLong * 64)
+    // every vector has exactly one cell and M code rows
+    val nVec = graft.Tables.embeddings(spark, sf).count()
+    assert(asg.count() == nVec)
+    assert(codes.count() == nVec * (64 / ProductQuant.SubDim))
+    assert(books.count() == (64 / ProductQuant.SubDim).toLong * ProductQuant.PqK * ProductQuant.SubDim)
+    // the on-disk layout IS cell-partitioned: one directory per cell
+    val dirs = new java.io.File(s"$root/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster=")).sorted
+    assert(dirs.length == KMeansCodebook.K,
+      s"expected ${KMeansCodebook.K} cluster partitions, got ${dirs.mkString(",")}")
+    Dedup.retireCaches()
+  }
+
   test("bpe trainer plan depth is constant per round over many rounds") {
     // 16 rounds (4x the query constant): every round starts from the
     // previous round's localCheckpoint, so the analyzed-plan node count

@@ -72,6 +72,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "the ADC sum must map-side combine")
   }
 
+  test("ann_ivf_pq artifact serve: probed cells prune code partitions at the scan") {
+    // the payoff of codes-partitioned-by-cell: the serving session's
+    // candidate read carries the probed cell ids as a STATIC partition
+    // filter, so only nprobe/K of the code table's directories are
+    // read — the IVF index contract, visible in the plan
+    val root = ProductQuant.ensureIndexArtifact(spark, sf)
+    val p = plan(ProductQuant.annIvfPqFrom(spark, sf, root))
+    Dedup.retireCaches()
+    assert(p.contains("PartitionFilters: [") && p.contains("cluster"),
+      s"probed-cell filter must prune code partitions, not scan+filter:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every serve stage must stay an equi-join")
+    assert(p.contains("BroadcastExchange"),
+      "probe cells and the ADC table must broadcast")
+  }
+
   test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
     val p = plan(Retrieval.bm25Search(spark, sf))
     assert(!p.contains("CartesianProduct"),
