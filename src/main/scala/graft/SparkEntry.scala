@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simHashPairs _,
     "dedup_clusters" -> Dedup.clusters _,
     "dedup_keep" -> Dedup.keep _,
+    "dedup_keep_maintain" -> Dedup.keepMaintain _,
     "dedup_keep_best" -> Dedup.keepBest _,
     "dedup_cross_source" -> Dedup.crossSource _,
     "embedding_near_dup" -> Dedup.embeddingNearDup _,
@@ -1526,6 +1527,10 @@ object SparkEntry {
         "dedup_simhash_pairs" -> simhashPairs,
         "dedup_incremental_simhash" -> incSimhash,
         "dedup_clusters" -> clusters, "dedup_keep" -> keep,
+        // maintained == full recompute over the union corpus, exactly
+        // (the contraction argument in Dedup.maintainKeep), so the
+        // recompute IS the maintenance oracle
+        "dedup_keep_maintain" -> keep,
         "embedding_near_dup" -> nearDup,
         "embedding_near_dup_lsh" -> nearDupLsh)
   }

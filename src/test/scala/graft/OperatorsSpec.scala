@@ -911,6 +911,44 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.retireCaches()
   }
 
+  test("keep-list maintenance merges a cluster-bridging batch exactly (synthetic)") {
+    import spark.implicits._
+    // history: clusters {1,2}, {3,4}, untouched {10,11}, singleton 20
+    val histLabels = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L),
+      (10L, 10L), (11L, 10L), (20L, 20L)).toDF("doc_id", "cluster")
+    // batch: doc 5 BRIDGES clusters 1 and 3 (edges to members 2 and 4 —
+    // the transitive-merge case a naive per-batch upsert gets wrong),
+    // doc 6 is a new singleton, docs 7,8 are batch-internal near-dups
+    val batchDocs = Seq(5L, 6L, 7L, 8L).toDF("doc_id")
+    val batchEdges = Seq((5L, 2L), (5L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.maintainKeep(histLabels, batchDocs, batchEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.retireCaches()
+    // merged {1,2,3,4,5} under rep 1; {7,8} under 7; singletons 6, 20;
+    // untouched {10,11} rides through
+    assert(got == Set((1L, 5L), (6L, 1L), (7L, 2L), (10L, 2L), (20L, 1L)))
+  }
+
+  test("maintained keep-list equals the full recompute over the union corpus") {
+    val maintained = Dedup.keepMaintain(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    val recomputed = Dedup.keep(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(maintained.nonEmpty && maintained == recomputed,
+      "incremental maintenance must be EXACT — not an approximation of the backfill")
+  }
+
+  test("keep-state artifact: maintenance from parquet in a fresh session equals in-session") {
+    val root = SparkTestSession.tmpDir("keep-state").resolve("state").toString
+    Dedup.writeKeepState(spark, sf, root)
+    val inSession = Dedup.keepMaintain(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    val fresh = spark.newSession()
+    val served = Dedup.keepMaintainFrom(fresh, sf, root).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(served.nonEmpty && served == inSession)
+  }
+
   test("bpe trainer plan depth is constant per round over many rounds") {
     // 16 rounds (4x the query constant): every round starts from the
     // previous round's localCheckpoint, so the analyzed-plan node count
