@@ -191,6 +191,8 @@ object SparkEntry {
     "stream_dedup" -> graft.streaming.DocStream.streamDedup _,
     "stream_dedup_watermark" -> graft.streaming.DocStream.streamDedupWatermark _,
     "stream_incremental_dedup" -> graft.streaming.DocStream.streamIncrementalDedup _,
+    "stream_incremental_minhash" -> graft.streaming.DocStream.streamIncrementalMinHash _,
+    "stream_incremental_semantic" -> graft.streaming.DocStream.streamIncrementalSemantic _,
     "stream_dedup_spans" -> graft.streaming.DocStream.streamSpanDedup _,
     "stream_cdc_merge" -> graft.streaming.ChangeStream.streamCdcMerge _,
     "stream_session_window" -> graft.streaming.EventStream.sessionWindows _,
@@ -1514,6 +1516,9 @@ object SparkEntry {
         "dedup_keep_best" -> keepBest,
         "dedup_cross_source" -> crossSource,
         "dedup_incremental_minhash" -> incMinhash,
+        // the streaming twin probes the same band store per micro-batch
+        // and folds band collisions — bit-identical, one oracle
+        "stream_incremental_minhash" -> incMinhash,
         "pipeline_ingest" -> ingest,
         // bit-identical to dedup_incremental by construction (bloom
         // error is one-sided; the stream-static join replays the same
@@ -1780,6 +1785,9 @@ object SparkEntry {
          |WHERE cosine >= ${Dedup.CosineDupThreshold} ORDER BY batch_id, hist_id""".stripMargin
     Map("ann_topk" -> topk, "ann_range" -> range, "ann_range_ivf" -> rangeIvf,
         "dedup_incremental_semantic" -> semInc,
+        // the streaming twin is stateless stream-static joins over the
+        // same celled index — bit-identical, one oracle gates both
+        "stream_incremental_semantic" -> semInc,
         "ann_ivf" -> ivf, "ann_ivf_r2" -> ivfAtRadius(2),
         "ann_ivf_kmeans" -> ivfKmeans, "dedup_semantic" -> semDedup,
         "ann_hard_negatives" -> hardNeg,

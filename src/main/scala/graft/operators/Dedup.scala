@@ -838,7 +838,22 @@ object Dedup {
       size(col("sh")).as("h_nsh"))
     minHashBands(minHashSignatureKernel(shArr))
       .join(hashed, "doc_id")
-      .select(col("band"), col("bkey"), col("h_shh"), col("h_nsh"))
+      .select(col("doc_id").as("hist_id"),
+        col("band"), col("bkey"), col("h_shh"), col("h_nsh"))
+  }
+
+  /** The capped celled embedding index (vec_id, cluster, sub, v, norm)
+    * — the static store the STREAMING semantic-dedup twin probes
+    * ([[graft.streaming.DocStream.streamIncrementalSemantic]]): the
+    * trained cells + [[capCells]] sub-split + precomputed norms, i.e.
+    * exactly the per-vector state a production celled index table
+    * holds (the [[graft.operators.ProductQuant.writeCodebooks]] layout plus the
+    * float payload).
+    */
+  private[graft] def cappedCelledIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    capCells(KMeansCodebook.lastAssignment(spark, dir), SemCellCap)
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
   }
 
   val SimHashBits = 64
@@ -1024,9 +1039,7 @@ object Dedup {
   def incrementalSemantic(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val split = substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
-    val a = capCells(KMeansCodebook.lastAssignment(spark, dir), SemCellCap)
-      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
-      .withColumn("split", split)
+    val a = cappedCelledIndex(spark, dir).withColumn("split", split)
     a.filter(col("split") < IncBatchThreshold).as("a")
       .join(a.filter(col("split") >= IncBatchThreshold).as("b"),
         col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub"))

@@ -209,6 +209,126 @@ object DocStream {
     spark.table(name).orderBy("doc_id")
   }
 
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** `stream_incremental_minhash`: the INGEST-stream twin of
+    * [[graft.operators.Dedup.incrementalMinHash]], completing the
+    * streaming incremental family for near-dups (exact and spans were
+    * covered; the band-store probe was batch-only). Newly-arriving
+    * documents compute shingles + MinHash bands map-side (the
+    * declarative twins of the batch kernels — bit-identical, the
+    * [[streamPipelineIngest]] contract), probe the HISTORICAL band
+    * store per micro-batch — a stream-STATIC equi-join on (band,
+    * bkey); the store is a bucketed table in production, never stream
+    * state — and verify collisions with the exact hashed-shingle
+    * Jaccard inline in the join's projection. The only STATE is the
+    * per-pair fold (a band collision can emit the same pair up to
+    * 4×), bounded by the BATCH's verified pair count — orders of
+    * magnitude below the corpus. Complete-mode output equals the
+    * batch query bit-for-bit, so the SAME oracle gates both.
+    */
+  def streamIncrementalMinHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels}
+    val store = Kernels.cacheTracked(Dedup.historyBandStore(spark, dir))
+    val toksLower = filter(
+      split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val sigs = (0 until Dedup.MinHashFns).map(i =>
+      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))))
+    val bandStructs = (0 until Dedup.MinHashBands).map { b =>
+      struct(lit(b).as("band"), concat_ws("|",
+        (0 until Dedup.MinHashRows).map(r => sigs(Dedup.MinHashRows * b + r)): _*)
+        .as("bkey"))
+    }
+    val batchBands = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+      .withColumn("sh", Dedup.shingles(toksLower, 3))
+      .filter(size(col("sh")) > 0) // shingle-less docs have no signature
+      .withColumn("shh", sort_array(transform(col("sh"), s => xxhash64(s))))
+      .withColumn("nsh", size(col("sh")))
+      .select(col("doc_id"), col("shh"), col("nsh"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"),
+        col("shh"), col("nsh"))
+    val common = graft.functions.VectorFunctions
+      .overlap(spark, col("shh"), col("h_shh")).cast("double")
+    val sz = (col("nsh") + col("h_nsh")).cast("double")
+    val pairs = batchBands
+      .join(store, Seq("band", "bkey"))
+      .select(col("doc_id").as("batch_id"), col("hist_id"),
+        round(common / (sz - common), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      // multi-band collisions re-emit the same (pair, jaccard): the fold
+      // is the streaming `distinct()` — jaccard is functionally
+      // dependent on the pair, so min() is just the value
+      .groupBy("batch_id", "hist_id")
+      .agg(min("jaccard").as("jaccard"))
+    val name = "stream_inc_minhash_out"
+    EventStream.withStatePartitions(spark) {
+      val q = pairs.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally { q.stop(); Dedup.retireCaches() }
+    }
+    spark.table(name).orderBy("batch_id", "hist_id")
+  }
+
+  /** `stream_incremental_semantic`: the INGEST-stream twin of
+    * [[graft.operators.Dedup.incrementalSemantic]] — the last
+    * incremental dedup shape without a streaming form. Newly-arriving
+    * batch embeddings probe the HISTORICAL vectors within their
+    * trained capped cell only: the static side is the celled index
+    * table ([[graft.operators.Dedup.cappedCelledIndex]] — trained
+    * cells, sub-cell caps, vectors, norms: exactly what a production
+    * celled store holds per vector), and the stream side looks up its
+    * OWN row in that index (a stream-static join on vec_id — the
+    * ingest job that maintains the index assigned the batch vector its
+    * cell in the same pass, so the probe reads the assignment rather
+    * than recomputing it) then equi-joins history candidates on
+    * (cluster, sub) with the exact cosine ≥ threshold inline. Fully
+    * STATELESS — two stream-static joins, no aggregation: each batch
+    * vector arrives in exactly one micro-batch and its cell membership
+    * is unique, so append-mode emission is already duplicate-free.
+    * Output equals the batch query bit-for-bit; the SAME oracle gates
+    * both.
+    */
+  def streamIncrementalSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels}
+    import graft.functions.VectorFunctions.dot
+    val splitOf = substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+    val idx = Kernels.cacheTracked(
+      Dedup.cappedCelledIndex(spark, dir).withColumn("split", splitOf))
+    val history = idx.filter(col("split") >= Dedup.IncBatchThreshold)
+      .select(col("vec_id").as("hist_id"), col("cluster"), col("sub"),
+        col("v").as("hv"), col("norm").as("hn"))
+    val batchIdx = idx.filter(col("split") < Dedup.IncBatchThreshold)
+      .select(col("vec_id"), col("cluster"), col("sub"),
+        col("v").as("bv"), col("norm").as("bn"))
+    val pairs = spark.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .select(col("vec_id"))
+      .filter(splitOf < Dedup.IncBatchThreshold)
+      .join(batchIdx, "vec_id")
+      .join(history, Seq("cluster", "sub"))
+      .select(col("vec_id").as("batch_id"), col("hist_id"),
+        round(dot(spark, col("bv"), col("hv")) / (col("bn") * col("hn")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= Dedup.CosineDupThreshold)
+    val name = "stream_inc_semantic_out"
+    val q = pairs.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally { q.stop(); Dedup.retireCaches() }
+    spark.table(name).orderBy("batch_id", "hist_id")
+  }
+
   /** STREAMING FLAGSHIP — [[graft.operators.Corpus.ingest]] run as a
     * continuous stream: the full per-batch ingest composition (quality
     * gate → exact dedup vs the historical fingerprint store → MinHash

@@ -499,6 +499,20 @@ class OperatorsSpec extends AnyFunSuite {
       "SemCellCap must be inactive at this tier (cells smaller than the cap)")
   }
 
+  test("streaming incremental minhash/semantic equal their batch twins when drained") {
+    import graft.streaming.DocStream
+    val smh = DocStream.streamIncrementalMinHash(spark, sf).collect().map(_.toSeq).toSeq
+    val bmh = Dedup.incrementalMinHash(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(smh.nonEmpty && smh == bmh,
+      "drained band-store probe must equal the batch incremental minhash bit-for-bit")
+    val sse = DocStream.streamIncrementalSemantic(spark, sf).collect().map(_.toSeq).toSeq
+    val bse = Dedup.incrementalSemantic(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(sse.nonEmpty && sse == bse,
+      "drained celled-index probe must equal the batch incremental semantic bit-for-bit")
+  }
+
   test("full-outer stream join is the union of inner, left-null and right-null parts") {
     import graft.streaming.EventStream
     val full = EventStream.errorPurchaseFullOuter(spark, sf).collect()
