@@ -96,6 +96,8 @@ object SparkEntry {
     "events_approx_users_union" -> Sketches.approxUsersUnion _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
     "events_heavy_hitters" -> Sketches.heavyHitters _,
+    "events_heavy_hitters_serve" -> Sketches.heavyHittersServe _,
+    "stream_heavy_hitters" -> graft.streaming.EventStream.streamHeavyHitters _,
     // Text analysis (north star)
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
@@ -303,6 +305,24 @@ object SparkEntry {
        |       WHEN valid_to_v IS NULL THEN 'current'
        |       ELSE 'superseded' END AS status
        |FROM hist ORDER BY o_orderkey, v""".stripMargin
+
+  /** The estimate-only heavy-hitters SQL shared by the serve twin and
+    * the streaming-maintained form (see the gated entry's comment).
+    */
+  private lazy val hhServeSql: String = {
+    val w = operators.Sketches.CmsWidth
+    s"""WITH u AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+       |rb AS (SELECT u.user_id, u.exact_cnt, t.j,
+       |    CAST(('0x' || substr(md5('cms' || CAST(t.j AS VARCHAR) || ':' || CAST(u.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % $w AS b
+       |  FROM u, generate_series(0, ${operators.Sketches.CmsRows - 1}) t(j)),
+       |sk AS (SELECT j, b, CAST(SUM(exact_cnt) AS BIGINT) AS cnt FROM rb GROUP BY j, b),
+       |est AS (SELECT rb.user_id, MIN(sk.cnt) AS est_cnt
+       |  FROM rb JOIN sk USING (j, b) GROUP BY rb.user_id),
+       |r AS (SELECT est.*,
+       |    row_number() OVER (ORDER BY est_cnt DESC, user_id) AS rnk FROM est)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, user_id, est_cnt
+       |FROM r WHERE rnk <= ${operators.Sketches.HeavyHittersK} ORDER BY rnk""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "wc" ->
@@ -682,6 +702,13 @@ object SparkEntry {
          |  CAST(est_cnt >= exact_cnt AS BIGINT) AS never_under
          |FROM r WHERE rnk <= ${Sketches.HeavyHittersK} ORDER BY rnk""".stripMargin
     },
+    // The production serve twin and its streaming-maintained form:
+    // identical sketch + probe + cut, estimate-only output (the exact
+    // columns above are gate artifacts). The streaming grid converges
+    // to the batch grid (counters merge by addition), so ONE oracle
+    // gates both.
+    "events_heavy_hitters_serve" -> hhServeSql,
+    "stream_heavy_hitters" -> hhServeSql,
     // Merged per-type sketches == one global sketch (lossless bottom-k
     // merge), so the oracle just sketches the union directly.
     "events_approx_users_union" ->

@@ -170,6 +170,54 @@ object Sketches {
     pmod(conv(substring(md5(concat(lit(s"cms$j:"), user.cast("string"))), 1, 8), 16, 10)
       .cast("long"), lit(CmsWidth))
 
+  /** All [[CmsRows]] (row, bucket) coordinates of a key — shared by
+    * the batch build, the probe, and the streaming twin's build.
+    */
+  private[graft] def rowBuckets(user: Column): Column = array(
+    (0 until CmsRows).map(j => struct(lit(j).as("j"), cmsBucket(j, user).as("b"))): _*)
+
+  /** The batch-built counter grid (j, b, cnt) — ≤ 256 rows. */
+  private[graft] def cmsGrid(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select("user_id")
+      .select(explode(rowBuckets(col("user_id"))).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Probe a prebuilt CM grid with every candidate key and keep the
+    * top-[[HeavyHittersK]] by estimate — the SERVING half, shared by
+    * [[heavyHittersServe]] and the streaming twin's downstream step
+    * ([[graft.streaming.EventStream.streamHeavyHitters]]). Estimate
+    * only: no exact counts anywhere — the shape that runs at 100 TB.
+    */
+  private[graft] def probeSketchTopK(
+      spark: SparkSession, dir: String, sketch: DataFrame): DataFrame =
+    Tables.events(spark, dir).select("user_id").distinct()
+      .select(col("user_id"), explode(rowBuckets(col("user_id"))).as("rb"))
+      .join(broadcast(sketch),
+        col("rb.j") === col("j") && col("rb.b") === col("b"))
+      .groupBy("user_id")
+      .agg(min("cnt").as("est_cnt"))
+      .orderBy(col("est_cnt").desc, col("user_id"))
+      .limit(HeavyHittersK)
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("est_cnt").desc, col("user_id"))).cast("long"))
+      .select(col("rnk"), col("user_id"), col("est_cnt"))
+      .orderBy("rnk")
+
+  /** `events_heavy_hitters_serve`: the PRODUCTION heavy-hitters query —
+    * estimate-only. [[heavyHitters]]'s `exact_cnt` / `never_under`
+    * columns are DIFFERENTIAL-GATE artifacts (they exist so the oracle
+    * can pin the one-sided-error invariant); at scale the exact
+    * per-key count is precisely the aggregation the sketch exists to
+    * avoid, so the serving query drops that branch entirely: build the
+    * 256-counter grid in one pass, probe candidates, keep the top-k.
+    * Spec-asserted est-identical to the gated query's estimates, and
+    * oracle-gated on its own (the same CTE chain minus the exact
+    * columns).
+    */
+  def heavyHittersServe(spark: SparkSession, dir: String): DataFrame =
+    probeSketchTopK(spark, dir, cmsGrid(spark, dir))
+
   /** `events_heavy_hitters`: top-[[HeavyHittersK]] users by COUNT-MIN
     * estimated event count — the frequency-sketch companion to the
     * KMV cardinality and histogram quantile sketches, completing the
@@ -194,15 +242,16 @@ object Sketches {
     * here, the md5 permutations make the estimate itself engine-exact,
     * so the approximation hash-matches the oracle rather than being
     * rows-only-checked.
+    *
+    * NOTE: `exact_cnt` and `never_under` are DIFFERENTIAL-GATE
+    * artifacts — the exact per-key count is the very aggregation the
+    * sketch avoids at 100 TB. The production query is
+    * [[heavyHittersServe]], which drops that branch; this gated form
+    * exists to pin the sketch's one-sided error against the oracle.
     */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select("user_id")
-    def rowBuckets(user: Column): Column = array(
-      (0 until CmsRows).map(j => struct(lit(j).as("j"), cmsBucket(j, user).as("b"))): _*)
-    val sketch = ev
-      .select(explode(rowBuckets(col("user_id"))).as("rb"))
-      .groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+    val sketch = cmsGrid(spark, dir)
     val users = ev.groupBy("user_id").agg(count(lit(1)).as("exact_cnt"))
     val est = users
       .select(col("user_id"), col("exact_cnt"),

@@ -524,4 +524,38 @@ object EventStream {
       .select("event_type", "est_users")
       .orderBy("event_type")
   }
+
+  /** `stream_heavy_hitters`: the COUNT-MIN sketch maintained on a
+    * stream — the frequency companion to [[approxUsersStream]]'s
+    * cardinality sketch, closing the last batch-only sketch shape.
+    * The counter grid is a plain streaming aggregation over the
+    * (row, bucket) coordinates: CM counters merge by ADDITION, which
+    * is exactly what incremental state-store aggregation does, so the
+    * state is the bounded [[graft.operators.Sketches.CmsRows]]×
+    * [[graft.operators.Sketches.CmsWidth]] = 256-cell grid however
+    * many events arrive, and the drained grid equals the one-pass
+    * batch grid REGARDLESS of micro-batch boundaries (associative +
+    * commutative merge — the [[approxUsersStream]] convergence
+    * contract). The candidate probe + top-k cut run DOWNSTREAM of the
+    * stream over the 256-row grid (in production: the serving-store
+    * step, as [[trendingTopK]]'s rank) — estimate-only, the
+    * [[graft.operators.Sketches.heavyHittersServe]] production shape,
+    * whose oracle gates this twin too.
+    */
+  def streamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val grid = readEventsStream(spark, dir)
+      .select(explode(Sketches.rowBuckets(col("user_id"))).as("rb"))
+      .groupBy(col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val name = "stream_heavy_hitters_grid"
+    withStatePartitions(spark) {
+      // Complete mode re-emits the whole (≤256-row) grid per batch; the
+      // drained table is the final full-history sketch
+      val q = grid.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    Sketches.probeSketchTopK(spark, dir, spark.table(name))
+  }
 }

@@ -499,6 +499,21 @@ class OperatorsSpec extends AnyFunSuite {
       "SemCellCap must be inactive at this tier (cells smaller than the cap)")
   }
 
+  test("heavy-hitters serve twin matches the gated query's estimates; stream converges to it") {
+    val gated = Sketches.heavyHitters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("user_id"), r.getAs[Long]("est_cnt")))
+    val serve = Sketches.heavyHittersServe(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("user_id"), r.getAs[Long]("est_cnt")))
+    assert(serve.nonEmpty && serve.toSeq == gated.toSeq,
+      "dropping the exact-count gate branch must not change a single estimate or rank")
+    // the streaming-maintained grid merges counters by addition, so the
+    // drained probe must equal the batch-built serve answer exactly
+    val streamed = graft.streaming.EventStream.streamHeavyHitters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("user_id"), r.getAs[Long]("est_cnt")))
+    assert(streamed.toSeq == serve.toSeq,
+      "micro-batch boundaries must not change the converged sketch")
+  }
+
   test("streaming incremental minhash/semantic equal their batch twins when drained") {
     import graft.streaming.DocStream
     val smh = DocStream.streamIncrementalMinHash(spark, sf).collect().map(_.toSeq).toSeq
