@@ -102,6 +102,7 @@ object SparkEntry {
     "token_stats" -> TextAnalysis.tokenStats _,
     "token_count_bpe" -> TextAnalysis.tokenCounts _,
     "quality_score" -> TextAnalysis.qualityScore _,
+    "quality_winsorize" -> TextAnalysis.qualityWinsorize _,
     "quality_bins" -> TextAnalysis.qualityBins _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
@@ -158,6 +159,7 @@ object SparkEntry {
     "mm_frames" -> Multimodal.frameSample _,
     // Sampling / mixing / packing (north star)
     "sample_hash" -> Sampling.hashSample _,
+    "split_leakage_safe" -> Sampling.leakageSafeSplit _,
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
     "sample_temperature" -> Sampling.temperatureMix _,
@@ -181,8 +183,10 @@ object SparkEntry {
     "doc_perplexity" -> Corpus.docPerplexityBigram _,
     "pii_scrub" -> Corpus.piiScrub _,
     "corpus_stats" -> Corpus.corpusStats _,
+    "stats_regression" -> Corpus.statsRegression _,
     "pipeline_training_set" -> Corpus.trainingSet _,
     "pipeline_ingest" -> Corpus.ingest _,
+    "pipeline_index" -> ProductQuant.pipelineIndex _,
     // Structured Streaming twins (drained via memory sink for the gate)
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
     "stream_user_totals" -> graft.streaming.EventStream.userTotals _,
@@ -1205,7 +1209,21 @@ object SparkEntry {
          |SELECT doc_id, quality,
          |  CAST(len(list_filter(bs, b -> b <= qi)) AS BIGINT) AS bin
          |FROM q, bl ORDER BY doc_id""".stripMargin
-    Map("quality_score" -> quality, "lang_id" -> langId, "quality_bins" -> bins)
+    // both engines interpolate the same R-7 linear quantile (Spark
+    // `percentile` == DuckDB quantile_cont) over identical 4dp scores
+    val winsorize =
+      s"""$qualityCteSql,
+         |q AS (SELECT s.doc_id, d.lang, $qualityExprSql AS quality
+         |  FROM s JOIN documents d ON s.doc_id = d.doc_id),
+         |b AS (SELECT lang,
+         |        round(quantile_cont(quality, ${TextAnalysis.WinsorLo}), 6) AS q_lo,
+         |        round(quantile_cont(quality, ${TextAnalysis.WinsorHi}), 6) AS q_hi
+         |      FROM q GROUP BY lang)
+         |SELECT q.doc_id, q.lang, q.quality, b.q_lo, b.q_hi,
+         |  round(least(greatest(q.quality, b.q_lo), b.q_hi), 6) AS q_wins
+         |FROM q JOIN b USING (lang) ORDER BY doc_id""".stripMargin
+    Map("quality_score" -> quality, "lang_id" -> langId, "quality_bins" -> bins,
+        "quality_winsorize" -> winsorize)
   }
 
   // Shared dedup fragments (mirror Dedup.scala exactly).
@@ -1577,7 +1595,14 @@ object SparkEntry {
   // assignment (a_i) -> recomputed means (c_i). Mirrors
   // KMeansCodebook round for round; shared by the kmeans, IVF,
   // SemDeDup and composed IVF-PQ oracles.
-  private lazy val kmeansCtes: String = {
+  /** The coarse Lloyd chain (x0 → x → c0 → rounds) as composable CTEs
+    * — assumes an `e(vec_id, v)` corpus CTE upstream. The init is the
+    * rank form (first [[KMeansCodebook.K]] corpus vectors by id),
+    * which on the dense-id full table is exactly `vec_id < K` and on
+    * the keep-filtered `pipeline_index` corpus is the first K
+    * SURVIVORS — one text serves both corpora.
+    */
+  private lazy val kmeansChainCtes: String = {
     val rounds = (1 to KMeansCodebook.LloydIters).map { i =>
       val prev = s"c${i - 1}"
       s"""d$i AS (SELECT x.vec_id, $prev.cluster,
@@ -1591,12 +1616,16 @@ object SparkEntry {
          |    CAST(round(CAST(SUM(x.x) AS DOUBLE)/COUNT(*), 6) AS DECIMAL(18,9)) AS c
          |  FROM x JOIN a$i USING (vec_id) GROUP BY a$i.cluster, x.dim)"""
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM e),
+    s"""x0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM e),
        |x AS (SELECT vec_id, CAST(xr AS DECIMAL(18,9)) AS x, dim FROM x0),
-       |c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM x WHERE vec_id < ${KMeansCodebook.K}),
+       |c0 AS (SELECT vec_id AS cluster, dim, x AS c FROM x
+       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT ${KMeansCodebook.K})),
        |$rounds"""
   }
+
+  private lazy val kmeansCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |$kmeansChainCtes"""
   private val lastA = s"a${KMeansCodebook.LloydIters}"
   private def cosineSql(p: String, c: String): String =
     s"round(list_sum(list_transform(list_zip($p.v, $c.v), z -> z[1] * z[2])) / ($p.nrm * $c.nrm), 6)"
@@ -1854,7 +1883,8 @@ object SparkEntry {
     s"""px0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS gdim FROM e),
        |px AS (SELECT vec_id, CAST((gdim - 1) // $sd AS BIGINT) AS ss,
        |      (gdim - 1) % $sd + 1 AS dim, CAST(xr AS DECIMAL(18,9)) AS x FROM px0),
-       |pc0 AS (SELECT ss, vec_id AS cluster, dim, x AS c FROM px WHERE vec_id < ${ProductQuant.PqK}),
+       |pc0 AS (SELECT ss, vec_id AS cluster, dim, x AS c FROM px
+       |  WHERE vec_id IN (SELECT vec_id FROM e ORDER BY vec_id LIMIT ${ProductQuant.PqK})),
        |$rounds"""
   }
 
@@ -1940,8 +1970,39 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s),
          |$pqRerankTail""".stripMargin
+    // FLAGSHIP #3: the IVFPQ replay with the corpus CTE swapped for
+    // the keep-list survivors (the dedup clusters' representative set,
+    // the same recursive-CTE transitive closure that gates dedup_keep)
+    // — inits, probes, codes, ADC and rerank all derive from the
+    // filtered `e`, mirroring ProductQuant.pipelineIndex stage for
+    // stage
+    val pipeIndex =
+      s"""WITH keepids AS (SELECT DISTINCT cluster AS vec_id FROM ($clustersSql)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE vec_id IN (SELECT vec_id FROM keepids)),
+         |$kmeansChainCtes,
+         |$pqChainCtes,
+         |$pqCodesTdCtes,
+         |pr AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d${KMeansCodebook.LloydIters} WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |s AS (SELECT td.probe_id, codes.vec_id AS neighbor_id, SUM(td.td) AS adist_d
+         |  FROM codes
+         |  JOIN $lastA ca ON codes.vec_id = ca.vec_id
+         |  JOIN pr ON pr.cluster = ca.cluster
+         |  JOIN td ON td.probe_id = pr.vec_id
+         |    AND td.ss = codes.ss AND td.cluster = codes.cluster
+         |  WHERE codes.vec_id <> pr.vec_id
+         |  GROUP BY td.probe_id, codes.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, CAST(adist_d AS DOUBLE) AS adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s),
+         |$pqRerankTail""".stripMargin
     Map("embedding_pq" -> encode, "ann_pq" -> adcTopK,
         "ann_pq_rerank" -> rerank, "ann_ivf_pq" -> ivfPq,
+        "pipeline_index" -> pipeIndex,
         // the artifact serve path stores exact decimals, so served ==
         // trained — one oracle text gates both (value-equality is
         // additionally spec-pinned cross-session)
@@ -2006,6 +2067,18 @@ object SparkEntry {
   // Deterministic hash-driven samplers (operators/Sampling.scala): both
   // engines compute the same salted md5, so selection matches exactly.
   private def samplingOracles: Map[String, String] = Map(
+    // the split key is the near-dup CLUSTER label (the same recursive
+    // transitive closure that gates dedup_clusters), so near-dups can
+    // never straddle splits
+    "split_leakage_safe" ->
+      s"""SELECT doc_id, cluster,
+         |  CASE WHEN h < '${Sampling.SplitTestThreshold}' THEN 'test'
+         |       WHEN h < '${Sampling.SplitValidThreshold}' THEN 'valid'
+         |       ELSE 'train' END AS split
+         |FROM (SELECT doc_id, cluster,
+         |    substr(md5('split:' || CAST(cluster AS VARCHAR)), 1, 2) AS h
+         |  FROM ($clustersSql))
+         |ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       s"""SELECT doc_id, source, lang FROM documents
          |WHERE substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 2) < '${Sampling.HashSampleThreshold}'
@@ -2333,8 +2406,27 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  round(CAST(sum(nll) AS DOUBLE) / count(*), 4) AS cross_entropy
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    // OLS from exact integer moments (HUGEINT here, DECIMAL(38,0) on
+    // the Spark side): the final double arithmetic is the identical
+    // expression over identical exact integers, so 6dp rounding is
+    // engine-stable
+    val regression =
+      s"""WITH d AS (SELECT lang, n_chars AS x,
+         |    CAST(len($toksRawSql) AS BIGINT) AS y FROM documents),
+         |m AS (SELECT lang, count(*) AS n,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         |    sum(x*x) AS sxx, sum(y*y) AS syy FROM d GROUP BY lang)
+         |SELECT lang, CAST(n AS BIGINT) AS n,
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE)
+         |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE), 6) AS intercept,
+         |  round(pow(CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 2), 6) AS r2
+         |FROM m ORDER BY lang""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
+        "stats_regression" -> regression,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "export_curriculum" -> exportCurriculum,
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,

@@ -540,6 +540,48 @@ object Corpus {
     * before setting sampling weights ([[Sampling.weightedMix]]).
     * One combiner-friendly shuffle on a handful of group keys.
     */
+  /** `stats_regression`: per-language OLS of token count on character
+    * count — the chars-per-token line that drives tokenizer-efficiency
+    * and byte-budget planning per language (a mixture targeting N
+    * tokens of each language needs each language's chars→tokens rate,
+    * plus r² to know when the linear budget model is trustworthy).
+    *
+    * Exactness across engines — the interesting part. Closed-form OLS
+    * from raw moments is order-sensitive in doubles (a float Σxy
+    * depends on partition order), so every moment is summed EXACTLY:
+    * integer x, y and their products accumulate as DECIMAL(38,0)
+    * (HUGEINT in the oracle), and only the final slope / intercept /
+    * r² arithmetic drops to doubles — identical expressions over
+    * identical exact integers, rounded at 6dp. Scale shape: one
+    * map-only tokenize pass, one combiner-friendly aggregate on the
+    * languages-sized key set; the moments are a constant-width state
+    * regardless of corpus size (the textbook distributed-OLS shape).
+    */
+  def statsRegression(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val moments = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars").as("x"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x") * col("y")).cast(d38)).as("sxy"),
+        sum((col("x") * col("x")).cast(d38)).as("sxx"),
+        sum((col("y") * col("y")).cast(d38)).as("syy"))
+    val nD = col("n").cast("double")
+    val num = (col("n").cast(d38) * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n").cast(d38) * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / denx
+    moments.select(col("lang"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) / nD, 6)
+          .as("intercept"),
+        round(pow(num / sqrt(denx * deny), 2), 6).as("r2"))
+      .orderBy("lang")
+  }
+
   def corpusStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("source"), col("lang"),

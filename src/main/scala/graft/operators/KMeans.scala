@@ -136,20 +136,33 @@ object KMeansCodebook {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
 
-  private def trainedCodebook(spark: SparkSession, dir: String): Codebook =
+  /** The Lloyd trainer over an EXPLICIT corpus frame (vec_id, v),
+    * memoized under `key` — the full-table path and the keep-filtered
+    * [[graft.operators.ProductQuant.pipelineIndex]] corpus share every
+    * kernel; only the corpus (and so the memo key) differs. Init is
+    * the first [[K]] corpus vectors by `vec_id` — a TakeOrdered, which
+    * on the dense-id full table selects exactly the `vec_id < K` rows
+    * the oracle's rank-form init CTE mirrors. `base` is by-name: it is
+    * only built (and only registers its cache) on a memo miss.
+    */
+  private[operators] def trainedCodebookOn(
+      spark: SparkSession, key: (String, String), base: => DataFrame): Codebook =
     trainedCodebooks.synchronized {
-      trainedCodebooks.getOrElseUpdate(memoKey(dir), {
+      trainedCodebooks.getOrElseUpdate(key, {
         import spark.implicits._
-        val base = embeddingBase(spark, dir)
-        var cb: Codebook = base.filter(col("vec_id") < K).as[(Long, Seq[Double])]
+        val b = base
+        var cb: Codebook = b.orderBy("vec_id").limit(K).as[(Long, Seq[Double])]
           .collect()
           .map { case (id, v) => (id, v.map(dec9).toArray) }
           .sortBy(_._1)
         for (_ <- 1 until LloydIters)
-          cb = collectCodebook(recompute(assign(spark, base, cb)))
+          cb = collectCodebook(recompute(assign(spark, b, cb)))
         cb
       })
     }
+
+  private def trainedCodebook(spark: SparkSession, dir: String): Codebook =
+    trainedCodebookOn(spark, memoKey(dir), embeddingBase(spark, dir))
 
   // The CACHED assignment frame is memoized too, so a query sequence of
   // centroids-then-balanced-sample pays the distributed assignment scan
@@ -178,10 +191,21 @@ object KMeansCodebook {
     */
   private[operators] def probeCellsOf(
       spark: SparkSession, dir: String, cb: Codebook,
+      nProbes: Int, nProbe: Int): DataFrame =
+    probeCellsFromBase(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      cb, nProbes, nProbe)
+
+  /** [[probeCellsOf]] with the probe universe passed explicitly — the
+    * keep-filtered pipeline index probes only SURVIVING vectors, so
+    * its probe batch is `vec_id < nProbes` within its own corpus.
+    */
+  private[operators] def probeCellsFromBase(
+      spark: SparkSession, probeBase: DataFrame, cb: Codebook,
       nProbes: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    probeBase
       .filter(col("vec_id") < nProbes)
       .as[(Long, Seq[Double])]
       .flatMap { case (id, v) =>
@@ -209,10 +233,19 @@ object KMeansCodebook {
     * [[Similarity.annIvfKmeans]] searches it as the IVF index.
     */
   private[operators] def lastAssignment(spark: SparkSession, dir: String): DataFrame =
+    assignmentOn(spark, memoKey(dir), embeddingBase(spark, dir))
+
+  /** [[lastAssignment]] over an explicit corpus frame, memoized under
+    * `key` — shares [[trainedCodebookOn]]'s memo key so a corpus is
+    * trained once and assigned once regardless of entry point.
+    */
+  private[operators] def assignmentOn(
+      spark: SparkSession, key: (String, String), base: => DataFrame): DataFrame =
     assignments.synchronized {
-      assignments.getOrElseUpdate(memoKey(dir), {
-        val cb = trainedCodebook(spark, dir)
-        Kernels.cacheTracked(assign(spark, embeddingBase(spark, dir), cb))
+      assignments.getOrElseUpdate(key, {
+        val b = base
+        val cb = trainedCodebookOn(spark, key, b)
+        Kernels.cacheTracked(assign(spark, b, cb))
       })
     }
 
@@ -254,16 +287,25 @@ object KMeansCodebook {
     * artifact instead of retraining — `ann_ivf_pq` served from it in a
     * fresh session is value-equal (spec-pinned).
     */
-  def writeIndex(spark: SparkSession, dir: String, path: String): Unit = {
+  def writeIndex(spark: SparkSession, dir: String, path: String): Unit =
+    writeIndexOn(spark, memoKey(dir), embeddingBase(spark, dir), path)
+
+  /** [[writeIndex]] for an explicit (key, corpus) — the coarse half of
+    * the keep-filtered [[graft.operators.ProductQuant.pipelineIndex]]
+    * artifact writes through here.
+    */
+  private[operators] def writeIndexOn(spark: SparkSession,
+      key: (String, String), base: => DataFrame, path: String): Unit = {
     import spark.implicits._
-    val cb = trainedCodebook(spark, dir)
+    val b = base
+    val cb = trainedCodebookOn(spark, key, b)
     cb.toSeq.flatMap { case (c, coords) =>
         coords.zipWithIndex.map { case (x, i) => (c, (i + 1).toLong, x.toPlainString) }
       }
       .toDF("cluster", "dim", "c_str")
       .select(col("cluster"), col("dim"), col("c_str").cast("decimal(18,9)").as("c"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse_codebook")
-    lastAssignment(spark, dir)
+    assignmentOn(spark, key, b)
       .select(col("vec_id"), col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/assignment")
   }

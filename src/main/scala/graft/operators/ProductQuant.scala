@@ -61,9 +61,15 @@ object ProductQuant {
     * a map-only transform; a row's subvectors stay in its partition.
     */
   private def subBase(spark: SparkSession, dir: String): DataFrame =
-    Kernels.fanOut(
+    subBaseOf(Kernels.fanOut(
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
+
+  /** [[subBase]] over an explicit (vec_id, v) corpus frame — the
+    * keep-filtered [[pipelineIndex]] corpus enters here.
+    */
+  private def subBaseOf(base: DataFrame): DataFrame =
+    base
       .select(col("vec_id"),
         // integer div: `size/16` via Column./ is DOUBLE division
         explode(expr(s"sequence(0, size(v) div $SubDim - 1)")).as("ss"),
@@ -138,11 +144,26 @@ object ProductQuant {
   Kernels.onRetire(() => codesMemo.synchronized(codesMemo.clear()))
 
   private def trainedBooks(spark: SparkSession, dir: String): PqBooks =
+    trainedBooksOn(spark, Kernels.inputKey(dir, "embeddings.parquet"),
+      subBase(spark, dir))
+
+  /** The per-subspace Lloyd trainer over an explicit exploded corpus
+    * (vec_id, ss, sub), memoized under `key`. Init is the first
+    * [[PqK]] corpus vectors by `vec_id` (a distinct-TakeOrdered — the
+    * id set is PqK values, driver-bounded), which on the dense-id full
+    * table is exactly the old `vec_id < PqK` filter; on a
+    * keep-filtered corpus it is the first PqK SURVIVORS, mirroring the
+    * oracle's rank-form init CTE.
+    */
+  private[operators] def trainedBooksOn(
+      spark: SparkSession, key: (String, String), base: => DataFrame): PqBooks =
     trainedBooksMemo.synchronized {
-      trainedBooksMemo.getOrElseUpdate(Kernels.inputKey(dir, "embeddings.parquet"), {
+      trainedBooksMemo.getOrElseUpdate(key, {
         import spark.implicits._
-        val base = subBase(spark, dir)
-        var books: PqBooks = base.filter(col("vec_id") < PqK)
+        val b = base
+        val initIds = b.select(col("vec_id")).distinct()
+          .orderBy("vec_id").limit(PqK).as[Long].collect().toSeq
+        var books: PqBooks = b.filter(col("vec_id").isin(initIds: _*))
           .as[(Long, Long, Seq[Double])].collect()
           .groupBy(_._2)
           .map { case (ss, rows) =>
@@ -150,18 +171,28 @@ object ProductQuant {
               .sortBy(_._1)
           }
         for (_ <- 1 until PqIters)
-          books = collectBooks(recompute(assign(spark, base, books)))
+          books = collectBooks(recompute(assign(spark, b, books)))
         books
       })
     }
 
   /** Final encoded corpus (vec_id, ss, code), cached per input. */
   private def codesOf(spark: SparkSession, dir: String): DataFrame =
+    codesOfOn(spark, Kernels.inputKey(dir, "embeddings.parquet"),
+      subBase(spark, dir))
+
+  /** [[codesOf]] for an explicit (key, exploded corpus) — shares
+    * [[trainedBooksOn]]'s memo key: one training + one encoding pass
+    * per corpus regardless of entry point.
+    */
+  private def codesOfOn(
+      spark: SparkSession, key: (String, String), base: => DataFrame): DataFrame =
     codesMemo.synchronized {
-      codesMemo.getOrElseUpdate(Kernels.inputKey(dir, "embeddings.parquet"), {
-        val books = trainedBooks(spark, dir)
+      codesMemo.getOrElseUpdate(key, {
+        val b = base
+        val books = trainedBooksOn(spark, key, b)
         Kernels.cacheTracked(
-          assign(spark, subBase(spark, dir), books)
+          assign(spark, b, books)
             .select(col("vec_id"), col("ss"), col("code")))
       })
     }
@@ -182,9 +213,17 @@ object ProductQuant {
     * from a [[writeCodebooks]] artifact instead of retraining.
     */
   private def adcTableOf(
-      spark: SparkSession, dir: String, books: PqBooks): DataFrame = {
+      spark: SparkSession, dir: String, books: PqBooks): DataFrame =
+    adcTableFromBase(spark, subBase(spark, dir), books)
+
+  /** [[adcTableOf]] with the probe universe passed as an exploded
+    * corpus frame — the pipeline index tabulates only SURVIVING
+    * probes' distances.
+    */
+  private def adcTableFromBase(
+      spark: SparkSession, probeSubBase: DataFrame, books: PqBooks): DataFrame = {
     import spark.implicits._
-    subBase(spark, dir).filter(col("vec_id") < Similarity.NumProbes)
+    probeSubBase.filter(col("vec_id") < Similarity.NumProbes)
       .as[(Long, Long, Seq[Double])]
       .flatMap { case (id, ss, sub) =>
         val xd = sub.map(dec9).toArray
@@ -252,11 +291,20 @@ object ProductQuant {
     * full-precision read is |probes|·shortlist rows, never the table.
     */
   private def rerankExact(
-      spark: SparkSession, dir: String, short: DataFrame): DataFrame = {
+      spark: SparkSession, dir: String, short: DataFrame): DataFrame =
+    rerankExactOn(spark,
+      Kernels.fanOut(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))),
+      short)
+
+  /** [[rerankExact]] against an explicit (vec_id, v) corpus — the
+    * pipeline index reranks within the surviving corpus only.
+    */
+  private def rerankExactOn(
+      spark: SparkSession, base: DataFrame, short: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val emb = Kernels.fanOut(
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val emb = base
       .withColumn("nrm", sqrt(dot(spark, col("v"), col("v"))))
     val probes = emb.filter(col("vec_id") < Similarity.NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
@@ -328,6 +376,15 @@ object ProductQuant {
     * table, exact rerank of the shortlist.
     */
   private def ivfPqSearch(spark: SparkSession, dir: String,
+      celledCodes: DataFrame, pcells: DataFrame, adc: DataFrame): DataFrame =
+    ivfPqSearchOn(spark,
+      Kernels.fanOut(
+        Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))),
+      celledCodes, pcells, adc)
+
+  /** [[ivfPqSearch]] with the rerank corpus passed explicitly. */
+  private def ivfPqSearchOn(spark: SparkSession, rerankBase: DataFrame,
       celledCodes: DataFrame, pcells: DataFrame, adc: DataFrame): DataFrame = {
     val short = adcRank(
       celledCodes
@@ -335,7 +392,7 @@ object ProductQuant {
         .join(broadcast(adc), Seq("probe_id", "ss", "code")))
       .filter(col("rnk") <= Shortlist)
       .select("probe_id", "neighbor_id")
-    rerankExact(spark, dir, short)
+    rerankExactOn(spark, rerankBase, short)
   }
 
   /** Materializes the PQ half of the ANN index to `path`, next to
@@ -353,9 +410,19 @@ object ProductQuant {
     *    so at 100 TB the per-probe scan is nprobe/K of the code table,
     *    which is itself ~85× smaller than the float corpus.
     */
-  def writeCodebooks(spark: SparkSession, dir: String, path: String): Unit = {
+  def writeCodebooks(spark: SparkSession, dir: String, path: String): Unit =
+    writeCodebooksOn(spark, Kernels.inputKey(dir, "embeddings.parquet"),
+      subBase(spark, dir),
+      KMeansCodebook.lastAssignment(spark, dir), path)
+
+  /** [[writeCodebooks]] for an explicit (key, exploded corpus, coarse
+    * assignment) — the keep-filtered pipeline artifact's PQ half.
+    */
+  private def writeCodebooksOn(spark: SparkSession, key: (String, String),
+      base: => DataFrame, coarseAssignment: DataFrame, path: String): Unit = {
     import spark.implicits._
-    trainedBooks(spark, dir).toSeq.flatMap { case (ss, entries) =>
+    val b = base
+    trainedBooksOn(spark, key, b).toSeq.flatMap { case (ss, entries) =>
         entries.toSeq.flatMap { case (c, coords) =>
           coords.toSeq.zipWithIndex.map { case (x, i) =>
             (ss, c, (i + 1).toLong, x.toPlainString) }
@@ -365,9 +432,8 @@ object ProductQuant {
       .select(col("ss"), col("code"), col("dim"),
         col("c_str").cast("decimal(18,9)").as("c"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_codebooks")
-    codesOf(spark, dir)
-      .join(KMeansCodebook.lastAssignment(spark, dir).select("vec_id", "cluster"),
-        "vec_id")
+    codesOfOn(spark, key, b)
+      .join(coarseAssignment.select("vec_id", "cluster"), "vec_id")
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/codes")
   }
 
@@ -457,5 +523,107 @@ object ProductQuant {
       .withColumn("cluster", col("cluster").cast("long"))
     ivfPqSearch(spark, dir, codes, pcells,
       adcTableOf(spark, dir, booksFromArtifact(spark, path)))
+  }
+
+  // -------------------------------------------------------------------
+  // FLAGSHIP #3 — `pipeline_index`: the corpus-to-index build+serve
+  // chain a production vector store runs on every corpus release.
+
+  /** The index pipeline's corpus: embeddings of the documents the
+    * near-dup keep-list retains (vec_id ≡ doc_id in this schema) —
+    * duplicates never enter the index, so a probe can't burn its
+    * shortlist on n copies of one page. One broadcast-able semi-join
+    * (the keep-list is representative-per-cluster sized); the corpus
+    * side streams.
+    */
+  private def pipeBase(spark: SparkSession, dir: String): DataFrame =
+    pipeBaseMemo.synchronized {
+      pipeBaseMemo.getOrElseUpdate(pipeKey(dir),
+        Kernels.cacheTracked(Kernels.fanOut(
+          Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+            .join(Dedup.keepIds(spark, dir).select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi"))))
+    }
+
+  private val pipeBaseMemo =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+  Kernels.onRetire(() => pipeBaseMemo.synchronized(pipeBaseMemo.clear()))
+
+  /** Memo key for the keep-filtered corpus: distinct from the
+    * full-table keys (so the two corpora never share a trained
+    * codebook), fingerprinting BOTH inputs — the embeddings and the
+    * documents the keep-list derives from.
+    */
+  private def pipeKey(dir: String): (String, String) = {
+    val ek = Kernels.inputKey(dir, "embeddings.parquet")
+    val dk = Kernels.inputKey(dir, "documents.parquet")
+    (s"pipeline-index:${ek._1}", s"${ek._2}|${dk._2}")
+  }
+
+  /** Builds the COMPLETE durable index over the keep-filtered corpus
+    * (coarse cells + assignment + PQ codebooks + celled codes — the
+    * [[KMeansCodebook.writeIndex]]/[[writeCodebooks]] layout) under a
+    * fingerprinted root, once per (corpus, JVM); returns the root.
+    */
+  private[graft] def ensurePipelineArtifact(spark: SparkSession, dir: String): String =
+    pipeArtifactMemo.synchronized {
+      val key = pipeKey(dir)
+      pipeArtifactMemo.getOrElseUpdate(key, {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft-pipe-index-$h"
+        val base = pipeBase(spark, dir)
+        KMeansCodebook.writeIndexOn(spark, key, base, root)
+        writeCodebooksOn(spark, key, subBaseOf(base),
+          KMeansCodebook.assignmentOn(spark, key, base), root)
+        root
+      })
+    }
+
+  private val pipeArtifactMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** `pipeline_index` — FLAGSHIP #3, the index release pipeline as ONE
+    * declarative chain: near-dup keep-list → surviving embeddings →
+    * trained coarse cells + PQ codebooks over THAT corpus → durable
+    * parquet artifact ([[KMeansCodebook.writeIndex]] +
+    * [[writeCodebooks]] layout under one root) → one probe batch
+    * served FROM the artifact (top-[[Similarity.TopK]] per surviving
+    * probe, IVFPQ + exact rerank).
+    *
+    * Composition notes: stage 1 is [[Dedup.keepIds]] (the
+    * representative set of the ngram-Jaccard near-dup components —
+    * exactly what the durable keep-list artifact stores); training
+    * reuses the [[KMeansCodebook]]/[[trainedBooksOn]] kernels verbatim
+    * on the filtered corpus (init = first K/[[PqK]] SURVIVORS by id,
+    * the oracle's rank-form init); serving is the
+    * [[annIvfPqFrom]] read path — coarse codebook and PQ books to the
+    * driver (index-metadata-sized), probed cell ids as a static
+    * partition filter on the celled code table, ADC + exact rerank
+    * against surviving floats only.
+    *
+    * 100 TB shape: each stage is the production form already gated
+    * separately — the keep-list is one edge-bucketed dedup pass, the
+    * trainers move only codebook-sized data to the driver, the
+    * artifact is written partitioned-by-cell so every future probe
+    * batch reads nprobe/K of the code table — and the chain makes the
+    * release invariant explicit: the index is rebuilt from survivors
+    * only, train-once, served by readers that never retrain.
+    */
+  def pipelineIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensurePipelineArtifact(spark, dir)
+    val base = pipeBase(spark, dir)
+    val cb = KMeansCodebook.codebookFromArtifact(spark, root)
+    val pcells = KMeansCodebook.probeCellsFromBase(
+      spark, base, cb, Similarity.NumProbes, Similarity.KmProbeCells)
+    val probed = pcells.select("pcluster").distinct().collect().map(_.getLong(0))
+    val codes = spark.read.parquet(s"$root/codes")
+      .filter(col("cluster").isin(probed: _*))
+      .withColumn("cluster", col("cluster").cast("long"))
+    ivfPqSearchOn(spark, base, codes, pcells,
+      adcTableFromBase(spark, subBaseOf(base), booksFromArtifact(spark, root)))
   }
 }

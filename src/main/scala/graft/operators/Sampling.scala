@@ -280,6 +280,40 @@ object Sampling {
     * scales by adding shards. Token counts use the same letter-run
     * tokenizer as [[TextAnalysis.tokenStats]].
     */
+  /** `split_leakage_safe` split fractions: first md5 hex byte of the
+    * CLUSTER representative — < 0x0a (≈4%) test, < 0x14 (next ≈4%)
+    * valid, rest train.
+    */
+  val SplitTestThreshold = "0a"
+  val SplitValidThreshold = "14"
+
+  /** `split_leakage_safe`: cluster-aware train/valid/test assignment —
+    * each document's split is the salted hash of its NEAR-DUP CLUSTER
+    * representative ([[Dedup.clusters]]' label), not of its own id, so
+    * a document and all its near-duplicates always land in the same
+    * split. This is the eval-split hygiene rule a per-doc hash split
+    * silently violates: with near-dups straddling train/test, the
+    * "held-out" set is partially memorizable and eval numbers inflate.
+    *
+    * Scale shape: the cluster labeling is [[Dedup.clusters]]' bucketed
+    * near-dup pass (paid once per corpus build and shared with the
+    * keep-list); on top of it the split is ONE map-side hash of the
+    * label — no new shuffle, no coordination, reproducible on any
+    * engine and at any parallelism. Adding documents later never moves
+    * an existing cluster between splits (the hash depends only on the
+    * representative id), the property that keeps longitudinal evals
+    * comparable across corpus releases.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(saltedHash("split", col("cluster")), 1, 2)
+    Dedup.clusters(spark, dir)
+      .select(col("doc_id"), col("cluster"),
+        when(h < SplitTestThreshold, "test")
+          .when(h < SplitValidThreshold, "valid")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

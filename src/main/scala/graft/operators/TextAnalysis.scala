@@ -125,6 +125,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Winsorize percentiles: clip below the per-language p05, above p95. */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  /** `quality_winsorize`: per-language winsorized quality — each
+    * document's score clipped to its language's [p05, p95] band. The
+    * robust normalization step before thresholding or mixing on
+    * quality: a handful of pathological outliers (mojibake, boilerplate
+    * walls) otherwise drag a plain z-score or min-max scale, and
+    * per-language bands keep one language's score distribution from
+    * gating another's (stopword-ratio scales differ by language).
+    *
+    * Exactness: both engines interpolate the same R-7 linear quantile
+    * (Spark `percentile` == DuckDB `quantile_cont`) over the same
+    * 4dp-rounded scores, so the bounds agree bit-for-bit; bounds and
+    * clipped values round to 6dp. Scale shape: ONE tokenize pass
+    * scores every doc; the exact per-language percentile is a
+    * per-group sort confined to the handful of language groups — at
+    * 100 TB you swap in the GK sketch bounds ([[Events.approxQuantiles]]'s
+    * kernel) and keep the same clip join; the bands are a
+    * languages-sized broadcast either way.
+    */
+  def qualityWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val q = qualityScore(spark, dir).select(col("doc_id"), col("quality"))
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    val bands = q.groupBy("lang").agg(
+      round(expr(s"percentile(quality, $WinsorLo)"), 6).as("q_lo"),
+      round(expr(s"percentile(quality, $WinsorHi)"), 6).as("q_hi"))
+    q.join(broadcast(bands), "lang")
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("q_lo"), col("q_hi"),
+        round(least(greatest(col("quality"), col("q_lo")), col("q_hi")), 6)
+          .as("q_wins"))
+      .orderBy("doc_id")
+  }
+
   /** Sentence segmentation: split each document on terminal-punctuation
     * runs, trim, drop empties, and emit per-sentence rows with a
     * 1-based index, length, token count and content fingerprint — the

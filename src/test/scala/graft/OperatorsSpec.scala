@@ -918,6 +918,56 @@ class OperatorsSpec extends AnyFunSuite {
     assert(served.nonEmpty && served == trained)
   }
 
+  test("pipeline_index satisfies every stage's contract and serves cross-session") {
+    val out = ProductQuant.pipelineIndex(spark, sf).collect()
+    assert(out.nonEmpty)
+    // stage 1: the index corpus is the near-dup keep-list — every probe
+    // and every neighbor is a cluster representative, and the stage
+    // BITES: at least one non-representative doc exists and never
+    // appears on either side
+    val reps = Dedup.keep(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    val probes = out.map(_.getAs[Long]("probe_id")).toSet
+    val neighbors = out.map(_.getAs[Long]("neighbor_id")).toSet
+    assert(probes.subsetOf(reps) && neighbors.subsetOf(reps),
+      "only keep-list survivors may be indexed or probe")
+    val nonReps = Dedup.clusters(spark, sf).collect()
+      .filter(r => r.getAs[Long]("doc_id") != r.getAs[Long]("cluster"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(nonReps.nonEmpty && probes.intersect(nonReps).isEmpty
+      && neighbors.intersect(nonReps).isEmpty,
+      "duplicate cluster members must not enter the index")
+    // probe batch = surviving ids below the probe horizon, each with a
+    // dense top-k (ties can't shrink it: every surviving candidate set
+    // is > TopK here)
+    val expectedProbes = reps.filter(_ < Similarity.NumProbes)
+    assert(probes == expectedProbes, "every surviving probe must answer")
+    out.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.length <= Similarity.TopK)
+      rs.foreach(r => assert(r.getAs[Long]("neighbor_id") != p))
+    }
+    // stage 2: the durable artifact has all four index components, with
+    // the code and assignment tables laid out partitioned-by-cell
+    val root = ProductQuant.ensurePipelineArtifact(spark, sf)
+    Seq("coarse_codebook", "assignment", "pq_codebooks", "codes").foreach { c =>
+      assert(new java.io.File(s"$root/$c").isDirectory, s"missing $c")
+    }
+    Seq("assignment", "codes").foreach { c =>
+      assert(new java.io.File(s"$root/$c").listFiles()
+        .exists(_.getName.startsWith("cluster=")), s"$c not cell-partitioned")
+    }
+    // the artifact indexes exactly the surviving corpus
+    val asg = spark.read.parquet(s"$root/assignment")
+    assert(asg.count() == reps.size.toLong)
+    // stage 3: a FRESH session serves the identical ranked answer from
+    // the parquet artifact (exact decimals round-trip; no training
+    // memos of this session are consulted for the codebooks)
+    Dedup.retireCaches()
+    val fresh = spark.newSession()
+    val served = ProductQuant.pipelineIndex(fresh, sf).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == out.map(_.toSeq).toSeq)
+  }
+
   test("ann index artifact components are complete and cell-partitioned") {
     val root = SparkTestSession.tmpDir("ann-index-parts").resolve("index").toString
     KMeansCodebook.writeIndex(spark, sf, root)

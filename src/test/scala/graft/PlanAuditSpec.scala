@@ -88,6 +88,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "probe cells and the ADC table must broadcast")
   }
 
+  test("pipeline_index serve: partition-pruned codes, no product, broadcast probes") {
+    // the flagship's serve stage inherits every index-plan guarantee:
+    // static probed-cell pruning on the artifact's code partitions,
+    // equi-joins only, query-sized sides broadcast
+    val p = plan(graft.operators.ProductQuant.pipelineIndex(spark, sf))
+    Dedup.retireCaches()
+    assert(p.contains("PartitionFilters: [") && p.contains("cluster"),
+      s"probed-cell filter must prune the artifact's code partitions:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every stage must stay an equi-join")
+    assert(p.contains("BroadcastExchange"),
+      "probe cells, ADC table and the keep-list semi-join must broadcast")
+  }
+
   test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
     val p = plan(Retrieval.bm25Search(spark, sf))
     assert(!p.contains("CartesianProduct"),
