@@ -175,6 +175,8 @@ object SparkEntry {
     "length_histogram" -> Corpus.lengthHistogram _,
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "bm25_search" -> Retrieval.bm25Search _,
+    "tfidf_search" -> ((s: SparkSession, d: String) => Retrieval.tfidfSearch(s, d)),
+    "retrieval_rrf" -> Retrieval.rrfFusion _,
     "vocab_top" -> Corpus.vocabTop _,
     "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
     "bpe_vocab_encode" -> Bpe.vocabEncode _,
@@ -2245,6 +2247,57 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, doc_id, score, rnk FROM r
          |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
+    // the VSM twin of bm25: same posting frame, corpus-wide df + doc
+    // norms (the two corpus statistics cosine genuinely needs), every
+    // sum over 9dp decimal contributions (mirrors Retrieval.tfidfSearch)
+    val tfidfSearch =
+      s"""WITH tf AS (
+         |  SELECT doc_id, word AS term, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksLowerSql) AS word FROM documents)
+         |  GROUP BY doc_id, word),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |st AS (SELECT (SELECT count(*) FROM documents) AS n_docs),
+         |w AS (SELECT tf.doc_id, tf.term,
+         |    CAST(tf.tf AS DOUBLE) * ln(CAST(st.n_docs AS DOUBLE) / dfq.df) AS w
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+         |nd AS (SELECT doc_id,
+         |    round(sqrt(CAST(sum(CAST(round(w*w, 9) AS DECIMAL(18,9))) AS DOUBLE)), 6) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |q(query_id, term) AS (VALUES $bmQValues),
+         |qtf AS (SELECT query_id, term, count(*) AS tfq FROM q GROUP BY query_id, term),
+         |qw AS (SELECT qtf.query_id, qtf.term,
+         |    CAST(qtf.tfq AS DOUBLE) * ln(CAST(st.n_docs AS DOUBLE) / dfq.df) AS qw
+         |  FROM qtf JOIN dfq USING (term) CROSS JOIN st),
+         |nq AS (SELECT query_id,
+         |    round(sqrt(CAST(sum(CAST(round(qw*qw, 9) AS DECIMAL(18,9))) AS DOUBLE)), 6) AS qnrm
+         |  FROM qw GROUP BY query_id),
+         |dt AS (SELECT qw.query_id, w.doc_id,
+         |    CAST(sum(CAST(round(qw.qw * w.w, 9) AS DECIMAL(18,9))) AS DOUBLE) AS dot
+         |  FROM qw JOIN w USING (term) GROUP BY qw.query_id, w.doc_id),
+         |sc AS (SELECT dt.query_id, dt.doc_id,
+         |    round(dt.dot / (nd.nrm * nq.qnrm), 6) AS score
+         |  FROM dt JOIN nd USING (doc_id) JOIN nq USING (query_id)),
+         |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT query_id, doc_id, score, rnk FROM r
+         |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
+    // rank-only fusion of the two rankers' top-k lists (mirrors
+    // Retrieval.rrfFusion; the underlying oracles are composed verbatim)
+    val rrf =
+      s"""WITH bm AS (SELECT * FROM ($bm25)),
+         |vs AS (SELECT * FROM ($tfidfSearch)),
+         |u AS (SELECT coalesce(bm.query_id, vs.query_id) AS query_id,
+         |    coalesce(bm.doc_id, vs.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (${Retrieval.RrfK} + bm.rnk), 0)
+         |        + coalesce(1.0 / (${Retrieval.RrfK} + vs.rnk), 0), 6) AS rrf
+         |  FROM bm FULL OUTER JOIN vs
+         |    ON bm.query_id = vs.query_id AND bm.doc_id = vs.doc_id),
+         |r AS (SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM u)
+         |SELECT query_id, doc_id, rrf, rnk FROM r
+         |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
     // counts measure substitutions actually made: each pattern counted
     // AFTER the previous redactions (mirrors Corpus.piiScrub exactly)
     val pii =
@@ -2426,6 +2479,7 @@ object SparkEntry {
          |FROM m ORDER BY lang""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
+        "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
         "stats_regression" -> regression,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "export_curriculum" -> exportCurriculum,

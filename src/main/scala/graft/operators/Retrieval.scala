@@ -115,4 +115,121 @@ object Retrieval {
       .filter(col("rnk") <= BmTopK)
       .orderBy("query_id", "rnk")
   }
+
+  /** `tfidf_search`: the classic vector-space ranker — cosine between
+    * the query's and each document's tf·idf vectors (idf = ln(N/df)) —
+    * the second retrieval signal a hybrid stack fuses with BM25
+    * ([[rrfFusion]]): it normalizes by the document's FULL weighted
+    * length where BM25 only dampens by raw length, so the two disagree
+    * exactly on long documents that match narrowly vs short ones that
+    * match densely.
+    *
+    * 100 TB shape vs [[bm25Search]]: cosine needs two genuine CORPUS
+    * statistics — every term's df and every document's weighted norm —
+    * which no query-time semi-join can shrink. They cost one
+    * shuffle-by-term (df window over the posting frame) and one
+    * combiner-friendly groupBy(doc) (norms); in production both are
+    * materialized once per corpus build next to the posting frame and
+    * this query is, like BM25, a broadcast probe. Scoring itself
+    * touches only query-matched postings. Determinism: weights are
+    * single deterministic double expressions; every sum (norms, dots)
+    * runs over 9dp-rounded DECIMAL contributions so aggregation order
+    * can't move the 6dp-rounded score.
+    */
+  def tfidfSearch(spark: SparkSession, dir: String): DataFrame =
+    tfidfSearch(spark, dir, Queries)
+
+  def tfidfSearch(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+    // df is corpus-wide by definition here (the norm needs every term's
+    // weight, not just query terms') — the window IS the materialized
+    // df table of a production deployment
+    val w = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).as("w"),
+        col("df"), col("n_docs"))
+    val dNorm = w.groupBy("doc_id")
+      .agg(round(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(18,9)"))
+        .cast("double")), 6).as("nrm"))
+    val qtf = queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .groupBy(identity).map { case ((qid, t), g) => (qid, t, g.size.toLong) }
+      .toSeq.toDF("query_id", "term", "tfq")
+    // query-term df via the bm25 trick — counting over the postings
+    // semi-joined to the query vocabulary equals corpus df exactly, so
+    // the query side never forces a corpus-wide distinct; terms absent
+    // from the corpus have no defined idf and contribute to neither
+    // dot nor norm
+    val qdf = tf
+      .join(broadcast(qtf.select("term").distinct()), Seq("term"), "leftsemi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val qw = qdf
+      .join(broadcast(qtf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"),
+        (col("tfq").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).as("qw"))
+    val qNorm = qw.groupBy("query_id")
+      .agg(round(sqrt(sum(round(col("qw") * col("qw"), 9).cast("decimal(18,9)"))
+        .cast("double")), 6).as("qnrm"))
+    val dot = w.join(broadcast(qw), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(round(col("qw") * col("w"), 9).cast("decimal(18,9)"))
+        .cast("double").as("dot"))
+    dot
+      .join(broadcast(qNorm), "query_id")
+      .join(dNorm, "doc_id") // dot side is query-sized: it broadcasts
+      .select(col("query_id"), col("doc_id"),
+        round(col("dot") / (col("nrm") * col("qnrm")), 6).as("score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= BmTopK)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Reciprocal-rank-fusion constant (the Cormack/Clarke default). */
+  val RrfK = 60
+
+  /** `retrieval_rrf`: hybrid retrieval — BM25 and tf·idf-cosine
+    * rankings fused by reciprocal rank, score = Σ 1/([[RrfK]]+rank)
+    * over the systems that ranked the doc. RRF is the standard fusion
+    * for heterogeneous rankers (lexical + semantic in a production
+    * RAG stack; two lexical scorers here, where the embedding ANN
+    * family plays the semantic role over vec ids) because it needs no
+    * score calibration: only ranks enter, so a system with a wild
+    * score scale can't dominate.
+    *
+    * Scale shape: fusion runs over the two systems' top-k lists —
+    * query-sized frames, a broadcast full-outer join and one rank
+    * window per query. The corpus-touching work is whatever the
+    * underlying rankers cost; fusion adds nothing corpus-sized.
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Search(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_bm"))
+    val vs = tfidfSearch(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_vsm"))
+    bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("rnk_bm")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rnk_vsm")), lit(0.0)), 6)
+          .as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= BmTopK)
+      .orderBy("query_id", "rnk")
+  }
 }

@@ -300,6 +300,99 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split keeps every near-dup cluster whole and partitions the corpus") {
+    val rows = Sampling.leakageSafeSplit(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == n, "every document gets exactly one split")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "valid", "test")))
+    assert(rows.count(_.getAs[String]("split") == "train") > 0)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"cluster $c straddles splits — exactly the leakage this operator prevents")
+    }
+    // the invariant must BITE: without multi-member clusters the
+    // cluster-keyed hash would be indistinguishable from a per-doc hash
+    assert(byCluster.exists(_._2.length > 1), "no near-dup cluster in corpus")
+  }
+
+  test("winsorize clips exactly to per-language bands; OLS matches driver arithmetic") {
+    val rows = TextAnalysis.qualityWinsorize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { r =>
+      val (q, lo, hi, c) = (r.getAs[Double]("quality"), r.getAs[Double]("q_lo"),
+        r.getAs[Double]("q_hi"), r.getAs[Double]("q_wins"))
+      assert(lo <= hi)
+      assert(c >= lo && c <= hi, "clipped value must land inside the band")
+      if (q >= lo && q <= hi) assert(c == r6(q), "in-band scores pass through")
+    }
+    assert(rows.exists(r => r.getAs[Double]("quality") < r.getAs[Double]("q_lo")
+      || r.getAs[Double]("quality") > r.getAs[Double]("q_hi")),
+      "the clip never binds — p05/p95 bands would be vacuous on this corpus")
+    // stats_regression: replay the closed form from exact driver-side
+    // BigInt moments; the distributed decimal sums must agree at 6dp
+    val data = Tables.documents(spark, sf)
+      .select(col("lang"), col("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("y")).collect()
+      .map(r => (r.getAs[String]("lang"), BigInt(r.getAs[Long]("n_chars")), BigInt(r.getAs[Long]("y"))))
+    val got = Corpus.statsRegression(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2"))).toMap
+    data.groupBy(_._1).foreach { case (lang, g) =>
+      val n = BigInt(g.length)
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum; val syy = g.map(t => t._3 * t._3).sum
+      val num = (n * sxy - sx * sy).toDouble
+      val denx = (n * sxx - sx * sx).toDouble; val deny = (n * syy - sy * sy).toDouble
+      val slope = num / denx
+      val (gn, gs, gi, gr2) = got(lang)
+      assert(gn == g.length.toLong)
+      assert(math.abs(gs - r6(slope)) < 1e-12)
+      assert(math.abs(gi - r6((sy.toDouble - slope * sx.toDouble) / n.toDouble)) < 1e-12)
+      assert(math.abs(gr2 - r6(math.pow(num / math.sqrt(denx * deny), 2))) < 1e-12)
+    }
+  }
+
+  test("tfidf_search is a true cosine and rrf fusion is rank-only") {
+    val vs = Retrieval.tfidfSearch(spark, sf).collect()
+    assert(vs.nonEmpty)
+    // cosine is bounded and ranks are dense per query
+    vs.foreach { r =>
+      val s = r.getAs[Double]("score")
+      assert(s >= -1.000001 && s <= 1.000001, s"cosine out of range: $s")
+    }
+    vs.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.sameElements(1L to rs.length))
+    }
+    // the two rankers genuinely disagree somewhere (otherwise fusion
+    // tests nothing): some (query, doc) rank differs between systems
+    val bm = Retrieval.bm25Search(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rnk")).toMap
+    val vsm = vs.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rnk")).toMap
+    assert(bm.exists { case (k, rk) => vsm.get(k).exists(_ != rk) },
+      "BM25 and VSM agree on every rank — fusion would be vacuous")
+    // rrf scores recompute exactly from the two systems' ranks alone
+    val fused = Retrieval.rrfFusion(spark, sf).collect()
+    assert(fused.nonEmpty)
+    fused.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      val expect = bm.get(k).map(rk => 1.0 / (Retrieval.RrfK + rk)).getOrElse(0.0) +
+        vsm.get(k).map(rk => 1.0 / (Retrieval.RrfK + rk)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") -
+        BigDecimal(expect).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12,
+        s"rrf for $k is not the reciprocal-rank sum")
+    }
+    // a doc ranked by BOTH systems must outscore one ranked by only the
+    // weaker tail of a single system at the same depths
+    val both = fused.filter(r => {
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      bm.contains(k) && vsm.contains(k)
+    })
+    assert(both.nonEmpty, "no doc ranked by both systems — corpus degenerate")
+  }
+
   test("bm25 scores are query-set independent when queries share a term") {
     // df is a corpus statistic: adding a SECOND query that reuses a term
     // must not change the first query's scores. (Regression pin for the
