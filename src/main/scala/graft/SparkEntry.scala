@@ -160,6 +160,7 @@ object SparkEntry {
     // Sampling / mixing / packing (north star)
     "sample_hash" -> Sampling.hashSample _,
     "split_leakage_safe" -> Sampling.leakageSafeSplit _,
+    "graph_pagerank" -> Graph.pageRank _,
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
     "sample_temperature" -> Sampling.temperatureMix _,
@@ -1091,7 +1092,40 @@ object SparkEntry {
          |ORDER BY doc_id, fp""".stripMargin,
   ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++ pqOracles ++
     bpeOracles ++ multimodalOracles ++ samplingOracles ++ corpusOracles ++
-    streamingOracles
+    graphOracles ++ streamingOracles
+
+  /** PageRank replay: the same [[graft.operators.Graph.PrIters]]
+    * damped rounds as chained CTEs over the symmetrized ngram-pair
+    * edges — contributions round to 12dp and sum as DECIMAL in both
+    * engines, so every round is order-exact (mirrors Graph.pageRank).
+    */
+  private def graphOracles: Map[String, String] = {
+    import graft.operators.Graph
+    val rounds = (1 to Graph.PrIters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (SELECT sym.dst AS doc_id,
+         |    round(CAST(${Graph.PrResid} AS DOUBLE) / st.n
+         |      + CAST(${Graph.PrDamping} AS DOUBLE)
+         |        * CAST(sum(CAST(round($prev.pr / deg.deg, 12) AS DECIMAL(22,12))) AS DOUBLE), 12) AS pr
+         |  FROM sym JOIN $prev ON sym.src = $prev.doc_id
+         |  JOIN deg ON deg.src = sym.src CROSS JOIN st
+         |  GROUP BY sym.dst, st.n)"""
+    }.mkString(",\n")
+    val last = s"r${Graph.PrIters}"
+    val pagerank =
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+         |st AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS doc_id, round(CAST(1 AS DOUBLE) / st.n, 12) AS pr
+         |  FROM deg CROSS JOIN st),
+         |$rounds
+         |SELECT $last.doc_id, deg.deg, $last.pr AS pagerank
+         |FROM $last JOIN deg ON deg.src = $last.doc_id
+         |ORDER BY doc_id""".stripMargin
+    Map("graph_pagerank" -> pagerank)
+  }
 
   /** BPE trainer oracles: the per-round window chain (pair counts →
     * 1-row best → chain-parity merge → rebuild) generated for

@@ -300,6 +300,44 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank conserves mass and replays bit-exactly in driver arithmetic") {
+    val rows = Graph.pageRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // symmetric graph, no dangling nodes → total mass 1 up to the
+    // 12dp per-round rounding drift
+    val mass = rows.map(_.getAs[Double]("pagerank")).sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass $mass drifted")
+    assert(rows.map(_.getAs[Double]("pagerank")).distinct.length > 1,
+      "all ranks equal — the dup graph is regular?! centrality would be vacuous")
+    // exact replay: same init, damping, per-round 12dp contribution
+    // rounding and decimal sums, in plain driver arithmetic
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edges = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val sym = edges ++ edges.map(e => (e._2, e._1))
+    val deg = sym.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val n = deg.size
+    val teleport = Graph.PrResid / n.toDouble
+    var pr = deg.keys.map(_ -> r12(1.0 / n.toDouble)).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val sums = scala.collection.mutable.Map.empty[Long, BigDecimal]
+        .withDefaultValue(BigDecimal(0))
+      sym.foreach { case (s, d) =>
+        sums(d) += BigDecimal(pr(s) / deg(s))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }
+      pr = sums.map { case (v, s) =>
+        v -> r12(teleport + Graph.PrDamping * s.toDouble) }.toMap
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("deg") == deg(id))
+      assert(r.getAs[Double]("pagerank") == pr(id),
+        s"doc $id: distributed ${r.getAs[Double]("pagerank")} != replay ${pr(id)}")
+    }
+    assert(rows.length == n)
+  }
+
   test("leakage-safe split keeps every near-dup cluster whole and partitions the corpus") {
     val rows = Sampling.leakageSafeSplit(spark, sf).collect()
     val n = Tables.documents(spark, sf).count()
