@@ -157,6 +157,7 @@ object SparkEntry {
     "mm_resize" -> Multimodal.resizePlan _,
     "mm_features" -> Multimodal.featureStub _,
     "mm_frames" -> Multimodal.frameSample _,
+    "mm_phash_pairs" -> Multimodal.phashPairs _,
     // Sampling / mixing / packing (north star)
     "sample_hash" -> Sampling.hashSample _,
     "split_leakage_safe" -> Sampling.leakageSafeSplit _,
@@ -2046,6 +2047,30 @@ object SparkEntry {
   }
 
   private def multimodalOracles: Map[String, String] = Map(
+    // the image half of dedup: corpus-mean-thresholded average hash,
+    // banded candidates, XOR-popcount verify (mirrors
+    // Multimodal.phashPairs bit for bit)
+    "mm_phash_pairs" -> {
+      val byteVal = "(strpos('0123456789abcdef', substr(sha, 2*dim - 1, 1)) - 1) * 16" +
+        " + (strpos('0123456789abcdef', substr(sha, 2*dim, 1)) - 1)"
+      val bb = Multimodal.PhashBits / Multimodal.PhashBands
+      val mask = (1L << bb) - 1
+      s"""WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
+         |e AS (SELECT doc_id, sha, unnest(generate_series(1, ${Multimodal.PhashBits})) AS dim FROM s),
+         |f AS (SELECT doc_id, dim, round(($byteVal) / 255.0, 6) AS f FROM e),
+         |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+         |      FROM f GROUP BY dim),
+         |ph AS (SELECT doc_id,
+         |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+         |  FROM f JOIN m USING (dim) GROUP BY doc_id),
+         |bands AS (SELECT doc_id, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+         |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS pa, y.ph AS pb
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "mm_frames" -> {
       val k = Multimodal.FrameSampleK
       s"""WITH m AS (SELECT doc_id,

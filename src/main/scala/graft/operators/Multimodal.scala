@@ -158,4 +158,62 @@ object Multimodal {
       .select(col("doc_id"), col("sample_no"), col("frame_no"), col("ts_ms"),
         col("n_frames"), col("fps"))
       .orderBy("doc_id", "sample_no")
+
+  /** Perceptual-hash width / banding: [[PhashBits]]-bit average hash,
+    * [[PhashBands]] bands of bits/bands each — by pigeonhole, any pair
+    * at Hamming ≤ bands−1 (= [[PhashMaxHamming]]) shares a full band,
+    * so the banded candidate join is LOSSLESS at the emitted threshold
+    * (the [[Dedup.simHashPairs]] argument at image width).
+    */
+  val PhashBits = 16
+  val PhashBands = 2
+  val PhashMaxHamming = 1L
+
+  /** `mm_phash_pairs`: perceptual near-dup pairs over the media corpus
+    * — the image half of dedup. Per-"image" features (the stubbed
+    * decode's byte channels; a real kernel emits DCT/average-pool
+    * values from pixels) are thresholded against their PER-CORPUS
+    * per-dimension mean — the classic average-hash: bit i says "this
+    * image is above corpus average in channel i" — packing each image
+    * into a [[PhashBits]]-bit signature. Near-dups are pairs at
+    * Hamming ≤ [[PhashMaxHamming]], found by the banded join, never
+    * all-pairs.
+    *
+    * Scale shape: features are map-only over decoded batches; the
+    * thresholds are ONE dim-sized broadcast (a [[PhashBits]]-row
+    * aggregate, combiner-friendly, decimal-summed so the mean is
+    * order-exact); signatures are one combiner-friendly groupBy(doc);
+    * candidates come banded (~2·2⁻⁸ of pairs at this width), each
+    * verified with an integer XOR popcount. Every stage is exact
+    * integer/6dp arithmetic, replayed bit-for-bit by the oracle.
+    */
+  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val f = decodeMeta(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(PhashBits))).as("dim"), col("sha"))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        round(conv(expr("substring(sha, 2*dim - 1, 2)"), 16, 10).cast("double")
+          / 255.0, 6).as("f"))
+    val mu = f.groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+    val ph = f.join(broadcast(mu), "dim")
+      .groupBy("doc_id")
+      .agg(sum(when(col("f") > col("mu"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
+        .otherwise(lit(0L))).as("ph"))
+    val bandBits = PhashBits / PhashBands
+    val mask = (1L << bandBits) - 1
+    val bands = ph.select(col("doc_id"), col("ph"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("b"))
+      .withColumn("bk", expr(s"shiftright(ph, CAST($bandBits * b AS INT)) & $mask"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
 }

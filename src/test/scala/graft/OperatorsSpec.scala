@@ -300,6 +300,38 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("phash banding is lossless: banded pairs equal the all-pairs answer") {
+    val banded = Multimodal.phashPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+      .toSet
+    assert(banded.nonEmpty, "no perceptual near-dups — threshold spec is vacuous")
+    // independent replay: signatures from scratch in driver arithmetic,
+    // then ALL pairs at the threshold (no banding) — pigeonhole says
+    // the banded join may not lose a single pair at Hamming <= bands-1
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val feats = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
+      val dig = md.digest(r.getAs[String]("text").getBytes("UTF-8"))
+      r.getAs[Long]("doc_id") ->
+        (0 until Multimodal.PhashBits).map(i => r6((dig(i) & 0xff) / 255.0)).toArray
+    }
+    val n = feats.length
+    val mu = (0 until Multimodal.PhashBits).map { i =>
+      r6(feats.map(f => BigDecimal(f._2(i))).sum.toDouble / n)
+    }
+    val ph = feats.map { case (id, f) =>
+      id -> (0 until Multimodal.PhashBits)
+        .map(i => if (f(i) > mu(i)) 1L << i else 0L).sum
+    }.toMap
+    val all = (for {
+      a <- ph.keys; b <- ph.keys if a < b
+      h = java.lang.Long.bitCount(ph(a) ^ ph(b)).toLong
+      if h <= Multimodal.PhashMaxHamming
+    } yield (a, b, h)).toSet
+    assert(banded == all,
+      s"banded=${banded.size} all=${all.size} — banding dropped or invented pairs")
+  }
+
   test("pagerank conserves mass and replays bit-exactly in driver arithmetic") {
     val rows = Graph.pageRank(spark, sf).collect()
     assert(rows.nonEmpty)
