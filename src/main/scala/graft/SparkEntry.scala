@@ -158,6 +158,8 @@ object SparkEntry {
     "mm_features" -> Multimodal.featureStub _,
     "mm_frames" -> Multimodal.frameSample _,
     "mm_phash_pairs" -> Multimodal.phashPairs _,
+    "mm_phash_incremental" -> Multimodal.phashIncremental _,
+    "stream_phash_incremental" -> graft.streaming.DocStream.streamPhashIncremental _,
     // Sampling / mixing / packing (north star)
     "sample_hash" -> Sampling.hashSample _,
     "split_leakage_safe" -> Sampling.leakageSafeSplit _,
@@ -2046,6 +2048,37 @@ object SparkEntry {
         "ann_ivf_pq_served" -> ivfPq)
   }
 
+  /** Perceptual ingest dedup replay: thresholds trained on the HISTORY
+    * split only, both sides hashed with them, banded batch→history
+    * candidates, XOR-popcount verify (mirrors Multimodal.phashIncremental
+    * and its streaming twin).
+    */
+  private lazy val phashIncrementalSql: String = {
+    val byteVal = "(strpos('0123456789abcdef', substr(sha, 2*dim - 1, 1)) - 1) * 16" +
+      " + (strpos('0123456789abcdef', substr(sha, 2*dim, 1)) - 1)"
+    val bb = Multimodal.PhashBits / Multimodal.PhashBands
+    val mask = (1L << bb) - 1
+    val thr = Dedup.IncBatchThreshold
+    s"""WITH s AS (SELECT doc_id, sha256(text) AS sha,
+       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split FROM documents),
+       |e AS (SELECT doc_id, sha, split, unnest(generate_series(1, ${Multimodal.PhashBits})) AS dim FROM s),
+       |f AS (SELECT doc_id, split, dim, round(($byteVal) / 255.0, 6) AS f FROM e),
+       |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |      FROM f WHERE split >= '$thr' GROUP BY dim),
+       |ph AS (SELECT doc_id, split,
+       |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+       |  FROM f JOIN m USING (dim) GROUP BY doc_id, split),
+       |bands AS (SELECT doc_id, split, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+       |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS hist_id,
+       |    x.ph AS pa, y.ph AS pb
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+       |    AND x.split < '$thr' AND y.split >= '$thr')
+       |SELECT batch_id, hist_id, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
+       |ORDER BY batch_id, hist_id""".stripMargin
+  }
+
   private def multimodalOracles: Map[String, String] = Map(
     // the image half of dedup: corpus-mean-thresholded average hash,
     // banded candidates, XOR-popcount verify (mirrors
@@ -2071,6 +2104,10 @@ object SparkEntry {
          |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    "mm_phash_incremental" -> phashIncrementalSql,
+    // the streaming twin is a stateless stream-static probe of the
+    // same store — bit-identical, one oracle gates both
+    "stream_phash_incremental" -> phashIncrementalSql,
     "mm_frames" -> {
       val k = Multimodal.FrameSampleK
       s"""WITH m AS (SELECT doc_id,

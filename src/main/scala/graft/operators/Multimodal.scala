@@ -187,6 +187,101 @@ object Multimodal {
     * verified with an integer XOR popcount. Every stage is exact
     * integer/6dp arithmetic, replayed bit-for-bit by the oracle.
     */
+  /** Per-channel thresholds trained on the HISTORY side — the phash
+    * analogue of a served index statistic: new images must be hashed
+    * with the thresholds the stored signatures used, or batch and
+    * store bits mean different things. 16 values, collected once and
+    * shipped in the task closure (the codebook contract).
+    */
+  private[graft] def historyMu(spark: SparkSession, dir: String): IndexedSeq[Double] = {
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val f = Tables.documents(spark, dir)
+      .filter(splitOf >= Dedup.IncBatchThreshold)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), lit(PhashBits))).as("dim"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
+      .select(col("dim").cast("long").as("dim"),
+        round(conv(expr("substring(sha, 2*dim - 1, 2)"), 16, 10).cast("double")
+          / 255.0, 6).as("f"))
+    f.groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
+      .toIndexedSeq
+  }
+
+  /** The whole signature as ONE map-side expression (no explode, no
+    * aggregate): bit i set iff channel i beats its trained threshold.
+    * Shared verbatim by the batch incremental and its streaming twin —
+    * the stream needs it because a streaming query gets one aggregate,
+    * and the pair fold is it.
+    */
+  private[graft] def phashExpr(sha: org.apache.spark.sql.Column,
+      mu: IndexedSeq[Double]): org.apache.spark.sql.Column =
+    (0 until PhashBits).map { i =>
+      when(round(conv(substring(sha, 2 * i + 1, 2), 16, 10).cast("double")
+        / 255.0, 6) > mu(i), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Band structs (band, bkey) for a signature column — map-only. */
+  private[graft] def phashBands(ph: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bandBits = PhashBits / PhashBands
+    val mask = (1L << bandBits) - 1
+    array((0 until PhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(ph, bandBits * b).bitwiseAND(lit(mask)).as("bkey"))
+    }: _*)
+  }
+
+  /** The history side's banded signature store (hist_id, band, bkey,
+    * h_ph) — in production a materialized table maintained by ingest,
+    * here derived from the split (the [[Dedup.incremental]] contract).
+    */
+  private[graft] def historyPhashStore(spark: SparkSession, dir: String,
+      mu: IndexedSeq[Double]): DataFrame = {
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    Tables.documents(spark, dir)
+      .filter(splitOf >= Dedup.IncBatchThreshold)
+      .select(col("doc_id").as("hist_id"),
+        phashExpr(sha2(encode(col("text"), "UTF-8"), 256), mu).as("h_ph"))
+      .select(col("hist_id"), col("h_ph"),
+        explode(phashBands(col("h_ph"))).as("bk"))
+      .select(col("hist_id"), col("h_ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** `mm_phash_incremental`: the ingest form of perceptual dedup — a
+    * batch of new images probes the HISTORICAL signature store only
+    * (batch-internal pairs are [[phashPairs]]' job on the batch
+    * alone), completing the incremental family across modalities:
+    * exact, MinHash, SimHash, spans, semantic, and now images all have
+    * batch-vs-history twins. Thresholds are the history's
+    * ([[historyMu]]); candidates come banded; a multi-band collision
+    * folds to one row. Scale shape: everything batch-sized except the
+    * store scan, which in production is the pre-materialized banded
+    * signature table.
+    */
+  def phashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val mu = historyMu(spark, dir)
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val batch = Tables.documents(spark, dir)
+      .filter(splitOf < Dedup.IncBatchThreshold)
+      .select(col("doc_id").as("batch_id"),
+        phashExpr(sha2(encode(col("text"), "UTF-8"), 256), mu).as("ph"))
+      .select(col("batch_id"), col("ph"),
+        explode(phashBands(col("ph"))).as("bk"))
+      .select(col("batch_id"), col("ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    batch.join(historyPhashStore(spark, dir, mu), Seq("band", "bkey"))
+      .select(col("batch_id"), col("hist_id"),
+        expr("CAST(bit_count(ph ^ h_ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .groupBy("batch_id", "hist_id")
+      .agg(min("hamming").as("hamming"))
+      .orderBy("batch_id", "hist_id")
+  }
+
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
     val f = decodeMeta(spark, dir)
       .select(col("doc_id"),

@@ -329,6 +329,49 @@ object DocStream {
     spark.table(name).orderBy("batch_id", "hist_id")
   }
 
+  /** `stream_phash_incremental`: the ingest-stream twin of
+    * [[graft.operators.Multimodal.phashIncremental]] — newly-arriving
+    * media probes the HISTORICAL perceptual-signature store per
+    * micro-batch. The trained thresholds ride the task closure (16
+    * values — the codebook contract), the signature and its bands are
+    * map-only expressions, candidates come from a stream-static
+    * equi-join on the banded store, and the only aggregation is the
+    * multi-band-collision fold (a pair can collide on both bands), so
+    * the complete-mode result equals the batch query bit-for-bit and
+    * the SAME oracle gates both.
+    */
+  def streamPhashIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels, Multimodal}
+    val mu = Multimodal.historyMu(spark, dir)
+    val store = Kernels.cacheTracked(Multimodal.historyPhashStore(spark, dir, mu))
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val pairs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+      .select(col("doc_id").as("batch_id"),
+        Multimodal.phashExpr(sha2(encode(col("text"), "UTF-8"), 256), mu).as("ph"))
+      .select(col("batch_id"), col("ph"),
+        explode(Multimodal.phashBands(col("ph"))).as("bk"))
+      .select(col("batch_id"), col("ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .join(store, Seq("band", "bkey"))
+      .select(col("batch_id"), col("hist_id"),
+        expr("CAST(bit_count(ph ^ h_ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashMaxHamming)
+      .groupBy("batch_id", "hist_id")
+      .agg(min("hamming").as("hamming"))
+    val name = "stream_phash_out"
+    EventStream.withStatePartitions(spark) {
+      val q = pairs.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally { q.stop(); Dedup.retireCaches() }
+    }
+    spark.table(name).orderBy("batch_id", "hist_id")
+  }
+
   /** STREAMING FLAGSHIP — [[graft.operators.Corpus.ingest]] run as a
     * continuous stream: the full per-batch ingest composition (quality
     * gate → exact dedup vs the historical fingerprint store → MinHash

@@ -49,6 +49,13 @@ object ProfileMain {
     time("doc_perplexity")(println(Corpus.docPerplexityBigram(spark, dir).count()))
     time("dedup_semantic")(println(Dedup.semanticNearDup(spark, dir).count()))
     time("bpe_vocab_encode")(println(Bpe.vocabEncode(spark, dir).count()))
+    // round-9 heavier compositions: the keep-filtered index pipeline
+    // (clusters + two trainings + artifact IO) and the iterative
+    // graph scorer (10 checkpointed rounds)
+    time("pipeline_index")(println(ProductQuant.pipelineIndex(spark, dir).count()))
+    time("graph_pagerank")(println(Graph.pageRank(spark, dir).count()))
+    time("tfidf_search")(println(Retrieval.tfidfSearch(spark, dir).count()))
+    time("mm_phash_pairs")(println(Multimodal.phashPairs(spark, dir).count()))
     // 64-round trainer depth probe: per-round wall time must stay flat
     // at realistic merge counts (the localCheckpoint lineage cut's
     // observable contract — Rounds=4 queries can't show compounding)

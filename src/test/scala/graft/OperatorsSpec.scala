@@ -689,6 +689,11 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.retireCaches()
     assert(sse.nonEmpty && sse == bse,
       "drained celled-index probe must equal the batch incremental semantic bit-for-bit")
+    val sph = DocStream.streamPhashIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    val bph = Multimodal.phashIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(sph.nonEmpty && sph == bph,
+      "drained phash-store probe must equal the batch incremental phash bit-for-bit")
   }
 
   test("full-outer stream join is the union of inner, left-null and right-null parts") {
