@@ -20,7 +20,12 @@ object Bench {
     // over 34 queries (streaming state stores, cached datasets, memory
     // sinks) destabilized the session — measured 3-8x slower timed
     // passes vs. a single cold pass, which runs in ~53s total at sf0.1.
+    // optional comma-separated name filter for local perf iteration
+    // (unset → the full driver-contract run)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "0") == "1") {
       names.foreach { name =>
         try SparkEntry.queries(name)(spark, sfDir).count()
@@ -106,7 +111,8 @@ object Bench {
       val cost = piece.length + (if (used == 0) 0 else 1)
       if (used + cost <= budget) { if (used > 0) inline += ','; inline ++= piece; used += cost }
     }
-    try {
+    // a FILTERED run must not clobber the full-run artifact
+    if (only.isEmpty) try {
       val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -724,37 +724,60 @@ object Dedup {
     * Digest minima compare as unsigned bytes, which equals the
     * fixed-width-hex string min the DuckDB oracle computes.
     */
+  /** The per-doc signature loop shared by both kernel entry points:
+    * byte-level MD5 minima over the hash family, hex-encoded.
+    */
+  private def sigOf(md: java.security.MessageDigest,
+      prefixes: Array[Array[Byte]], sh: Array[String]): Array[String] = {
+    val hex = "0123456789abcdef".toCharArray
+    val mins = Array.ofDim[Array[Byte]](MinHashFns)
+    sh.foreach { s =>
+      val sBytes = s.getBytes("UTF-8")
+      var i = 0
+      while (i < MinHashFns) {
+        md.reset(); md.update(prefixes(i)); md.update(sBytes)
+        val d = md.digest()
+        if (mins(i) == null || java.util.Arrays.compareUnsigned(d, mins(i)) < 0)
+          mins(i) = d
+        i += 1
+      }
+    }
+    mins.map { d =>
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach(b => { sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf)) })
+      sb.toString
+    }
+  }
+
   private def minHashSignatureKernel(shArr: DataFrame): DataFrame = {
     val spark = shArr.sparkSession
     import spark.implicits._
     shArr.as[(Long, Array[String])].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val prefixes = Array.tabulate(MinHashFns)(i => s"$i:".getBytes("UTF-8"))
-      val hex = "0123456789abcdef".toCharArray
       it.flatMap { case (id, sh) =>
         if (sh.isEmpty) Iterator.empty // no shingles → no signature (as the explode form)
-        else {
-          val mins = Array.ofDim[Array[Byte]](MinHashFns)
-          sh.foreach { s =>
-            val sBytes = s.getBytes("UTF-8")
-            var i = 0
-            while (i < MinHashFns) {
-              md.reset(); md.update(prefixes(i)); md.update(sBytes)
-              val d = md.digest()
-              if (mins(i) == null || java.util.Arrays.compareUnsigned(d, mins(i)) < 0)
-                mins(i) = d
-              i += 1
-            }
-          }
-          val sig = mins.map { d =>
-            val sb = new java.lang.StringBuilder(32)
-            d.foreach(b => { sb.append(hex((b >> 4) & 0xf)); sb.append(hex(b & 0xf)) })
-            sb.toString
-          }
-          Iterator.single((id, sig))
-        }
+        else Iterator.single((id, sigOf(md, prefixes, sh)))
       }
     }.toDF("doc_id", "sig")
+  }
+
+  /** Kernel entry for the STREAMING probe: computes the signature with
+    * the same byte-level loop while CARRYING the hashed-shingle verify
+    * payload through the typed pass (stateless mapPartitions — legal
+    * in a streaming plan). The declarative 16×md5-per-shingle
+    * expression this replaces was the whole-bench slowest query: 16
+    * string md5s per shingle through codegen cost ~7 s at sf0.1 where
+    * this loop costs under 2.
+    */
+  private[graft] def minHashSigCarry(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, Array[String], Array[Long], Int)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val prefixes = Array.tabulate(MinHashFns)(i => s"$i:".getBytes("UTF-8"))
+      it.map { case (id, sh, shh, nsh) => (id, sigOf(md, prefixes, sh), shh, nsh) }
+    }.toDF("doc_id", "sig", "shh", "nsh")
   }
 
   /** One (doc_id, band, bkey) row per band: the LSH index rows both the

@@ -233,26 +233,43 @@ object DocStream {
   def streamIncrementalMinHash(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Kernels}
     val store = Kernels.cacheTracked(Dedup.historyBandStore(spark, dir))
+    // materialize the store BEFORE the drain, at batch parallelism: a
+    // lazily-cached static side would otherwise run its corpus-sized
+    // signature kernel INSIDE the first micro-batch, under the
+    // state-sized partition count — in production the store is a
+    // pre-materialized table, so paying it in the stream would also
+    // misrepresent the steady-state cost
+    store.count()
     val toksLower = filter(
       split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
-    val sigs = (0 until Dedup.MinHashFns).map(i =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))))
+    // signature via the batch's typed byte-level kernel (stateless
+    // mapPartitions — streaming-legal); the earlier declarative
+    // 16×md5-per-shingle expression made this the slowest bench query
     val bandStructs = (0 until Dedup.MinHashBands).map { b =>
       struct(lit(b).as("band"), concat_ws("|",
-        (0 until Dedup.MinHashRows).map(r => sigs(Dedup.MinHashRows * b + r)): _*)
+        (0 until Dedup.MinHashRows).map(r =>
+          element_at(col("sig"), Dedup.MinHashRows * b + r + 1)): _*)
         .as("bkey"))
     }
-    val batchBands = spark.readStream
-      .schema(documentsSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .select(col("doc_id"), col("text"), splitOf.as("split"))
-      .filter(col("split") < Dedup.IncBatchThreshold)
-      .withColumn("sh", Dedup.shingles(toksLower, 3))
-      .filter(size(col("sh")) > 0) // shingle-less docs have no signature
-      .withColumn("shh", sort_array(transform(col("sh"), s => xxhash64(s))))
-      .withColumn("nsh", size(col("sh")))
+    val batchBands = Dedup.minHashSigCarry(
+      spark.readStream
+        .schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"), splitOf.as("split"))
+        .filter(col("split") < Dedup.IncBatchThreshold)
+        // the file source delivers ONE input partition per file, which
+        // would run the shingle + signature kernels single-threaded; an
+        // explicit repartition (streaming-legal, independent of the
+        // state-sized shuffle conf) restores batch parallelism for the
+        // per-doc compute
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("sh", Dedup.shingles(toksLower, 3))
+        .filter(size(col("sh")) > 0) // shingle-less docs have no signature
+        .select(col("doc_id"), col("sh"),
+          sort_array(transform(col("sh"), s => xxhash64(s))).as("shh"),
+          size(col("sh")).as("nsh")))
       .select(col("doc_id"), col("shh"), col("nsh"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"),
@@ -260,8 +277,16 @@ object DocStream {
     val common = graft.functions.VectorFunctions
       .overlap(spark, col("shh"), col("h_shh")).cast("double")
     val sz = (col("nsh") + col("h_nsh")).cast("double")
+    // the static side joins in two SLIM stages so both broadcast: the
+    // band index (3 small columns) finds candidates, then ONE verify
+    // payload row per history doc joins by id — carrying the hashed
+    // shingle arrays through the ×4 band explode instead (the first
+    // formulation) quadrupled the broadcast build side for nothing
     val pairs = batchBands
-      .join(store, Seq("band", "bkey"))
+      .join(broadcast(store.select("band", "bkey", "hist_id")), Seq("band", "bkey"))
+      .join(broadcast(
+          store.select("hist_id", "h_shh", "h_nsh").dropDuplicates("hist_id")),
+        Seq("hist_id"))
       .select(col("doc_id").as("batch_id"), col("hist_id"),
         round(common / (sz - common), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
