@@ -71,8 +71,8 @@ object Graph {
     // join against the static edge/degree frames can never alias
     var pr = deg.select(col("doc_id").as("pid"), lit(r12(1.0 / n.toDouble)).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to PrIters) {
-      pr = sym
+    for (i <- 1 to PrIters) {
+      val next = sym
         .join(pr, col("src") === col("pid"))
         .join(deg, col("src") === col("doc_id"))
         .select(col("dst"),
@@ -82,7 +82,11 @@ object Graph {
         .select(col("dst").as("pid"),
           round(lit(teleport) + lit(PrDamping) * col("s").cast("double"), 12)
             .as("pr"))
-        .localCheckpoint()
+      // cut lineage every third round: enough to keep the plan flat at
+      // any round count while not paying an eager checkpoint job per
+      // round (on node-sized frames job launch, not compute, is what a
+      // checkpoint costs)
+      pr = if (i % 3 == 0 || i == PrIters) next.localCheckpoint() else next
     }
     pr.join(deg, col("pid") === col("doc_id"))
       .select(col("doc_id"), col("deg"), col("pr").as("pagerank"))

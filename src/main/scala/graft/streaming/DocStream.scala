@@ -186,8 +186,12 @@ object DocStream {
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
-      .select(col("doc_id"), toksOf.as("toks"), splitOf.as("split"))
+      .select(col("doc_id"), col("text"), splitOf.as("split"))
       .filter(col("split") < Dedup.IncBatchThreshold)
+      // one input partition per file would run the tokenize + gram
+      // explode single-threaded (see streamIncrementalMinHash)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), toksOf.as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         posexplode_outer(gramsOf(col("toks"))).as(Seq("i", "fp")))
       .select(col("doc_id"), col("n_tokens"),
