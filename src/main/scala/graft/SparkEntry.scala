@@ -180,6 +180,8 @@ object SparkEntry {
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "bm25_search" -> Retrieval.bm25Search _,
     "tfidf_search" -> ((s: SparkSession, d: String) => Retrieval.tfidfSearch(s, d)),
+    "bm25_search_served" -> Retrieval.bm25SearchServed _,
+    "tfidf_search_served" -> Retrieval.tfidfSearchServed _,
     "retrieval_rrf" -> Retrieval.rrfFusion _,
     "vocab_top" -> Corpus.vocabTop _,
     "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
@@ -2576,6 +2578,10 @@ object SparkEntry {
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
         "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
+        // the artifact stores exact integers + 6dp-fixed norms, so the
+        // served rankers equal the computed ones — one oracle text each
+        // (value-equality is additionally spec-pinned cross-session)
+        "bm25_search_served" -> bm25, "tfidf_search_served" -> tfidfSearch,
         "stats_regression" -> regression,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "export_curriculum" -> exportCurriculum,

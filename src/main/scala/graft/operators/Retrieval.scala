@@ -91,6 +91,16 @@ object Retrieval {
     val matched = tf
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    bm25Score(matched, stats, qterms)
+  }
+
+  /** The BM25 scoring tail over an already-matched posting frame
+    * (doc_id, dl, term, tf, df) — shared verbatim by the corpus path
+    * and the artifact serve path, so "served == computed" is a
+    * property of the data, not of two formula copies staying in sync.
+    */
+  private def bm25Score(matched: DataFrame, stats: DataFrame,
+      qterms: DataFrame): DataFrame = {
     val enriched = matched.join(broadcast(qterms), "term")
     val avgdl = col("total_tokens").cast("double") / col("n_docs")
     val idf = log(lit(1.0) +
@@ -174,6 +184,15 @@ object Retrieval {
     val qdf = tf
       .join(broadcast(qtf.select("term").distinct()), Seq("term"), "leftsemi")
       .groupBy("term").agg(count(lit(1)).as("df"))
+    tfidfScore(w, dNorm, qtf, qdf, stats)
+  }
+
+  /** The VSM scoring tail over (weighted postings, doc norms, query
+    * tf, query-term df, stats) — shared verbatim by the corpus path
+    * and the artifact serve path.
+    */
+  private def tfidfScore(w: DataFrame, dNorm: DataFrame, qtf: DataFrame,
+      qdf: DataFrame, stats: DataFrame): DataFrame = {
     val qw = qdf
       .join(broadcast(qtf), "term")
       .crossJoin(broadcast(stats))
@@ -216,6 +235,120 @@ object Retrieval {
     * window per query. The corpus-touching work is whatever the
     * underlying rankers cost; fusion adds nothing corpus-sized.
     */
+  // -------------------------------------------------------------------
+  // Durable search index: the postings artifact both rankers serve from.
+
+  /** Materializes the full-text search index to `path` — the
+    * materialize-once product the [[bm25Search]]/[[tfidfSearch]]
+    * docstrings promise (the
+    * [[graft.operators.KMeansCodebook.writeIndex]] contract applied to
+    * text):
+    *
+    *  - `path/postings`: (doc_id, term, tf, dl) — ONE tokenize pass
+    *    over the corpus, the only corpus-sized component (bucket it by
+    *    term in a production warehouse so a query probe touches only
+    *    its terms' buckets);
+    *  - `path/df`: every term's document frequency (vocab-sized);
+    *  - `path/norms`: every document's tf·idf vector norm (doc-count
+    *    sized — the VSM denominator);
+    *  - `path/stats`: corpus doc count + token total (1 row).
+    *
+    * A serving session answers BOTH rankers from these four tables
+    * with NO access to the document text: stored integers and
+    * 6dp-fixed norms feed the identical scoring expressions, so
+    * served == computed exactly (spec-pinned cross-session).
+    */
+  def writeSearchIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val postings = docs
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val postingsC = Kernels.cacheTracked(postings)
+    postingsC.write.mode("overwrite").parquet(s"$path/postings")
+    val dfT = postingsC.groupBy("term").agg(count(lit(1)).as("df"))
+    dfT.write.mode("overwrite").parquet(s"$path/df")
+    val stats = docs
+      .select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    postingsC
+      .join(dfT, "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .groupBy("doc_id")
+      .agg(round(sqrt(sum(round(col("w") * col("w"), 9).cast("decimal(18,9)"))
+        .cast("double")), 6).as("nrm"))
+      .write.mode("overwrite").parquet(s"$path/norms")
+  }
+
+  /** Builds the index under a fingerprinted temp root once per
+    * (corpus, JVM) — the gate-facing wrapper (production calls
+    * [[writeSearchIndex]] with a warehouse path).
+    */
+  def ensureSearchIndex(spark: SparkSession, dir: String): String =
+    indexMemo.synchronized {
+      val key = Kernels.inputKey(dir, "documents.parquet")
+      indexMemo.getOrElseUpdate(key, {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$h"
+        writeSearchIndex(spark, dir, root)
+        root
+      })
+    }
+
+  private val indexMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** `bm25_search_served`: BM25 answered from the [[writeSearchIndex]]
+    * artifact — no tokenize, no text scan; the postings probe joins a
+    * broadcast query-vocabulary df frame and the shared scoring tail
+    * does the rest. This is the production read path: the expensive
+    * pass (tokenize + tf aggregate) ran once at build time.
+    */
+  def bm25SearchServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureSearchIndex(spark, dir)
+    val qterms = Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val qdf = spark.read.parquet(s"$root/df")
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
+    val matched = spark.read.parquet(s"$root/postings")
+      .join(broadcast(qdf), "term")
+    bm25Score(matched, spark.read.parquet(s"$root/stats"), qterms)
+  }
+
+  /** `tfidf_search_served`: the VSM twin from the same artifact — the
+    * stored norms replace the corpus-wide norm aggregate, so the serve
+    * path touches only query-matched postings plus doc-count-sized
+    * side tables.
+    */
+  def tfidfSearchServed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = ensureSearchIndex(spark, dir)
+    val qtf = Queries
+      .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
+      .groupBy(identity).map { case ((qid, t), g) => (qid, t, g.size.toLong) }
+      .toSeq.toDF("query_id", "term", "tfq")
+    val stats = spark.read.parquet(s"$root/stats")
+    val qdf = spark.read.parquet(s"$root/df")
+      .join(broadcast(qtf.select("term").distinct()), Seq("term"), "leftsemi")
+    val w = spark.read.parquet(s"$root/postings")
+      .join(broadcast(qdf), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df"))).as("w"))
+    tfidfScore(w, spark.read.parquet(s"$root/norms"), qtf, qdf, stats)
+  }
+
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
     val bm = bm25Search(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_bm"))

@@ -425,6 +425,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("search index artifact serves both rankers cross-session, value-equal") {
+    val computed = Retrieval.bm25Search(spark, sf).collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25SearchServed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served.nonEmpty && served == computed,
+      "served BM25 must equal the computed ranking exactly")
+    val vcomputed = Retrieval.tfidfSearch(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    // a FRESH session serves both rankers from the parquet alone
+    val fresh = spark.newSession()
+    assert(Retrieval.bm25SearchServed(fresh, sf).collect().map(_.toSeq).toSeq == computed)
+    assert(Retrieval.tfidfSearchServed(fresh, sf).collect().map(_.toSeq).toSeq == vcomputed)
+    val root = Retrieval.ensureSearchIndex(spark, sf)
+    Seq("postings", "df", "norms", "stats").foreach { c =>
+      assert(new java.io.File(s"$root/$c").isDirectory, s"missing $c")
+    }
+  }
+
   test("tfidf_search is a true cosine and rrf fusion is rank-only") {
     val vs = Retrieval.tfidfSearch(spark, sf).collect()
     assert(vs.nonEmpty)

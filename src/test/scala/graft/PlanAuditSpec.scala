@@ -102,6 +102,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "probe cells, ADC table and the keep-list semi-join must broadcast")
   }
 
+  test("served rankers read the index artifact, never the document text") {
+    Retrieval.ensureSearchIndex(spark, sf)
+    Seq(
+      "bm25" -> plan(Retrieval.bm25SearchServed(spark, sf)),
+      "tfidf" -> plan(Retrieval.tfidfSearchServed(spark, sf))
+    ).foreach { case (which, p) =>
+      // the whole point of the postings artifact: serving pays zero
+      // tokenize and zero corpus-text IO
+      assert(!p.contains("documents.parquet"),
+        s"$which serve path scans the corpus text:\n${p.take(900)}")
+      assert(p.contains("graft-search-index"),
+        s"$which serve path does not read the artifact")
+      assert(!p.contains("CartesianProduct"), s"$which has a true product")
+      assert(p.contains("BroadcastExchange"),
+        s"$which must broadcast the query-vocabulary side")
+    }
+    Dedup.retireCaches()
+  }
+
   test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
     val p = plan(Retrieval.bm25Search(spark, sf))
     assert(!p.contains("CartesianProduct"),
