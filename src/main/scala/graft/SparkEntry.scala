@@ -52,6 +52,11 @@ object SparkEntry {
     "q19_discounted_revenue" -> Relational.q19DiscountedRevenue _,
     "q21_waiting_supplier" -> Relational.q21WaitingSupplier _,
     "q22_dormant_customers" -> Relational.q22DormantCustomers _,
+    "q2_min_cost_supplier" -> Relational.q2MinCostSupplier _,
+    "q9_product_profit" -> Relational.q9ProductProfit _,
+    "q11_important_stock" -> Relational.q11ImportantStock _,
+    "q16_supplier_counts" -> Relational.q16SupplierCounts _,
+    "q20_dominant_supplier" -> Relational.q20DominantSupplier _,
     "top_orders" -> Relational.topOrders _,
     "top_orders_per_customer" -> Relational.topOrdersPerCustomer _,
     "top_orders_per_customer_agg" -> Relational.topOrdersPerCustomerAgg _,
@@ -523,6 +528,70 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |cost AS (SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
+        |    min(round(l_extendedprice / l_quantity, 4)) AS cost
+        |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'LARGE' AND p_size <= 10)
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |cand AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS mc FROM cost)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |  l_suppkey AS s_suppkey, cost
+        |FROM cand WHERE cost = mc
+        |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |      - 0.6 * p_retailprice * l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE 'red %'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_stock" ->
+      """WITH eu AS (SELECT s_suppkey
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |v AS (SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eu)
+        |  GROUP BY 1),
+        |t AS (SELECT sum(val) AS tot FROM v)
+        |SELECT l_partkey AS p_partkey, CAST(val AS DOUBLE) AS value
+        |FROM v, t WHERE val * 1000 > tot
+        |ORDER BY value DESC, p_partkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM rel JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#12' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q20_dominant_supplier" ->
+      """WITH q AS (SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+        |  GROUP BY 1, 2),
+        |d AS (SELECT l_partkey, l_suppkey, qty,
+        |    sum(qty) OVER (PARTITION BY l_partkey) AS tot FROM q)
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM d JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * 2 > tot
+        |ORDER BY s_suppkey""".stripMargin,
     "q13_customer_distribution" ->
       """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey

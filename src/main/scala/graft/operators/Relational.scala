@@ -938,4 +938,185 @@ object Relational {
         col("total").cast("double").as("total_price"))
       .orderBy("o_custkey")
   }
+
+  // -------------------------------------------------------------------
+  // The last five TPC-H shapes (Q2/Q9/Q11/Q16/Q20), completing the
+  // 22-query suite. The testdata carries no `partsupp` table, so the
+  // part↔supplier relationship (and the supply cost) derives from
+  // lineitem: which supplier shipped which part, at what effective unit
+  // price. The SHAPES are what matter — correlated min-subquery (Q2),
+  // multi-way profit rollup (Q9), global-fraction HAVING (Q11),
+  // anti-joined distinct counts (Q16), dominant-share nesting (Q20).
+
+  /** TPC-H Q2 shape: min-cost supplier — for every LARGE small-size
+    * part, the EUROPE supplier offering the minimum effective unit
+    * price (min over that part's lineitems per supplier; the spec's
+    * `min(ps_supplycost)` correlated subquery). The correlation
+    * decorrelates into a window min over the part key — no self-join,
+    * no subquery re-execution per row.
+    *
+    * 100 TB shape: part filter and the EUROPE supplier dim are
+    * broadcast, so lineitem is cut map-side to matched parts ×
+    * matched suppliers BEFORE its one shuffle (the per-(part,
+    * supplier) min-cost aggregate); the window then re-partitions the
+    * aggregated, filtered (catalog-sized, not lineitem-sized) frame
+    * by part only. Unit price rounds to 4dp before min so the
+    * min/equality never hinges on sub-1e-4 division noise.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val targetParts = Tables.part(spark, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey")
+    val euSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cost = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(targetParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4)).as("cost"))
+    cost
+      .withColumn("min_cost", min(col("cost")).over(Window.partitionBy("l_partkey")))
+      .filter(col("cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
+        col("cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape: product-type profit by nation and year. Profit
+    * per line = discounted revenue − supply cost; with no
+    * `ps_supplycost` in the corpus, cost is the standard 60 % of the
+    * part's retail price (the spec generates supplycost from
+    * retailprice the same way). Parts are the 'red …' name family.
+    *
+    * 100 TB shape: part (filtered, catalog-sized) and
+    * supplier→nation broadcast; lineitem⋈orders is the one
+    * fact-fact shuffle, on the order key both sides already
+    * cluster by. Per-line profit rounds to 4dp and sums as DECIMAL —
+    * order-exact, so the (nation, year) rollup is partition-
+    * independent.
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("red %"))
+      .select("p_partkey", "p_retailprice")
+    val suppNation = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val profit = round(
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+        lit(0.6) * col("p_retailprice") * col("l_quantity"), 4)
+      .cast("decimal(18,4)")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(profit).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape: important stock — parts whose EUROPE-supplied
+    * value exceeds a fixed fraction (0.1 %) of the total. The spec's
+    * scalar HAVING subquery becomes a 1-row aggregate broadcast back
+    * as a cross join; the keep test CROSS-MULTIPLIES in exact decimal
+    * (`val · 1000 > tot`), so no float division sits at the boundary
+    * (the [[q22DormantCustomers]] pattern).
+    *
+    * 100 TB shape: the supplier region filter broadcasts; lineitem
+    * shuffles once into the per-part value aggregate; everything
+    * after is catalog-sized.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val euSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select("s_suppkey")
+    val v = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(sum(dec(col("l_extendedprice"))).as("val"))
+    val tot = v.agg(sum(col("val")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val") * 1000 > col("tot"))
+      .select(col("l_partkey").as("p_partkey"),
+        col("val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape: how many distinct suppliers stock each
+    * (brand, type, size) bucket, excluding one brand, a size list,
+    * and blacklisted suppliers (the spec's complaint filter → the
+    * negative-balance suppliers here, an anti join).
+    *
+    * 100 TB shape: the part↔supplier relationship distincts once
+    * (lineitem's one shuffle); part and the (tiny) blacklist
+    * broadcast; the count-distinct runs over the catalog-sized
+    * relationship frame, never the fact table.
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#12" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape: dominant suppliers of 'small …' parts — those
+    * who shipped MORE THAN HALF of a part's 1997 volume (the spec's
+    * `ps_availqty > 0.5 · Σ l_quantity` excess-stock test, re-rooted
+    * in shipped share since availqty doesn't exist). The nested
+    * IN-subqueries decorrelate into one aggregate plus a window
+    * share over the part key; the half test cross-multiplies in
+    * exact decimal (`qty · 2 > tot`).
+    *
+    * 100 TB shape: the part-name filter broadcasts and cuts lineitem
+    * map-side before its one shuffle (the per-(part, supplier) qty
+    * aggregate); the window and the distinct-supplier tail run over
+    * catalog-sized frames; supplier names broadcast in at the end.
+    */
+  def q20DominantSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").like("small %")).select("p_partkey")
+    val qty = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    qty
+      .withColumn("tot", sum(col("qty")).over(Window.partitionBy("l_partkey")))
+      .filter(col("qty") * 2 > col("tot"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
 }
