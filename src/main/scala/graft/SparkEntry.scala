@@ -169,6 +169,11 @@ object SparkEntry {
     "sample_hash" -> Sampling.hashSample _,
     "split_leakage_safe" -> Sampling.leakageSafeSplit _,
     "graph_pagerank" -> Graph.pageRank _,
+    "graph_degrees" -> Graph.degreeHistogram _,
+    "graph_triangles" -> Graph.triangles _,
+    "graph_knn" -> Graph.mutualKnn _,
+    "graph_common_neighbors" -> Graph.commonNeighbors _,
+    "keywords_textrank" -> Graph.textRank _,
     "sample_stratified" -> Sampling.stratifiedSample _,
     "sample_weighted_mix" -> Sampling.weightedMix _,
     "sample_temperature" -> Sampling.temperatureMix _,
@@ -188,6 +193,7 @@ object SparkEntry {
     "bm25_search_served" -> Retrieval.bm25SearchServed _,
     "tfidf_search_served" -> Retrieval.tfidfSearchServed _,
     "retrieval_rrf" -> Retrieval.rrfFusion _,
+    "retrieval_rrf_served" -> Retrieval.rrfFusionServed _,
     "vocab_top" -> Corpus.vocabTop _,
     "bpe_merge_pairs" -> Corpus.bpeMergePairs _,
     "bpe_vocab_encode" -> Bpe.vocabEncode _,
@@ -1198,7 +1204,111 @@ object SparkEntry {
          |SELECT $last.doc_id, deg.deg, $last.pr AS pagerank
          |FROM $last JOIN deg ON deg.src = $last.doc_id
          |ORDER BY doc_id""".stripMargin
-    Map("graph_pagerank" -> pagerank)
+    val degrees =
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+         |SELECT deg, count(*) AS n_nodes FROM deg
+         |GROUP BY deg ORDER BY deg""".stripMargin
+    // orientation-free a<b<c replay — counts the same triangle set the
+    // degree-ordered Spark plan finds (orientation is physical only)
+    val triangles =
+      s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($ngramPairsSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |x AS (SELECT unnest([a, b, c]) AS doc_id FROM tri),
+         |cnt AS (SELECT doc_id, count(*) AS n_tri FROM x GROUP BY doc_id),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src)
+         |SELECT deg.src AS doc_id, deg.deg,
+         |  CAST(coalesce(cnt.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM deg LEFT JOIN cnt ON deg.src = cnt.doc_id
+         |ORDER BY doc_id""".stripMargin
+    // mutual-kNN edges: the SemDeDup cell replay (Lloyd chain + cap
+    // split) feeds an in-cell rank window; mutuality is a self-join of
+    // the directed top-k — mirrors Graph.mutualKnnEdges
+    val knnCtes =
+      s"""$kmeansCtes,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM e),
+         |sub AS (SELECT vec_id, cluster,
+         |    CAST(floor((row_number() OVER (PARTITION BY cluster
+         |      ORDER BY md5('sd:' || CAST(vec_id AS VARCHAR)), vec_id) - 1)
+         |      / ${Dedup.SemCellCap}) AS BIGINT) AS sub
+         |  FROM $lastA),
+         |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM sub a JOIN sub b ON a.cluster = b.cluster AND a.sub = b.sub
+         |    AND a.vec_id <> b.vec_id
+         |  JOIN nn p ON p.vec_id = a.vec_id
+         |  JOIN nn c ON c.vec_id = b.vec_id),
+         |r AS (SELECT src, dst, sim,
+         |    row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk
+         |  FROM s),
+         |knn AS (SELECT src, dst, sim FROM r WHERE rnk <= ${Graph.KnnK}),
+         |m AS (SELECT k1.src AS vec_a, k1.dst AS vec_b, k1.sim
+         |  FROM knn k1 JOIN knn k2 ON k1.src = k2.dst AND k1.dst = k2.src
+         |  WHERE k1.src < k1.dst)"""
+    val knn =
+      s"""$knnCtes
+         |SELECT vec_a, vec_b, sim FROM m ORDER BY vec_a, vec_b""".stripMargin
+    val commonNeighbors =
+      s"""$knnCtes,
+         |msym AS (SELECT vec_a AS src, vec_b AS dst FROM m
+         |  UNION ALL SELECT vec_b, vec_a FROM m),
+         |wg AS (SELECT s1.src, s1.dst AS a, s2.dst AS b
+         |  FROM msym s1 JOIN msym s2 ON s1.src = s2.src WHERE s1.dst < s2.dst),
+         |cn AS (SELECT a, b, count(*) AS common FROM wg GROUP BY a, b
+         |  HAVING count(*) >= 2),
+         |nc AS (SELECT cn.a, cn.b, cn.common FROM cn
+         |  LEFT JOIN m ON cn.a = m.vec_a AND cn.b = m.vec_b
+         |  WHERE m.vec_a IS NULL),
+         |mdeg AS (SELECT src, count(*) AS deg FROM msym GROUP BY src)
+         |SELECT nc.a AS vec_a, nc.b AS vec_b, nc.common,
+         |  round(nc.common / CAST(da.deg + db.deg - nc.common AS DOUBLE), 6)
+         |    AS link_score
+         |FROM nc JOIN mdeg da ON nc.a = da.src JOIN mdeg db ON nc.b = db.src
+         |ORDER BY common DESC, vec_a, vec_b""".stripMargin
+    // weighted-PageRank CTE chain over the term co-occurrence graph —
+    // mirrors Graph.textRank round for round
+    val trRounds = (1 to Graph.TrIters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS (SELECT sym.dst AS term,
+         |    round(CAST(${Graph.PrResid} AS DOUBLE) / st.n
+         |      + CAST(${Graph.PrDamping} AS DOUBLE)
+         |        * CAST(sum(CAST(round($prev.pr * sym.w / wdeg.wd, 12) AS DECIMAL(22,12))) AS DOUBLE), 12) AS pr
+         |  FROM sym JOIN $prev ON sym.src = $prev.term
+         |  JOIN wdeg ON wdeg.src = sym.src CROSS JOIN st
+         |  GROUP BY sym.dst, st.n)"""
+    }.mkString(",\n")
+    val trLast = s"r${Graph.TrIters}"
+    val textrank =
+      s"""WITH dt AS (SELECT DISTINCT doc_id, unnest($toksLowerSql) AS term
+         |  FROM documents),
+         |dfr AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |tv AS (SELECT term FROM dfr ORDER BY df DESC, term LIMIT ${Graph.TextRankVocab}),
+         |inc AS (SELECT dt.doc_id, dt.term FROM dt JOIN tv USING (term)),
+         |ed AS (SELECT a.term AS ta, b.term AS tb, count(*) AS w
+         |  FROM inc a JOIN inc b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT ta AS src, tb AS dst, w FROM ed
+         |  UNION ALL SELECT tb, ta, w FROM ed),
+         |wdeg AS (SELECT src, sum(w) AS wd FROM sym GROUP BY src),
+         |st AS (SELECT count(*) AS n FROM wdeg),
+         |r0 AS (SELECT src AS term, round(CAST(1 AS DOUBLE) / st.n, 12) AS pr
+         |  FROM wdeg CROSS JOIN st),
+         |$trRounds
+         |SELECT $trLast.term, CAST(wdeg.wd AS BIGINT) AS weighted_degree,
+         |  $trLast.pr AS textrank
+         |FROM $trLast JOIN wdeg ON wdeg.src = $trLast.term
+         |ORDER BY textrank DESC, term""".stripMargin
+    Map("graph_pagerank" -> pagerank, "graph_degrees" -> degrees,
+      "graph_triangles" -> triangles, "graph_knn" -> knn,
+      "graph_common_neighbors" -> commonNeighbors,
+      "keywords_textrank" -> textrank)
   }
 
   /** BPE trainer oracles: the per-round window chain (pair counts →
@@ -2651,6 +2761,7 @@ object SparkEntry {
         // served rankers equal the computed ones — one oracle text each
         // (value-equality is additionally spec-pinned cross-session)
         "bm25_search_served" -> bm25, "tfidf_search_served" -> tfidfSearch,
+        "retrieval_rrf_served" -> rrf,
         "stats_regression" -> regression,
         "corpus_stats" -> stats, "export_shuffle" -> exportShuffle,
         "export_curriculum" -> exportCurriculum,

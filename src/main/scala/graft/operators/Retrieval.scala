@@ -349,10 +349,22 @@ object Retrieval {
     tfidfScore(w, spark.read.parquet(s"$root/norms"), qtf, qdf, stats)
   }
 
-  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val bm = bm25Search(spark, dir)
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame =
+    rrfOver(bm25Search(spark, dir), tfidfSearch(spark, dir))
+
+  /** `retrieval_rrf_served`: the hybrid ranker end to end from the
+    * durable artifact — both underlying rankers read the postings
+    * index, so the whole retrieval stack (lexical ×2 + fusion) runs
+    * with zero corpus scans. Same oracle as [[rrfFusion]]: the stored
+    * integers and 6dp-fixed norms make served == computed exact.
+    */
+  def rrfFusionServed(spark: SparkSession, dir: String): DataFrame =
+    rrfOver(bm25SearchServed(spark, dir), tfidfSearchServed(spark, dir))
+
+  private def rrfOver(bm25: DataFrame, tfidf: DataFrame): DataFrame = {
+    val bm = bm25
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_bm"))
-    val vs = tfidfSearch(spark, dir)
+    val vs = tfidf
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_vsm"))
     bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
