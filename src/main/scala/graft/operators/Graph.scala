@@ -131,8 +131,15 @@ object Graph {
     * the identical triangle set — the orientation is a physical
     * optimization with no semantic surface.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCounts(Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b"))
+
+  /** The degree-ordered triangle core over an arbitrary canonical
+    * (doc_a < doc_b) edge frame — separated so the orientation
+    * machinery is spec-testable on synthetic graphs with known
+    * triangle counts.
+    */
+  private[graft] def triangleCounts(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
