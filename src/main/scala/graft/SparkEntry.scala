@@ -99,6 +99,8 @@ object SparkEntry {
     "layout_zorder" -> Layout.zorderStats _,
     "events_approx_users" -> Sketches.approxDistinctUsers _,
     "events_approx_users_union" -> Sketches.approxUsersUnion _,
+    "events_approx_users_daily" -> Sketches.approxUsersDaily _,
+    "events_heavy_hitters_daily" -> Sketches.heavyHittersDaily _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
     "events_heavy_hitters" -> Sketches.heavyHitters _,
     "events_heavy_hitters_serve" -> Sketches.heavyHittersServe _,
@@ -328,6 +330,24 @@ object SparkEntry {
        |       WHEN valid_to_v IS NULL THEN 'current'
        |       ELSE 'superseded' END AS status
        |FROM hist ORDER BY o_orderkey, v""".stripMargin
+
+  /** The global-KMV SQL shared by the merged-per-type, stored-per-day
+    * and (via its own entry) streaming forms — lossless bottom-k merge
+    * means one text gates them all.
+    */
+  private lazy val kmvUnionSql: String =
+    s"""WITH du AS (SELECT DISTINCT user_id FROM events),
+       |h AS (SELECT user_id, $kmvHashSql AS h FROM du),
+       |r AS (SELECT h, row_number() OVER (ORDER BY h, user_id) AS rn,
+       |    COUNT(*) OVER () AS nd FROM h),
+       |k AS (SELECT CAST(MAX(nd) AS BIGINT) AS exact_users,
+       |    MAX(CASE WHEN rn = ${operators.Sketches.KmvK} THEN h END) AS hk FROM r),
+       |e AS (SELECT exact_users,
+       |    ${kmvEstSql("exact_users", "hk")} AS est_users
+       |  FROM k)
+       |SELECT exact_users, est_users,
+       |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
+       |FROM e""".stripMargin
 
   /** The estimate-only heavy-hitters SQL shared by the serve twin and
     * the streaming-maintained form (see the gated entry's comment).
@@ -796,21 +816,14 @@ object SparkEntry {
     // gates both.
     "events_heavy_hitters_serve" -> hhServeSql,
     "stream_heavy_hitters" -> hhServeSql,
-    // Merged per-type sketches == one global sketch (lossless bottom-k
-    // merge), so the oracle just sketches the union directly.
-    "events_approx_users_union" ->
-      s"""WITH du AS (SELECT DISTINCT user_id FROM events),
-         |h AS (SELECT user_id, $kmvHashSql AS h FROM du),
-         |r AS (SELECT h, row_number() OVER (ORDER BY h, user_id) AS rn,
-         |    COUNT(*) OVER () AS nd FROM h),
-         |k AS (SELECT CAST(MAX(nd) AS BIGINT) AS exact_users,
-         |    MAX(CASE WHEN rn = ${Sketches.KmvK} THEN h END) AS hk FROM r),
-         |e AS (SELECT exact_users,
-         |    ${kmvEstSql("exact_users", "hk")} AS est_users
-         |  FROM k)
-         |SELECT exact_users, est_users,
-         |  round(abs(CAST(est_users AS DOUBLE) - exact_users) / exact_users, 4) AS rel_err
-         |FROM e""".stripMargin,
+    // the durable per-day CM grids merge by cell-wise addition into
+    // exactly the one-shot grid — the serve oracle gates the store path
+    "events_heavy_hitters_daily" -> hhServeSql,
+    // Merged per-type (or stored per-day) sketches == one global sketch
+    // (lossless bottom-k merge), so the oracle just sketches the union
+    // directly — one text gates all three forms.
+    "events_approx_users_union" -> kmvUnionSql,
+    "events_approx_users_daily" -> kmvUnionSql,
     "above_avg_balance" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
         |FROM customer c

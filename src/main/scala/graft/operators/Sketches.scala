@@ -273,4 +273,111 @@ object Sketches {
         (col("est_cnt") >= col("exact_cnt")).cast("long").as("never_under"))
       .orderBy("rnk")
   }
+
+  // -------------------------------------------------------------------
+  // Durable daily sketch store: the production shape for sketches at
+  // 100 TB — build one bounded sketch PER DAY as data lands, persist
+  // it, answer global questions by MERGING stored sketches (CM grids
+  // merge by cell-wise addition, bottom-k sketches by union + re-cut;
+  // both merges are LOSSLESS, so the served answer equals a one-shot
+  // global sketch exactly). History is never rescanned: day N+1 adds
+  // one day-sized build, and the serve path reads |days| × bounded-
+  // size rows however large the corpus grows.
+
+  /** Per-day CM counter grids — ≤ 256 counters per day regardless of
+    * that day's event count, partial-aggregated map-side.
+    */
+  private[graft] def dailyCmsGrids(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .select(col("day"), explode(rowBuckets(col("user_id"))).as("rb"))
+      .groupBy(col("day"), col("rb.j").as("j"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Per-day KMV bottom-k sketches — one ≤ k-entry array per day. */
+  private[graft] def dailyKmvSketches(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .select(col("day"), col("user_id"), kmvHash(col("user_id")).as("h"))
+      .groupBy("day")
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"))
+  }
+
+  /** Materializes both sketch families to `path`, the CM grids
+    * partitioned by day — the layout under which "ingest day N+1"
+    * is one new partition write and a global question never touches
+    * raw history.
+    */
+  def writeSketchStore(spark: SparkSession, dir: String, path: String): Unit = {
+    dailyCmsGrids(spark, dir)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$path/cms")
+    dailyKmvSketches(spark, dir)
+      .write.mode("overwrite").parquet(s"$path/kmv")
+  }
+
+  /** Store root under a fingerprinted temp dir, built once per
+    * (corpus, JVM) — the gate-facing wrapper (production calls
+    * [[writeSketchStore]] with a warehouse path).
+    */
+  def ensureSketchStore(spark: SparkSession, dir: String): String =
+    storeMemo.synchronized {
+      val key = Kernels.inputKey(dir, "events.parquet")
+      storeMemo.getOrElseUpdate(key, {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root =
+          s"${System.getProperty("java.io.tmpdir")}/graft-sketch-store-$h"
+        writeSketchStore(spark, dir, root)
+        root
+      })
+    }
+
+  private val storeMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** `events_heavy_hitters_daily`: heavy hitters served from the
+    * stored per-day CM grids — cell-wise addition reassembles the
+    * global 256-counter grid, then the shared probe/cut runs
+    * unchanged. Counter addition is associative and the day
+    * partition covers every event exactly once, so the merged grid
+    * EQUALS the one-shot grid and the answer hash-matches
+    * [[heavyHittersServe]]'s oracle (spec-pinned too).
+    */
+  def heavyHittersDaily(spark: SparkSession, dir: String): DataFrame = {
+    val root = ensureSketchStore(spark, dir)
+    val merged = spark.read.parquet(s"$root/cms")
+      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+    probeSketchTopK(spark, dir, merged)
+  }
+
+  /** `events_approx_users_daily`: the global distinct-user estimate
+    * from the stored per-day KMV sketches — union the stored bottom-k
+    * entries (collapsing users seen on several days), re-cut to the
+    * bottom-k, estimate. Lossless for the same reason as
+    * [[approxUsersUnion]]: the global bottom-k survives inside the
+    * concatenation of per-day bottom-k's. Same output contract, same
+    * oracle. The exact count rides along for the `rel_err` gate
+    * column only — production drops it and reads NOTHING but the
+    * store.
+    */
+  def approxUsersDaily(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val root = ensureSketchStore(spark, dir)
+    val merged = spark.read.parquet(s"$root/kmv")
+      .select(explode(col("mins")).as("m"))
+      .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
+      .distinct()
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
+           count(lit(1)).as("n_merged"))
+    val exact = Tables.events(spark, dir).select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("exact_users"),
+        kmvEstimate(col("mins"), col("n_merged")).as("est_users"))
+      .select(col("exact_users"), col("est_users"),
+        round(abs(col("est_users").cast("double") - col("exact_users")) /
+          col("exact_users"), 4).as("rel_err"))
+  }
 }

@@ -442,6 +442,32 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("daily sketch store: merged grids equal the one-shot sketch and serve cross-session") {
+    // merged per-day CM grids == one-shot grid, so the served answer is
+    // est-identical to the serve twin (lossless cell-wise addition)
+    val oneShot = Sketches.heavyHittersServe(spark, sf).collect().map(_.toSeq).toSeq
+    val daily = Sketches.heavyHittersDaily(spark, sf).collect().map(_.toSeq).toSeq
+    assert(daily.nonEmpty && daily == oneShot,
+      "day-partitioned grids must reassemble the exact one-shot answer")
+    // same for the KMV store vs the merged-per-type query (both lossless
+    // merges of the same global bottom-k)
+    val union = Sketches.approxUsersUnion(spark, sf).collect().map(_.toSeq).toSeq
+    val kdaily = Sketches.approxUsersDaily(spark, sf).collect().map(_.toSeq).toSeq
+    assert(kdaily == union,
+      "per-day KMV merge must equal the per-type merge (both equal the global sketch)")
+    // a FRESH session answers from the parquet store alone
+    val fresh = spark.newSession()
+    assert(Sketches.heavyHittersDaily(fresh, sf).collect().map(_.toSeq).toSeq == oneShot)
+    assert(Sketches.approxUsersDaily(fresh, sf).collect().map(_.toSeq).toSeq == union)
+    // the store layout is the documented one: day-partitioned CM grids
+    val root = Sketches.ensureSketchStore(spark, sf)
+    assert(new java.io.File(s"$root/kmv").isDirectory)
+    val days = new java.io.File(s"$root/cms").listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(days.length > 1,
+      "the corpus spans several days — the store must actually partition by day")
+  }
+
   test("tfidf_search is a true cosine and rrf fusion is rank-only") {
     val vs = Retrieval.tfidfSearch(spark, sf).collect()
     assert(vs.nonEmpty)
