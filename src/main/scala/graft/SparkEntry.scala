@@ -228,6 +228,7 @@ object SparkEntry {
     "stream_error_purchase_outer" -> graft.streaming.EventStream.errorPurchaseLeftOuter _,
     "stream_error_purchase_full" -> graft.streaming.EventStream.errorPurchaseFullOuter _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
+    "stream_bm25_index" -> graft.streaming.DocStream.streamSearchIndex _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
   )
@@ -2769,6 +2770,9 @@ object SparkEntry {
          |FROM m ORDER BY lang""".stripMargin
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
+        // the stream-maintained index reassembles the same postings, so
+        // the final drained ranking shares the batch oracle
+        "stream_bm25_index" -> bm25,
         "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
         // the artifact stores exact integers + 6dp-fixed norms, so the
         // served rankers equal the computed ones — one oracle text each

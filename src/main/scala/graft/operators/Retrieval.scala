@@ -95,11 +95,13 @@ object Retrieval {
   }
 
   /** The BM25 scoring tail over an already-matched posting frame
-    * (doc_id, dl, term, tf, df) — shared verbatim by the corpus path
-    * and the artifact serve path, so "served == computed" is a
-    * property of the data, not of two formula copies staying in sync.
+    * (doc_id, dl, term, tf, df) — shared verbatim by the corpus path,
+    * the artifact serve path and the STREAM-MAINTAINED index
+    * ([[graft.streaming.DocStream.streamSearchIndex]]), so
+    * "served == computed" is a property of the data, not of N formula
+    * copies staying in sync.
     */
-  private def bm25Score(matched: DataFrame, stats: DataFrame,
+  private[graft] def bm25Score(matched: DataFrame, stats: DataFrame,
       qterms: DataFrame): DataFrame = {
     val enriched = matched.join(broadcast(qterms), "term")
     val avgdl = col("total_tokens").cast("double") / col("n_docs")

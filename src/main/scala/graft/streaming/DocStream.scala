@@ -536,4 +536,64 @@ object DocStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("doc_id")
   }
+
+  /** `stream_bm25_index`: the search index MAINTAINED under
+    * continuous ingest — each micro-batch tokenizes its documents and
+    * APPENDS their postings (and doc lengths) to the store; serving
+    * BM25 from the maintained store must equal the batch-built
+    * ranking ([[graft.operators.Retrieval.bm25Search]]'s oracle gates
+    * it). Appends suffice because postings are doc-partitioned facts —
+    * a document's rows are complete within its batch and no later
+    * batch revises them — while the CORPUS statistics (df, N, avgdl)
+    * are recomputed from the store at serve time, which is why a
+    * query's score legitimately drifts as ingest proceeds and only
+    * the final drained state is gate-comparable.
+    *
+    * 100 TB shape: per-batch work is batch-sized (tokenize + one
+    * in-batch tf aggregate); the store grows by appended partitions
+    * (production: bucketed by term, compacted periodically); the
+    * serve path is [[graft.operators.Retrieval.bm25SearchServed]]'s
+    * — broadcast query vocabulary, df over matched postings only.
+    */
+  def streamSearchIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-index")
+    val tmpPath = tmp.toString
+    val q = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toked = batch
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            TextAnalysis.tokens(lower(col("text"))).as("toks"))
+        toked.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+          .write.mode("append").parquet(s"$tmpPath/doclen")
+        toked
+          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+            explode(col("toks")).as("term"))
+          .groupBy("doc_id", "dl", "term")
+          .agg(count(lit(1)).as("tf"))
+          .write.mode("append").parquet(s"$tmpPath/postings")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import spark.implicits._
+    val qterms = Retrieval.Queries
+      .flatMap { case (qid, t) => t.split(" ").map(w => (qid, w)) }
+      .toDF("query_id", "term")
+    // corpus stats from the doc-length table (NOT the postings: a
+    // token-less doc has no postings but still counts toward N)
+    val stats = spark.read.parquet(s"$tmpPath/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
+    val matched = spark.read.parquet(s"$tmpPath/postings")
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    Retrieval.bm25Score(matched, stats, qterms)
+  }
 }

@@ -737,6 +737,12 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.retireCaches()
     assert(sph.nonEmpty && sph == bph,
       "drained phash-store probe must equal the batch incremental phash bit-for-bit")
+    // the stream-maintained search index reassembles the batch postings,
+    // so the final served ranking equals the batch ranker bit-for-bit
+    val sbm = DocStream.streamSearchIndex(spark, sf).collect().map(_.toSeq).toSeq
+    val bbm = Retrieval.bm25Search(spark, sf).collect().map(_.toSeq).toSeq
+    assert(sbm.nonEmpty && sbm == bbm,
+      "BM25 from the stream-maintained index must equal the batch ranking")
   }
 
   test("full-outer stream join is the union of inner, left-null and right-null parts") {
