@@ -174,6 +174,7 @@ object SparkEntry {
     "graph_degrees" -> Graph.degreeHistogram _,
     "graph_triangles" -> Graph.triangles _,
     "graph_knn" -> Graph.mutualKnn _,
+    "graph_knn_components" -> Graph.knnComponents _,
     "graph_common_neighbors" -> Graph.commonNeighbors _,
     "keywords_textrank" -> Graph.textRank _,
     "sample_stratified" -> Sampling.stratifiedSample _,
@@ -1319,8 +1320,24 @@ object SparkEntry {
          |  $trLast.pr AS textrank
          |FROM $trLast JOIN wdeg ON wdeg.src = $trLast.term
          |ORDER BY textrank DESC, term""".stripMargin
+    // transitive closure over the mutual-kNN edges — the clustersSql
+    // recursive shape on the knn CTE chain; singletons label themselves
+    val knnComponents =
+      s"""${knnCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |msym AS (SELECT vec_a AS a, vec_b AS b FROM m
+         |  UNION ALL SELECT vec_b, vec_a FROM m),
+         |reach AS (
+         |  SELECT a, b FROM msym
+         |  UNION
+         |  SELECT r.a, s.b FROM reach r JOIN msym s ON r.b = s.a AND r.a <> s.b),
+         |lab AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
+         |SELECT emb.vec_id,
+         |  CASE WHEN l.mn IS NULL OR emb.vec_id < l.mn THEN emb.vec_id ELSE l.mn END AS cluster
+         |FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.vec_id
+         |ORDER BY emb.vec_id""".stripMargin
     Map("graph_pagerank" -> pagerank, "graph_degrees" -> degrees,
       "graph_triangles" -> triangles, "graph_knn" -> knn,
+      "graph_knn_components" -> knnComponents,
       "graph_common_neighbors" -> commonNeighbors,
       "keywords_textrank" -> textrank)
   }

@@ -682,11 +682,30 @@ object Dedup {
       // the round's cache and counts changes — no second join+count job
       // (col("label") inside the select is the INPUT label, i.e. the
       // previous round's — the alias doesn't shadow within one select)
-      val next = cacheTracked(labels.join(prop, col("doc_id") === col("pid"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel").isNotNull && col("nlabel") < col("label")).as("chg")))
+      val stepped = cacheTracked(
+        labels.join(prop, col("doc_id") === col("pid"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+            (col("nlabel").isNotNull && col("nlabel") < col("label")).as("chg")))
+      // pointer jump: label(x) ← min(label(x), label(label(x))). Pure
+      // neighbor propagation converges in O(diameter) rounds — fine
+      // for near-clique dup clusters (diameter ~2), but CHAIN-shaped
+      // components (the mutual-kNN graph threads paths through
+      // embedding space) made it crawl: the jump contracts label
+      // chains geometrically, so convergence is O(log diameter) — at
+      // sf0.01 the knn components converge in 6 rounds instead of 43
+      // (measured 295 s → 35 s). A label is always a node id in the
+      // same component, so the self-join lookup is total; the extra
+      // join is node-sized and label-keyed.
+      val next = cacheTracked(stepped.as("a")
+        .join(stepped.select(col("doc_id").as("jid"), col("label").as("jlabel")).as("j"),
+          col("a.label") === col("j.jid"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
+          (col("a.chg") ||
+            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg")))
       changed = next.filter(col("chg")).count()
+      stepped.unpersist(true)
       labelsCache.unpersist(true)
       labelsCache = next
       labels = next.select(col("doc_id"), col("label"))

@@ -257,6 +257,29 @@ object Graph {
       .orderBy(col("common").desc, col("vec_a"), col("vec_b"))
   }
 
+  /** `graph_knn_components`: connected components of the mutual-kNN
+    * graph — the cluster extraction a kNN graph exists for (the
+    * agglomerative step spectral/UMAP-style pipelines run on exactly
+    * this structure). Vectors with no mutual neighbor stay singleton
+    * clusters. Reuses the [[Dedup.clustersFromEdges]] hash-to-min
+    * loop: O(diameter) rounds over the EDGE-INCIDENT nodes only, one
+    * shuffle join + combiner min per round, labels re-checkpointed so
+    * lineage stays one round deep. The edge list is localCheckpoint'ed
+    * first — an iterative consumer must never re-execute the kNN
+    * candidate machinery through its loop lineage (the
+    * `dedup_clusters` lesson, measured 20× there).
+    */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame = {
+    val edges = mutualKnnEdges(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      .localCheckpoint()
+    val docs = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"))
+    Dedup.clustersFromEdges(docs, edges)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+      .orderBy("vec_id")
+  }
+
   /** Vocabulary cap for the co-occurrence graph: top terms by
     * document frequency. Inactive on this corpus (|vocab| = 31) but
     * load-bearing at 100 TB — it bounds the graph to C(cap, 2) edges
