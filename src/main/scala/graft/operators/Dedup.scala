@@ -657,7 +657,17 @@ object Dedup {
     * convergence). `docs` needs a `doc_id` column; `edges` needs
     * `doc_a`/`doc_b`.
     */
-  private[graft] def clustersFromEdges(docs: DataFrame, edges: DataFrame): DataFrame = {
+  /** Per-round probe hook (spec-only): called with (round, analyzed
+    * plan node count of the round's label frame, changed count). The
+    * node count is the lineage-cut contract made observable — constant
+    * from round 1 on, because each round ends in a localCheckpoint
+    * (same probe shape as [[Bpe.roundProbe]], which would have caught
+    * the round-9 regression where cache-without-checkpoint grew the
+    * plan ~4x per round to 2 GiB plan strings).
+    */
+  private[graft] def clustersFromEdges(
+      docs: DataFrame, edges: DataFrame,
+      probe: (Int, Int, Long) => Unit = (_, _, _) => ()): DataFrame = {
     val sym = cacheTracked(edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // propagate only over edge-incident nodes — singletons can never
@@ -665,8 +675,9 @@ object Dedup {
     // end (near-dup graphs are a tiny fraction of the corpus; looping
     // over every document made each round ~100x bigger for nothing)
     val nodes = cacheTracked(sym.select(col("doc_a").as("doc_id")).distinct())
-    // labelsCache is the round's CACHED frame (what gets unpersisted);
-    // labels is the 2-column view of it the next round consumes
+    // labelsCache is the round's MATERIALIZED frame (cached for round
+    // 0, localCheckpoint'ed — i.e. also lineage-cut — for every round
+    // after); labels is the 2-column view of it the next round consumes
     var labelsCache = cacheTracked(nodes.select(col("doc_id"), col("doc_id").as("label")))
     var labels = labelsCache
     var changed = 1L
@@ -692,24 +703,37 @@ object Dedup {
       // for near-clique dup clusters (diameter ~2), but CHAIN-shaped
       // components (the mutual-kNN graph threads paths through
       // embedding space) made it crawl: the jump contracts label
-      // chains geometrically, so convergence is O(log diameter) — at
-      // sf0.01 the knn components converge in 6 rounds instead of 43
-      // (measured 295 s → 35 s). A label is always a node id in the
-      // same component, so the self-join lookup is total; the extra
-      // join is node-sized and label-keyed.
-      val next = cacheTracked(stepped.as("a")
+      // chains geometrically, so convergence is O(log diameter). A
+      // label is always a node id in the same component, so the
+      // self-join lookup is total; the extra join is node-sized and
+      // label-keyed.
+      //
+      // The round MUST end in a lineage cut, not just a cache: `next`
+      // references `stepped` twice and `stepped` references `labels`
+      // twice, so the LOGICAL plan grows ~4x per round, and cache()
+      // does not truncate it — Catalyst re-analyzes the full tree on
+      // every action, which goes exponential (2 GiB plan strings by
+      // round ~10 — this hung the round-9 gates on the chain-shaped
+      // kNN graph). localCheckpoint is eager, so one job both
+      // materializes the round and resets the plan to a leaf; the
+      // change count then reads the cached blocks. Same discipline as
+      // [[Graph.pageRank]], except every round because of the 4x (vs
+      // pageRank's linear) growth rate.
+      val next = stepped.as("a")
         .join(stepped.select(col("doc_id").as("jid"), col("label").as("jlabel")).as("j"),
           col("a.label") === col("j.jid"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
           (col("a.chg") ||
-            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg")))
+            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg"))
+        .localCheckpoint()
       changed = next.filter(col("chg")).count()
       stepped.unpersist(true)
       labelsCache.unpersist(true)
       labelsCache = next
       labels = next.select(col("doc_id"), col("label"))
       iter += 1
+      probe(iter, next.queryExecution.analyzed.collect { case n => n }.size, changed)
       if (dbg) println(f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     require(changed == 0, s"dedup_clusters did not converge within $iter rounds")
