@@ -262,9 +262,12 @@ object Graph {
     * agglomerative step spectral/UMAP-style pipelines run on exactly
     * this structure). Vectors with no mutual neighbor stay singleton
     * clusters. Reuses the [[Dedup.clustersFromEdges]] hash-to-min
-    * loop: O(diameter) rounds over the EDGE-INCIDENT nodes only, one
-    * shuffle join + combiner min per round, labels re-checkpointed so
-    * lineage stays one round deep. The edge list is localCheckpoint'ed
+    * loop: O(log diameter) pointer-jump rounds over the EDGE-INCIDENT
+    * nodes only, one shuffle join + combiner min per round, each
+    * round's labels localCheckpoint'ed IN the loop so lineage stays
+    * one round deep (the pointer jump references the previous round
+    * four times, so anything short of a per-round cut grows the
+    * logical plan geometrically — the round-9 lesson). The edge list is localCheckpoint'ed
     * first — an iterative consumer must never re-execute the kNN
     * candidate machinery through its loop lineage (the
     * `dedup_clusters` lesson, measured 20× there).
@@ -311,13 +314,27 @@ object Graph {
     * discipline as [[pageRank]], so the oracle's CTE chain replays
     * every iteration bit-for-bit.
     */
-  def textRank(spark: SparkSession, dir: String): DataFrame = {
-    val dt = graft.Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-      .distinct()
+  def textRank(spark: SparkSession, dir: String): DataFrame =
+    textRankOn(spark,
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+        .distinct(),
+      TextRankVocab)
+
+  /** Cap-parameterized body of [[textRank]] over a prepared (doc_id,
+    * term) incidence — the production query fixes cap =
+    * [[TextRankVocab]], which is INACTIVE on the test corpus
+    * (|vocab| = 31); `GraphSpec` drives this with a cap that BINDS on
+    * a synthetic corpus to pin the cap's load-bearing contract: the
+    * retained vocabulary is exactly the top-cap terms by (df, term)
+    * and the edge set is C(cap, 2)-bounded no matter how many terms
+    * the corpus holds.
+    */
+  private[graft] def textRankOn(
+      spark: SparkSession, dt: DataFrame, vocabCap: Int): DataFrame = {
     val topVocab = dt.groupBy("term").agg(count(lit(1)).as("df"))
-      .orderBy(col("df").desc, col("term")).limit(TextRankVocab)
+      .orderBy(col("df").desc, col("term")).limit(vocabCap)
       .select("term")
     val inc = dt.join(broadcast(topVocab), Seq("term"), "left_semi")
     val edges = inc.as("a")

@@ -91,4 +91,94 @@ class GraphSpec extends AnyFunSuite {
     val resorted = scores.sortBy { case (s, t) => (-s, t) }.toSeq
     assert(scores.toSeq == resorted)
   }
+
+  test("label-prop loop: plan stays FLAT and converges in O(log diameter) rounds on a 1024-node chain") {
+    import spark.implicits._
+    // the regression spec for round 9's exponential-lineage bug: a
+    // chain is the worst case for neighbor propagation (diameter 1023)
+    // and exactly the shape the mutual-kNN graph produces. The pointer
+    // jump must converge in ~log2(1023) rounds, and the per-round
+    // localCheckpoint must keep the analyzed plan node count CONSTANT —
+    // cache-without-checkpoint grows it ~4x per round, which hung the
+    // round-9 gates with 2 GiB plan strings.
+    val n = 1024L
+    val docs = spark.range(1, n + 1).toDF("doc_id")
+    val chain = spark.range(1, n).select(
+      col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    val got = Dedup.clustersFromEdges(docs, chain, (r, p, c) => probes += ((r, p, c)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    Kernels.retireCaches()
+    assert(got.length == n && got.forall(_._2 == 1L),
+      "every chain node must land in component 1")
+    val rounds = probes.map(_._1).max
+    assert(rounds <= 15,
+      s"pointer jump should converge a 1023-diameter chain in ~log2 rounds, took $rounds")
+    // plan flatness: every round's frame is a localCheckpoint leaf, so
+    // the analyzed node count is identical across ALL rounds
+    val counts = probes.map(_._2).distinct
+    assert(counts.size == 1,
+      s"plan node count must be constant across rounds (lineage cut), saw $counts")
+  }
+
+  test("TextRank vocab cap BINDS: top-cap-by-df vocabulary retained, C(cap,2)-bounded graph") {
+    import spark.implicits._
+    // the production cap (1000) is inactive at |vocab| = 31, so this
+    // drives textRankOn with a synthetic incidence where it must bind:
+    // 5 hub terms in every doc (df = 40) + one rare term per doc
+    // (df = 1), vocab = 45 > cap = 12. The cap's contract at 100 TB is
+    // that the graph stays C(cap,2)-bounded and keeps exactly the
+    // top-cap terms by (df desc, term asc) — corpus size may only
+    // affect the one incidence scan.
+    val hubs = (0 until 5).map(i => s"hub$i")
+    val dt = (1 to 40).flatMap { d =>
+      (hubs :+ f"rare$d%02d").map(t => (d.toLong, t))
+    }.toDF("doc_id", "term")
+    val cap = 12
+    val out = Graph.textRankOn(spark, dt, cap).collect()
+    Kernels.retireCaches()
+    val kept = out.map(_.getAs[String]("term")).toSet
+    // expected survivors: all 5 hubs (df=40), then the 7 alphabetically
+    // first rare terms (df=1, tie broken by term)
+    val expected = hubs.toSet ++ (1 to 7).map(d => f"rare$d%02d")
+    assert(kept == expected,
+      s"cap must keep exactly the top-$cap by (df, term); kept $kept")
+    assert(out.length <= cap)
+    // rank sanity under the cap: hubs co-occur with everything retained
+    // and each other (df 40) — all 5 must outrank every rare term
+    val rankOf = out.map { r =>
+      val v = r.getAs[Any]("textrank") match {
+        case d: Double => d
+        case b: java.math.BigDecimal => b.doubleValue
+      }
+      r.getAs[String]("term") -> v
+    }.toMap
+    val worstHub = hubs.map(rankOf).min
+    val bestRare = (kept -- hubs).map(rankOf).max
+    assert(worstHub > bestRare, "every hub must outrank every rare term")
+  }
+
+  test("knnComponents: labels are component-minimal, edge-consistent, and cover every vector") {
+    val comp = Graph.knnComponents(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    Kernels.retireCaches()
+    val vecs = Tables.embeddings(spark, sf).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(comp.keySet == vecs, "one label per embedding, singletons included")
+    val edges = Graph.mutualKnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    Kernels.retireCaches()
+    assert(edges.nonEmpty)
+    // edge consistency: endpoints share a label (the defining property)
+    edges.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"edge ($a,$b) spans labels ${comp(a)}/${comp(b)}")
+    }
+    // minimality: each label is the min member id of its member set
+    comp.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"label $lbl is not its component's min id")
+    }
+    // non-edge-incident vectors label themselves
+    val incident = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    (vecs -- incident).foreach(v => assert(comp(v) == v))
+  }
 }
