@@ -57,6 +57,34 @@ private[graft] object Kernels {
   def onRetire(hook: () => Unit): Unit =
     retireHooks.synchronized { retireHooks += hook }
 
+  // Fingerprinted durable-store dirs under java.io.tmpdir (ANN index,
+  // search postings, sketch store, …) are deliberately
+  // SESSION-independent — any session in the JVM may serve them — so
+  // the only safe lifetime boundary is the process: one shutdown hook
+  // deletes every registered root at JVM exit. Without this, each gate
+  // or spec run leaves its stores on disk forever (the BPE-memo-leak
+  // habit, disk edition). Deterministic (fingerprinted) names keep the
+  // WITHIN-run footprint bounded either way; this bounds the
+  // across-run footprint to zero.
+  private val tempStores = scala.collection.mutable.Set.empty[String]
+  private lazy val storeCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTempStores()))
+
+  def registerTempStore(path: String): String = tempStores.synchronized {
+    storeCleanupHook
+    tempStores += path
+    path
+  }
+
+  private[graft] def deleteTempStores(): Unit = tempStores.synchronized {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    tempStores.foreach(p => rm(new java.io.File(p)))
+    tempStores.clear()
+  }
+
   /** Memo key for session-lifetime per-corpus products (trained
     * codebooks, materialized keep-lists): the input dir PLUS a cheap
     * recursive (name, length, mtime) listing of the backing table, so
