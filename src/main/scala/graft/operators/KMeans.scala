@@ -58,7 +58,7 @@ object KMeansCodebook {
     * exact-decimal squared L2, rounded to 6dp, ties to the lowest
     * cluster id. The codebook rides the task closure (K·dim values).
     */
-  private def assign(spark: SparkSession, base: DataFrame, cb: Codebook): DataFrame = {
+  private[operators] def assign(spark: SparkSession, base: DataFrame, cb: Codebook): DataFrame = {
     import spark.implicits._
     base.as[(Long, Seq[Double])].mapPartitions { it =>
       it.map { case (id, v) =>

@@ -490,8 +490,8 @@ object ProductQuant {
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
-        val root =
-          s"${System.getProperty("java.io.tmpdir")}/graft-ann-index-$h"
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-ann-index-$h")
         KMeansCodebook.writeIndex(spark, dir, root)
         writeCodebooks(spark, dir, root)
         root
@@ -500,6 +500,96 @@ object ProductQuant {
 
   private val artifactMemo =
     scala.collection.mutable.Map.empty[(String, String), String]
+
+  // -------------------------------------------------------------------
+  // Index MAINTENANCE under ingest — the missing refresh path between
+  // "train once, serve many" and "retrain per corpus release": new
+  // vectors are assigned to the EXISTING trained cells and PQ-encoded
+  // with the EXISTING books, and only their rows are appended to the
+  // celled stores. The keep-list got exactly this in
+  // Dedup.keepMaintain; the index now has its twin.
+
+  /** Batch-role predicate: the shared `inc:` id-hash split applied to
+    * vectors ([[graft.operators.Dedup]]'s convention, so the "ingest
+    * batch" is the same slice of ids every incremental query uses).
+    */
+  private def isIncBatchVec(id: org.apache.spark.sql.Column) =
+    substring(md5(concat(lit("inc:"), id.cast("string"))), 1, 1) < Dedup.IncBatchThreshold
+
+  /** The history corpus (trains the index) under the `inc:` split. */
+  private def histVecBase(spark: SparkSession, dir: String): DataFrame =
+    Kernels.fanOut(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .filter(!isIncBatchVec(col("vec_id"))))
+
+  /** History-corpus memo key — distinct from the full-table keys so
+    * the history-trained codebooks never collide with the full-corpus
+    * trained ones in the shared training memos.
+    */
+  private def maintKey(dir: String): (String, String) = {
+    val ek = Kernels.inputKey(dir, "embeddings.parquet")
+    (s"ann-maintain:${ek._1}", ek._2)
+  }
+
+  /** Builds the history-trained durable index, then MAINTAINS it with
+    * the ingest batch: batch vectors are assigned to the frozen coarse
+    * cells ([[KMeansCodebook.assign]] with the ARTIFACT codebook — the
+    * exact decimals training used, so maintained assignment ==
+    * one-shot assignment bit-for-bit), PQ-encoded with the artifact
+    * books, and their (assignment, codes) rows APPENDED into the
+    * celled parquet layout. Nothing is retrained; no history row is
+    * rewritten; per-ingest cost is batch-sized map-only work plus an
+    * append of batch-sized partitions — the 100 TB maintenance story.
+    *
+    * EXACTNESS: given frozen codebooks, each vector's cell and codes
+    * are independent of every other vector, so the maintained store
+    * EQUALS the store of "train on history, encode the union corpus"
+    * — which is what the oracle replays.
+    */
+  private[graft] def ensureMaintainedArtifact(spark: SparkSession, dir: String): String =
+    maintMemo.synchronized {
+      val key = maintKey(dir)
+      maintMemo.getOrElseUpdate(key, {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-ann-maint-$h")
+        val hb = Kernels.cacheTracked(histVecBase(spark, dir))
+        KMeansCodebook.writeIndexOn(spark, key, hb, root)
+        writeCodebooksOn(spark, key, subBaseOf(hb),
+          KMeansCodebook.assignmentOn(spark, key, hb), root)
+        // --- the maintenance step: frozen-codebook ingest of the batch
+        val batch = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .filter(isIncBatchVec(col("vec_id")))
+        val bAssign = KMeansCodebook
+          .assign(spark, batch, KMeansCodebook.codebookFromArtifact(spark, root))
+          .select(col("vec_id"), col("cluster"))
+          .localCheckpoint() // consumed twice (write + codes join); batch-sized
+        bAssign.write.mode("append").partitionBy("cluster")
+          .parquet(s"$root/assignment")
+        assign(spark, subBaseOf(batch), booksFromArtifact(spark, root))
+          .select(col("vec_id"), col("ss"), col("code"))
+          .join(bAssign, "vec_id")
+          .write.mode("append").partitionBy("cluster").parquet(s"$root/codes")
+        root
+      })
+    }
+
+  private val maintMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** `ann_ivf_pq_maintain`: the probe batch served from the MAINTAINED
+    * index — history-trained codebooks, batch rows appended by
+    * [[ensureMaintainedArtifact]], the standard [[annIvfPqFrom]] serve
+    * path (static partition pruning over probed cells) against the
+    * union store. The oracle replays train-on-history +
+    * encode-the-union in SQL; maintained == that, exactly.
+    */
+  def annIvfPqMaintain(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqFrom(spark, dir, ensureMaintainedArtifact(spark, dir))
 
   def annIvfPqFrom(spark: SparkSession, dir: String, path: String): DataFrame =
     annIvfPqFrom(spark, dir, path, Similarity.KmProbeCells)
@@ -573,8 +663,8 @@ object ProductQuant {
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
-        val root =
-          s"${System.getProperty("java.io.tmpdir")}/graft-pipe-index-$h"
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-pipe-index-$h")
         val base = pipeBase(spark, dir)
         KMeansCodebook.writeIndexOn(spark, key, base, root)
         writeCodebooksOn(spark, key, subBaseOf(base),
