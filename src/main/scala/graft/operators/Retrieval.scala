@@ -298,8 +298,8 @@ object Retrieval {
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
-        val root =
-          s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$h"
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$h")
         writeSearchIndex(spark, dir, root)
         root
       })

@@ -327,8 +327,8 @@ object Sketches {
         val h = java.security.MessageDigest.getInstance("MD5")
           .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(12)
-        val root =
-          s"${System.getProperty("java.io.tmpdir")}/graft-sketch-store-$h"
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-sketch-store-$h")
         writeSketchStore(spark, dir, root)
         root
       })
@@ -366,6 +366,105 @@ object Sketches {
     import graft.functions.TopKFunctions.topK
     val root = ensureSketchStore(spark, dir)
     val merged = spark.read.parquet(s"$root/kmv")
+      .select(explode(col("mins")).as("m"))
+      .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
+      .distinct()
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
+           count(lit(1)).as("n_merged"))
+    val exact = Tables.events(spark, dir).select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("exact_users"),
+        kmvEstimate(col("mins"), col("n_merged")).as("est_users"))
+      .select(col("exact_users"), col("est_users"),
+        round(abs(col("est_users").cast("double") - col("exact_users")) /
+          col("exact_users"), 4).as("rel_err"))
+  }
+
+  // -------------------------------------------------------------------
+  // Store COMPACTION — the consolidation step an append-only store
+  // needs in production: per-day partitions accumulate forever (10
+  // years of ingest = 3650 day-partitions, each holding small files
+  // from its own write), so periodically the store is rolled up into
+  // coarser units. For sketches the rollup is not a file rewrite but a
+  // SKETCH MERGE: CM grids add cell-wise, bottom-k sketches union +
+  // re-cut — both lossless, so a store compacted day→week (or →month)
+  // serves bit-identical answers from |weeks| partitions instead of
+  // |days|. The same `hhServeSql` / `kmvUnionSql` oracle texts gate
+  // the compacted serve paths, which is the losslessness proof.
+
+  /** Rolls the daily store at `root` up into an ISO-week store at
+    * `root/compact`: CM grids merge by cell-wise counter addition
+    * (groupBy week,j,b), KMV sketches by union + re-cut to bottom-k.
+    * Each week partition is written as ONE file (a week's grid is
+    * ≤ 256 rows, its KMV sketch one row — consolidation is the point),
+    * so the compacted store holds |weeks| files however many daily
+    * append files accumulated. Returns the compacted root.
+    *
+    * Losslessness: counter addition is associative (day→week→global
+    * equals day→global), and the global bottom-k survives inside the
+    * union of per-week bottom-k's because each week's cut only drops
+    * hashes that lose to k smaller hashes ALSO in that week — which
+    * are in the union too. The `n_merged` tie-break in
+    * [[kmvEstimate]] is likewise unaffected: it only matters below
+    * k entries, where no cut is active at any granularity.
+    */
+  def compactSketchStore(spark: SparkSession, root: String): String = {
+    import graft.functions.TopKFunctions.topK
+    val croot = s"$root/compact"
+    spark.read.parquet(s"$root/cms")
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .groupBy("week", "j", "b").agg(sum("cnt").as("cnt"))
+      .repartition(col("week"))
+      .write.mode("overwrite").partitionBy("week").parquet(s"$croot/cms")
+    spark.read.parquet(s"$root/kmv")
+      .withColumn("week", date_trunc("week", col("day")).cast("date"))
+      .select(col("week"), explode(col("mins")).as("m"))
+      .select(col("week"), (-col("m.score")).as("h"), col("m.id").as("user_id"))
+      .distinct() // a user's hash may sit in several day sketches
+      .groupBy("week")
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$croot/kmv")
+    croot
+  }
+
+  /** The compacted store root for `dir` — daily store built (or
+    * memo-hit) first, then compacted once per (corpus, JVM).
+    */
+  private[graft] def ensureCompactedStore(spark: SparkSession, dir: String): String =
+    compactMemo.synchronized {
+      val key = Kernels.inputKey(dir, "events.parquet")
+      compactMemo.getOrElseUpdate(key,
+        compactSketchStore(spark, ensureSketchStore(spark, dir)))
+    }
+
+  private val compactMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** `events_heavy_hitters_compact`: heavy hitters served from the
+    * COMPACTED (weekly) store — cell-wise addition over |weeks| grids
+    * reassembles the same global grid the daily path builds, so the
+    * answer (and its `hhServeSql` oracle) is unchanged while the
+    * store behind it shrank from |days| partitions of appended small
+    * files to one file per week.
+    */
+  def heavyHittersCompact(spark: SparkSession, dir: String): DataFrame = {
+    val croot = ensureCompactedStore(spark, dir)
+    val merged = spark.read.parquet(s"$croot/cms")
+      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+    probeSketchTopK(spark, dir, merged)
+  }
+
+  /** `events_approx_users_compact`: the global distinct estimate from
+    * the compacted weekly KMV sketches — same union + re-cut +
+    * estimate as [[approxUsersDaily]], reading |weeks| rows instead
+    * of |days|. Exact columns ride for the gate only.
+    */
+  def approxUsersCompact(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val croot = ensureCompactedStore(spark, dir)
+    val merged = spark.read.parquet(s"$croot/kmv")
       .select(explode(col("mins")).as("m"))
       .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
       .distinct()

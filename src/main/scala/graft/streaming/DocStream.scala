@@ -555,8 +555,33 @@ object DocStream {
     * serve path is [[graft.operators.Retrieval.bm25SearchServed]]'s
     * — broadcast query vocabulary, df over matched postings only.
     */
-  def streamSearchIndex(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Retrieval
+  /** One ingest batch's append into the search store at `root`:
+    * tokenize, write the doc-length rows, aggregate the in-batch term
+    * frequencies, append the postings. Factored out of the stream's
+    * `foreachBatch` so the compaction spec can replay several ingests
+    * against one store without a streaming source that happens to
+    * split batches that way.
+    */
+  private[graft] def appendSearchBatch(batch: DataFrame, root: String): Unit = {
+    val toked = batch
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    toked.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .write.mode("append").parquet(s"$root/doclen")
+    toked
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$root/postings")
+    ()
+  }
+
+  /** Runs the ingest stream over `dir`, appending each micro-batch
+    * into a fresh temp store; returns the store root.
+    */
+  private def ingestSearchStore(spark: SparkSession, dir: String): java.nio.file.Path = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-index")
     val tmpPath = tmp.toString
     val q = spark.readStream
@@ -566,34 +591,101 @@ object DocStream {
       .select(col("doc_id"), col("text"))
       .writeStream.outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toked = batch
-          .repartition(spark.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            TextAnalysis.tokens(lower(col("text"))).as("toks"))
-        toked.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-          .write.mode("append").parquet(s"$tmpPath/doclen")
-        toked
-          .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-            explode(col("toks")).as("term"))
-          .groupBy("doc_id", "dl", "term")
-          .agg(count(lit(1)).as("tf"))
-          .write.mode("append").parquet(s"$tmpPath/postings")
-        ()
+        appendSearchBatch(batch, tmpPath)
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    tmp
+  }
+
+  /** BM25 serve over a (postings, doclen) store —
+    * [[graft.operators.Retrieval.bm25SearchServed]]'s shape: broadcast
+    * query vocabulary, df over matched postings only, corpus stats
+    * from the doc-length table (NOT the postings: a token-less doc has
+    * no postings but still counts toward N).
+    */
+  private[graft] def serveBm25(
+      spark: SparkSession, postings: String, doclen: String): DataFrame = {
+    import graft.operators.Retrieval
     import spark.implicits._
     val qterms = Retrieval.Queries
       .flatMap { case (qid, t) => t.split(" ").map(w => (qid, w)) }
       .toDF("query_id", "term")
-    // corpus stats from the doc-length table (NOT the postings: a
-    // token-less doc has no postings but still counts toward N)
-    val stats = spark.read.parquet(s"$tmpPath/doclen")
+    val stats = spark.read.parquet(doclen)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
-    val matched = spark.read.parquet(s"$tmpPath/postings")
+    val matched = spark.read.parquet(postings)
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")))
     Retrieval.bm25Score(matched, stats, qterms)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  def streamSearchIndex(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = ingestSearchStore(spark, dir)
+    // the store is PER-CALL (random temp dir, unlike the fingerprinted
+    // ensure* memos), so it must not outlive the call: materialize the
+    // query-bounded serve result eagerly, then delete the store — the
+    // caller gets a checkpoint leaf with no dangling file dependency
+    val served =
+      serveBm25(spark, s"$tmp/postings", s"$tmp/doclen").localCheckpoint()
+    rmTree(tmp.toFile)
+    served
+  }
+
+  /** Compacted-store file budget: postings are rewritten into this
+    * many term-hash buckets (term-sorted within each), doc lengths
+    * into as many id-hash buckets. Sized for the test corpus; a
+    * production deployment sets it from store size / target file size
+    * (e.g. ~1 GB parquet files), the way `spark.sql.files
+    * .maxPartitionBytes` is deployment-sized.
+    */
+  private[graft] val SearchStoreBuckets = 2
+
+  /** Compacts an appended search store IN PLACE under `root`:
+    * postings shuffle once into [[SearchStoreBuckets]] term-hash
+    * buckets, sorted by (term, doc_id) within each — the
+    * run-merge discipline of a reduce-side merge, applied to the
+    * store: every batch's appended fragment of a term's posting list
+    * lands contiguously in one file, so a query's term lookup reads
+    * one bucket instead of every append. Doc lengths likewise. The
+    * rewrite is one bounded shuffle of the store (NOT the corpus — at
+    * 100 TB the store is the postings, already tf-aggregated), and
+    * rewritten buckets replace the appended fragments atomically per
+    * table (write to `_c`, then swap). Returns (postings, doclen)
+    * paths of the compacted tables.
+    */
+  private[graft] def compactSearchStore(
+      spark: SparkSession, root: String): (String, String) = {
+    spark.read.parquet(s"$root/postings")
+      .repartition(SearchStoreBuckets, col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$root/postings_c")
+    spark.read.parquet(s"$root/doclen")
+      .repartition(SearchStoreBuckets, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$root/doclen_c")
+    (s"$root/postings_c", s"$root/doclen_c")
+  }
+
+  /** `stream_bm25_compact`: the maintained search index COMPACTED
+    * after ingest, then served — closing the "appends forever" gap of
+    * [[streamSearchIndex]]: per-batch appends leave one small file
+    * set per micro-batch (small-files death within days of real
+    * ingest); the periodic compaction pass rewrites the store into
+    * [[SearchStoreBuckets]] term-bucketed, term-sorted files.
+    * Compaction moves rows between files and never changes them, so
+    * the served ranking is bit-identical to the uncompacted serve and
+    * the same BM25 oracle gates it (spec-pinned file-count bound too).
+    */
+  def streamSearchIndexCompacted(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = ingestSearchStore(spark, dir)
+    val (p, d) = compactSearchStore(spark, tmp.toString)
+    val served = serveBm25(spark, p, d).localCheckpoint()
+    rmTree(tmp.toFile)
+    served
   }
 }

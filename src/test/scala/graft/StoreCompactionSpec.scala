@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.streaming.DocStream
+
+/** Compaction contracts for the two append-only stores: the rewritten
+  * store must hold a BOUNDED number of files (consolidation is the
+  * point), and serving from it must be bit-identical to serving from
+  * the appended original (compaction moves rows between files, never
+  * changes them; sketch compaction merges losslessly).
+  */
+class StoreCompactionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = SparkTestSession.Sf
+
+  private def partFiles(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+  }
+
+  test("search-store compaction: bounded files, bit-identical serve") {
+    val root = SparkTestSession.tmpDir("graft-compact-spec").toString
+    // replay three ingest appends (the stream's foreachBatch body) so
+    // the store accumulates one small-file set per batch — the
+    // append-forever shape compaction exists to fix
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    Seq(0L -> 160L, 160L -> 320L, 320L -> Long.MaxValue).foreach {
+      case (lo, hi) =>
+        DocStream.appendSearchBatch(
+          docs.filter(col("doc_id") >= lo && col("doc_id") < hi), root)
+    }
+    val before = partFiles(s"$root/postings")
+    assert(before > DocStream.SearchStoreBuckets,
+      s"three appended batches must exceed the bucket budget (saw $before files)")
+    val served = DocStream.serveBm25(spark, s"$root/postings", s"$root/doclen")
+      .collect().map(_.toSeq).toSet
+    val (p, d) = DocStream.compactSearchStore(spark, root)
+    assert(partFiles(p) <= DocStream.SearchStoreBuckets && partFiles(p) < before,
+      s"compaction must consolidate ${before} appended files into ≤ ${DocStream.SearchStoreBuckets}")
+    assert(partFiles(d) <= DocStream.SearchStoreBuckets)
+    // row-preservation, not just serve-equality: the rewrite must move
+    // every posting and invent none
+    val rowsBefore = spark.read.parquet(s"$root/postings")
+      .collect().map(_.toSeq).toSet
+    val rowsAfter = spark.read.parquet(p).collect().map(_.toSeq).toSet
+    assert(rowsAfter == rowsBefore, "compaction must preserve the exact posting rows")
+    val servedC = DocStream.serveBm25(spark, p, d).collect().map(_.toSeq).toSet
+    assert(servedC == served, "serving from the compacted store must be bit-identical")
+  }
+
+  test("sketch-store compaction: weekly rollup is lossless and consolidates day partitions") {
+    val root = SparkTestSession.tmpDir("graft-sketch-compact-spec").toString
+    Sketches.writeSketchStore(spark, sf, root)
+    val daysCms = partFiles(s"$root/cms")
+    val croot = Sketches.compactSketchStore(spark, root)
+    val weeks = spark.read.parquet(s"$croot/cms")
+      .select("week").distinct().count()
+    assert(weeks < daysCms,
+      s"30 day-partitions must roll up into fewer weekly files ($daysCms → $weeks weeks)")
+    assert(partFiles(s"$croot/cms") == weeks,
+      "one file per week partition — consolidation is the contract")
+    // lossless CM merge: the weekly grids re-merge into exactly the
+    // grid the daily store merges into (counter addition associativity)
+    val daily = spark.read.parquet(s"$root/cms")
+      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+      .collect().map(_.toSeq).toSet
+    val weekly = spark.read.parquet(s"$croot/cms")
+      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+      .collect().map(_.toSeq).toSet
+    assert(weekly == daily, "day→week→global must equal day→global cell-for-cell")
+    // and the gate-facing serve twins agree estimate-for-estimate
+    val hhDaily = Sketches.heavyHittersDaily(spark, sf).collect().map(_.toSeq)
+    val hhCompact = Sketches.heavyHittersCompact(spark, sf).collect().map(_.toSeq)
+    assert(hhCompact.nonEmpty && hhCompact.toSeq == hhDaily.toSeq)
+    val auDaily = Sketches.approxUsersDaily(spark, sf).collect().map(_.toSeq)
+    val auCompact = Sketches.approxUsersCompact(spark, sf).collect().map(_.toSeq)
+    assert(auCompact.toSeq == auDaily.toSeq,
+      "the weekly KMV union must estimate identically to the daily union")
+  }
+}
