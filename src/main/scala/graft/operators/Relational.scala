@@ -1047,11 +1047,15 @@ object Relational {
           .filter(col("r_name") === "EUROPE").select("r_regionkey")),
         col("n_regionkey") === col("r_regionkey"), "left_semi")
       .select("s_suppkey")
-    val v = Tables.lineitem(spark, dir)
+    // cached: tot re-aggregates v, so without the pin the lineitem
+    // scan + EU semi-join + per-part aggregate would execute TWICE
+    // (once for the broadcast total, once for the output side) —
+    // at 100 TB that is a second full pass over the fact table
+    val v = Kernels.cacheTracked(Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
       .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey")
-      .agg(sum(dec(col("l_extendedprice"))).as("val"))
+      .agg(sum(dec(col("l_extendedprice"))).as("val")))
     val tot = v.agg(sum(col("val")).as("tot"))
     v.crossJoin(broadcast(tot))
       .filter(col("val") * 1000 > col("tot"))
