@@ -101,6 +101,9 @@ object SparkEntry {
     "events_approx_users_union" -> Sketches.approxUsersUnion _,
     "events_approx_users_daily" -> Sketches.approxUsersDaily _,
     "events_heavy_hitters_daily" -> Sketches.heavyHittersDaily _,
+    // served from the COMPACTED (day→week rolled-up) sketch store
+    "events_approx_users_compact" -> Sketches.approxUsersCompact _,
+    "events_heavy_hitters_compact" -> Sketches.heavyHittersCompact _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
     "events_heavy_hitters" -> Sketches.heavyHitters _,
     "events_heavy_hitters_serve" -> Sketches.heavyHittersServe _,
@@ -155,6 +158,10 @@ object SparkEntry {
     // write-index-then-probe produces the trained answer end to end
     "ann_ivf_pq_served" -> ((s, dir) =>
       ProductQuant.annIvfPqFrom(s, dir, ProductQuant.ensureIndexArtifact(s, dir))),
+    // index MAINTENANCE under ingest: history-trained artifact + the
+    // inc: batch assigned/encoded with the FROZEN codebooks and
+    // appended — served from the maintained store
+    "ann_ivf_pq_maintain" -> ProductQuant.annIvfPqMaintain _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -230,6 +237,7 @@ object SparkEntry {
     "stream_error_purchase_full" -> graft.streaming.EventStream.errorPurchaseFullOuter _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
     "stream_bm25_index" -> graft.streaming.DocStream.streamSearchIndex _,
+    "stream_bm25_compact" -> graft.streaming.DocStream.streamSearchIndexCompacted _,
     // SQL-facing API
     "sql_revenue_by_priority" -> Relational.sqlRevenueByPriority _,
   )
@@ -820,12 +828,16 @@ object SparkEntry {
     "stream_heavy_hitters" -> hhServeSql,
     // the durable per-day CM grids merge by cell-wise addition into
     // exactly the one-shot grid — the serve oracle gates the store path
+    // (and the weekly-compacted store: counter addition is associative,
+    // so day→week→global equals day→global)
     "events_heavy_hitters_daily" -> hhServeSql,
+    "events_heavy_hitters_compact" -> hhServeSql,
     // Merged per-type (or stored per-day) sketches == one global sketch
     // (lossless bottom-k merge), so the oracle just sketches the union
     // directly — one text gates all three forms.
     "events_approx_users_union" -> kmvUnionSql,
     "events_approx_users_daily" -> kmvUnionSql,
+    "events_approx_users_compact" -> kmvUnionSql,
     "above_avg_balance" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
         |FROM customer c
@@ -1320,20 +1332,37 @@ object SparkEntry {
          |  $trLast.pr AS textrank
          |FROM $trLast JOIN wdeg ON wdeg.src = $trLast.term
          |ORDER BY textrank DESC, term""".stripMargin
-    // transitive closure over the mutual-kNN edges — the clustersSql
-    // recursive shape on the knn CTE chain; singletons label themselves
+    // min-label propagation over the mutual-kNN edges, unrolled as a
+    // fixed CTE chain (the textrank-oracle pattern) mirroring the
+    // Spark loop round for round: neighbor-min, then pointer jump
+    // (lbl ← least(lbl, lbl(lbl))). The former `WITH RECURSIVE reach`
+    // transitive closure was O(Σ|component|²) rows — one long chain in
+    // embedding space (exactly what a kNN graph produces) made the
+    // ORACLE the bottleneck. 16 jump rounds converge any component of
+    // diameter ≤ 2^16 (the Spark side asserts convergence ≤ 50 rounds;
+    // observed ≤ 6 at sf0.01); each round is two node-sized left joins
+    // plus one edge-sized groupBy — linear, not quadratic.
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // l$i references s$i twice — inlined, the plan grows ~3x per round
+    // (3^16 copies), the exact blowup the Spark loop's localCheckpoint
+    // cuts. Materializing each round keeps the oracle plan linear.
+    val lpRounds = (1 to 16).map { i =>
+      val prev = s"l${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT s.a AS id, min(l.lbl) AS nl
+         |  FROM msym s JOIN $prev l ON s.b = l.id GROUP BY s.a),
+         |s$i AS MATERIALIZED (SELECT r.id, least(r.lbl, p.nl) AS lbl
+         |  FROM $prev r LEFT JOIN p$i p ON r.id = p.id),
+         |l$i AS MATERIALIZED (SELECT a.id, least(a.lbl, j.lbl) AS lbl
+         |  FROM s$i a LEFT JOIN s$i j ON a.lbl = j.id)"""
+    }.mkString(",\n")
     val knnComponents =
-      s"""${knnCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+      s"""$knnCtes,
          |msym AS (SELECT vec_a AS a, vec_b AS b FROM m
          |  UNION ALL SELECT vec_b, vec_a FROM m),
-         |reach AS (
-         |  SELECT a, b FROM msym
-         |  UNION
-         |  SELECT r.a, s.b FROM reach r JOIN msym s ON r.b = s.a AND r.a <> s.b),
-         |lab AS (SELECT a AS vec_id, min(b) AS mn FROM reach GROUP BY a)
-         |SELECT emb.vec_id,
-         |  CASE WHEN l.mn IS NULL OR emb.vec_id < l.mn THEN emb.vec_id ELSE l.mn END AS cluster
-         |FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.vec_id
+         |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM msym),
+         |$lpRounds
+         |SELECT emb.vec_id, coalesce(l.lbl, emb.vec_id) AS cluster
+         |FROM embeddings emb LEFT JOIN l16 l ON emb.vec_id = l.id
          |ORDER BY emb.vec_id""".stripMargin
     Map("graph_pagerank" -> pagerank, "graph_degrees" -> degrees,
       "graph_triangles" -> triangles, "graph_knn" -> knn,
@@ -2251,8 +2280,74 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY probe_id
          |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s),
          |$pqRerankTail""".stripMargin
+    // index maintenance: training chains run over the HISTORY slice
+    // (the inc: split's complement), then the union corpus is assigned
+    // (af) and encoded (codesf) against the FROZEN round-(last-1)
+    // codebooks — replaying "train on history, encode the union",
+    // which the maintained store equals exactly (frozen-codebook
+    // assignment is per-vector independent). Serve tail (probes, ADC,
+    // rerank) runs over the full corpus, mirroring annIvfPqFrom on the
+    // maintained artifact stage for stage.
+    val frozenC = s"c${KMeansCodebook.LloydIters - 1}"
+    val frozenB = s"pc${ProductQuant.PqIters - 1}"
+    val maintain =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE substr(md5('inc:' || CAST(vec_id AS VARCHAR)), 1, 1) >= '${Dedup.IncBatchThreshold}'),
+         |$kmeansChainCtes,
+         |$pqChainCtes,
+         |ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |xf0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS dim FROM ef),
+         |xf AS (SELECT vec_id, CAST(xr AS DECIMAL(18,9)) AS x, dim FROM xf0),
+         |pxf0 AS (SELECT vec_id, unnest(v) AS xr, unnest(generate_series(1, len(v))) AS gdim FROM ef),
+         |pxf AS (SELECT vec_id, CAST((gdim - 1) // ${ProductQuant.SubDim} AS BIGINT) AS ss,
+         |    (gdim - 1) % ${ProductQuant.SubDim} + 1 AS dim, CAST(xr AS DECIMAL(18,9)) AS x FROM pxf0),
+         |daf AS (SELECT xf.vec_id, $frozenC.cluster,
+         |    round(SUM((xf.x - $frozenC.c)*(xf.x - $frozenC.c)), 6) AS dist
+         |  FROM xf JOIN $frozenC ON xf.dim = $frozenC.dim
+         |  GROUP BY xf.vec_id, $frozenC.cluster),
+         |af AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn FROM daf)
+         |  WHERE rn = 1),
+         |pdf AS (SELECT pxf.vec_id, pxf.ss, $frozenB.cluster,
+         |    round(SUM((pxf.x - $frozenB.c)*(pxf.x - $frozenB.c)), 6) AS dist
+         |  FROM pxf JOIN $frozenB ON pxf.ss = $frozenB.ss AND pxf.dim = $frozenB.dim
+         |  GROUP BY pxf.vec_id, pxf.ss, $frozenB.cluster),
+         |codesf AS (SELECT vec_id, ss, cluster FROM (
+         |    SELECT vec_id, ss, cluster,
+         |      row_number() OVER (PARTITION BY vec_id, ss ORDER BY dist, cluster) AS rn FROM pdf)
+         |  WHERE rn = 1),
+         |prf AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM daf WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |tdf AS (SELECT vec_id AS probe_id, ss, cluster, dist AS td FROM pdf
+         |  WHERE vec_id < ${Similarity.NumProbes}),
+         |s AS (SELECT tdf.probe_id, codesf.vec_id AS neighbor_id, SUM(tdf.td) AS adist_d
+         |  FROM codesf
+         |  JOIN af ca ON codesf.vec_id = ca.vec_id
+         |  JOIN prf ON prf.cluster = ca.cluster
+         |  JOIN tdf ON tdf.probe_id = prf.vec_id
+         |    AND tdf.ss = codesf.ss AND tdf.cluster = codesf.cluster
+         |  WHERE codesf.vec_id <> prf.vec_id
+         |  GROUP BY tdf.probe_id, codesf.vec_id),
+         |r AS (SELECT probe_id, neighbor_id, CAST(adist_d AS DOUBLE) AS adist,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY CAST(adist_d AS DOUBLE), neighbor_id) AS rnk FROM s),
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm FROM ef),
+         |rr AS (SELECT r.probe_id, r.neighbor_id, ${cosineSql("p", "c")} AS sim
+         |  FROM r JOIN nn p ON p.vec_id = r.probe_id
+         |         JOIN nn c ON c.vec_id = r.neighbor_id
+         |  WHERE r.rnk <= ${ProductQuant.Shortlist}),
+         |f AS (SELECT probe_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rr)
+         |SELECT probe_id, neighbor_id, sim, rnk FROM f
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("embedding_pq" -> encode, "ann_pq" -> adcTopK,
         "ann_pq_rerank" -> rerank, "ann_ivf_pq" -> ivfPq,
+        "ann_ivf_pq_maintain" -> maintain,
         "pipeline_index" -> pipeIndex,
         // the artifact serve path stores exact decimals, so served ==
         // trained — one oracle text gates both (value-equality is
@@ -2788,8 +2883,10 @@ object SparkEntry {
     Map("decontaminate" -> decontaminate, "repetition_stats" -> repetition,
         "tfidf_top_terms" -> tfidf, "bm25_search" -> bm25, "pii_scrub" -> pii,
         // the stream-maintained index reassembles the same postings, so
-        // the final drained ranking shares the batch oracle
+        // the final drained ranking shares the batch oracle; compaction
+        // only moves rows between files, so the compacted serve does too
         "stream_bm25_index" -> bm25,
+        "stream_bm25_compact" -> bm25,
         "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
         // the artifact stores exact integers + 6dp-fixed norms, so the
         // served rankers equal the computed ones — one oracle text each

@@ -2110,4 +2110,36 @@ class OperatorsSpec extends AnyFunSuite {
     if (exact < Sketches.KmvK) assert(est == exact)
     else assert(r.head.getAs[Double]("rel_err") < 0.55)
   }
+
+  test("ANN index maintenance: maintained store covers every vector exactly once, batch rows appended") {
+    import org.apache.spark.sql.functions._
+    // the maintained artifact = history-trained stores + the ingest
+    // batch assigned/encoded with the FROZEN codebooks and appended.
+    // Coverage must be exact: every corpus vector appears once in the
+    // assignment and once per subspace in the codes — a maintenance
+    // bug would double-write batch rows (dup vec_ids) or skip them
+    val root = ProductQuant.ensureMaintainedArtifact(spark, sf)
+    val n = Tables.embeddings(spark, sf).count()
+    val dim = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).head().getInt(0)
+    val nSub = dim / ProductQuant.SubDim
+    val assign = spark.read.parquet(s"$root/assignment")
+    assert(assign.count() == n && assign.select("vec_id").distinct().count() == n,
+      "one assignment row per corpus vector")
+    val codes = spark.read.parquet(s"$root/codes")
+    assert(codes.count() == n * nSub &&
+      codes.select("vec_id").distinct().count() == n,
+      s"one code per (vector, subspace): expected ${n * nSub}")
+    // the inc: batch really rides the maintained store (appended, not
+    // retrained-in): both splits must be present
+    val isBatch = substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1) <
+      Dedup.IncBatchThreshold
+    val nBatch = assign.filter(isBatch).count()
+    assert(nBatch > 0 && nBatch < n,
+      s"the id-hash split must put some vectors in the batch ($nBatch of $n)")
+    // and the serve path over the maintained store yields the gate shape
+    val served = ProductQuant.annIvfPqMaintain(spark, sf)
+    assert(served.columns.toSeq == Seq("probe_id", "neighbor_id", "sim", "rnk"))
+    assert(served.count() > 0)
+  }
 }
