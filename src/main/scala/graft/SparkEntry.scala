@@ -162,6 +162,9 @@ object SparkEntry {
     // inc: batch assigned/encoded with the FROZEN codebooks and
     // appended — served from the maintained store
     "ann_ivf_pq_maintain" -> ProductQuant.annIvfPqMaintain _,
+    // the same maintenance under TRUE streaming ingest: frozen-codebook
+    // per-micro-batch appends; drained store == batch-maintained store
+    "stream_ann_maintain" -> graft.streaming.DocStream.streamAnnMaintain _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -2347,7 +2350,10 @@ object SparkEntry {
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("embedding_pq" -> encode, "ann_pq" -> adcTopK,
         "ann_pq_rerank" -> rerank, "ann_ivf_pq" -> ivfPq,
+        // frozen-codebook appends commute, so the streaming twin's
+        // drained store equals the batch-maintained store — one text
         "ann_ivf_pq_maintain" -> maintain,
+        "stream_ann_maintain" -> maintain,
         "pipeline_index" -> pipeIndex,
         // the artifact serve path stores exact decimals, so served ==
         // trained — one oracle text gates both (value-equality is

@@ -547,6 +547,44 @@ object ProductQuant {
     * EQUALS the store of "train on history, encode the union corpus"
     * — which is what the oracle replays.
     */
+  /** Trains on the HISTORY slice and writes the full celled artifact
+    * (cells, codebooks, history assignments + codes) to `root` — the
+    * build half of maintenance, shared by the batch query and the
+    * streaming twin.
+    */
+  private[graft] def writeHistoryTrainedIndex(
+      spark: SparkSession, dir: String, root: String): Unit = {
+    val key = maintKey(dir)
+    val hb = Kernels.cacheTracked(histVecBase(spark, dir))
+    KMeansCodebook.writeIndexOn(spark, key, hb, root)
+    writeCodebooksOn(spark, key, subBaseOf(hb),
+      KMeansCodebook.assignmentOn(spark, key, hb), root)
+  }
+
+  /** One ingest batch's frozen-codebook append into the maintained
+    * store at `root`: assign to the ARTIFACT coarse cells (the exact
+    * decimals training used, so maintained assignment == one-shot
+    * assignment bit-for-bit), PQ-encode with the artifact books,
+    * append only the batch's rows into the celled layout. Per-vector
+    * independent given frozen codebooks, so appends commute — any
+    * micro-batching of the same rows builds the same store.
+    */
+  private[graft] def appendBatchToIndex(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    val b = batch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bAssign = KMeansCodebook
+      .assign(spark, b, KMeansCodebook.codebookFromArtifact(spark, root))
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint() // consumed twice (write + codes join); batch-sized
+    bAssign.write.mode("append").partitionBy("cluster")
+      .parquet(s"$root/assignment")
+    assign(spark, subBaseOf(b), booksFromArtifact(spark, root))
+      .select(col("vec_id"), col("ss"), col("code"))
+      .join(bAssign, "vec_id")
+      .write.mode("append").partitionBy("cluster").parquet(s"$root/codes")
+  }
+
   private[graft] def ensureMaintainedArtifact(spark: SparkSession, dir: String): String =
     maintMemo.synchronized {
       val key = maintKey(dir)
@@ -556,24 +594,11 @@ object ProductQuant {
           .map("%02x".format(_)).mkString.take(12)
         val root = Kernels.registerTempStore(
           s"${System.getProperty("java.io.tmpdir")}/graft-ann-maint-$h")
-        val hb = Kernels.cacheTracked(histVecBase(spark, dir))
-        KMeansCodebook.writeIndexOn(spark, key, hb, root)
-        writeCodebooksOn(spark, key, subBaseOf(hb),
-          KMeansCodebook.assignmentOn(spark, key, hb), root)
+        writeHistoryTrainedIndex(spark, dir, root)
         // --- the maintenance step: frozen-codebook ingest of the batch
-        val batch = Tables.embeddings(spark, dir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-          .filter(isIncBatchVec(col("vec_id")))
-        val bAssign = KMeansCodebook
-          .assign(spark, batch, KMeansCodebook.codebookFromArtifact(spark, root))
-          .select(col("vec_id"), col("cluster"))
-          .localCheckpoint() // consumed twice (write + codes join); batch-sized
-        bAssign.write.mode("append").partitionBy("cluster")
-          .parquet(s"$root/assignment")
-        assign(spark, subBaseOf(batch), booksFromArtifact(spark, root))
-          .select(col("vec_id"), col("ss"), col("code"))
-          .join(bAssign, "vec_id")
-          .write.mode("append").partitionBy("cluster").parquet(s"$root/codes")
+        appendBatchToIndex(
+          Tables.embeddings(spark, dir)
+            .filter(isIncBatchVec(col("vec_id"))), root)
         root
       })
     }

@@ -688,4 +688,46 @@ object DocStream {
     rmTree(tmp.toFile)
     served
   }
+
+  /** `stream_ann_maintain`: the streaming twin of
+    * `ann_ivf_pq_maintain` — served-index maintenance under TRUE
+    * streaming ingest. The history-trained artifact (coarse cells, PQ
+    * books, history assignments + codes) is written once; then each
+    * micro-batch of newly-arriving vectors is assigned and encoded
+    * with the FROZEN codebooks and only its rows are appended into
+    * the celled store
+    * ([[graft.operators.ProductQuant.appendBatchToIndex]] — the same
+    * per-batch body the batch query runs once). Frozen-codebook
+    * appends are per-vector independent and order-free, so however
+    * the source micro-batches the ingest, the drained store equals
+    * the batch-maintained store row-for-row and the SAME oracle gates
+    * both. Per-batch cost is batch-sized map-only work plus a
+    * batch-sized partition append — the index twin of the keep-list
+    * and band-store maintenance streams.
+    */
+  def streamAnnMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, ProductQuant}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ann")
+    val root = tmp.toString
+    ProductQuant.writeHistoryTrainedIndex(spark, dir, root)
+    val splitOf =
+      substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+    val q = spark.readStream
+      .schema(embeddingsSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(splitOf < Dedup.IncBatchThreshold)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ProductQuant.appendBatchToIndex(batch, root)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // per-call store: materialize the serve result eagerly, then
+    // delete — the caller gets a leaf with no file dependency
+    val served = ProductQuant.annIvfPqFrom(spark, dir, root).localCheckpoint()
+    rmTree(tmp.toFile)
+    served
+  }
 }
