@@ -88,6 +88,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "probe cells and the ADC table must broadcast")
   }
 
+  test("maintained ANN index serve: appended batch rows land in pruned cell partitions") {
+    // maintenance must not degrade the serve plan: batch rows were
+    // APPENDED into the celled layout, so the probed-cell static
+    // partition filter prunes exactly as on the train-once artifact —
+    // if appends landed outside the partition scheme, the scan would
+    // fall back to reading every directory
+    val root = ProductQuant.ensureMaintainedArtifact(spark, sf)
+    val p = plan(ProductQuant.annIvfPqFrom(spark, sf, root))
+    Dedup.retireCaches()
+    assert(p.contains("PartitionFilters: [") && p.contains("cluster"),
+      s"probed-cell filter must prune the maintained code partitions:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "every serve stage must stay an equi-join")
+    assert(p.contains("BroadcastExchange"),
+      "probe cells and the ADC table must broadcast")
+  }
+
+  test("compacted sketch serve: weekly grids broadcast and merge with map-side partials") {
+    val p = plan(Sketches.heavyHittersCompact(spark, sf))
+    assert(p.contains("BroadcastExchange"),
+      "the re-merged 256-counter grid must broadcast to the probe side")
+    assert(p.contains("partial_"),
+      "the week→global counter merge must map-side combine")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k cut must stay per-partition heaps")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("pipeline_index serve: partition-pruned codes, no product, broadcast probes") {
     // the flagship's serve stage inherits every index-plan guarantee:
     // static probed-cell pruning on the artifact's code partitions,
