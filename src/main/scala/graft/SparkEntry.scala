@@ -165,6 +165,8 @@ object SparkEntry {
     // the same maintenance under TRUE streaming ingest: frozen-codebook
     // per-micro-batch appends; drained store == batch-maintained store
     "stream_ann_maintain" -> graft.streaming.DocStream.streamAnnMaintain _,
+    // the maintained store consolidated to one file per cluster dir
+    "ann_ivf_pq_compact" -> ProductQuant.annIvfPqCompact _,
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
@@ -2354,6 +2356,8 @@ object SparkEntry {
         // drained store equals the batch-maintained store — one text
         "ann_ivf_pq_maintain" -> maintain,
         "stream_ann_maintain" -> maintain,
+        // compaction moves rows between files, never changes them
+        "ann_ivf_pq_compact" -> maintain,
         "pipeline_index" -> pipeIndex,
         // the artifact serve path stores exact decimals, so served ==
         // trained — one oracle text gates both (value-equality is

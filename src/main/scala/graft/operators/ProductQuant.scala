@@ -606,6 +606,52 @@ object ProductQuant {
   private val maintMemo =
     scala.collection.mutable.Map.empty[(String, String), String]
 
+  /** Compacts a maintained celled artifact into a self-contained twin
+    * at `root/compact` — the index's consolidation step: every ingest
+    * appends one batch-sized file set into each touched cluster
+    * directory, so a store under steady ingest accumulates files
+    * per-ingest forever (the same small-files death the search
+    * postings and sketch stores had). The rewrite repartitions each
+    * celled table on its partition column so every cluster directory
+    * holds ONE file — bounding the store at |clusters| files whatever
+    * the ingest cadence — while preserving the cluster layout the
+    * serve path's static probed-cell pruning rides. The two codebook
+    * tables are tiny single-file frames, rewritten so the compacted
+    * root serves standalone. Rows move, never change: served ==
+    * maintained, same oracle.
+    */
+  private[graft] def compactIndexStore(spark: SparkSession, root: String): String = {
+    val croot = s"$root/compact"
+    Seq("assignment", "codes").foreach { t =>
+      spark.read.parquet(s"$root/$t")
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(s"$croot/$t")
+    }
+    Seq("coarse_codebook", "pq_codebooks").foreach { t =>
+      spark.read.parquet(s"$root/$t")
+        .coalesce(1).write.mode("overwrite").parquet(s"$croot/$t")
+    }
+    croot
+  }
+
+  private[graft] def ensureCompactedIndex(spark: SparkSession, dir: String): String =
+    compactIdxMemo.synchronized {
+      compactIdxMemo.getOrElseUpdate(maintKey(dir),
+        compactIndexStore(spark, ensureMaintainedArtifact(spark, dir)))
+    }
+
+  private val compactIdxMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** `ann_ivf_pq_compact`: the probe batch served from the COMPACTED
+    * maintained index — [[annIvfPqFrom]] unchanged against the
+    * consolidated store, gated by the same oracle as the maintain
+    * twins (compaction is invisible to the answer; the file-count
+    * bound is `StoreCompactionSpec`'s job).
+    */
+  def annIvfPqCompact(spark: SparkSession, dir: String): DataFrame =
+    annIvfPqFrom(spark, dir, ensureCompactedIndex(spark, dir))
+
   /** `ann_ivf_pq_maintain`: the probe batch served from the MAINTAINED
     * index — history-trained codebooks, batch rows appended by
     * [[ensureMaintainedArtifact]], the standard [[annIvfPqFrom]] serve

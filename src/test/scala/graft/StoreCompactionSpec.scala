@@ -54,6 +54,38 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(servedC == served, "serving from the compacted store must be bit-identical")
   }
 
+  test("index-store compaction: one file per cluster dir, pruning layout intact, identical serve") {
+    val root = ProductQuant.ensureMaintainedArtifact(spark, sf)
+    // the maintained store holds ≥ 2 file sets per touched cluster dir
+    // (history build + batch append); compaction must bound it at one
+    val before = partFiles(s"$root/codes")
+    val croot = ProductQuant.ensureCompactedIndex(spark, sf)
+    val clusters = spark.read.parquet(s"$croot/codes")
+      .select("cluster").distinct().count()
+    assert(partFiles(s"$croot/codes") == clusters && partFiles(s"$croot/codes") < before,
+      s"codes: $before appended files must consolidate to one per cluster ($clusters)")
+    assert(partFiles(s"$croot/assignment") ==
+      spark.read.parquet(s"$croot/assignment").select("cluster").distinct().count())
+    // layout preserved: the same cluster partition values exist, so the
+    // probed-cell static filter prunes identically
+    val dirsBefore = spark.read.parquet(s"$root/codes")
+      .select("cluster").distinct().collect().map(_.get(0).toString).toSet
+    val dirsAfter = spark.read.parquet(s"$croot/codes")
+      .select("cluster").distinct().collect().map(_.get(0).toString).toSet
+    assert(dirsAfter == dirsBefore)
+    // row preservation and serve equality
+    val rowsBefore = spark.read.parquet(s"$root/codes")
+      .select("vec_id", "ss", "code", "cluster").collect().map(_.toSeq).toSet
+    val rowsAfter = spark.read.parquet(s"$croot/codes")
+      .select("vec_id", "ss", "code", "cluster").collect().map(_.toSeq).toSet
+    assert(rowsAfter == rowsBefore, "compaction must preserve the exact code rows")
+    val served = ProductQuant.annIvfPqMaintain(spark, sf).collect().map(_.toSeq)
+    val servedC = ProductQuant.annIvfPqCompact(spark, sf).collect().map(_.toSeq)
+    Dedup.retireCaches()
+    assert(servedC.nonEmpty && servedC.toSeq == served.toSeq,
+      "the compacted index must serve the maintained answer bit-for-bit")
+  }
+
   test("sketch-store compaction: weekly rollup is lossless and consolidates day partitions") {
     val root = SparkTestSession.tmpDir("graft-sketch-compact-spec").toString
     Sketches.writeSketchStore(spark, sf, root)
