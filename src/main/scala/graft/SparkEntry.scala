@@ -104,6 +104,9 @@ object SparkEntry {
     // served from the COMPACTED (day→week rolled-up) sketch store
     "events_approx_users_compact" -> Sketches.approxUsersCompact _,
     "events_heavy_hitters_compact" -> Sketches.heavyHittersCompact _,
+    // served from the store built incrementally: history pass + one
+    // day-sized append per ingest-tail day, history never rescanned
+    "events_heavy_hitters_maintain" -> Sketches.heavyHittersMaintain _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
     "events_heavy_hitters" -> Sketches.heavyHitters _,
     "events_heavy_hitters_serve" -> Sketches.heavyHittersServe _,
@@ -837,6 +840,9 @@ object SparkEntry {
     // so day→week→global equals day→global)
     "events_heavy_hitters_daily" -> hhServeSql,
     "events_heavy_hitters_compact" -> hhServeSql,
+    // per-day builds are day-local, so the incrementally-built store
+    // equals the one-shot daily store table-for-table
+    "events_heavy_hitters_maintain" -> hhServeSql,
     // Merged per-type (or stored per-day) sketches == one global sketch
     // (lossless bottom-k merge), so the oracle just sketches the union
     // directly — one text gates all three forms.

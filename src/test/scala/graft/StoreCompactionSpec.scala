@@ -86,6 +86,29 @@ class StoreCompactionSpec extends AnyFunSuite {
       "the compacted index must serve the maintained answer bit-for-bit")
   }
 
+  test("sketch-store maintenance: day-append builds equal the one-shot store table-for-table") {
+    val root = SparkTestSession.tmpDir("graft-sketch-maint-spec").toString
+    Sketches.writeMaintainedSketchStore(spark, sf, root)
+    val oneShot = SparkTestSession.tmpDir("graft-sketch-oneshot-spec").toString
+    Sketches.writeSketchStore(spark, sf, oneShot)
+    // per-day builds are day-local, so history-pass + per-day appends
+    // must reproduce the one-shot store exactly — grid cells AND the
+    // per-day bottom-k sketches
+    val g1 = spark.read.parquet(s"$root/cms")
+      .select("day", "j", "b", "cnt").collect().map(_.toSeq).toSet
+    val g2 = spark.read.parquet(s"$oneShot/cms")
+      .select("day", "j", "b", "cnt").collect().map(_.toSeq).toSet
+    assert(g1 == g2, "maintained CM grids must equal the one-shot grids")
+    val k1 = spark.read.parquet(s"$root/kmv")
+      .select(col("day"), to_json(col("mins")).as("m")).collect().map(_.toSeq).toSet
+    val k2 = spark.read.parquet(s"$oneShot/kmv")
+      .select(col("day"), to_json(col("mins")).as("m")).collect().map(_.toSeq).toSet
+    assert(k1 == k2, "maintained KMV sketches must equal the one-shot sketches")
+    // the ingest tail really was appended: its day partitions exist
+    val days = spark.read.parquet(s"$root/cms").select("day").distinct().count()
+    assert(days > Sketches.IngestTailDays)
+  }
+
   test("sketch-store compaction: weekly rollup is lossless and consolidates day partitions") {
     val root = SparkTestSession.tmpDir("graft-sketch-compact-spec").toString
     Sketches.writeSketchStore(spark, sf, root)
