@@ -353,7 +353,10 @@ object Corpus {
     val occ = Kernels.cacheTracked(
       Tables.documents(spark, dir)
         .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok")))
-    val counts = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    // vocab-sized pin: counts feeds the join AND the total — uncached,
+    // each runs its own aggregation pass over the token table
+    val counts = Kernels.cacheTracked(
+      occ.groupBy("tok").agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum("cnt").as("total"))
     occ.join(counts, "tok")
       .crossJoin(broadcast(total))

@@ -198,11 +198,15 @@ object Relational {
   def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
     val revenue = dec(col("l_extendedprice")) *
       (lit(1).cast("decimal(3,2)") - dec(col("l_discount")).cast("decimal(3,2)"))
-    val rev = Tables.lineitem(spark, dir)
+    // cached: the max re-aggregates rev, so without the pin the
+    // lineitem scan + filter + per-supplier aggregate would execute
+    // twice — a second full fact pass at scale (the q11 lesson); the
+    // pinned frame is supplier-sized
+    val rev = Kernels.cacheTracked(Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
               col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
       .groupBy("l_suppkey")
-      .agg(sum(revenue).as("total"))
+      .agg(sum(revenue).as("total")))
     val top = rev.agg(max(col("total")).as("mx"))
     rev.crossJoin(broadcast(top))
       .filter(col("total") === col("mx"))

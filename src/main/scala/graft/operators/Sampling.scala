@@ -170,7 +170,10 @@ object Sampling {
     */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+    // cached: counts feeds both the rate frame and its own min — the
+    // |languages|-row pin saves a second (and third) corpus scan
+    val counts = Kernels.cacheTracked(
+      docs.groupBy("lang").agg(count(lit(1)).as("n_s")))
     val rates = counts.crossJoin(broadcast(counts.agg(min("n_s").as("n_min"))))
     val u = conv(substring(saltedHash("temp", col("doc_id")), 1, 8), 16, 10)
       .cast("decimal(20,0)")

@@ -205,9 +205,11 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val (lenScore, diversity, stopScore) = qualityParts(col("toks"))
-    val q = docs.select(col("doc_id"),
+    // cached: q feeds the decile-boundary build AND the final bin
+    // assignment — uncached, the corpus would tokenize + score TWICE
+    val q = graft.operators.Kernels.cacheTracked(docs.select(col("doc_id"),
         round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
-      .withColumn("qi", round(col("quality") * 10000, 0).cast("long"))
+      .withColumn("qi", round(col("quality") * 10000, 0).cast("long")))
     val cum = q.groupBy("qi").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum("c").over(
         Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
