@@ -333,14 +333,10 @@ object Graph {
     */
   private[graft] def textRankOn(
       spark: SparkSession, dt: DataFrame, vocabCap: Int): DataFrame = {
-    // cached: the incidence feeds the df cut AND both sides of the
-    // co-occurrence self-join — uncached, the corpus would tokenize +
-    // distinct THREE times (the one pass corpus size is allowed to cost)
-    val dtC = Kernels.cacheTracked(dt)
-    val topVocab = dtC.groupBy("term").agg(count(lit(1)).as("df"))
+    val topVocab = dt.groupBy("term").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term")).limit(vocabCap)
       .select("term")
-    val inc = dtC.join(broadcast(topVocab), Seq("term"), "left_semi")
+    val inc = dt.join(broadcast(topVocab), Seq("term"), "left_semi")
     val edges = inc.as("a")
       .join(inc.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
