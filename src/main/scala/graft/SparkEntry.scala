@@ -107,6 +107,11 @@ object SparkEntry {
     // served from the store built incrementally: history pass + one
     // day-sized append per ingest-tail day, history never rescanned
     "events_heavy_hitters_maintain" -> Sketches.heavyHittersMaintain _,
+    "events_approx_users_maintain" -> Sketches.approxUsersMaintain _,
+    // the same store maintained under TRUE streaming ingest: per-batch
+    // partial day grids appended; cell addition is associative over any
+    // batching, so the drained store serves the one-shot answer
+    "stream_sketch_maintain" -> graft.streaming.EventStream.streamSketchMaintain _,
     "events_approx_quantiles" -> Sketches.approxQuantilesHist _,
     "events_heavy_hitters" -> Sketches.heavyHitters _,
     "events_heavy_hitters_serve" -> Sketches.heavyHittersServe _,
@@ -841,14 +846,17 @@ object SparkEntry {
     "events_heavy_hitters_daily" -> hhServeSql,
     "events_heavy_hitters_compact" -> hhServeSql,
     // per-day builds are day-local, so the incrementally-built store
-    // equals the one-shot daily store table-for-table
+    // equals the one-shot daily store table-for-table; the streaming
+    // twin's per-batch partial grids re-sum to the same global grid
     "events_heavy_hitters_maintain" -> hhServeSql,
+    "stream_sketch_maintain" -> hhServeSql,
     // Merged per-type (or stored per-day) sketches == one global sketch
     // (lossless bottom-k merge), so the oracle just sketches the union
     // directly — one text gates all three forms.
     "events_approx_users_union" -> kmvUnionSql,
     "events_approx_users_daily" -> kmvUnionSql,
     "events_approx_users_compact" -> kmvUnionSql,
+    "events_approx_users_maintain" -> kmvUnionSql,
     "above_avg_balance" ->
       """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
         |FROM customer c

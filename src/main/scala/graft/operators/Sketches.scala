@@ -463,6 +463,31 @@ object Sketches {
     probeSketchTopK(spark, dir, merged)
   }
 
+  /** `events_approx_users_maintain`: the global distinct estimate from
+    * the incrementally-built store's per-day KMV sketches — the
+    * [[approxUsersDaily]] union + re-cut + estimate over the
+    * maintained `kmv` table; same oracle (the maintained store equals
+    * the one-shot store table-for-table).
+    */
+  def approxUsersMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val root = ensureMaintainedSketchStore(spark, dir)
+    val merged = spark.read.parquet(s"$root/kmv")
+      .select(explode(col("mins")).as("m"))
+      .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
+      .distinct()
+      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
+           count(lit(1)).as("n_merged"))
+    val exact = Tables.events(spark, dir).select("user_id").distinct()
+      .agg(count(lit(1)).as("exact_users"))
+    merged.crossJoin(broadcast(exact))
+      .select(col("exact_users"),
+        kmvEstimate(col("mins"), col("n_merged")).as("est_users"))
+      .select(col("exact_users"), col("est_users"),
+        round(abs(col("est_users").cast("double") - col("exact_users")) /
+          col("exact_users"), 4).as("rel_err"))
+  }
+
   // -------------------------------------------------------------------
   // Store COMPACTION — the consolidation step an append-only store
   // needs in production: per-day partitions accumulate forever (10

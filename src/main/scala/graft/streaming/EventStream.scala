@@ -558,4 +558,43 @@ object EventStream {
     }
     Sketches.probeSketchTopK(spark, dir, spark.table(name))
   }
+
+  /** `stream_sketch_maintain`: the DURABLE-store twin of
+    * [[streamHeavyHitters]] — where that query keeps the grid as
+    * streaming state, this one maintains the on-disk daily sketch
+    * store under streaming ingest: each micro-batch builds its own
+    * per-day partial grids (bounded: ≤ 256 counters per day touched)
+    * and APPENDS them as day-partitioned rows. A day split across
+    * micro-batches leaves several partial rows per (day, j, b) — the
+    * serve-time merge sums cells anyway, and counter addition is
+    * associative over ANY partition of the events, so the drained
+    * store serves exactly the one-shot grid and shares its oracle.
+    * Completes the lifecycle grid: every durable store (postings,
+    * sketches, ANN index, keep-list) now has batch AND streaming
+    * maintenance.
+    */
+  def streamSketchMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sketch")
+    val q = readEventsStream(spark, dir)
+      .select(col("ts"), col("user_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.dailyCmsGridsOf(batch)
+          .write.mode("append").partitionBy("day").parquet(s"$tmp/cms")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val merged = spark.read.parquet(s"$tmp/cms")
+      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+    // per-call store: materialize the bounded serve result, then delete
+    val served = Sketches.probeSketchTopK(spark, dir, merged).localCheckpoint()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(tmp.toFile)
+    served
+  }
 }
