@@ -1360,7 +1360,11 @@ object SparkEntry {
     // ORACLE the bottleneck. 16 jump rounds converge any component of
     // diameter ≤ 2^16 (the Spark side asserts convergence ≤ 50 rounds;
     // observed ≤ 6 at sf0.01); each round is two node-sized left joins
-    // plus one edge-sized groupBy — linear, not quadratic.
+    // plus one edge-sized groupBy — linear, not quadratic. The fixed 16
+    // is deliberately below the Spark loop's 50-round cap: a chain of
+    // diameter 2^16 needs > 65k nodes in ONE component, far above any
+    // oracle tier's whole corpus (≤ 20k vectors at sf0.1), so the bound
+    // can only bind on corpora the DuckDB oracle never runs against.
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
     // l$i references s$i twice — inlined, the plan grows ~3x per round
     // (3^16 copies), the exact blowup the Spark loop's localCheckpoint

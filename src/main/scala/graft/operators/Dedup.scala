@@ -680,6 +680,16 @@ object Dedup {
     // after); labels is the 2-column view of it the next round consumes
     var labelsCache = cacheTracked(nodes.select(col("doc_id"), col("doc_id").as("label")))
     var labels = labelsCache
+    // localCheckpoint persistence is RDD-level: Dataset.unpersist is a
+    // NO-OP on a checkpointed frame (the CacheManager has no entry), so
+    // each round snapshots getPersistentRDDs around its checkpoint and
+    // frees the PREVIOUS round's blocks by RDD id. Without this the
+    // loop accumulates one node-sized materialized frame PER ROUND
+    // (the last round's frame deliberately stays alive — the caller
+    // reads it). Assumes no concurrent persists in the session during
+    // the loop, which holds for the sequential gate/bench/test drivers.
+    var prevCkptIds = Set.empty[Int]
+    val sc = docs.sparkSession.sparkContext
     var changed = 1L
     var iter = 0
     val dbg = sys.env.contains("GRAFT_CC_DEBUG")
@@ -719,6 +729,7 @@ object Dedup {
       // change count then reads the cached blocks. Same discipline as
       // [[Graph.pageRank]], except every round because of the 4x (vs
       // pageRank's linear) growth rate.
+      val persistedBefore = sc.getPersistentRDDs.keySet.toSet
       val next = stepped.as("a")
         .join(stepped.select(col("doc_id").as("jid"), col("label").as("jlabel")).as("j"),
           col("a.label") === col("j.jid"), "left")
@@ -727,9 +738,12 @@ object Dedup {
           (col("a.chg") ||
             (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg"))
         .localCheckpoint()
+      val ckptIds = sc.getPersistentRDDs.keySet.toSet -- persistedBefore
       changed = next.filter(col("chg")).count()
       stepped.unpersist(true)
-      labelsCache.unpersist(true)
+      labelsCache.unpersist(true) // effective for the round-0 cache only
+      prevCkptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
+      prevCkptIds = ckptIds
       labelsCache = next
       labels = next.select(col("doc_id"), col("label"))
       iter += 1

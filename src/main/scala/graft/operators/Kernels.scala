@@ -76,12 +76,16 @@ private[graft] object Kernels {
     path
   }
 
+  /** Recursive delete — the ONE implementation every temp-store
+    * cleanup path shares (shutdown hook, per-call stream stores).
+    */
+  private[graft] def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
   private[graft] def deleteTempStores(): Unit = tempStores.synchronized {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    tempStores.foreach(p => rm(new java.io.File(p)))
+    tempStores.foreach(p => rmTree(new java.io.File(p)))
     tempStores.clear()
   }
 

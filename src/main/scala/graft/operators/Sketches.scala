@@ -356,27 +356,30 @@ object Sketches {
     * EQUALS the one-shot grid and the answer hash-matches
     * [[heavyHittersServe]]'s oracle (spec-pinned too).
     */
-  def heavyHittersDaily(spark: SparkSession, dir: String): DataFrame = {
-    val root = ensureSketchStore(spark, dir)
-    val merged = spark.read.parquet(s"$root/cms")
+  def heavyHittersDaily(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersFromCms(spark, dir, s"${ensureSketchStore(spark, dir)}/cms")
+
+  /** Shared CM serve body: cell-wise addition over the stored grids at
+    * `path` reassembles the global grid, then the shared probe/cut
+    * runs unchanged — one implementation behind the daily, compacted,
+    * and maintained serve twins.
+    */
+  private def heavyHittersFromCms(
+      spark: SparkSession, dir: String, path: String): DataFrame = {
+    val merged = spark.read.parquet(path)
       .groupBy("j", "b").agg(sum("cnt").as("cnt"))
     probeSketchTopK(spark, dir, merged)
   }
 
-  /** `events_approx_users_daily`: the global distinct-user estimate
-    * from the stored per-day KMV sketches — union the stored bottom-k
-    * entries (collapsing users seen on several days), re-cut to the
-    * bottom-k, estimate. Lossless for the same reason as
-    * [[approxUsersUnion]]: the global bottom-k survives inside the
-    * concatenation of per-day bottom-k's. Same output contract, same
-    * oracle. The exact count rides along for the `rel_err` gate
-    * column only — production drops it and reads NOTHING but the
-    * store.
+  /** Shared KMV serve body: union the stored per-unit bottom-k
+    * sketches at `path` (collapsing users seen in several units),
+    * re-cut to the global bottom-k, estimate. The exact count rides
+    * for the gate's `rel_err` column only.
     */
-  def approxUsersDaily(spark: SparkSession, dir: String): DataFrame = {
+  private def approxUsersFromKmv(
+      spark: SparkSession, dir: String, path: String): DataFrame = {
     import graft.functions.TopKFunctions.topK
-    val root = ensureSketchStore(spark, dir)
-    val merged = spark.read.parquet(s"$root/kmv")
+    val merged = spark.read.parquet(path)
       .select(explode(col("mins")).as("m"))
       .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
       .distinct()
@@ -391,6 +394,19 @@ object Sketches {
         round(abs(col("est_users").cast("double") - col("exact_users")) /
           col("exact_users"), 4).as("rel_err"))
   }
+
+  /** `events_approx_users_daily`: the global distinct-user estimate
+    * from the stored per-day KMV sketches — union the stored bottom-k
+    * entries (collapsing users seen on several days), re-cut to the
+    * bottom-k, estimate. Lossless for the same reason as
+    * [[approxUsersUnion]]: the global bottom-k survives inside the
+    * concatenation of per-day bottom-k's. Same output contract, same
+    * oracle. The exact count rides along for the `rel_err` gate
+    * column only — production drops it and reads NOTHING but the
+    * store.
+    */
+  def approxUsersDaily(spark: SparkSession, dir: String): DataFrame =
+    approxUsersFromKmv(spark, dir, s"${ensureSketchStore(spark, dir)}/kmv")
 
   // -------------------------------------------------------------------
   // Store MAINTENANCE — the docstring's "ingest day N+1 is one new
@@ -456,12 +472,9 @@ object Sketches {
     * [[heavyHittersDaily]], same oracle; the store behind it was
     * built day-appends-only past the history cut.
     */
-  def heavyHittersMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val root = ensureMaintainedSketchStore(spark, dir)
-    val merged = spark.read.parquet(s"$root/cms")
-      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
-    probeSketchTopK(spark, dir, merged)
-  }
+  def heavyHittersMaintain(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersFromCms(spark, dir,
+      s"${ensureMaintainedSketchStore(spark, dir)}/cms")
 
   /** `events_approx_users_maintain`: the global distinct estimate from
     * the incrementally-built store's per-day KMV sketches — the
@@ -469,24 +482,9 @@ object Sketches {
     * maintained `kmv` table; same oracle (the maintained store equals
     * the one-shot store table-for-table).
     */
-  def approxUsersMaintain(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKFunctions.topK
-    val root = ensureMaintainedSketchStore(spark, dir)
-    val merged = spark.read.parquet(s"$root/kmv")
-      .select(explode(col("mins")).as("m"))
-      .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
-      .distinct()
-      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
-           count(lit(1)).as("n_merged"))
-    val exact = Tables.events(spark, dir).select("user_id").distinct()
-      .agg(count(lit(1)).as("exact_users"))
-    merged.crossJoin(broadcast(exact))
-      .select(col("exact_users"),
-        kmvEstimate(col("mins"), col("n_merged")).as("est_users"))
-      .select(col("exact_users"), col("est_users"),
-        round(abs(col("est_users").cast("double") - col("exact_users")) /
-          col("exact_users"), 4).as("rel_err"))
-  }
+  def approxUsersMaintain(spark: SparkSession, dir: String): DataFrame =
+    approxUsersFromKmv(spark, dir,
+      s"${ensureMaintainedSketchStore(spark, dir)}/kmv")
 
   // -------------------------------------------------------------------
   // Store COMPACTION — the consolidation step an append-only store
@@ -556,34 +554,14 @@ object Sketches {
     * store behind it shrank from |days| partitions of appended small
     * files to one file per week.
     */
-  def heavyHittersCompact(spark: SparkSession, dir: String): DataFrame = {
-    val croot = ensureCompactedStore(spark, dir)
-    val merged = spark.read.parquet(s"$croot/cms")
-      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
-    probeSketchTopK(spark, dir, merged)
-  }
+  def heavyHittersCompact(spark: SparkSession, dir: String): DataFrame =
+    heavyHittersFromCms(spark, dir, s"${ensureCompactedStore(spark, dir)}/cms")
 
   /** `events_approx_users_compact`: the global distinct estimate from
     * the compacted weekly KMV sketches — same union + re-cut +
     * estimate as [[approxUsersDaily]], reading |weeks| rows instead
     * of |days|. Exact columns ride for the gate only.
     */
-  def approxUsersCompact(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKFunctions.topK
-    val croot = ensureCompactedStore(spark, dir)
-    val merged = spark.read.parquet(s"$croot/kmv")
-      .select(explode(col("mins")).as("m"))
-      .select((-col("m.score")).as("h"), col("m.id").as("user_id"))
-      .distinct()
-      .agg(topK(spark, -col("h").cast("double"), col("user_id"), lit(KmvK)).as("mins"),
-           count(lit(1)).as("n_merged"))
-    val exact = Tables.events(spark, dir).select("user_id").distinct()
-      .agg(count(lit(1)).as("exact_users"))
-    merged.crossJoin(exact)
-      .select(col("exact_users"),
-        kmvEstimate(col("mins"), col("n_merged")).as("est_users"))
-      .select(col("exact_users"), col("est_users"),
-        round(abs(col("est_users").cast("double") - col("exact_users")) /
-          col("exact_users"), 4).as("rel_err"))
-  }
+  def approxUsersCompact(spark: SparkSession, dir: String): DataFrame =
+    approxUsersFromKmv(spark, dir, s"${ensureCompactedStore(spark, dir)}/kmv")
 }

@@ -620,21 +620,15 @@ object DocStream {
     Retrieval.bm25Score(matched, stats, qterms)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
-    f.delete(); ()
-  }
-
   def streamSearchIndex(spark: SparkSession, dir: String): DataFrame = {
     val tmp = ingestSearchStore(spark, dir)
     // the store is PER-CALL (random temp dir, unlike the fingerprinted
     // ensure* memos), so it must not outlive the call: materialize the
     // query-bounded serve result eagerly, then delete the store — the
-    // caller gets a checkpoint leaf with no dangling file dependency
-    val served =
-      serveBm25(spark, s"$tmp/postings", s"$tmp/doclen").localCheckpoint()
-    rmTree(tmp.toFile)
-    served
+    // caller gets a checkpoint leaf with no dangling file dependency.
+    // finally: a serve-side failure must not leak the store either
+    try serveBm25(spark, s"$tmp/postings", s"$tmp/doclen").localCheckpoint()
+    finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
   /** Compacted-store file budget: postings are rewritten into this
@@ -654,10 +648,15 @@ object DocStream {
     * lands contiguously in one file, so a query's term lookup reads
     * one bucket instead of every append. Doc lengths likewise. The
     * rewrite is one bounded shuffle of the store (NOT the corpus — at
-    * 100 TB the store is the postings, already tf-aggregated), and
-    * rewritten buckets replace the appended fragments atomically per
-    * table (write to `_c`, then swap). Returns (postings, doclen)
-    * paths of the compacted tables.
+    * 100 TB the store is the postings, already tf-aggregated), and the
+    * rewritten buckets REPLACE the appended fragments: each table is
+    * written to a `_c` sibling, then the original directory is removed
+    * and the sibling renamed into its place, so the store's documented
+    * location holds only the compacted files and the disk footprint
+    * never stays doubled. (A distributed filesystem deployment swaps
+    * via its own atomic-commit primitive; the local rename is that
+    * step's single-node form.) Returns the (postings, doclen) paths —
+    * the same locations the appends wrote.
     */
   private[graft] def compactSearchStore(
       spark: SparkSession, root: String): (String, String) = {
@@ -668,7 +667,13 @@ object DocStream {
     spark.read.parquet(s"$root/doclen")
       .repartition(SearchStoreBuckets, col("doc_id"))
       .write.mode("overwrite").parquet(s"$root/doclen_c")
-    (s"$root/postings_c", s"$root/doclen_c")
+    Seq("postings", "doclen").foreach { t =>
+      graft.operators.Kernels.rmTree(new java.io.File(s"$root/$t"))
+      require(new java.io.File(s"$root/${t}_c")
+          .renameTo(new java.io.File(s"$root/$t")),
+        s"compaction swap failed for $t")
+    }
+    (s"$root/postings", s"$root/doclen")
   }
 
   /** `stream_bm25_compact`: the maintained search index COMPACTED
@@ -683,10 +688,10 @@ object DocStream {
     */
   def streamSearchIndexCompacted(spark: SparkSession, dir: String): DataFrame = {
     val tmp = ingestSearchStore(spark, dir)
-    val (p, d) = compactSearchStore(spark, tmp.toString)
-    val served = serveBm25(spark, p, d).localCheckpoint()
-    rmTree(tmp.toFile)
-    served
+    try {
+      val (p, d) = compactSearchStore(spark, tmp.toString)
+      serveBm25(spark, p, d).localCheckpoint()
+    } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
   /** `stream_ann_maintain`: the streaming twin of
@@ -709,25 +714,27 @@ object DocStream {
     import graft.operators.{Dedup, ProductQuant}
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ann")
     val root = tmp.toString
-    ProductQuant.writeHistoryTrainedIndex(spark, dir, root)
-    val splitOf =
-      substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
-    val q = spark.readStream
-      .schema(embeddingsSchema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
-      .select(col("vec_id"), col("embedding"))
-      .filter(splitOf < Dedup.IncBatchThreshold)
-      .writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ProductQuant.appendBatchToIndex(batch, root)
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    // per-call store: materialize the serve result eagerly, then
-    // delete — the caller gets a leaf with no file dependency
-    val served = ProductQuant.annIvfPqFrom(spark, dir, root).localCheckpoint()
-    rmTree(tmp.toFile)
-    served
+    // per-call store: every phase (history build, stream ingest, serve)
+    // runs inside the finally so a failure anywhere never leaks the dir;
+    // the serve result is an eager checkpoint leaf with no file
+    // dependency on the deleted store
+    try {
+      ProductQuant.writeHistoryTrainedIndex(spark, dir, root)
+      val splitOf =
+        substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+      val q = spark.readStream
+        .schema(embeddingsSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .select(col("vec_id"), col("embedding"))
+        .filter(splitOf < Dedup.IncBatchThreshold)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ProductQuant.appendBatchToIndex(batch, root)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      ProductQuant.annIvfPqFrom(spark, dir, root).localCheckpoint()
+    } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 }

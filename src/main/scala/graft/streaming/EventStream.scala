@@ -574,27 +574,25 @@ object EventStream {
     * maintenance.
     */
   def streamSketchMaintain(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Sketches
+    import graft.operators.{Kernels, Sketches}
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-sketch")
-    val q = readEventsStream(spark, dir)
-      .select(col("ts"), col("user_id"))
-      .writeStream.outputMode(OutputMode.Append())
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        Sketches.dailyCmsGridsOf(batch)
-          .write.mode("append").partitionBy("day").parquet(s"$tmp/cms")
-        ()
-      }
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    val merged = spark.read.parquet(s"$tmp/cms")
-      .groupBy("j", "b").agg(sum("cnt").as("cnt"))
-    // per-call store: materialize the bounded serve result, then delete
-    val served = Sketches.probeSketchTopK(spark, dir, merged).localCheckpoint()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    rm(tmp.toFile)
-    served
+    // per-call store: ingest + serve run inside the finally so a
+    // failure anywhere never leaks the dir; the serve result is an
+    // eager checkpoint leaf with no dependency on the deleted store
+    try {
+      val q = readEventsStream(spark, dir)
+        .select(col("ts"), col("user_id"))
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Sketches.dailyCmsGridsOf(batch)
+            .write.mode("append").partitionBy("day").parquet(s"$tmp/cms")
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val merged = spark.read.parquet(s"$tmp/cms")
+        .groupBy("j", "b").agg(sum("cnt").as("cnt"))
+      Sketches.probeSketchTopK(spark, dir, merged).localCheckpoint()
+    } finally Kernels.rmTree(tmp.toFile)
   }
 }

@@ -40,14 +40,20 @@ class StoreCompactionSpec extends AnyFunSuite {
       s"three appended batches must exceed the bucket budget (saw $before files)")
     val served = DocStream.serveBm25(spark, s"$root/postings", s"$root/doclen")
       .collect().map(_.toSeq).toSet
+    // row capture must precede compaction: the swap REPLACES the
+    // appended originals in place
+    val rowsBefore = spark.read.parquet(s"$root/postings")
+      .collect().map(_.toSeq).toSet
     val (p, d) = DocStream.compactSearchStore(spark, root)
+    assert(p == s"$root/postings" && d == s"$root/doclen",
+      "the swap must leave the compacted files at the store's documented location")
+    assert(!new java.io.File(s"$root/postings_c").exists(),
+      "the _c staging dir must be gone after the swap — no doubled footprint")
     assert(partFiles(p) <= DocStream.SearchStoreBuckets && partFiles(p) < before,
       s"compaction must consolidate ${before} appended files into ≤ ${DocStream.SearchStoreBuckets}")
     assert(partFiles(d) <= DocStream.SearchStoreBuckets)
     // row-preservation, not just serve-equality: the rewrite must move
     // every posting and invent none
-    val rowsBefore = spark.read.parquet(s"$root/postings")
-      .collect().map(_.toSeq).toSet
     val rowsAfter = spark.read.parquet(p).collect().map(_.toSeq).toSet
     assert(rowsAfter == rowsBefore, "compaction must preserve the exact posting rows")
     val servedC = DocStream.serveBm25(spark, p, d).collect().map(_.toSeq).toSet
