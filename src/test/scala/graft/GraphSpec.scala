@@ -106,9 +106,18 @@ class GraphSpec extends AnyFunSuite {
     val chain = spark.range(1, n).select(
       col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val got = Dedup.clustersFromEdges(docs, chain, (r, p, c) => probes += ((r, p, c)))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     Kernels.retireCaches()
+    // block-release regression pin: Dataset.unpersist is a no-op on
+    // checkpointed frames, so without the per-round RDD-id release the
+    // loop would leave ~one persisted frame PER ROUND (10+ here); only
+    // the final round's checkpoint may remain
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter <= persistedBefore + 2,
+      s"loop must release each round's checkpoint blocks " +
+        s"($persistedBefore persisted before, $persistedAfter after)")
     assert(got.length == n && got.forall(_._2 == 1L),
       "every chain node must land in component 1")
     val rounds = probes.map(_._1).max
