@@ -569,20 +569,76 @@ object ProductQuant {
     * independent given frozen codebooks, so appends commute — any
     * micro-batching of the same rows builds the same store.
     */
-  private[graft] def appendBatchToIndex(batch: DataFrame, root: String): Unit = {
+  private[graft] def appendBatchToIndex(batch: DataFrame, root: String): Unit =
+    appendBatchToIndex(batch, root, root)
+
+  /** The layered form: codebooks are read from `codebookRoot` (the
+    * immutable trained BASE), rows are appended under `writeRoot` —
+    * the same dir for in-place maintenance, a separate DELTA layer for
+    * the streaming maintainer (the base is shared and never written;
+    * the serve path unions the layers — the LSM shape the compaction
+    * pass later folds flat).
+    */
+  private[graft] def appendBatchToIndex(
+      batch: DataFrame, codebookRoot: String, writeRoot: String): Unit = {
     val spark = batch.sparkSession
     val b = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bAssign = KMeansCodebook
-      .assign(spark, b, KMeansCodebook.codebookFromArtifact(spark, root))
+      .assign(spark, b, KMeansCodebook.codebookFromArtifact(spark, codebookRoot))
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint() // consumed twice (write + codes join); batch-sized
     bAssign.write.mode("append").partitionBy("cluster")
-      .parquet(s"$root/assignment")
-    assign(spark, subBaseOf(b), booksFromArtifact(spark, root))
+      .parquet(s"$writeRoot/assignment")
+    assign(spark, subBaseOf(b), booksFromArtifact(spark, codebookRoot))
       .select(col("vec_id"), col("ss"), col("code"))
       .join(bAssign, "vec_id")
-      .write.mode("append").partitionBy("cluster").parquet(s"$root/codes")
+      .write.mode("append").partitionBy("cluster").parquet(s"$writeRoot/codes")
+  }
+
+  /** Memoized HISTORY-ONLY artifact (trained stores, no batch rows) —
+    * the immutable base layer the streaming maintainer layers per-call
+    * deltas over. Built once per (corpus, JVM); never written again.
+    */
+  private[graft] def ensureHistoryArtifact(spark: SparkSession, dir: String): String =
+    histMemo.synchronized {
+      val key = maintKey(dir)
+      histMemo.getOrElseUpdate(key, {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"hist|${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-ann-hist-$h")
+        writeHistoryTrainedIndex(spark, dir, root)
+        root
+      })
+    }
+
+  private val histMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** [[annIvfPqFrom]] over a LAYERED store: codebooks and probe cells
+    * from the immutable `base`, candidate codes from the UNION of the
+    * base's and the delta's celled code tables. Row-identical to
+    * serving a single merged store — layering changes which files hold
+    * a row, never the rows.
+    */
+  private[graft] def annIvfPqFromLayers(
+      spark: SparkSession, dir: String, base: String, delta: String): DataFrame = {
+    val cb = KMeansCodebook.codebookFromArtifact(spark, base)
+    val pcells = KMeansCodebook.probeCellsOf(
+      spark, dir, cb, Similarity.NumProbes, Similarity.KmProbeCells)
+    val probed = pcells.select("pcluster").distinct().collect().map(_.getLong(0))
+    // one read per layer (multi-root partition discovery conflicts),
+    // pruned per layer, then unioned by name
+    val codes = Seq(s"$base/codes", s"$delta/codes")
+      .map(p => spark.read.parquet(p)
+        .filter(col("cluster").isin(probed: _*))
+        .withColumn("cluster", col("cluster").cast("long"))
+        .select("vec_id", "ss", "code", "cluster"))
+      .reduce(_ unionByName _)
+    ivfPqSearch(spark, dir, codes, pcells,
+      adcTableOf(spark, dir, booksFromArtifact(spark, base)))
   }
 
   private[graft] def ensureMaintainedArtifact(spark: SparkSession, dir: String): String =

@@ -712,14 +712,17 @@ object DocStream {
     */
   def streamAnnMaintain(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, ProductQuant}
+    // the trained BASE layer is immutable and memoized per corpus —
+    // the stream never writes it; each call owns only a DELTA layer of
+    // its batches' celled rows (the LSM shape: base + delta at serve,
+    // folded flat by the periodic compaction pass). Per-call cost is
+    // the ingest itself, not a rebuild of the trained store.
+    val base = ProductQuant.ensureHistoryArtifact(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ann")
-    val root = tmp.toString
-    // per-call store: every phase (history build, stream ingest, serve)
-    // runs inside the finally so a failure anywhere never leaks the dir;
-    // the serve result is an eager checkpoint leaf with no file
-    // dependency on the deleted store
+    val delta = tmp.toString
+    // ingest + serve run inside the finally so a failure anywhere never
+    // leaks the delta; the serve result is an eager checkpoint leaf
     try {
-      ProductQuant.writeHistoryTrainedIndex(spark, dir, root)
       val splitOf =
         substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
       val q = spark.readStream
@@ -730,11 +733,11 @@ object DocStream {
         .filter(splitOf < Dedup.IncBatchThreshold)
         .writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          ProductQuant.appendBatchToIndex(batch, root)
+          ProductQuant.appendBatchToIndex(batch, base, delta)
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      ProductQuant.annIvfPqFrom(spark, dir, root).localCheckpoint()
+      ProductQuant.annIvfPqFromLayers(spark, dir, base, delta).localCheckpoint()
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 }
