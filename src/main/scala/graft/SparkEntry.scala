@@ -228,6 +228,9 @@ object SparkEntry {
     "stats_regression" -> Corpus.statsRegression _,
     "pipeline_training_set" -> Corpus.trainingSet _,
     "pipeline_ingest" -> Corpus.ingest _,
+    // the STREAMING flagship: the same ingest composition drained as a
+    // continuous stream, bit-identical to the batch run (same oracle)
+    "stream_pipeline_ingest" -> graft.streaming.DocStream.streamPipelineIngest _,
     "pipeline_index" -> ProductQuant.pipelineIndex _,
     // Structured Streaming twins (drained via memory sink for the gate)
     "stream_hourly" -> graft.streaming.EventStream.hourlyRollup _,
@@ -1868,6 +1871,9 @@ object SparkEntry {
         // and folds band collisions — bit-identical, one oracle
         "stream_incremental_minhash" -> incMinhash,
         "pipeline_ingest" -> ingest,
+        // the streaming flagship drains the same composition with every
+        // stage in streaming-legal shape — bit-identical, one oracle
+        "stream_pipeline_ingest" -> ingest,
         // bit-identical to dedup_incremental by construction (bloom
         // error is one-sided; the stream-static join replays the same
         // anti-join semantics), so the SAME oracle gates all three

@@ -236,14 +236,13 @@ object DocStream {
     */
   def streamIncrementalMinHash(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Kernels}
-    val store = Kernels.cacheTracked(Dedup.historyBandStore(spark, dir))
-    // materialize the store BEFORE the drain, at batch parallelism: a
-    // lazily-cached static side would otherwise run its corpus-sized
-    // signature kernel INSIDE the first micro-batch, under the
-    // state-sized partition count — in production the store is a
-    // pre-materialized table, so paying it in the stream would also
-    // misrepresent the steady-state cost
-    store.count()
+    // the DURABLE band-store artifact (built once per corpus/JVM, the
+    // production pre-materialized table): the drain's per-batch probes
+    // read stored rows, never re-run the history shingle + signature
+    // pipeline; cached so the four band probes per batch re-read
+    // memory, not parquet
+    val store = Kernels.cacheTracked(
+      spark.read.parquet(Dedup.ensureBandStore(spark, dir)))
     val toksLower = filter(
       split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
@@ -440,7 +439,8 @@ object DocStream {
       .select(fpOf.as("fp"), splitOf.as("split"))
       .filter(col("split") >= Dedup.IncBatchThreshold)
       .select("fp").distinct()
-    val bandStore = Kernels.cacheTracked(Dedup.historyBandStore(spark, dir))
+    val bandStore = Kernels.cacheTracked(
+      spark.read.parquet(Dedup.ensureBandStore(spark, dir)))
 
     val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
     val toksLower = filter(
