@@ -105,6 +105,33 @@ class PlanAuditSpec extends AnyFunSuite {
       "probe cells and the ADC table must broadcast")
   }
 
+  test("layered ANN serve: both layers prune by probed cell; layered == maintained") {
+    import org.apache.spark.sql.functions._
+    // the streaming maintainer's layout: immutable trained base + a
+    // delta layer holding the ingest batch's celled rows
+    val base = ProductQuant.ensureHistoryArtifact(spark, sf)
+    val delta = SparkTestSession.tmpDir("graft-layer-audit").toString
+    val isBatch = substring(
+      md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1) <
+      Dedup.IncBatchThreshold
+    ProductQuant.appendBatchToIndex(
+      Tables.embeddings(spark, sf).filter(isBatch), base, delta)
+    val served = ProductQuant.annIvfPqFromLayers(spark, sf, base, delta)
+    val p = plan(served)
+    // BOTH layer scans must carry the probed-cell static partition
+    // filter — a layer read without it scans every cluster directory
+    val pruned = "PartitionFilters: \\[".r.findAllIn(p).size
+    assert(pruned >= 2, s"both layer scans must prune by cell (saw $pruned):\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // layering must be invisible to the answer: same rows as the
+    // single merged maintained store
+    val layered = served.collect().map(_.toSeq)
+    val maintained = ProductQuant.annIvfPqMaintain(spark, sf).collect().map(_.toSeq)
+    Dedup.retireCaches()
+    assert(layered.nonEmpty && layered.toSeq == maintained.toSeq,
+      "base+delta serve must equal the merged-store serve row-for-row")
+  }
+
   test("compacted sketch serve: weekly grids broadcast and merge with map-side partials") {
     val p = plan(Sketches.heavyHittersCompact(spark, sf))
     assert(p.contains("BroadcastExchange"),
