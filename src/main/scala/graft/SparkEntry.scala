@@ -2467,7 +2467,8 @@ object SparkEntry {
       val t = Multimodal.ResizeTarget
       s"""WITH m AS (SELECT doc_id,
          |    CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
-         |    CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height
+         |    CAST(CASE WHEN octet_length(encode(text)) % 3 = 2 THEN 2
+         |         ELSE octet_length(encode(text)) % 480 + 16 END AS BIGINT) AS height
          |  FROM documents)
          |SELECT doc_id, width, height,
          |  CAST(greatest(ceil(width * $t.0 / greatest(width, height)), 1) AS BIGINT) AS out_width,
@@ -2483,14 +2484,20 @@ object SparkEntry {
          |  round((($hexpos) * 16 + ($hexpos2)) / 255.0, 6) AS f
          |FROM e ORDER BY doc_id, dim""".stripMargin
     },
+    // replays the SYNTHESIS formulas (what ingest wrote into the real
+    // container headers); the Spark side recovers them by parsing the
+    // actual bytes — magic detect, LE int fields, ASCII PPM header —
+    // so a parse bug surfaces as a value mismatch here. For WAV the
+    // height column is the parsed channel count (stereo = 2).
     "mm_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha,
         |  CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 16 AS BIGINT) AS height,
+        |  CAST(CASE WHEN octet_length(encode(text)) % 3 = 2 THEN 2
+        |       ELSE octet_length(encode(text)) % 480 + 16 END AS BIGINT) AS height,
         |  CASE octet_length(encode(text)) % 3
-        |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+        |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_chunks" ->
       s"""SELECT doc_id,

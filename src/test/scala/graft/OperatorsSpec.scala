@@ -948,14 +948,58 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal: decode stub is deterministic and schema-complete") {
+  test("multimodal: decode is deterministic and schema-complete") {
     val a = Multimodal.decodeMeta(spark, sf).collect()
     val b = Multimodal.decodeMeta(spark, sf).collect()
     assert(a.sameElements(b))
     a.foreach { r =>
       assert(r.getAs[String]("sha").length == 64)
-      assert(Set("png", "jpeg", "webp")(r.getAs[String]("format")))
+      assert(Set("bmp", "ppm", "wav")(r.getAs[String]("format")),
+        "every synthesized payload must be claimed by a real parser, never the stub")
     }
+  }
+
+  test("multimodal: decode parses real container headers, not the synthesis formula") {
+    // Hand-crafted payloads with dimensions the n-derived synthesis
+    // formula would NEVER produce — a decode that shortcuts through
+    // the formula instead of the bytes fails here.
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val body = "pixels!".getBytes("UTF-8") // n=7 → formula width 23, height 23
+    val bodySha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(body).map("%02x".format(_)).mkString
+
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + body.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(1920) ++ le32(1080) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(body.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ body
+    val mb = Multimodal.decodeMedia(1L, bmp)
+    assert(mb == MediaMeta(1L, body.length.toLong, bodySha, 1920L, 1080L, "bmp"))
+
+    val ppm2 = "P6\n800  600\n255\n".getBytes("US-ASCII") ++ body
+    val mp = Multimodal.decodeMedia(2L, ppm2)
+    assert(mp == MediaMeta(2L, body.length.toLong, bodySha, 800L, 600L, "ppm"))
+
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + body.length) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(6) ++ le32(44100) ++ le32(44100 * 6) ++ le16(6) ++ le16(8) ++
+      "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val mw = Multimodal.decodeMedia(3L, wav)
+    assert(mw == MediaMeta(3L, body.length.toLong, bodySha, 44100L, 6L, "wav"))
+
+    // golden round-trip: synthesis → decode recovers exactly what was encoded
+    for (n <- Seq(0, 1, 2, 33, 34, 35, 640, 641, 642)) {
+      val b = Array.tabulate(n)(i => (i % 251).toByte)
+      val m = Multimodal.decodeMedia(9L, Multimodal.synthPayload(b))
+      assert(m.n_bytes == n.toLong, s"body length must survive the container, n=$n")
+      assert(m.width == n % 640 + 16, s"header width must round-trip, n=$n")
+      if (n % 3 == 2) assert(m.height == 2L && m.format == "wav")
+      else assert(m.height == n % 480 + 16)
+    }
+
+    // unparseable bytes reach the clearly-marked stub fallback
+    val junk = Multimodal.decodeMedia(4L, Array[Byte](1, 2, 3))
+    assert(junk.format == "unknown" && junk.n_bytes == 3L)
   }
 
   test("dedup clusters: label propagation converges on chains, stars, singletons") {
