@@ -153,6 +153,7 @@ object SparkEntry {
     "ann_ivf_r2" -> Similarity.annIvfR2 _,
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
+    "ann_graph" -> Similarity.annGraph _,
     "ann_range" -> Similarity.annRange _,
     "ann_range_ivf" -> Similarity.annRangeIvf _,
     "embedding_quantize" -> Similarity.quantize _,
@@ -1390,10 +1391,59 @@ object SparkEntry {
          |SELECT emb.vec_id, coalesce(l.lbl, emb.vec_id) AS cluster
          |FROM embeddings emb LEFT JOIN l16 l ON emb.vec_id = l.id
          |ORDER BY emb.vec_id""".stripMargin
+    // graph-ANN beam-search replay: the knn CTE chain feeds an
+    // unrolled fixed-round walk — beam = top-B of visited (sim desc,
+    // id asc), candidates = beam's mutual neighbors not yet visited,
+    // scored and accumulated. MATERIALIZED per round for the same
+    // plan-inlining reason as the components oracle (each round
+    // references the previous one three times). Mirrors
+    // Similarity.annGraph round for round.
+    val beamRounds = (1 to Similarity.BeamRounds).map { i =>
+      val prev = s"gv${i - 1}"
+      s"""gb$i AS MATERIALIZED (SELECT probe_id, node FROM (
+         |    SELECT probe_id, node,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, node) AS rnk
+         |    FROM $prev) WHERE rnk <= ${Similarity.BeamWidth}),
+         |gc$i AS MATERIALIZED (SELECT DISTINCT b.probe_id, s.b AS node
+         |  FROM gb$i b JOIN msym s ON s.a = b.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev v
+         |    WHERE v.probe_id = b.probe_id AND v.node = s.b)),
+         |gv$i AS MATERIALIZED (SELECT probe_id, node, sim FROM $prev UNION ALL
+         |  SELECT c.probe_id, c.node, ${cosineSql("p", "q")} AS sim
+         |  FROM gc$i c JOIN nn p ON p.vec_id = c.probe_id
+         |  JOIN nn q ON q.vec_id = c.node)"""
+    }.mkString(",\n")
+    val vLast = s"gv${Similarity.BeamRounds}"
+    val annGraph =
+      s"""$knnCtes,
+         |msym AS (SELECT vec_a AS a, vec_b AS b FROM m
+         |  UNION ALL SELECT vec_b, vec_a FROM m),
+         |gnode AS (SELECT DISTINCT a AS vec_id FROM msym),
+         |gent AS (SELECT la.cluster, min(g.vec_id) AS node
+         |  FROM gnode g JOIN $lastA la ON la.vec_id = g.vec_id
+         |  GROUP BY la.cluster),
+         |gpr AS (SELECT vec_id AS probe_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d${KMeansCodebook.LloydIters} WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |gv0 AS MATERIALIZED (SELECT gpr.probe_id, gent.node,
+         |    ${cosineSql("p", "q")} AS sim
+         |  FROM gpr JOIN gent USING (cluster)
+         |  JOIN nn p ON p.vec_id = gpr.probe_id
+         |  JOIN nn q ON q.vec_id = gent.node),
+         |$beamRounds
+         |SELECT probe_id, neighbor_id, sim, rnk FROM (
+         |  SELECT probe_id, node AS neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, node) AS BIGINT) AS rnk
+         |  FROM $vLast WHERE node <> probe_id)
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("graph_pagerank" -> pagerank, "graph_degrees" -> degrees,
       "graph_triangles" -> triangles, "graph_knn" -> knn,
       "graph_knn_components" -> knnComponents,
       "graph_common_neighbors" -> commonNeighbors,
+      "ann_graph" -> annGraph,
       "keywords_textrank" -> textrank)
   }
 

@@ -321,6 +321,92 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** Beam width and fixed round count for [[annGraph]] — with mutual
+    * degree ≤ [[Graph.KnnK]] by construction, per-probe search state is
+    * bounded by 1 + rounds·beam·k nodes, independent of corpus size.
+    */
+  val BeamWidth = 4
+  val BeamRounds = 4
+
+  /** `ann_graph`: graph-traversal ANN serving — beam search over the
+    * durable mutual-kNN edge artifact ([[Graph.ensureKnnEdges]]), the
+    * NSW/HNSW-family serving structure the kNN graph exists to enable.
+    * Entry points compose the trained IVF structure the repo already
+    * serves from: each probe's walk starts at the entry node (minimum
+    * edge-incident id) of its [[KmProbeCells]] nearest trained k-means
+    * cells — the standard quantizer-seeded graph search, and load-
+    * bearing here because kNN candidates were generated IN-cell, so
+    * graph components never span cells and a single global entry would
+    * strand every other component (measured: recall 0.10 seeded
+    * globally vs 0.74 seeded by cell). Each of the [[BeamRounds]]
+    * rounds expands the mutual neighbors of the current
+    * [[BeamWidth]]-node beam, scores the not-yet-visited ones against
+    * the probe, and re-selects the beam from everything visited so far
+    * (sim desc, id asc — the engine-exact tie-break, so a DuckDB CTE
+    * chain replays the walk bit-for-bit). Output is the [[TopK]] best
+    * visited nodes per probe.
+    *
+    * Scale shape: search state is (probes × beam·k·rounds)-sized — the
+    * probe batch rides joins against the stored edge list (degree ≤ k
+    * bounds each expansion) and the embedding table (the score join
+    * touches only newly-visited nodes); the per-cell entry table is
+    * |cells|-sized. No corpus-sized shuffle in any round; rounds are
+    * fixed; each round's visited frame is localCheckpoint'ed so the
+    * multi-reference round plan stays one round deep (the pointer-jump
+    * lesson). Recall vs the exact top-k is spec-pinned with a floor;
+    * the loss comes from the k-cut, mutual pruning and the beam cut —
+    * exactly the production trade.
+    */
+  def annGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Kernels.cacheTracked(withNorm(spark, Tables.embeddings(spark, dir)))
+    val edges = spark.read.parquet(Graph.ensureKnnEdges(spark, dir))
+    val sym = Kernels.cacheTracked(
+      edges.select(col("vec_a").as("a"), col("vec_b").as("b"))
+        .union(edges.select(col("vec_b").as("a"), col("vec_a").as("b"))))
+    val probes = emb.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+        col("norm").as("pnorm"))
+    // (probe_id, node) -> + sim against the probe vector
+    def score(nodes: DataFrame): DataFrame =
+      nodes.join(emb.as("c"), col("node") === col("c.vec_id"))
+        .join(broadcast(probes).as("p"), "probe_id")
+        .select(col("probe_id"), col("node"),
+          round(dot(spark, col("p.pv"), col("c.v")) /
+            (col("p.pnorm") * col("c.norm")), 6).as("sim"))
+    // entry node per trained cell: the minimum edge-incident id (the
+    // assignment join is the graph-node-sized serve lookup, |cells| rows out)
+    val entries = sym.select(col("a").as("vec_id")).distinct()
+      .join(KMeansCodebook.lastAssignment(spark, dir).select("vec_id", "cluster"),
+        "vec_id")
+      .groupBy("cluster").agg(min("vec_id").as("node"))
+    val starts = KMeansCodebook.probeCells(spark, dir, NumProbes, KmProbeCells)
+      .join(entries, col("pcluster") === col("cluster"))
+      .select(col("probe_id"), col("node"))
+    var visited = score(starts).localCheckpoint()
+    for (_ <- 1 to BeamRounds) {
+      val beam = visited
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("probe_id").orderBy(col("sim").desc, col("node"))))
+        .filter(col("rnk") <= BeamWidth)
+        .select("probe_id", "node")
+      val fresh = beam.join(sym, col("node") === col("a"))
+        .select(col("probe_id"), col("b").as("node"))
+        .distinct()
+        .join(visited.select("probe_id", "node"), Seq("probe_id", "node"),
+          "left_anti")
+      visited = visited.union(score(fresh)).localCheckpoint()
+    }
+    visited
+      .filter(col("node") =!= col("probe_id"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("node")))
+        .cast("long"))
+      .filter(col("rnk") <= TopK)
+      .select(col("probe_id"), col("node").as("neighbor_id"), col("sim"),
+        col("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Per-label centroids — the k-means/IVF codebook-training primitive
     * (one Lloyd half-step), and the class-prototype builder for
     * embedding diagnostics. `posexplode` turns each vector into

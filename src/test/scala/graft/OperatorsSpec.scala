@@ -247,6 +247,24 @@ class OperatorsSpec extends AnyFunSuite {
       f"recall $recall%.3f under the 0.60 floor — cell probing, codes or rerank regressed")
   }
 
+  test("ann_graph beam search holds a recall floor and only emits true graph nodes") {
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val walked = Similarity.annGraph(spark, sf).collect()
+    val got = walked.map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val nodes = Graph.mutualKnn(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    assert(got.nonEmpty)
+    // the walk can only ever visit edge-incident nodes (plus the entry)
+    walked.foreach(r => assert(nodes(r.getAs[Long]("neighbor_id")),
+      "beam search emitted a node outside the kNN graph"))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"graph-ann recall=$recall%.3f (${got.size} walked hits vs ${exact.size} exact)")
+    assert(recall >= 0.30,
+      f"recall $recall%.3f under the 0.30 floor — entry point, beam or edge artifact regressed")
+  }
+
   test("ann_ivf_pq recall rises monotonically with nprobe (the recall/latency knob)") {
     val exact = Similarity.annTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
