@@ -710,6 +710,21 @@ class PlanAuditSpec extends AnyFunSuite {
       "occurrence-to-count must be an equi-join; only the 1-row total broadcasts")
   }
 
+  test("textrank graph build reads the durable incidence artifact, never the corpus") {
+    // the incidence is tokenized ONCE into a fingerprinted parquet
+    // artifact (ensureIncidence); the vocab aggregate and both
+    // co-occurrence self-join sides then scan the pre-tokenized leaf.
+    // Before the artifact, this plan held three corpus tokenize scans.
+    val dt = spark.read.parquet(operators.Graph.ensureIncidence(spark, sf))
+    val p = operators.Graph.cooccurrenceEdges(dt, operators.Graph.TextRankVocab)
+      .queryExecution.executedPlan.toString
+    val textScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("text"))
+    assert(textScans == 0,
+      s"graph build must not tokenize the corpus — the artifact is pre-tokenized:\n${p.take(1200)}")
+    assert(p.linesIterator.filter(_.contains("FileScan")).forall(_.contains("graft-tr-inc")),
+      s"every scan in the graph build must read the incidence artifact:\n${p.take(1200)}")
+  }
+
   test("tfidf tokenizes the corpus once: a single text-reading scan") {
     // tf feeds both the scores and the document frequencies; df as a
     // window over tf (not a second aggregate branch) keeps the corpus
