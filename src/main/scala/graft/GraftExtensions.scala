@@ -31,5 +31,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (exprs: Seq[Expression]) =>
         TopKByScore(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    // Spark's own bloom pair, exposed for explicit store-vs-batch
+    // pre-filters (BloomFunctions registers the same pair at runtime)
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
   }
 }

@@ -194,11 +194,17 @@ object Dedup {
     * per-ingest cost from a batch-sized shuffle into a map-side bitset
     * probe. The bitset is sized from store cardinality (a production
     * store tracks this in metadata; derived here with one count over
-    * the cached store frame). The probe is a Scala UDF — a coarse
-    * boolean pre-filter off the codegen hot path, the same role
-    * Spark's own runtime row-group filters play.
+    * the cached store frame). Build and probe are Spark's NATIVE
+    * bloom expressions ([[graft.functions.BloomFunctions]]): the build
+    * is a partial-aggregating `bloom_filter_agg` over the store, and
+    * the probe is the codegen'd `might_contain` over the filter bytes
+    * as a literal — the same expression pair the engine's own runtime
+    * row-group filters inject, so the probe stays inside
+    * WholeStageCodegen instead of a row-at-a-time Scala UDF
+    * (plan-audited).
     */
   def incrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
     retirePreviousCaches()
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -208,11 +214,15 @@ object Dedup {
     // cached: feeds the bloom build AND the anti-join right side
     val store = cacheTracked(docs.filter(col("split") >= IncBatchThreshold)
       .select("fp").distinct())
-    val bf = store.stat.bloomFilter("fp", math.max(store.count(), 1L), 0.03)
-    val bc = spark.sparkContext.broadcast(bf)
-    val mightContain = udf((fp: String) => bc.value.mightContainString(fp))
-    val definiteNew = batch.filter(!mightContain(col("fp")))
-    val survivors = batch.filter(mightContain(col("fp")))
+    // filter-sized driver value (the codebook contract), shipped back
+    // into the probe as a binary literal so might_contain codegens
+    val bfBytes = store
+      .agg(BloomFunctions.bloomAgg(spark, col("fp"),
+        math.max(store.count(), 1L), 0.03).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val mightContain = BloomFunctions.mightContain(spark, lit(bfBytes), col("fp"))
+    val definiteNew = batch.filter(!mightContain)
+    val survivors = batch.filter(mightContain)
       .join(store, Seq("fp"), "left_anti")
     definiteNew.select("fp", "doc_id").union(survivors.select("fp", "doc_id"))
       .groupBy("fp")

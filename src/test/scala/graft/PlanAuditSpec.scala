@@ -593,14 +593,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("(cnt"), s"dup-only filter must exist in the plan:\n${p.take(900)}")
   }
 
-  test("bloom incremental: anti-join stays a join; probe filters both routes") {
+  test("bloom incremental: anti-join stays a join; native codegen'd probe on both routes") {
     val p = plan(Dedup.incrementalBloom(spark, sf))
     Dedup.retireCaches()
     assert(p.contains("LeftAnti"), "exact verification must be an anti JOIN")
     assert(!p.contains("CartesianProduct"))
-    // both batch routes carry the bloom probe (negated on the fast path)
-    val probes = "mightContain|UDF".r.findAllIn(p).length
+    // both batch routes carry the NATIVE bloom probe (negated on the
+    // fast path) — BloomFilterMightContain over the filter literal,
+    // never a row-at-a-time Scala UDF
+    val probes = "might_contain".r.findAllIn(p).length
     assert(probes >= 2, s"bloom probe must pre-route the batch:\n${p.take(900)}")
+    assert(!p.contains("UDF"),
+      s"the probe must be the codegen'd expression, not a Scala UDF:\n${p.take(900)}")
   }
 
   test("AQE splits the hot partition of a synthetically skewed join") {
@@ -634,6 +638,21 @@ class PlanAuditSpec extends AnyFunSuite {
       val finalPlan = joined.queryExecution.executedPlan.toString
       assert(finalPlan.contains("skew=true"),
         s"AQE must mark the skewed join split:\n${finalPlan.take(1200)}")
+      // the split is result-invisible: the AQE-split join, the same
+      // join with skew handling off, and the salted rewrite all carry
+      // the same (count, order-free checksum) fingerprint
+      def fingerprint(df: org.apache.spark.sql.DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(col("k"), col("pad"), col("d")).cast("decimal(38,0)"))).head
+        (r.getLong(0), r.getDecimal(1))
+      }
+      val skewFp = fingerprint(joined)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val plainFp = fingerprint(left.join(right, "k"))
+      val saltedFp = fingerprint(
+        operators.Skew.saltedJoin(left.toDF("k", "pad"), right.toDF("k", "d"), "k", salts = 8))
+      assert(skewFp == plainFp && skewFp == saltedFp,
+        s"skew-split, plain and salted joins must agree: $skewFp / $plainFp / $saltedFp")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
