@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Path}
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types._
@@ -319,5 +320,42 @@ class StreamingRecoverySpec extends AnyFunSuite {
     val large = drain("state_size_large", 1000000L)
     assert(small.nonEmpty && small == large,
       "stateful results must be invariant to the state-partition sizing")
+  }
+
+  test("rocksdb state store drains the same results as the in-memory provider") {
+    import graft.streaming.EventStream
+    // the 100 TB posture for streaming state: the in-memory
+    // HDFS-backed provider holds every store's map on-heap — the
+    // 128 GiB-VM shape; at production state sizes the spillable
+    // RocksDB provider is the deployment config. The provider is a
+    // pure storage swap: one drain under each must emit identical
+    // rows (and rocksdb must actually be the provider in effect, not
+    // a silently-ignored conf).
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    def drain(name: String, provider: Option[String]): Set[(Long, String, Long)] = {
+      val saved = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        assert(spark.conf.getOption(key) == provider.orElse(saved))
+        val agg = EventStream.readEventsStream(spark, SparkTestSession.Sf)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), approx_count_distinct("user_id").as("u"))
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .format("memory").queryName(name).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(name).collect()
+          .map(r => (r.getAs[Row]("window").getAs[java.sql.Timestamp]("start").getTime,
+            r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+      } finally saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val mem = drain("state_provider_mem", None)
+    val rdb = drain("state_provider_rocks", Some(rocks))
+    assert(mem.nonEmpty && mem == rdb,
+      "the state-store provider must be a pure storage swap: identical drained rows")
   }
 }
