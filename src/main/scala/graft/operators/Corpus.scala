@@ -315,15 +315,21 @@ object Corpus {
         .groupBy("term").agg(count(lit(1)).as("cnt")))
     val total = counts.agg(sum("cnt").as("total"))
     val top = counts.orderBy(col("cnt").desc, col("term")).limit(VocabTopK)
-    val w = Window.orderBy(col("cnt").desc, col("term"))
+    // rank + running share WITHOUT a global window: the K survivors
+    // collapse to ONE sorted array whose position is the rank, and the
+    // cumulative count is a slice aggregate — O(K²) but K-bounded
+    // (K = VocabTopK), so no single-partition WindowExec ever plans
     top
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cum", sum("cnt").over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(sort_array(collect_list(struct(
+        (-col("cnt")).as("neg"), col("term")))).as("xs"))
       .crossJoin(broadcast(total))
-      .select(col("rk"), col("term"), col("cnt"),
-        round(col("cnt").cast("double") / col("total"), 6).as("share"),
-        round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+      .select(col("total"), col("xs"), posexplode(col("xs")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rk"),
+        col("x.term").as("term"), (-col("x.neg")).as("cnt"),
+        round((-col("x.neg")).cast("double") / col("total"), 6).as("share"),
+        round(aggregate(slice(col("xs"), lit(1), col("pos") + 1), lit(0L),
+          (acc, e) => acc - e.getField("neg")).cast("double") / col("total"), 6)
+          .as("cum_share"))
       .orderBy("rk")
   }
 

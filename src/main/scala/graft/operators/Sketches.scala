@@ -199,9 +199,14 @@ object Sketches {
       .agg(min("cnt").as("est_cnt"))
       .orderBy(col("est_cnt").desc, col("user_id"))
       .limit(HeavyHittersK)
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("est_cnt").desc, col("user_id"))).cast("long"))
-      .select(col("rnk"), col("user_id"), col("est_cnt"))
+      // rank the K survivors WITHOUT a window: the post-limit frame is
+      // HeavyHittersK rows, collapsed to one sorted array whose
+      // position IS the rank — no single-partition WindowExec at all
+      .agg(sort_array(collect_list(struct(
+        (-col("est_cnt")).as("neg"), col("user_id")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("x.user_id").as("user_id"), (-col("x.neg")).as("est_cnt"))
       .orderBy("rnk")
 
   /** `events_heavy_hitters_serve`: the PRODUCTION heavy-hitters query —
@@ -267,10 +272,15 @@ object Sketches {
     est
       .orderBy(col("est_cnt").desc, col("user_id"))
       .limit(HeavyHittersK)
-      .withColumn("rnk", row_number()
-        .over(Window.orderBy(col("est_cnt").desc, col("user_id"))).cast("long"))
-      .select(col("rnk"), col("user_id"), col("est_cnt"), col("exact_cnt"),
-        (col("est_cnt") >= col("exact_cnt")).cast("long").as("never_under"))
+      // rank via sorted-array position, not a window (probeSketchTopK's
+      // pattern): K-row bound by construction, zero WindowExec
+      .agg(sort_array(collect_list(struct((-col("est_cnt")).as("neg"),
+        col("user_id"), col("exact_cnt")))).as("xs"))
+      .select(posexplode(col("xs")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rnk"),
+        col("x.user_id").as("user_id"), (-col("x.neg")).as("est_cnt"),
+        col("x.exact_cnt").as("exact_cnt"),
+        (-col("x.neg") >= col("x.exact_cnt")).cast("long").as("never_under"))
       .orderBy("rnk")
   }
 

@@ -210,10 +210,27 @@ object TextAnalysis {
     val q = graft.operators.Kernels.cacheTracked(docs.select(col("doc_id"),
         round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
       .withColumn("qi", round(col("quality") * 10000, 0).cast("long")))
-    val cum = q.groupBy("qi").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum("c").over(
-        Window.orderBy("qi").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n", sum("c").over(Window.partitionBy()))
+    // cumulative counts over the qi grid (≤ 10001 rows) as a TWO-LEVEL
+    // distributed prefix sum, so no unpartitioned window ever plans:
+    // within-bucket running sums are windows PARTITIONED by bucket
+    // (qi div 256 → ≤ 41 buckets), the before-bucket offsets come from
+    // a bounded triangular self-join of the bucket totals, and the
+    // grand total is a 1-row broadcast
+    val cnt = q.groupBy("qi").agg(count(lit(1)).as("c"))
+      .withColumn("bkt", expr("qi div 256"))
+    val bt = cnt.groupBy("bkt").agg(sum("c").as("bc"))
+    val pre = bt.as("x")
+      .join(bt.as("y"), col("y.bkt") < col("x.bkt"), "left")
+      .groupBy(col("x.bkt").as("bkt"))
+      .agg(coalesce(sum(col("y.bc")), lit(0L)).as("pre"))
+    val total = q.agg(count(lit(1)).as("n"))
+    val cum = cnt
+      .withColumn("wcum", sum("c").over(
+        Window.partitionBy("bkt").orderBy("qi")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(pre), "bkt")
+      .withColumn("cum", col("pre") + col("wcum"))
+      .crossJoin(broadcast(total))
     val bounds = cum
       .select(col("qi"), col("cum"), explode(sequence(lit(1L), lit(9L))).as("k"), col("n"))
       .filter(col("cum") >= expr("(k * n + 9) div 10"))
