@@ -1382,15 +1382,25 @@ object SparkEntry {
          |l$i AS MATERIALIZED (SELECT a.id, least(a.lbl, j.lbl) AS lbl
          |  FROM s$i a LEFT JOIN s$i j ON a.lbl = j.id)"""
     }.mkString(",\n")
+    // the trailing sentinel makes NON-CONVERGENCE self-diagnosing: if
+    // the fixed 16 jump rounds ever stop short (a >2^16-diameter
+    // component — impossible at any oracle tier, see the lpRounds
+    // comment), the oracle emits an unmistakable (-1, -1) row instead
+    // of presenting as an opaque per-label mismatch
     val knnComponents =
       s"""$knnCtes,
          |msym AS (SELECT vec_a AS a, vec_b AS b FROM m
          |  UNION ALL SELECT vec_b, vec_a FROM m),
          |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM msym),
-         |$lpRounds
+         |$lpRounds,
+         |conv AS (SELECT count(*) AS unconverged FROM
+         |  (SELECT id, lbl FROM l16 EXCEPT SELECT id, lbl FROM l15))
          |SELECT emb.vec_id, coalesce(l.lbl, emb.vec_id) AS cluster
          |FROM embeddings emb LEFT JOIN l16 l ON emb.vec_id = l.id
-         |ORDER BY emb.vec_id""".stripMargin
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+         |FROM conv WHERE unconverged > 0
+         |ORDER BY vec_id""".stripMargin
     // graph-ANN beam-search replay: the knn CTE chain feeds an
     // unrolled fixed-round walk — beam = top-B of visited (sim desc,
     // id asc), candidates = beam's mutual neighbors not yet visited,

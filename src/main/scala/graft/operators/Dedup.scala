@@ -692,13 +692,14 @@ object Dedup {
     var labels = labelsCache
     // localCheckpoint persistence is RDD-level: Dataset.unpersist is a
     // NO-OP on a checkpointed frame (the CacheManager has no entry), so
-    // each round snapshots getPersistentRDDs around its checkpoint and
-    // frees the PREVIOUS round's blocks by RDD id. Without this the
-    // loop accumulates one node-sized materialized frame PER ROUND
-    // (the last round's frame deliberately stays alive — the caller
-    // reads it). Assumes no concurrent persists in the session during
-    // the loop, which holds for the sequential gate/bench/test drivers.
-    var prevCkptIds = Set.empty[Int]
+    // each round reads its checkpoint's RDD id off the frame's own plan
+    // leaf (Kernels.checkpointRddId — precise even with concurrent
+    // persists in the session) and frees the PREVIOUS round's blocks by
+    // id. Without this the loop accumulates one node-sized materialized
+    // frame PER ROUND. The last round's frame stays alive for the
+    // caller and is registered with Kernels, so retireCaches frees it
+    // deterministically at end of query.
+    var prevCkptId: Option[Int] = None
     val sc = docs.sparkSession.sparkContext
     var changed = 1L
     var iter = 0
@@ -739,21 +740,19 @@ object Dedup {
       // change count then reads the cached blocks. Same discipline as
       // [[Graph.pageRank]], except every round because of the 4x (vs
       // pageRank's linear) growth rate.
-      val persistedBefore = sc.getPersistentRDDs.keySet.toSet
-      val next = stepped.as("a")
+      val next = Kernels.trackedCheckpoint(stepped.as("a")
         .join(stepped.select(col("doc_id").as("jid"), col("label").as("jlabel")).as("j"),
           col("a.label") === col("j.jid"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
           (col("a.chg") ||
-            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg"))
-        .localCheckpoint()
-      val ckptIds = sc.getPersistentRDDs.keySet.toSet -- persistedBefore
+            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg")))
+      val ckptId = Kernels.checkpointRddId(next)
       changed = next.filter(col("chg")).count()
       stepped.unpersist(true)
       labelsCache.unpersist(true) // effective for the round-0 cache only
-      prevCkptIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(true)))
-      prevCkptIds = ckptIds
+      prevCkptId.foreach(id => Kernels.releaseCheckpoint(sc, id))
+      prevCkptId = ckptId
       labelsCache = next
       labels = next.select(col("doc_id"), col("label"))
       iter += 1

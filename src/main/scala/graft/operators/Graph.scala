@@ -62,16 +62,16 @@ object Graph {
     val sym = Kernels.cacheTracked(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("doc_id"), col("deg"))
-      .localCheckpoint()
+    val deg = Kernels.trackedCheckpoint(
+      sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("doc_id"), col("deg")))
     val n = deg.count()
     require(n > 0, "graph_pagerank needs at least one near-dup edge")
     val teleport = PrResid / n.toDouble
     // the rank frame carries its own key name (pid) so each round's
     // join against the static edge/degree frames can never alias
-    var pr = deg.select(col("doc_id").as("pid"), lit(r12(1.0 / n.toDouble)).as("pr"))
-      .localCheckpoint()
+    var pr = Kernels.trackedCheckpoint(
+      deg.select(col("doc_id").as("pid"), lit(r12(1.0 / n.toDouble)).as("pr")))
     for (i <- 1 to PrIters) {
       val next = sym
         .join(pr, col("src") === col("pid"))
@@ -87,7 +87,7 @@ object Graph {
       // any round count while not paying an eager checkpoint job per
       // round (on node-sized frames job launch, not compute, is what a
       // checkpoint costs)
-      pr = if (i % 3 == 0 || i == PrIters) next.localCheckpoint() else next
+      pr = if (i % 3 == 0 || i == PrIters) Kernels.trackedCheckpoint(next) else next
     }
     pr.join(deg, col("pid") === col("doc_id"))
       .select(col("doc_id"), col("deg"), col("pr").as("pagerank"))
@@ -398,14 +398,14 @@ object Graph {
     val sym = Kernels.cacheTracked(
       edges.select(col("ta").as("src"), col("tb").as("dst"), col("w"))
         .union(edges.select(col("tb").as("src"), col("ta").as("dst"), col("w"))))
-    val wdeg = sym.groupBy("src").agg(sum("w").as("wd"))
-      .select(col("src").as("term"), col("wd"))
-      .localCheckpoint()
+    val wdeg = Kernels.trackedCheckpoint(
+      sym.groupBy("src").agg(sum("w").as("wd"))
+        .select(col("src").as("term"), col("wd")))
     val n = wdeg.count()
     require(n > 0, "keywords_textrank needs at least one co-occurring term pair")
     val teleport = PrResid / n.toDouble
-    var pr = wdeg.select(col("term").as("pid"), lit(r12(1.0 / n.toDouble)).as("pr"))
-      .localCheckpoint()
+    var pr = Kernels.trackedCheckpoint(
+      wdeg.select(col("term").as("pid"), lit(r12(1.0 / n.toDouble)).as("pr")))
     for (i <- 1 to TrIters) {
       val next = sym
         .join(pr, col("src") === col("pid"))
@@ -418,7 +418,7 @@ object Graph {
         .select(col("dst").as("pid"),
           round(lit(teleport) + lit(PrDamping) * col("s").cast("double"), 12)
             .as("pr"))
-      pr = if (i % 3 == 0 || i == TrIters) next.localCheckpoint() else next
+      pr = if (i % 3 == 0 || i == TrIters) Kernels.trackedCheckpoint(next) else next
     }
     pr.join(wdeg, col("pid") === col("term"))
       .select(col("term"), col("wd").as("weighted_degree"),

@@ -45,7 +45,51 @@ private[graft] object Kernels {
       liveCaches.foreach(_.unpersist(true))
       liveCaches.clear()
     }
+    liveCheckpointIds.synchronized {
+      liveCheckpointIds.foreach { case (id, sc) =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+      }
+      liveCheckpointIds.clear()
+    }
     retireHooks.synchronized { retireHooks.foreach(_.apply()) }
+  }
+
+  // ---- checkpoint-block bookkeeping ----
+  // localCheckpoint persistence is RDD-level: Dataset.unpersist is a
+  // NO-OP on a checkpointed frame (the CacheManager has no entry).
+  // Loops that checkpoint per round free the PREVIOUS round by RDD id
+  // as they go; each query's last live checkpoints register here so
+  // retireCaches frees them deterministically instead of leaving
+  // node-sized MEMORY_AND_DISK blocks to ContextCleaner GC.
+  private val liveCheckpointIds =
+    scala.collection.mutable.Map.empty[Int, org.apache.spark.SparkContext]
+
+  /** The checkpoint RDD id read directly from the checkpointed frame's
+    * own plan leaf — precise attribution. (A persistent-RDD-registry
+    * diff around the checkpoint misattributes any concurrent persist
+    * in the session, and freeing a misattributed CHECKPOINT is
+    * unrecoverable data loss: there is no lineage to recompute.)
+    */
+  def checkpointRddId(df: Dataset[_]): Option[Int] =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+
+  /** Eager localCheckpoint whose blocks [[retireCaches]] will free. */
+  def trackedCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ck = df.localCheckpoint()
+    checkpointRddId(ck).foreach { id =>
+      liveCheckpointIds.synchronized {
+        liveCheckpointIds(id) = ck.sparkSession.sparkContext
+      }
+    }
+    ck
+  }
+
+  /** Free one checkpoint's blocks by id (no-op if already gone). */
+  def releaseCheckpoint(sc: org.apache.spark.SparkContext, id: Int): Unit = {
+    sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+    liveCheckpointIds.synchronized { liveCheckpointIds.remove(id); () }
   }
 
   // Operators holding session-lifetime memos of CACHED frames (e.g. the
@@ -72,8 +116,16 @@ private[graft] object Kernels {
 
   def registerTempStore(path: String): String = tempStores.synchronized {
     storeCleanupHook
-    tempStores += path
-    path
+    // process-unique suffix: fingerprinted store names are deterministic
+    // and java.io.tmpdir is machine-shared, so two concurrent JVMs on
+    // the same corpus would otherwise resolve the SAME directory — the
+    // first to exit deletes it from under the other's memo, and two
+    // memo-missing JVMs could interleave writes. The pid keeps the
+    // within-process memo contract (deterministic per corpus) and makes
+    // the shutdown hook own-stores-only by construction.
+    val owned = s"$path-p${ProcessHandle.current().pid()}"
+    tempStores += owned
+    owned
   }
 
   /** Recursive delete — the ONE implementation every temp-store

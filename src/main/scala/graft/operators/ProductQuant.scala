@@ -588,12 +588,20 @@ object ProductQuant {
       .assign(spark, b, KMeansCodebook.codebookFromArtifact(spark, codebookRoot))
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint() // consumed twice (write + codes join); batch-sized
-    bAssign.write.mode("append").partitionBy("cluster")
-      .parquet(s"$writeRoot/assignment")
-    assign(spark, subBaseOf(b), booksFromArtifact(spark, codebookRoot))
-      .select(col("vec_id"), col("ss"), col("code"))
-      .join(bAssign, "vec_id")
-      .write.mode("append").partitionBy("cluster").parquet(s"$writeRoot/codes")
+    try {
+      bAssign.write.mode("append").partitionBy("cluster")
+        .parquet(s"$writeRoot/assignment")
+      assign(spark, subBaseOf(b), booksFromArtifact(spark, codebookRoot))
+        .select(col("vec_id"), col("ss"), col("code"))
+        .join(bAssign, "vec_id")
+        .write.mode("append").partitionBy("cluster").parquet(s"$writeRoot/codes")
+    } finally {
+      // both consumers are done — free the checkpoint blocks NOW
+      // (Dataset.unpersist is a no-op on checkpoints; a long stream of
+      // batches would otherwise stack one batch-sized frame per call)
+      Kernels.checkpointRddId(bAssign)
+        .foreach(Kernels.releaseCheckpoint(spark.sparkContext, _))
+    }
   }
 
   /** Memoized HISTORY-ONLY artifact (trained stores, no batch rows) —

@@ -382,7 +382,7 @@ object Similarity {
     val starts = KMeansCodebook.probeCells(spark, dir, NumProbes, KmProbeCells)
       .join(entries, col("pcluster") === col("cluster"))
       .select(col("probe_id"), col("node"))
-    var visited = score(starts).localCheckpoint()
+    var visited = Kernels.trackedCheckpoint(score(starts))
     for (_ <- 1 to BeamRounds) {
       val beam = visited
         .withColumn("rnk", row_number().over(
@@ -394,7 +394,7 @@ object Similarity {
         .distinct()
         .join(visited.select("probe_id", "node"), Seq("probe_id", "node"),
           "left_anti")
-      visited = visited.union(score(fresh)).localCheckpoint()
+      visited = Kernels.trackedCheckpoint(visited.union(score(fresh)))
     }
     visited
       .filter(col("node") =!= col("probe_id"))

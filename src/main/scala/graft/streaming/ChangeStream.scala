@@ -82,7 +82,7 @@ object ChangeStream {
     * streaming analogue of the dedup-clusters loop fix, SURVEY §2.8).
     */
   def streamCdcMerge(spark: SparkSession, dir: String): DataFrame = {
-    var target = baseStore(spark, dir).localCheckpoint()
+    var target = graft.operators.Kernels.trackedCheckpoint(baseStore(spark, dir))
     val changes = Relational.cdcChangeLog(
       spark.readStream.schema(ordersSchema)
         .option("pathGlobFilter", "orders.parquet").parquet(dir))
@@ -91,7 +91,14 @@ object ChangeStream {
     try {
       val q = changes.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          target = mergeBatch(target, batch).localCheckpoint()
+          // the new store materializes eagerly FROM the old one, so the
+          // previous batch's checkpoint blocks can be freed right after
+          // (unpersist is a no-op on checkpoints — free by RDD id); the
+          // final batch's store stays registered for retireCaches
+          val prevId = graft.operators.Kernels.checkpointRddId(target)
+          target = graft.operators.Kernels.trackedCheckpoint(mergeBatch(target, batch))
+          prevId.foreach(graft.operators.Kernels
+            .releaseCheckpoint(spark.sparkContext, _))
           ()
         }
         .start()

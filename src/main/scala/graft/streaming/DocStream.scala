@@ -627,7 +627,8 @@ object DocStream {
     // query-bounded serve result eagerly, then delete the store — the
     // caller gets a checkpoint leaf with no dangling file dependency.
     // finally: a serve-side failure must not leak the store either
-    try serveBm25(spark, s"$tmp/postings", s"$tmp/doclen").localCheckpoint()
+    try graft.operators.Kernels.trackedCheckpoint(
+      serveBm25(spark, s"$tmp/postings", s"$tmp/doclen"))
     finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
@@ -690,7 +691,7 @@ object DocStream {
     val tmp = ingestSearchStore(spark, dir)
     try {
       val (p, d) = compactSearchStore(spark, tmp.toString)
-      serveBm25(spark, p, d).localCheckpoint()
+      graft.operators.Kernels.trackedCheckpoint(serveBm25(spark, p, d))
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
@@ -737,7 +738,8 @@ object DocStream {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      ProductQuant.annIvfPqFromLayers(spark, dir, base, delta).localCheckpoint()
+      graft.operators.Kernels.trackedCheckpoint(
+        ProductQuant.annIvfPqFromLayers(spark, dir, base, delta))
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 }

@@ -592,7 +592,8 @@ object EventStream {
       try q.processAllAvailable() finally q.stop()
       val merged = spark.read.parquet(s"$tmp/cms")
         .groupBy("j", "b").agg(sum("cnt").as("cnt"))
-      Sketches.probeSketchTopK(spark, dir, merged).localCheckpoint()
+      graft.operators.Kernels.trackedCheckpoint(
+        Sketches.probeSketchTopK(spark, dir, merged))
     } finally Kernels.rmTree(tmp.toFile)
   }
 }

@@ -112,11 +112,12 @@ class GraphSpec extends AnyFunSuite {
     Kernels.retireCaches()
     // block-release regression pin: Dataset.unpersist is a no-op on
     // checkpointed frames, so without the per-round RDD-id release the
-    // loop would leave ~one persisted frame PER ROUND (10+ here); only
-    // the final round's checkpoint may remain
+    // loop would leave ~one persisted frame PER ROUND (10+ here); the
+    // final round's checkpoint is registered with Kernels and freed by
+    // the retireCaches above, so NOTHING may remain
     val persistedAfter = spark.sparkContext.getPersistentRDDs.size
-    assert(persistedAfter <= persistedBefore + 2,
-      s"loop must release each round's checkpoint blocks " +
+    assert(persistedAfter <= persistedBefore,
+      s"loop must release each round's checkpoint blocks and retireCaches the last " +
         s"($persistedBefore persisted before, $persistedAfter after)")
     assert(got.length == n && got.forall(_._2 == 1L),
       "every chain node must land in component 1")
