@@ -581,21 +581,27 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // unit price in EXACT integer 4dp units (prices are cent-exact,
+    // quantities integral): c4 = (200·cents + qty) div (2·qty) is the
+    // half-up quotient with no float division — a double round(p/q, 4)
+    // split one ulp between engines at a .x1375 boundary (sf0.1 sweep)
     "q2_min_cost_supplier" ->
       """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |  WHERE r_name = 'EUROPE'),
         |cost AS (SELECT l_partkey, l_suppkey, s_name, s_acctbal, n_name,
-        |    min(round(l_extendedprice / l_quantity, 4)) AS cost
+        |    min((200 * CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+        |           + CAST(l_quantity AS BIGINT))
+        |        // (2 * CAST(l_quantity AS BIGINT))) AS c4
         |  FROM lineitem JOIN eu ON l_suppkey = s_suppkey
         |  WHERE l_partkey IN (SELECT p_partkey FROM part
         |                      WHERE p_type = 'LARGE' AND p_size <= 10)
         |  GROUP BY 1, 2, 3, 4, 5),
-        |cand AS (SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS mc FROM cost)
+        |cand AS (SELECT *, min(c4) OVER (PARTITION BY l_partkey) AS mc FROM cost)
         |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
-        |  l_suppkey AS s_suppkey, cost
-        |FROM cand WHERE cost = mc
+        |  l_suppkey AS s_suppkey, c4 / 10000.0 AS cost
+        |FROM cand WHERE c4 = mc
         |ORDER BY s_acctbal DESC, p_partkey, s_suppkey LIMIT 100""".stripMargin,
     "q9_product_profit" ->
       """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,

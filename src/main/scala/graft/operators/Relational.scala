@@ -964,8 +964,14 @@ object Relational {
     * matched suppliers BEFORE its one shuffle (the per-(part,
     * supplier) min-cost aggregate); the window then re-partitions the
     * aggregated, filtered (catalog-sized, not lineitem-sized) frame
-    * by part only. Unit price rounds to 4dp before min so the
-    * min/equality never hinges on sub-1e-4 division noise.
+    * by part only. Unit price is computed as EXACT INTEGER
+    * arithmetic in 4dp units — prices are cent-exact and quantities
+    * integral, so c4 = (200·cents + qty) div (2·qty) is the half-up
+    * 4dp quotient with no float division anywhere: a double
+    * `round(price/qty, 4)` diverged from DuckDB by one ulp on a
+    * .x1375 boundary at sf0.1 (caught by the round-11 full-surface
+    * sf0.1 sweep), because the engines round the BINARY quotient
+    * differently at the decimal boundary.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val targetParts = Tables.part(spark, dir)
@@ -983,13 +989,16 @@ object Relational {
       .join(broadcast(targetParts), col("l_partkey") === col("p_partkey"), "left_semi")
       .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal", "n_name")
-      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4)).as("cost"))
+      .agg(min(expr(
+        """(200 * CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+          |   + CAST(l_quantity AS BIGINT))
+          | DIV (2 * CAST(l_quantity AS BIGINT))""".stripMargin)).as("c4"))
     cost
-      .withColumn("min_cost", min(col("cost")).over(Window.partitionBy("l_partkey")))
-      .filter(col("cost") === col("min_cost"))
+      .withColumn("min_c4", min(col("c4")).over(Window.partitionBy("l_partkey")))
+      .filter(col("c4") === col("min_c4"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
-        col("cost"))
+        (col("c4").cast("double") / 10000).as("cost"))
       .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
       .limit(100)
   }
