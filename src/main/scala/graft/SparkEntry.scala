@@ -195,6 +195,7 @@ object SparkEntry {
     "graph_degrees" -> Graph.degreeHistogram _,
     "graph_triangles" -> Graph.triangles _,
     "graph_knn" -> Graph.mutualKnn _,
+    "graph_knn_maintain" -> ((s, dir) => Graph.knnMaintain(s, dir)),
     "graph_knn_components" -> Graph.knnComponents _,
     "graph_common_neighbors" -> Graph.commonNeighbors _,
     "keywords_textrank" -> Graph.textRank _,
@@ -1457,6 +1458,10 @@ object SparkEntry {
          |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     Map("graph_pagerank" -> pagerank, "graph_degrees" -> degrees,
       "graph_triangles" -> triangles, "graph_knn" -> knn,
+      // the maintained graph equals the one-shot build row for row
+      // (untouched cells carry over verbatim, touched cells recompute
+      // over identical membership) — one oracle text gates both
+      "graph_knn_maintain" -> knn,
       "graph_knn_components" -> knnComponents,
       "graph_common_neighbors" -> commonNeighbors,
       "ann_graph" -> annGraph,

@@ -225,21 +225,10 @@ object Graph {
     scala.collection.mutable.Map.empty[(String, String), String]
 
   private def mutualKnnEdges(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.dot
     val idx = Kernels.cacheTracked(Dedup.cappedCelledIndex(spark, dir)
       .select("vec_id", "cluster", "sub", "v", "norm"))
-    val sims = idx.as("a")
-      .join(idx.as("b"),
-        col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub") &&
-          col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        round(dot(spark, col("a.v"), col("b.v")) /
-          (col("a.norm") * col("b.norm")), 6).as("sim"))
-    val knn = Kernels.cacheTracked(sims
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))))
-      .filter(col("rnk") <= KnnK)
-      .select("src", "dst", "sim"))
+    val knn = Kernels.cacheTracked(
+      directedTopK(spark, idx).select("src", "dst", "sim"))
     knn
       .join(knn.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
@@ -311,6 +300,116 @@ object Graph {
     Dedup.clustersFromEdges(docs, edges)
       .select(col("doc_id").as("vec_id"), col("cluster"))
       .orderBy("vec_id")
+  }
+
+  /** The history side's directed in-cell top-k lists, materialized
+    * once per corpus fingerprint — the stored state a production graph
+    * index maintains in place ([[knnMaintain]] reads it; the
+    * [[ensureKnnEdges]] serve contract). Rows: (cluster, sub, src,
+    * dst, sim) — one row per directed neighbor, keyed by the cell so
+    * the maintainer can carry untouched cells over by anti-join.
+    */
+  private[graft] def ensureKnnDirectedHistory(
+      spark: SparkSession, dir: String, thresh: String): String =
+    knnHistMemo.synchronized {
+      val key = Kernels.inputKey(dir, "embeddings.parquet")
+      knnHistMemo.getOrElseUpdate((key, thresh), {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"knnhist|$thresh|${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-knn-hist-$h")
+        directedTopK(spark,
+          Dedup.cappedCelledIndex(spark, dir)
+            .filter(incSplit >= thresh)
+            .select("vec_id", "cluster", "sub", "v", "norm"))
+          .write.mode("overwrite").parquet(root)
+        root
+      })
+    }
+
+  private val knnHistMemo =
+    scala.collection.mutable.Map.empty[(((String, String)), String), String]
+
+  private def incSplit =
+    substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+
+  /** Directed in-cell top-[[KnnK]] lists over an arbitrary celled
+    * membership frame — the shared kernel of [[mutualKnnEdges]] (full
+    * corpus), the history artifact, and the maintainer's touched-cell
+    * recompute. Keeps (cluster, sub) on the output so consumers can
+    * route by cell.
+    */
+  private[graft] def directedTopK(spark: SparkSession, members: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    members.as("a")
+      .join(members.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.cluster").as("cluster"), col("a.sub").as("sub"),
+        col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(dot(spark, col("a.v"), col("b.v")) /
+          (col("a.norm") * col("b.norm")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst"))))
+      .filter(col("rnk") <= KnnK)
+      .select("cluster", "sub", "src", "dst", "sim")
+  }
+
+  /** `graph_knn_maintain`: incremental maintenance of the mutual-kNN
+    * graph under ingest — the FreshDiskANN-style insert recast in the
+    * repo's maintained-store discipline. The history-only directed
+    * top-k lists are a durable artifact ([[ensureKnnDirectedHistory]]);
+    * an ingest batch (the standard `inc:` hash split) only lands in
+    * some trained (cluster, sub) cells, so the maintainer recomputes
+    * directed lists for the TOUCHED cells over their full membership
+    * and carries every untouched cell's stored lists over verbatim
+    * (one anti-join); mutuality is then the usual self-semi-join of
+    * the merged lists. Because kNN candidates are generated strictly
+    * IN-cell and cell/sub assignment is sticky per vector, an
+    * untouched cell's candidate set is identical with or without the
+    * batch — so the maintained graph equals the one-shot full-corpus
+    * build row for row, and `graph_knn`'s oracle text gates this
+    * query too (the maintained == one-shot contract every store in
+    * the repo honors; additionally spec-pinned with the touched-cell
+    * fraction).
+    *
+    * 100 TB shape: per ingest batch the similarity work is
+    * Σ_touched C(cap, 2) — proportional to where the batch lands,
+    * never corpus-sized; the untouched side is a stored-artifact scan
+    * + anti-join on the (|cells|-bounded) touched-cell list.
+    */
+  def knnMaintain(spark: SparkSession, dir: String,
+      thresh: String = Dedup.IncBatchThreshold): DataFrame = {
+    val idx = Kernels.cacheTracked(Dedup.cappedCelledIndex(spark, dir)
+      .select("vec_id", "cluster", "sub", "v", "norm"))
+    val batchCells = idx.filter(incSplit < thresh)
+      .select("cluster", "sub").distinct()
+    val hist = spark.read.parquet(ensureKnnDirectedHistory(spark, dir, thresh))
+    maintainedEdges(spark, idx, hist, batchCells)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** The maintainer's merge core over explicit frames — carry
+    * untouched cells' stored directed lists over verbatim, recompute
+    * touched cells over their full membership, then the mutual
+    * semi-join. Extracted so the spec can prove the MIXED merge on a
+    * synthetic layout where touched and untouched cells coexist (the
+    * gate corpus's ~62-member cells are all touched by the 5/16
+    * production split, so the mix never binds there).
+    */
+  private[graft] def maintainedEdges(spark: SparkSession, idx: DataFrame,
+      hist: DataFrame, batchCells: DataFrame): DataFrame = {
+    val untouched = hist
+      .join(broadcast(batchCells), Seq("cluster", "sub"), "left_anti")
+    val recomputed = directedTopK(spark,
+      idx.join(broadcast(batchCells), Seq("cluster", "sub"), "left_semi"))
+    val knn = Kernels.cacheTracked(untouched.unionByName(recomputed)
+      .select("src", "dst", "sim"))
+    knn.join(knn.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("sim"))
   }
 
   /** Vocabulary cap for the co-occurrence graph: top terms by

@@ -265,6 +265,48 @@ class OperatorsSpec extends AnyFunSuite {
       f"recall $recall%.3f under the 0.30 floor — entry point, beam or edge artifact regressed")
   }
 
+  test("graph_knn_maintain equals the one-shot build and only recomputes touched cells") {
+    val oneShot = Graph.mutualKnn(spark, sf).collect().map(_.toSeq).toSeq
+    val maintained = Graph.knnMaintain(spark, sf).collect().map(_.toSeq).toSeq
+    // the maintained == one-shot store contract, row for row (the
+    // production split: ~5/16 of vectors are the batch)
+    assert(maintained.nonEmpty && maintained == oneShot,
+      "maintained kNN graph must equal the full rebuild bit-for-bit")
+    // pure CARRY-OVER: an empty batch (no md5 hex sorts below "0")
+    // serves the whole graph verbatim from the history artifact
+    val carried = Graph.knnMaintain(spark, sf, thresh = "0").collect().map(_.toSeq).toSeq
+    assert(carried == oneShot,
+      "an empty batch must serve the stored directed lists verbatim")
+    Dedup.retireCaches()
+    // MIXED merge on a synthetic layout (the gate corpus's ~62-member
+    // cells are ALL touched by any hash split, so the mix never binds
+    // there): cell 0 holds the batch vector (recompute), cell 1 holds
+    // none (carry-over); merged mutual edges must equal the one-shot
+    import spark.implicits._
+    def vec(id: Long, cl: Long, x: Double, y: Double) =
+      (id, cl, 0L, Seq(x, y), math.sqrt(x * x + y * y))
+    val idx = Seq(
+      vec(1, 0, 1.0, 0.0), vec(2, 0, 0.9, 0.1), vec(3, 0, 0.0, 1.0),
+      vec(10, 1, -1.0, 0.0), vec(11, 1, -0.9, -0.1), vec(12, 1, 0.0, -1.0))
+      .toDF("vec_id", "cluster", "sub", "v", "norm")
+    val hist = Graph.directedTopK(spark, idx.filter(col("vec_id") =!= 3L))
+    val batchCells = idx.filter(col("vec_id") === 3L)
+      .select("cluster", "sub").distinct()
+    val allCells = idx.select("cluster", "sub").distinct()
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val merged = edges(Graph.maintainedEdges(spark, idx, hist, batchCells))
+    val full = edges(Graph.maintainedEdges(spark, idx,
+      Graph.directedTopK(spark, idx), allCells))
+    Dedup.retireCaches()
+    assert(merged.nonEmpty && merged == full,
+      s"mixed carry-over + recompute must merge to the one-shot build: $merged vs $full")
+    // both cells must contribute edges, or the mix proved nothing
+    val nodes = merged.flatMap(r => Seq(r(0), r(1))).toSet
+    assert(nodes.exists(_.asInstanceOf[Long] < 10) && nodes.exists(_.asInstanceOf[Long] >= 10),
+      s"both the recomputed and the carried cell must hold edges: $nodes")
+  }
+
   test("ann_ivf_pq recall rises monotonically with nprobe (the recall/latency knob)") {
     val exact = Similarity.annTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
