@@ -196,6 +196,7 @@ object SparkEntry {
     "graph_triangles" -> Graph.triangles _,
     "graph_knn" -> Graph.mutualKnn _,
     "graph_knn_maintain" -> ((s, dir) => Graph.knnMaintain(s, dir)),
+    "stream_knn_maintain" -> graft.streaming.DocStream.streamKnnMaintain _,
     "graph_knn_components" -> Graph.knnComponents _,
     "graph_common_neighbors" -> Graph.commonNeighbors _,
     "keywords_textrank" -> Graph.textRank _,
@@ -1460,8 +1461,10 @@ object SparkEntry {
       "graph_triangles" -> triangles, "graph_knn" -> knn,
       // the maintained graph equals the one-shot build row for row
       // (untouched cells carry over verbatim, touched cells recompute
-      // over identical membership) — one oracle text gates both
+      // over identical membership), and the streaming twin's per-batch
+      // appends commute — one oracle text gates all three
       "graph_knn_maintain" -> knn,
+      "stream_knn_maintain" -> knn,
       "graph_knn_components" -> knnComponents,
       "graph_common_neighbors" -> commonNeighbors,
       "ann_graph" -> annGraph,

@@ -404,12 +404,52 @@ object Graph {
       .join(broadcast(batchCells), Seq("cluster", "sub"), "left_anti")
     val recomputed = directedTopK(spark,
       idx.join(broadcast(batchCells), Seq("cluster", "sub"), "left_semi"))
-    val knn = Kernels.cacheTracked(untouched.unionByName(recomputed)
-      .select("src", "dst", "sim"))
+    mutualFromDirected(untouched.unionByName(recomputed))
+  }
+
+  /** Mutual edges from a directed top-k list frame — the serve step
+    * shared by the one-shot build, the batch maintainer, and the
+    * streaming store ([[graft.streaming.DocStream.streamKnnMaintain]]).
+    */
+  private[graft] def mutualFromDirected(lists: DataFrame): DataFrame = {
+    val knn = Kernels.cacheTracked(lists.select("src", "dst", "sim"))
     knn.join(knn.select(col("dst").as("src"), col("src").as("dst")),
         Seq("src", "dst"), "left_semi")
       .filter(col("src") < col("dst"))
       .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("sim"))
+  }
+
+  /** One micro-batch of kNN-graph store maintenance — the streaming
+    * form of [[knnMaintain]]'s touched-cell recompute against a
+    * VERSIONED directed-list store on disk (a writer cannot overwrite
+    * the files it is reading, so each batch writes `lists_v{n+1}` from
+    * `lists_v{n}`; production uses per-cell partition overwrite).
+    * Membership for the recompute is history ∪ every batch vector SEEN
+    * so far (appended to the store's `seen` side-table), so a cell
+    * touched by several batches converges to its full membership at
+    * its last touch — which is why the drained store equals the
+    * one-shot build (spec-pinned with a two-batch split). Returns the
+    * new version number.
+    */
+  private[graft] def appendBatchToKnn(batch: DataFrame, dir: String,
+      storeRoot: String, version: Int): Int = {
+    val spark = batch.sparkSession
+    val idx = Kernels.cacheTracked(Dedup.cappedCelledIndex(spark, dir)
+      .select("vec_id", "cluster", "sub", "v", "norm"))
+    val bids = batch.select("vec_id").distinct()
+    bids.write.mode("append").parquet(s"$storeRoot/seen")
+    val seen = spark.read.parquet(s"$storeRoot/seen")
+    val batchCells = idx.join(bids, Seq("vec_id"), "left_semi")
+      .select("cluster", "sub").distinct()
+    val members = idx.filter(incSplit >= Dedup.IncBatchThreshold)
+      .unionByName(idx.join(seen, Seq("vec_id"), "left_semi"))
+    val recomputed = directedTopK(spark,
+      members.join(broadcast(batchCells), Seq("cluster", "sub"), "left_semi"))
+    spark.read.parquet(s"$storeRoot/lists_v$version")
+      .join(broadcast(batchCells), Seq("cluster", "sub"), "left_anti")
+      .unionByName(recomputed)
+      .write.mode("overwrite").parquet(s"$storeRoot/lists_v${version + 1}")
+    version + 1
   }
 
   /** Vocabulary cap for the co-occurrence graph: top terms by

@@ -742,4 +742,42 @@ object DocStream {
         ProductQuant.annIvfPqFromLayers(spark, dir, base, delta))
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
+
+  /** `stream_knn_maintain`: the streaming twin of
+    * [[graft.operators.Graph.knnMaintain]] — vectors stream in and
+    * each micro-batch recomputes only the trained cells it touches
+    * against a per-call versioned directed-list store seeded from the
+    * immutable history artifact; the final serve is the mutual join
+    * over the drained lists. Because a cell's last touch recomputes it
+    * over its full accumulated membership, per-micro-batch appends
+    * commute and the drained graph equals the one-shot full-corpus
+    * build — `graph_knn`'s oracle text gates this query too.
+    */
+  def streamKnnMaintain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Graph, Kernels}
+    val hist = Graph.ensureKnnDirectedHistory(spark, dir, Dedup.IncBatchThreshold)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-knn")
+    try {
+      spark.read.parquet(hist).write.mode("overwrite")
+        .parquet(s"$tmp/lists_v0")
+      var version = 0
+      val splitOf =
+        substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+      val q = spark.readStream
+        .schema(embeddingsSchema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(dir)
+        .select(col("vec_id"))
+        .filter(splitOf < Dedup.IncBatchThreshold)
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          version = Graph.appendBatchToKnn(batch, dir, tmp.toString, version)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Kernels.trackedCheckpoint(
+        Graph.mutualFromDirected(spark.read.parquet(s"$tmp/lists_v$version"))
+          .orderBy("vec_a", "vec_b"))
+    } finally graft.operators.Kernels.rmTree(tmp.toFile)
+  }
 }

@@ -307,6 +307,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"both the recomputed and the carried cell must hold edges: $nodes")
   }
 
+  test("knn store maintenance commutes: two-batch append drains to the one-shot graph") {
+    // split the production batch in two and push each through the
+    // versioned-store appender — cells touched by BOTH halves converge
+    // at their second recompute, so the drained mutual graph equals
+    // the full rebuild (the property the streaming twin relies on)
+    val oneShot = Graph.mutualKnn(spark, sf).collect().map(_.toSeq).toSeq
+    val hist = Graph.ensureKnnDirectedHistory(spark, sf, Dedup.IncBatchThreshold)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-knn-store-spec")
+    try {
+      spark.read.parquet(hist).write.mode("overwrite").parquet(s"$tmp/lists_v0")
+      val split = substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
+      val batch = Tables.embeddings(spark, sf).select(col("vec_id"))
+        .filter(split < Dedup.IncBatchThreshold)
+      val half1 = batch.filter(col("vec_id") % 2 === 0)
+      val half2 = batch.filter(col("vec_id") % 2 =!= 0)
+      val v1 = Graph.appendBatchToKnn(half1, sf, tmp.toString, 0)
+      val v2 = Graph.appendBatchToKnn(half2, sf, tmp.toString, v1)
+      val drained = Graph.mutualFromDirected(
+          spark.read.parquet(s"$tmp/lists_v$v2"))
+        .orderBy("vec_a", "vec_b").collect().map(_.toSeq).toSeq
+      Dedup.retireCaches()
+      assert(drained.nonEmpty && drained == oneShot,
+        "two-batch maintenance must drain to the one-shot mutual graph")
+    } finally operators.Kernels.rmTree(tmp.toFile)
+  }
+
   test("ann_ivf_pq recall rises monotonically with nprobe (the recall/latency knob)") {
     val exact = Similarity.annTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
