@@ -181,6 +181,7 @@ object SparkEntry {
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
     // Multimodal-column plumbing (north star; decode kernel stubbed)
     "mm_decode" -> Multimodal.decodeMeta _,
+    "mm_audio" -> Multimodal.audioStats _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
     "mm_resize" -> Multimodal.resizePlan _,
     "mm_features" -> Multimodal.featureStub _,
@@ -2573,6 +2574,18 @@ object SparkEntry {
         |  CASE octet_length(encode(text)) % 3
         |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays the WAV synthesis formulas; the Spark side recovers every
+    // field by parsing the actual fmt-chunk bytes (LE16/LE32 at the
+    // canonical offsets), then exact truncating integer arithmetic
+    "mm_audio" ->
+      """WITH w AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(n % 640 + 16 AS BIGINT) AS sample_rate,
+        |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(8 AS BIGINT) AS bits_per_sample,
+        |  CAST(n // 2 AS BIGINT) AS n_samples,
+        |  CAST((n // 2) * 1000 // (n % 640 + 16) AS BIGINT) AS duration_ms
+        |FROM w WHERE n % 3 = 2 ORDER BY doc_id""".stripMargin,
     "mm_chunks" ->
       s"""SELECT doc_id,
          |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,

@@ -17,6 +17,12 @@ import graft.Tables
 case class MediaMeta(doc_id: Long, n_bytes: Long, sha: String,
                      width: Long, height: Long, format: String)
 
+/** Audio-stream statistics parsed from a RIFF/WAVE header
+  * ([[Multimodal.audioMeta]]).
+  */
+case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
+                     bits_per_sample: Long, n_samples: Long, duration_ms: Long)
+
 /** Multimodal-column plumbing (north star): media as opaque `binary`
   * payloads with typed metadata, processed in per-partition batches.
   *
@@ -162,6 +168,45 @@ object Multimodal {
       MediaMeta(docId, p.length.toLong - 44, sha256Hex(p, 44),
         readLe32(p, 24), readLe16(p, 22), "wav")
     } else decodeStub(docId, p)
+  }
+
+  /** Audio-stream statistics parsed from REAL RIFF/WAVE fmt-chunk
+    * fields — channels (LE16@22), sample rate (LE32@24), block align
+    * (LE16@32), bits per sample (LE16@34), data-chunk size (LE32@40);
+    * sample count and duration are exact integer arithmetic on the
+    * parsed values (truncating division, engine-identical). Returns
+    * None for non-WAV payloads, so [[audioStats]] is the wav-rows-only
+    * projection of the corpus.
+    */
+  private[graft] def audioMeta(docId: Long, p: Array[Byte]): Option[AudioMeta] =
+    if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+      val channels = readLe16(p, 22)
+      val rate = readLe32(p, 24)
+      val blockAlign = readLe16(p, 32)
+      val bits = readLe16(p, 34)
+      val dataSize = readLe32(p, 40)
+      val nSamples = if (blockAlign > 0) dataSize / blockAlign else 0L
+      Some(AudioMeta(docId, rate, channels, bits, nSamples,
+        if (rate > 0) nSamples * 1000 / rate else 0L))
+    } else None
+
+  /** `mm_audio`: per-payload audio statistics over the media corpus —
+    * the TEMPORAL metadata a speech/audio pipeline filters on
+    * (duration floors, channel/bit-depth gates) before paying for any
+    * sample decode. Same iterator-to-iterator batch kernel as
+    * [[decodeMeta]]; only WAV payloads emit a row (flatMap — the
+    * format dispatch IS the filter, no second pass).
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+    Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => audioMeta(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+      .orderBy("doc_id")
   }
 
   /** Batch decode: binary payloads → typed metadata via

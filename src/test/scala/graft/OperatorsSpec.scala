@@ -1072,6 +1072,12 @@ class OperatorsSpec extends AnyFunSuite {
       "data".getBytes("US-ASCII") ++ le32(body.length) ++ body
     val mw = Multimodal.decodeMedia(3L, wav)
     assert(mw == MediaMeta(3L, body.length.toLong, bodySha, 44100L, 6L, "wav"))
+    // fmt-chunk stats parse from the same bytes: blockAlign 6 over a
+    // 7-byte data chunk truncates to 1 frame; 1 frame at 44.1kHz is 0ms
+    assert(Multimodal.audioMeta(3L, wav).contains(
+      AudioMeta(3L, 44100L, 6L, 8L, 1L, 0L)))
+    assert(Multimodal.audioMeta(1L, bmp).isEmpty,
+      "non-WAV payloads must emit no audio row")
 
     // golden round-trip: synthesis → decode recovers exactly what was encoded
     for (n <- Seq(0, 1, 2, 33, 34, 35, 640, 641, 642)) {
