@@ -383,7 +383,7 @@ object Similarity {
       .join(entries, col("pcluster") === col("cluster"))
       .select(col("probe_id"), col("node"))
     var visited = Kernels.trackedCheckpoint(score(starts))
-    for (_ <- 1 to BeamRounds) {
+    for (round <- 1 to BeamRounds) {
       val beam = visited
         .withColumn("rnk", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("sim").desc, col("node"))))
@@ -394,7 +394,12 @@ object Similarity {
         .distinct()
         .join(visited.select("probe_id", "node"), Seq("probe_id", "node"),
           "left_anti")
-      visited = Kernels.trackedCheckpoint(visited.union(score(fresh)))
+      val next = visited.union(score(fresh))
+      // each round references visited ~3x, so the plan grows ~3x/round:
+      // a cut every SECOND round bounds it at ~9x (fine for 4 rounds)
+      // while halving the eager checkpoint jobs (A/B'd at sf0.1)
+      visited = if (round % 2 == 0 || round == BeamRounds)
+        Kernels.trackedCheckpoint(next) else next
     }
     visited
       .filter(col("node") =!= col("probe_id"))
