@@ -329,7 +329,7 @@ object Graph {
     }
 
   private val knnHistMemo =
-    scala.collection.mutable.Map.empty[(((String, String)), String), String]
+    scala.collection.mutable.Map.empty[((String, String), String), String]
 
   private def incSplit =
     substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
