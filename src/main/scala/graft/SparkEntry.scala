@@ -153,7 +153,7 @@ object SparkEntry {
     "ann_ivf_r2" -> Similarity.annIvfR2 _,
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
-    "ann_graph" -> Similarity.annGraph _,
+    "ann_graph" -> ((s, dir) => Similarity.annGraph(s, dir)),
     "ann_range" -> Similarity.annRange _,
     "ann_range_ivf" -> Similarity.annRangeIvf _,
     "embedding_quantize" -> Similarity.quantize _,

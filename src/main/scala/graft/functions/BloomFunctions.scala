@@ -19,17 +19,21 @@ object BloomFunctions {
   private val AggName = "graft_bloom_agg"
   private val ProbeName = "graft_bloom_might_contain"
 
-  /** Register once per session; idempotent (the
-    * [[VectorFunctions.register]] discipline).
+  /** Register once per session; idempotent, and guarded so repeat
+    * calls do not spam "replaced a previously registered function"
+    * warnings through every bench/gate log.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      AggName,
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
-        .toAggregateExpression(),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      ProbeName, exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(AggName))) {
+      reg.createOrReplaceTempFunction(
+        AggName,
+        exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+          .toAggregateExpression(),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        ProbeName, exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** Standard bloom sizing: bits = −n·ln p / (ln 2)² (what

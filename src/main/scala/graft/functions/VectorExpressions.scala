@@ -154,10 +154,15 @@ object VectorFunctions {
 
   /** Register once per session; idempotent. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      OverlapName, exprs => OverlapCount(exprs(0), exprs(1)), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    // guarded: repeat registration is a no-op, so per-call register
+    // does not spam "replaced a previously registered function" WARNs
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName))) {
+      reg.createOrReplaceTempFunction(
+        FnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        OverlapName, exprs => OverlapCount(exprs(0), exprs(1)), "built-in")
+    }
   }
 
   /** `dot(a, b)` over two array<double> columns (codegen'd). */

@@ -357,7 +357,8 @@ object Similarity {
     * the loss comes from the k-cut, mutual pruning and the beam cut —
     * exactly the production trade.
     */
-  def annGraph(spark: SparkSession, dir: String): DataFrame = {
+  def annGraph(spark: SparkSession, dir: String,
+      beamWidth: Int = BeamWidth): DataFrame = {
     val emb = Kernels.cacheTracked(withNorm(spark, Tables.embeddings(spark, dir)))
     val edges = spark.read.parquet(Graph.ensureKnnEdges(spark, dir))
     val sym = Kernels.cacheTracked(
@@ -387,7 +388,7 @@ object Similarity {
       val beam = visited
         .withColumn("rnk", row_number().over(
           Window.partitionBy("probe_id").orderBy(col("sim").desc, col("node"))))
-        .filter(col("rnk") <= BeamWidth)
+        .filter(col("rnk") <= beamWidth)
         .select("probe_id", "node")
       val fresh = beam.join(sym, col("node") === col("a"))
         .select(col("probe_id"), col("b").as("node"))

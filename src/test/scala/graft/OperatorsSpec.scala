@@ -307,6 +307,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"both the recomputed and the carried cell must hold edges: $nodes")
   }
 
+  test("ann_graph recall curve: wider beams reach at least a narrow beam's recall") {
+    // beamWidth is the graph serve's recall/latency knob (the nprobe
+    // analogue). Beam search is not strictly monotone (different beams
+    // can walk different paths), so pin the ENDPOINTS on this fixed
+    // corpus: the widest beam must do at least as well as the
+    // narrowest, and every width holds the 0.30 floor.
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val curve = Seq(1, 4, 8).map { w =>
+      val got = Similarity.annGraph(spark, sf, beamWidth = w).collect()
+        .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      Dedup.retireCaches()
+      w -> got.intersect(exact).size.toDouble / exact.size
+    }
+    info(curve.map { case (w, r) => f"recall@beam=$w: $r%.3f" }.mkString(", "))
+    val byW = curve.toMap
+    assert(byW(8) >= byW(1),
+      s"the widest beam must recall at least the narrowest: $curve")
+    curve.foreach { case (w, r) =>
+      assert(r >= 0.30, f"beam=$w recall $r%.3f under the 0.30 floor") }
+  }
+
   test("knn store maintenance commutes: two-batch append drains to the one-shot graph") {
     // split the production batch in two and push each through the
     // versioned-store appender — cells touched by BOTH halves converge
