@@ -179,12 +179,14 @@ object SparkEntry {
     "embedding_centroids" -> Similarity.labelCentroids _,
     "kmeans_centroids" -> KMeansCodebook.centroids _,
     "sample_cluster_balanced" -> KMeansCodebook.clusterBalancedSample _,
-    // Multimodal-column plumbing (north star; decode kernel stubbed)
+    // Multimodal-column plumbing (north star; real header parse + real
+    // pixel work over the codec-free raster formats)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_audio" -> Multimodal.audioStats _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
     "mm_resize" -> Multimodal.resizePlan _,
-    "mm_features" -> Multimodal.featureStub _,
+    "mm_resize_exec" -> Multimodal.resizeExec _,
+    "mm_features" -> Multimodal.features _,
     "mm_frames" -> Multimodal.frameSample _,
     "mm_phash_pairs" -> Multimodal.phashPairs _,
     "mm_phash_incremental" -> Multimodal.phashIncremental _,
@@ -2464,21 +2466,38 @@ object SparkEntry {
         "ann_ivf_pq_served" -> ivfPq)
   }
 
+  /** Pixel-channel CTE chain shared by the mm feature/phash oracles:
+    * per-doc block means over the BODY bytes — the pre-container media
+    * stream, which synthesis wraps verbatim, so `encode(text)` IS the
+    * raster the Spark kernel locates by parsing the header. Replays
+    * Multimodal.blockFeatures' exact integer arithmetic: byte j →
+    * block ⌊(j−1)·dims/n⌋, f = ⌊(sum·10⁶ + den/2)/den⌋/10⁶ with den =
+    * count·255. Byte values come from the lower-hex rendering of the
+    * blob. Emits CTEs b/e/v/f; f = (doc_id, split, dim, f).
+    */
+  private def pixelChannelCtes(dims: Int): String =
+    s"""b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) AS n,
+       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split FROM documents),
+       |e AS (SELECT doc_id, split, n, hx, unnest(generate_series(1, n)) AS j FROM b),
+       |v AS (SELECT doc_id, split, CAST((j-1) * $dims // n AS BIGINT) + 1 AS dim,
+       |    (strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+       |    + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 AS byte
+       |  FROM e),
+       |f AS (SELECT doc_id, split, dim,
+       |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+       |  FROM v GROUP BY doc_id, split, dim)""".stripMargin
+
   /** Perceptual ingest dedup replay: thresholds trained on the HISTORY
     * split only, both sides hashed with them, banded batch→history
     * candidates, XOR-popcount verify (mirrors Multimodal.phashIncremental
-    * and its streaming twin).
+    * and its streaming twin — channels are the pixel block means).
     */
   private lazy val phashIncrementalSql: String = {
-    val byteVal = "(strpos('0123456789abcdef', substr(sha, 2*dim - 1, 1)) - 1) * 16" +
-      " + (strpos('0123456789abcdef', substr(sha, 2*dim, 1)) - 1)"
     val bb = Multimodal.PhashBits / Multimodal.PhashBands
     val mask = (1L << bb) - 1
     val thr = Dedup.IncBatchThreshold
-    s"""WITH s AS (SELECT doc_id, sha256(text) AS sha,
-       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split FROM documents),
-       |e AS (SELECT doc_id, sha, split, unnest(generate_series(1, ${Multimodal.PhashBits})) AS dim FROM s),
-       |f AS (SELECT doc_id, split, dim, round(($byteVal) / 255.0, 6) AS f FROM e),
+    s"""WITH ${pixelChannelCtes(Multimodal.PhashBits)},
        |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
        |      FROM f WHERE split >= '$thr' GROUP BY dim),
        |ph AS (SELECT doc_id, split,
@@ -2496,17 +2515,13 @@ object SparkEntry {
   }
 
   private def multimodalOracles: Map[String, String] = Map(
-    // the image half of dedup: corpus-mean-thresholded average hash,
-    // banded candidates, XOR-popcount verify (mirrors
-    // Multimodal.phashPairs bit for bit)
+    // the image half of dedup: corpus-mean-thresholded average hash
+    // over the PIXEL block-mean channels, banded candidates,
+    // XOR-popcount verify (mirrors Multimodal.phashPairs bit for bit)
     "mm_phash_pairs" -> {
-      val byteVal = "(strpos('0123456789abcdef', substr(sha, 2*dim - 1, 1)) - 1) * 16" +
-        " + (strpos('0123456789abcdef', substr(sha, 2*dim, 1)) - 1)"
       val bb = Multimodal.PhashBits / Multimodal.PhashBands
       val mask = (1L << bb) - 1
-      s"""WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
-         |e AS (SELECT doc_id, sha, unnest(generate_series(1, ${Multimodal.PhashBits})) AS dim FROM s),
-         |f AS (SELECT doc_id, dim, round(($byteVal) / 255.0, 6) AS f FROM e),
+      s"""WITH ${pixelChannelCtes(Multimodal.PhashBits)},
          |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
          |      FROM f GROUP BY dim),
          |ph AS (SELECT doc_id,
@@ -2524,14 +2539,19 @@ object SparkEntry {
     // the streaming twin is a stateless stream-static probe of the
     // same store — bit-identical, one oracle gates both
     "stream_phash_incremental" -> phashIncrementalSql,
+    // video rows only (n%6=5 synthesizes RIFF/AVI); replays the avih
+    // synthesis formulas — dwTotalFrames = n%240+16 and fps = n%24+6,
+    // which the Spark side recovers by parsing dwMicroSecPerFrame and
+    // inverting it (exact for fps < 1000: ⌊10⁶/⌊10⁶/f⌋⌋ = f)
     "mm_frames" -> {
       val k = Multimodal.FrameSampleK
-      s"""WITH m AS (SELECT doc_id,
-         |    CAST(octet_length(encode(text)) % 240 + 16 AS BIGINT) AS n_frames,
-         |    CAST(octet_length(encode(text)) % 24 + 6 AS BIGINT) AS fps
-         |  FROM documents),
+      s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 6 = 5),
+         |v AS (SELECT doc_id,
+         |    CAST(n % 240 + 16 AS BIGINT) AS n_frames,
+         |    CAST(n % 24 + 6 AS BIGINT) AS fps FROM m),
          |s AS (SELECT doc_id, n_frames, fps,
-         |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM m)
+         |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v)
          |SELECT doc_id, CAST(sample_no AS BIGINT) AS sample_no,
          |  CAST((sample_no * n_frames) // $k AS BIGINT) AS frame_no,
          |  CAST((((sample_no * n_frames) // $k) * 1000) // fps AS BIGINT) AS ts_ms,
@@ -2542,7 +2562,7 @@ object SparkEntry {
       val t = Multimodal.ResizeTarget
       s"""WITH m AS (SELECT doc_id,
          |    CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
-         |    CAST(CASE WHEN octet_length(encode(text)) % 3 = 2 THEN 2
+         |    CAST(CASE WHEN octet_length(encode(text)) % 6 = 2 THEN 2
          |         ELSE octet_length(encode(text)) % 480 + 16 END AS BIGINT) AS height
          |  FROM documents)
          |SELECT doc_id, width, height,
@@ -2550,33 +2570,62 @@ object SparkEntry {
          |  CAST(greatest(ceil(height * $t.0 / greatest(width, height)), 1) AS BIGINT) AS out_height
          |FROM m ORDER BY doc_id""".stripMargin
     },
-    "mm_features" -> {
-      val hexpos = "strpos('0123456789abcdef', substr(sha, 2*dim - 1, 1)) - 1"
-      val hexpos2 = "strpos('0123456789abcdef', substr(sha, 2*dim, 1)) - 1"
-      s"""WITH s AS (SELECT doc_id, sha256(text) AS sha FROM documents),
-         |e AS (SELECT doc_id, sha, unnest(generate_series(1, ${Multimodal.FeatureDim})) AS dim FROM s)
-         |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
-         |  round((($hexpos) * 16 + ($hexpos2)) / 255.0, 6) AS f
-         |FROM e ORDER BY doc_id, dim""".stripMargin
+    // the EXECUTED nearest-neighbor resample over the PPM raster:
+    // output byte k (channel-fastest order) reads source index
+    // ((y·h div oh)·w + (x·w div ow))·3 + c, mod n (the synthesized
+    // raster is length-n; see Multimodal.resizeExec) — then the output
+    // hash is sha256 over the ordered lower-hex rendering, rebuilt
+    // here with an ordered string_agg
+    "mm_resize_exec" -> {
+      val t = Multimodal.ResizeTarget
+      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 3 = 1),
+         |d AS (SELECT doc_id, hx, n, CAST(n % 640 + 16 AS BIGINT) AS w,
+         |    CAST(n % 480 + 16 AS BIGINT) AS h FROM b),
+         |p AS (SELECT doc_id, hx, n, w, h,
+         |    CAST(greatest(ceil(w * $t.0 / greatest(w, h)), 1) AS BIGINT) AS ow,
+         |    CAST(greatest(ceil(h * $t.0 / greatest(w, h)), 1) AS BIGINT) AS oh FROM d),
+         |px AS (SELECT doc_id, hx, n, w, h, ow, oh,
+         |    unnest(generate_series(0, ow*oh*3 - 1)) AS k FROM p),
+         |s AS (SELECT doc_id, ow, oh, k,
+         |    substr(hx, CAST(2 * (((((k // 3) // ow * h // oh) * w
+         |      + ((k // 3) % ow) * w // ow) * 3 + k % 3) % n) + 1 AS INT), 2) AS bh
+         |  FROM px)
+         |SELECT doc_id, ow AS out_width, oh AS out_height,
+         |  sha256(string_agg(bh, '' ORDER BY k)) AS out_sha
+         |FROM s GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin
     },
+    // average-pool features over the raster bytes (the body the decode
+    // locates — synthesis wraps encode(text) verbatim, so the oracle
+    // pools the pre-container bytes; a Spark-side parse bug shifts the
+    // body window and mismatches here)
+    "mm_features" ->
+      s"""WITH ${pixelChannelCtes(Multimodal.FeatureDim)}
+         |SELECT doc_id, CAST(dim AS BIGINT) AS dim, f
+         |FROM f ORDER BY doc_id, dim""".stripMargin,
     // replays the SYNTHESIS formulas (what ingest wrote into the real
     // container headers); the Spark side recovers them by parsing the
     // actual bytes — magic detect, LE int fields, ASCII PPM header —
     // so a parse bug surfaces as a value mismatch here. For WAV the
-    // height column is the parsed channel count (stereo = 2).
+    // height column is the parsed channel count (stereo = 2); for AVI
+    // it is the parsed avih dwHeight.
     "mm_decode" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha,
         |  CAST(octet_length(encode(text)) % 640 + 16 AS BIGINT) AS width,
-        |  CAST(CASE WHEN octet_length(encode(text)) % 3 = 2 THEN 2
+        |  CAST(CASE WHEN octet_length(encode(text)) % 6 = 2 THEN 2
         |       ELSE octet_length(encode(text)) % 480 + 16 END AS BIGINT) AS height,
-        |  CASE octet_length(encode(text)) % 3
-        |    WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' ELSE 'wav' END AS format
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'bmp'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'ppm'
+        |       WHEN octet_length(encode(text)) % 6 = 2 THEN 'wav'
+        |       ELSE 'avi' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // replays the WAV synthesis formulas; the Spark side recovers every
-    // field by parsing the actual fmt-chunk bytes (LE16/LE32 at the
-    // canonical offsets), then exact truncating integer arithmetic
+    // replays the WAV synthesis formulas (wav rows only — n%6=2; the
+    // other RIFF class is AVI); the Spark side recovers every field by
+    // parsing the actual fmt-chunk bytes (LE16/LE32 at the canonical
+    // offsets), then exact truncating integer arithmetic
     "mm_audio" ->
       """WITH w AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
         |SELECT doc_id,
@@ -2585,7 +2634,7 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS bits_per_sample,
         |  CAST(n // 2 AS BIGINT) AS n_samples,
         |  CAST((n // 2) * 1000 // (n % 640 + 16) AS BIGINT) AS duration_ms
-        |FROM w WHERE n % 3 = 2 ORDER BY doc_id""".stripMargin,
+        |FROM w WHERE n % 6 = 2 ORDER BY doc_id""".stripMargin,
     "mm_chunks" ->
       s"""SELECT doc_id,
          |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,

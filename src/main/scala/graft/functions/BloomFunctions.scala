@@ -44,6 +44,21 @@ object BloomFunctions {
     math.max(64L, math.ceil(-n.toDouble * math.log(p)
       / (math.log(2) * math.log(2))).toLong)
 
+  /** [[optimalNumOfBits]] clamped to the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` —
+    * `BloomFilterAggregate` FAILS ANALYSIS above that cap (default
+    * 2²⁶ bits ≈ 9.2 M keys at fpp 0.03), so an unclamped build would
+    * crash on exactly the store sizes the filter exists for. Clamping
+    * trades fpp for validity: the probe is one-sided either way (a
+    * false positive only routes a row to the exact anti-join), so a
+    * degraded filter stays CORRECT, just less selective.
+    */
+  def clampedNumOfBits(spark: SparkSession, n: Long, p: Double): Long = {
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    math.min(optimalNumOfBits(n, p), maxBits)
+  }
+
   /** Aggregate a column into a serialized bloom filter (binary) — a
     * distributed partial-aggregating build, filter-sized output. The
     * input column is hashed with `xxhash64` here; probe with
@@ -53,7 +68,7 @@ object BloomFunctions {
       fpp: Double): Column = {
     register(spark)
     call_function(AggName, xxhash64(keyCol), lit(expectedItems),
-      lit(optimalNumOfBits(expectedItems, fpp)))
+      lit(clampedNumOfBits(spark, expectedItems, fpp)))
   }
 
   /** Codegen'd membership probe of a [[bloomAgg]]-built filter. */

@@ -220,11 +220,20 @@ object Dedup {
       .agg(BloomFunctions.bloomAgg(spark, col("fp"),
         math.max(store.count(), 1L), 0.03).as("bf"))
       .head.getAs[Array[Byte]](0)
-    val mightContain = BloomFunctions.mightContain(spark, lit(bfBytes), col("fp"))
-    val definiteNew = batch.filter(!mightContain)
-    val survivors = batch.filter(mightContain)
-      .join(store, Seq("fp"), "left_anti")
-    definiteNew.select("fp", "doc_id").union(survivors.select("fp", "doc_id"))
+    // BloomFilterAggregate yields NULL over an EMPTY build side, and a
+    // null filter literal makes BOTH might_contain branches evaluate to
+    // null — silently dropping every batch row. An empty store means
+    // every batch row is definitely new: skip the probe AND the
+    // anti-join entirely (first-ingest fast path).
+    val routed = if (bfBytes == null) batch else {
+      val mightContain = BloomFunctions.mightContain(spark, lit(bfBytes), col("fp"))
+      val definiteNew = batch.filter(!mightContain)
+      val survivors = batch.filter(mightContain)
+        .join(store, Seq("fp"), "left_anti")
+      definiteNew.select("fp", "doc_id")
+        .union(survivors.select("fp", "doc_id"))
+    }
+    routed.select("fp", "doc_id")
       .groupBy("fp")
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_batch_dups"))
       .select(col("doc_id"), col("fp"), col("n_batch_dups"))

@@ -308,6 +308,11 @@ object Graph {
     * [[ensureKnnEdges]] serve contract). Rows: (cluster, sub, src,
     * dst, sim) — one row per directed neighbor, keyed by the cell so
     * the maintainer can carry untouched cells over by anti-join.
+    *
+    * NOTE: the `incSplit` filter runs AFTER [[Dedup.cappedCelledIndex]]
+    * celling, so `sub` boundaries here reflect the batch-inclusive
+    * snapshot (memo-keyed to the full corpus fingerprint) — see the
+    * contract note on [[knnMaintain]].
     */
   private[graft] def ensureKnnDirectedHistory(
       spark: SparkSession, dir: String, thresh: String): String =
@@ -366,13 +371,29 @@ object Graph {
     * and carries every untouched cell's stored lists over verbatim
     * (one anti-join); mutuality is then the usual self-semi-join of
     * the merged lists. Because kNN candidates are generated strictly
-    * IN-cell and cell/sub assignment is sticky per vector, an
+    * IN-cell and both sides read the SAME celled snapshot, an
     * untouched cell's candidate set is identical with or without the
     * batch — so the maintained graph equals the one-shot full-corpus
     * build row for row, and `graph_knn`'s oracle text gates this
     * query too (the maintained == one-shot contract every store in
     * the repo honors; additionally spec-pinned with the touched-cell
     * fraction).
+    *
+    * Contract note — the history artifact is a batch-inclusive
+    * SNAPSHOT PROJECTION, not a pre-batch store: [[Dedup.capCells]]
+    * assigns `sub` by salted-rank over the FULL index (the artifact
+    * memo is keyed to the whole `embeddings.parquet` fingerprint), and
+    * [[ensureKnnDirectedHistory]] filters to history rows AFTER
+    * celling. Where [[Dedup.SemCellCap]] binds, a genuinely
+    * history-only store would shift sub boundaries once the batch
+    * arrives, invalidating the untouched-cell carry-over. A production
+    * maintainer picks one of two real contracts: (a) sticky `sub` =
+    * pure hash of vec_id (boundaries never move; the cap becomes
+    * approximate, ≤ cap·(1+ε) w.h.p.), or (b) exactly this snapshot
+    * projection, re-celling (and re-listing shifted cells) on the
+    * periodic full rebuild that every capped-cell index needs anyway.
+    * This repo implements (b); the equality below is the contract (b)
+    * guarantees.
     *
     * 100 TB shape: per ingest batch the similarity work is
     * Σ_touched C(cap, 2) — proportional to where the batch lands,

@@ -124,8 +124,32 @@ private[graft] object Kernels {
     // within-process memo contract (deterministic per corpus) and makes
     // the shutdown hook own-stores-only by construction.
     val owned = s"$path-p${ProcessHandle.current().pid()}"
+    sweepDeadSiblings(path)
     tempStores += owned
     owned
+  }
+
+  /** Reclaim CRASHED processes' stores: the pid suffix means a JVM that
+    * died before its shutdown hook leaves `…-p<pid>` orphans no later
+    * run would ever resolve (each process mints a fresh suffix). At
+    * registration, delete same-fingerprint siblings whose pid is no
+    * longer alive — dead-owner dirs are unreachable garbage by
+    * construction, and live owners are never touched.
+    */
+  private def sweepDeadSiblings(path: String): Unit = {
+    val self = ProcessHandle.current().pid()
+    val base = new java.io.File(path)
+    val prefix = base.getName + "-p"
+    Option(base.getParentFile).flatMap(d => Option(d.listFiles())).foreach {
+      _.foreach { f =>
+        if (f.getName.startsWith(prefix)) {
+          val pid = f.getName.stripPrefix(prefix)
+          val dead = pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
+            ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
+          if (dead) rmTree(f)
+        }
+      }
+    }
   }
 
   /** Recursive delete — the ONE implementation every temp-store

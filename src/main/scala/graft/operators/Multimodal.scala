@@ -23,18 +23,37 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, sha: String,
 case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
                      bits_per_sample: Long, n_samples: Long, duration_ms: Long)
 
+/** Video-stream statistics parsed from a RIFF/AVI `avih` main header
+  * ([[Multimodal.videoMeta]]).
+  */
+case class VideoMeta(doc_id: Long, n_frames: Long, fps: Long)
+
+/** One pixel-derived feature value: average-pooled channel `dim` of the
+  * decoded raster ([[Multimodal.blockFeatures]]).
+  */
+case class MediaFeature(doc_id: Long, dim: Long, f: Double)
+
+/** Executed-resize output: the planned dims plus a content hash of the
+  * RESAMPLED raster ([[Multimodal.resizeExec]]).
+  */
+case class ResizeOut(doc_id: Long, out_width: Long, out_height: Long,
+                     out_sha: String)
+
 /** Multimodal-column plumbing (north star): media as opaque `binary`
   * payloads with typed metadata, processed in per-partition batches.
   *
   * The decode kernel parses REAL byte formats — BMP (`BM` magic,
   * little-endian dimension fields at fixed offsets), binary PPM (`P6`
-  * ASCII header), and canonical RIFF/WAVE (fmt-chunk fields) — from
-  * payloads synthesized at ingest with proper container headers. The
-  * container image/audio codec libraries are absent here, so the
-  * PIXEL/SAMPLE work stays out of scope (bodies are opaque bytes), and
-  * a clearly-marked deterministic stub remains only as the
-  * unparseable-payload fallback. Everything around the parse is the
-  * production shape: binary columns, `mapPartitions`
+  * ASCII header), canonical RIFF/WAVE (fmt-chunk fields), and RIFF/AVI
+  * (`avih` main-header fields) — from payloads synthesized at ingest
+  * with proper container headers. The PIXEL work is real too where the
+  * format needs no codec: BMP and PPM bodies ARE raw raster bytes, so
+  * the feature extractor ([[blockFeatures]]), the perceptual-hash
+  * channels, and the executing resize ([[resizeExec]]) all read the
+  * raster the decode locates — exact integer arithmetic end to end, so
+  * the oracle replays every byte. A clearly-marked deterministic stub
+  * remains only as the unparseable-payload fallback. Everything around
+  * the parse is the production shape: binary columns, `mapPartitions`
   * iterator-to-iterator batch processing (the Scala analogue of
   * `mapInPandas`: one executor-side batch per partition, no driver
   * collect, spill-safe), typed output via case-class Encoders, and
@@ -43,10 +62,11 @@ case class AudioMeta(doc_id: Long, sample_rate: Long, channels: Long,
 object Multimodal {
 
   /** Synthesize a real container payload around a media body: the byte
-    * format is chosen by body length (n%3 → BMP / binary PPM / WAV)
-    * and the header fields are genuinely encoded — LE int32/int16 for
-    * BMP and WAV, ASCII for PPM — so the decode kernel must parse
-    * actual bytes to recover them. Width/height (or sample rate) carry
+    * format is chosen by body length (n%3 → BMP / binary PPM / RIFF,
+    * with the RIFF class split n%6 → WAVE / AVI) and the header fields
+    * are genuinely encoded — LE int32/int16 for BMP, WAV and AVI,
+    * ASCII for PPM — so the decode kernel must parse actual bytes to
+    * recover them. Width/height (or sample rate / frame count) carry
     * the deterministic n-derived values the oracle replays.
     */
   private[graft] def synthPayload(body: Array[Byte]): Array[Byte] = {
@@ -66,11 +86,27 @@ object Multimodal {
           body
       case 1 => // binary PPM: ASCII magic + dims + maxval, then raster
         s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ body
-      case _ => // canonical 44-byte RIFF/WAVE header: stereo 8-bit PCM at rate w
+      case _ if n % 6 == 2 =>
+        // canonical 44-byte RIFF/WAVE header: stereo 8-bit PCM at rate w
         "RIFF".getBytes("US-ASCII") ++ le32(36 + n) ++ "WAVE".getBytes("US-ASCII") ++
           "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
           le32(w) ++ le32(w * 2) ++ le16(2) ++ le16(8) ++
           "data".getBytes("US-ASCII") ++ le32(n) ++
+          body
+      case _ => // minimal canonical RIFF/AVI: LIST hdrl{avih} + LIST movi{00dc}
+        val fps = n % 24 + 6
+        val nFrames = n % 240 + 16
+        "RIFF".getBytes("US-ASCII") ++ le32(100 + n) ++ "AVI ".getBytes("US-ASCII") ++
+          "LIST".getBytes("US-ASCII") ++ le32(4 + 8 + 56) ++ "hdrl".getBytes("US-ASCII") ++
+          "avih".getBytes("US-ASCII") ++ le32(56) ++
+          le32(1000000 / fps) ++ // dwMicroSecPerFrame
+          le32(0) ++ le32(0) ++ le32(0) ++ // maxBytesPerSec, padding, flags
+          le32(nFrames) ++ // dwTotalFrames
+          le32(0) ++ le32(1) ++ le32(0) ++ // initialFrames, streams, bufSize
+          le32(w) ++ le32(h) ++ // dwWidth, dwHeight
+          le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ // dwReserved[4]
+          "LIST".getBytes("US-ASCII") ++ le32(4 + 8 + n) ++ "movi".getBytes("US-ASCII") ++
+          "00dc".getBytes("US-ASCII") ++ le32(n) ++
           body
     }
   }
@@ -92,7 +128,7 @@ object Multimodal {
   /** STUB fallback for payloads no header parser claims: a real
     * pipeline would quarantine these; here the metadata is a
     * deterministic function of the byte length so the operator stays
-    * total. Reached only for non-BMP/PPM/WAV bytes (spec-pinned).
+    * total. Reached only for non-BMP/PPM/WAV/AVI bytes (spec-pinned).
     */
   private[operators] def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val md = MessageDigest.getInstance("SHA-256")
@@ -119,6 +155,65 @@ object Multimodal {
       .digest(java.util.Arrays.copyOfRange(b, from, b.length))
       .map("%02x".format(_)).mkString
 
+  // ---- container magics ----
+  private def isBmp(p: Array[Byte]): Boolean =
+    p.length >= 54 && p(0) == 'B' && p(1) == 'M'
+  private def isPpm(p: Array[Byte]): Boolean =
+    p.length >= 2 && p(0) == 'P' && p(1) == '6'
+  private def isRiff(p: Array[Byte], form: String): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == form(0) && p(9) == form(1) && p(10) == form(2) && p(11) == form(3)
+  private def isWav(p: Array[Byte]): Boolean = p.length >= 44 && isRiff(p, "WAVE")
+  private def isAvi(p: Array[Byte]): Boolean =
+    p.length >= 108 && isRiff(p, "AVI ") &&
+      p(24) == 'a' && p(25) == 'v' && p(26) == 'i' && p(27) == 'h'
+
+  /** Binary-PPM header parse: (width, height, raster offset), or None
+    * when the ASCII header is malformed. Three whitespace-separated
+    * ints after `P6`, then exactly one whitespace byte before the
+    * raster.
+    */
+  private def ppmParse(p: Array[Byte]): Option[(Long, Long, Int)] = {
+    var i = 2
+    val dims = new Array[Long](3)
+    var d = 0
+    var ok = true
+    while (d < 3 && ok) {
+      while (i < p.length && (p(i) == ' ' || p(i) == '\n' || p(i) == '\t' || p(i) == '\r')) i += 1
+      var v = -1L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (p(i) - '0'); i += 1
+      }
+      if (v < 0) ok = false else { dims(d) = v; d += 1 }
+    }
+    i += 1 // the single whitespace after maxval
+    if (ok && i <= p.length) Some((dims(0), dims(1), i)) else None
+  }
+
+  /** AVI movi-data offset: past the avih main header (cbSize parsed
+    * from the chunk, offset 28) and the `LIST movi` + `00dc` chunk
+    * preambles (12 + 8 bytes).
+    */
+  private def aviBodyOff(p: Array[Byte]): Int =
+    32 + readLe32(p, 28).toInt + 20
+
+  /** Where the media STREAM (raster / samples / frame data) starts in
+    * the payload — the shared parse the decode, the pixel features and
+    * the resize all key off. 0 (whole payload) for unclaimed bytes —
+    * the stub contract.
+    */
+  private[graft] def bodyStart(p: Array[Byte]): Int =
+    if (isBmp(p)) {
+      val off = readLe32(p, 10).toInt
+      if (off >= 54 && off <= p.length) off else 0
+    } else if (isPpm(p)) {
+      ppmParse(p).map(_._3).getOrElse(0)
+    } else if (isWav(p)) 44
+    else if (isAvi(p)) {
+      val off = aviBodyOff(p)
+      if (off <= p.length) off else 0
+    } else 0
+
   /** REAL decode kernel: detects the container by magic bytes and
     * parses the header fields from the payload itself —
     *
@@ -132,41 +227,36 @@ object Multimodal {
     *    offset 22) and sample rate (LE int32 at offset 24) from the
     *    fmt chunk; samples follow the canonical 44-byte header. Audio
     *    has no raster dims, so width ← sample rate, height ← channels.
+    *  - RIFF/AVI: `RIFF….AVI ` magics + `avih` main header;
+    *    dwWidth/dwHeight (LE int32 at offsets 64/68); frame data
+    *    follows the `LIST movi` preamble ([[aviBodyOff]]).
     *
     * `sha`/`n_bytes` are computed over the BODY (the media stream),
     * giving the same content identity for re-containered media.
     * Anything unclaimed falls back to [[decodeStub]].
     */
   private[graft] def decodeMedia(docId: Long, p: Array[Byte]): MediaMeta = {
-    if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') {
+    if (isBmp(p)) {
       val dataOff = readLe32(p, 10).toInt
       if (dataOff >= 54 && dataOff <= p.length)
         MediaMeta(docId, p.length.toLong - dataOff, sha256Hex(p, dataOff),
           readLe32(p, 18), readLe32(p, 22), "bmp")
       else decodeStub(docId, p)
-    } else if (p.length >= 2 && p(0) == 'P' && p(1) == '6') {
-      // ASCII header scan: three whitespace-separated ints after P6,
-      // then exactly one whitespace byte before the raster
-      var i = 2
-      val dims = new Array[Long](3)
-      var d = 0
-      var ok = true
-      while (d < 3 && ok) {
-        while (i < p.length && (p(i) == ' ' || p(i) == '\n' || p(i) == '\t' || p(i) == '\r')) i += 1
-        var v = -1L
-        while (i < p.length && p(i) >= '0' && p(i) <= '9') {
-          v = (if (v < 0) 0L else v) * 10 + (p(i) - '0'); i += 1
-        }
-        if (v < 0) ok = false else { dims(d) = v; d += 1 }
+    } else if (isPpm(p)) {
+      ppmParse(p) match {
+        case Some((w, h, off)) =>
+          MediaMeta(docId, p.length.toLong - off, sha256Hex(p, off), w, h, "ppm")
+        case None => decodeStub(docId, p)
       }
-      i += 1 // the single whitespace after maxval
-      if (ok && i <= p.length)
-        MediaMeta(docId, p.length.toLong - i, sha256Hex(p, i), dims(0), dims(1), "ppm")
-      else decodeStub(docId, p)
-    } else if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
-               p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+    } else if (isWav(p)) {
       MediaMeta(docId, p.length.toLong - 44, sha256Hex(p, 44),
         readLe32(p, 24), readLe16(p, 22), "wav")
+    } else if (isAvi(p)) {
+      val off = aviBodyOff(p)
+      if (off <= p.length)
+        MediaMeta(docId, p.length.toLong - off, sha256Hex(p, off),
+          readLe32(p, 64), readLe32(p, 68), "avi")
+      else decodeStub(docId, p)
     } else decodeStub(docId, p)
   }
 
@@ -179,8 +269,7 @@ object Multimodal {
     * projection of the corpus.
     */
   private[graft] def audioMeta(docId: Long, p: Array[Byte]): Option[AudioMeta] =
-    if (p.length >= 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
-        p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+    if (isWav(p)) {
       val channels = readLe16(p, 22)
       val rate = readLe32(p, 24)
       val blockAlign = readLe16(p, 32)
@@ -189,6 +278,21 @@ object Multimodal {
       val nSamples = if (blockAlign > 0) dataSize / blockAlign else 0L
       Some(AudioMeta(docId, rate, channels, bits, nSamples,
         if (rate > 0) nSamples * 1000 / rate else 0L))
+    } else None
+
+  /** Video-stream statistics parsed from REAL RIFF/AVI `avih`
+    * main-header fields — dwMicroSecPerFrame (LE32@32) and
+    * dwTotalFrames (LE32@48). fps is recovered by the exact integer
+    * inverse 10⁶ div usPerFrame (lossless for any fps < 1000:
+    * ⌊10⁶/⌊10⁶/f⌋⌋ = f). Returns None for non-AVI payloads, so
+    * [[frameSample]] is the video-rows-only projection of the corpus.
+    */
+  private[graft] def videoMeta(docId: Long, p: Array[Byte]): Option[VideoMeta] =
+    if (isAvi(p)) {
+      val usPerFrame = readLe32(p, 32)
+      val nFrames = readLe32(p, 48)
+      Some(VideoMeta(docId, nFrames,
+        if (usPerFrame > 0) 1000000L / usPerFrame else 0L))
     } else None
 
   /** `mm_audio`: per-payload audio statistics over the media corpus —
@@ -227,13 +331,23 @@ object Multimodal {
 
   val ResizeTarget = 64L
 
+  /** Aspect-preserving fit of (w, h) into a [[ResizeTarget]]² box —
+    * exact integer ceil-div (equals the double form: products here are
+    * far below 2⁵³, so `ceil(w·t/max)` has no fp error to diverge on).
+    */
+  private def fitDims(w: Long, h: Long): (Long, Long) = {
+    val t = ResizeTarget
+    val mx = math.max(math.max(w, h), 1L)
+    (math.max((w * t + mx - 1) / mx, 1L), math.max((h * t + mx - 1) / mx, 1L))
+  }
+
   /** "Resize" planning: given the decoded dimensions, compute the
     * aspect-preserving fit into a [[ResizeTarget]]² box (ceil-scaled,
     * like a thumbnailer) — the metadata half of a resize operator; the
-    * pixel work lives in the same stubbed decode kernel. Everything
-    * here is exact integer arithmetic, so the DuckDB oracle reproduces
-    * it bit-for-bit. Composes on [[decodeMeta]]'s output — one map-only
-    * pass after the decode pass.
+    * pixel half is [[resizeExec]]. Everything here is exact integer
+    * arithmetic, so the DuckDB oracle reproduces it bit-for-bit.
+    * Composes on [[decodeMeta]]'s output — one map-only pass after the
+    * decode pass.
     */
   def resizePlan(spark: SparkSession, dir: String): DataFrame = {
     val t = ResizeTarget
@@ -248,26 +362,129 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** `mm_resize_exec`: the EXECUTED resize — nearest-neighbor resample
+    * of the PPM raster (the codec-free format: its body is raw
+    * interleaved RGB) to the [[resizePlan]] dims, emitting a content
+    * hash of the output raster. Source index per output byte is exact
+    * integer math — `srcY = y·h div oh`, `srcX = x·w div ow`, channel
+    * carried through — so both engines replay the resample
+    * byte-for-byte. The synthesized raster is length-n rather than the
+    * full 3·w·h bytes, so the raster index wraps mod n (pure index
+    * arithmetic; a full raster drops the mod). The output hash is
+    * sha256 over the lower-hex rendering of the output bytes — a
+    * string on both sides, which is what lets the oracle rebuild it
+    * with an ordered string_agg.
+    *
+    * Scale shape: map-only over decoded batches (iterator-to-iterator,
+    * no driver involvement), output one row per image — the thumbnail
+    * job at its natural parallelism.
+    */
+  def resizeExec(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[ResizeOut] = Encoders.product[ResizeOut]
+    Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => resizeOne(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** One payload's executed resize ([[resizeExec]]'s kernel body) —
+    * None for non-PPM payloads.
+    */
+  private[graft] def resizeOne(docId: Long, p: Array[Byte]): Option[ResizeOut] =
+    if (!isPpm(p)) None
+    else ppmParse(p).map { case (w, h, off) =>
+      val n = p.length - off
+      val (ow, oh) = fitDims(w, h)
+      val out = new StringBuilder((ow * oh * 3 * 2).toInt)
+      var y = 0L
+      while (y < oh) {
+        val srcY = y * h / oh
+        var x = 0L
+        while (x < ow) {
+          val srcX = x * w / ow
+          val base = (srcY * w + srcX) * 3
+          var c = 0
+          while (c < 3) {
+            val idx = ((base + c) % n).toInt
+            out.append("%02x".format(p(off + idx) & 0xff))
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      ResizeOut(docId, ow, oh,
+        MessageDigest.getInstance("SHA-256")
+          .digest(out.toString.getBytes("US-ASCII"))
+          .map("%02x".format(_)).mkString)
+    }
+
   val FeatureDim = 8
 
-  /** STUB feature extraction: an [[FeatureDim]]-dim "embedding" per
-    * payload, derived deterministically from the sha256 digest (byte i
-    * scaled to [0,1]) — a real pipeline would run an image encoder
-    * here. The Spark-side shape is the production one: batch kernel
-    * output joins the corpus as an `array<double>` column ready for
-    * [[Similarity]]/[[Dedup.embeddingNearDupLsh]]-style consumers.
+  /** Average-pool feature extraction over the DECODED raster: split
+    * the media stream the parse located ([[bodyStart]]) into `dims`
+    * contiguous blocks (byte j → block ⌊j·dims/n⌋ — block sizes differ
+    * by at most one) and emit each block's mean byte value scaled to
+    * [0,1]. The mean is exact integer arithmetic in 10⁻⁶ units —
+    * ⌊(sum·10⁶ + den/2) / den⌋ with den = count·255 — so the oracle
+    * replays it bit-for-bit with the same integer ops. This is the
+    * classic average-pooling front of a perceptual pipeline: real
+    * pixel content, no codec needed, because BMP and PPM bodies are
+    * raw raster bytes (WAV/AVI bodies pool the same way over
+    * samples/frame data — a spectral stand-in).
     */
-  def featureStub(spark: SparkSession, dir: String): DataFrame = {
-    val sha = col("sha")
-    val feats = (0 until FeatureDim).map { i =>
-      round(conv(substring(sha, 2 * i + 1, 2), 16, 10).cast("double") / 255.0, 6)
+  private[graft] def blockFeatures(p: Array[Byte], dims: Int): Array[Double] = {
+    val off = bodyStart(p)
+    val n = p.length - off
+    val sums = new Array[Long](dims)
+    val cnts = new Array[Long](dims)
+    var j = 0
+    while (j < n) {
+      val d = (j.toLong * dims / n).toInt
+      sums(d) += p(off + j) & 0xff
+      cnts(d) += 1
+      j += 1
     }
-    decodeMeta(spark, dir)
-      .select(col("doc_id"), posexplode(array(feats: _*)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("dim"),
-        col("col").as("f"))
-      .orderBy("doc_id", "dim")
+    Array.tabulate(dims) { d =>
+      val den = cnts(d) * 255
+      if (den == 0) 0.0
+      else ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
+    }
   }
+
+  /** The per-document pixel-channel frame (doc_id, dim, f) — one
+    * [[blockFeatures]] kernel pass shared by [[features]] (8 dims) and
+    * the perceptual-hash family ([[PhashBits]] dims). Map-only,
+    * iterator-to-iterator, typed output.
+    */
+  private def pixelChannels(payloads: DataFrame, dims: Int): DataFrame = {
+    implicit val enc: Encoder[MediaFeature] = Encoders.product[MediaFeature]
+    Kernels.fanOut(payloads)
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          blockFeatures(r.getAs[Array[Byte]](1), dims)
+            .iterator.zipWithIndex
+            .map { case (f, i) => MediaFeature(id, i + 1L, f) }
+        }
+      }
+      .toDF()
+  }
+
+  /** `mm_features`: [[FeatureDim]]-dim average-pool embedding per
+    * payload, computed from the ACTUAL raster bytes the decode parse
+    * locates — [[blockFeatures]] over the body at [[bodyStart]]. The
+    * output joins the corpus as a (doc_id, dim, f) frame ready for
+    * [[Similarity]]/[[Dedup.embeddingNearDupLsh]]-style consumers; a
+    * production pipeline swaps the pooling kernel for a learned image
+    * encoder behind the same `mapPartitions` batch shape.
+    */
+  def features(spark: SparkSession, dir: String): DataFrame =
+    pixelChannels(ingestBinary(spark, dir).select("doc_id", "payload"), FeatureDim)
+      .orderBy("doc_id", "dim")
 
   val ChunkBytes = 256
 
@@ -291,21 +508,25 @@ object Multimodal {
   val FrameSampleK = 8
 
   /** Video frame sampling — the TEMPORAL analogue of
-    * [[chunkPayloads]]'s spatial tiling: each payload carries stream
-    * metadata (frame count and fps — STUB-derived from the byte
-    * length; real pipelines read container headers inside the same
-    * decode kernel as [[decodeStub]]) and the operator emits the
-    * standard uniform-K frame sample: sample k picks frame
-    * ⌊k·n/K⌋ with its millisecond timestamp. All integer arithmetic
-    * (engine-exact), map-only `sequence`+`explode` — no driver
-    * involvement, partition-count independent; the pixel fetch for the
-    * selected frames composes downstream exactly like the decode.
+    * [[chunkPayloads]]'s spatial tiling, over stream metadata PARSED
+    * from the real RIFF/AVI `avih` header ([[videoMeta]]:
+    * dwTotalFrames + dwMicroSecPerFrame → fps). Only video payloads
+    * emit rows (flatMap — the format dispatch is the filter). The
+    * operator emits the standard uniform-K frame sample: sample k
+    * picks frame ⌊k·n/K⌋ with its millisecond timestamp. All integer
+    * arithmetic (engine-exact); the sample expansion is map-only
+    * `sequence`+`explode` — no driver involvement, partition-count
+    * independent; the pixel fetch for the selected frames composes
+    * downstream exactly like the decode.
     */
-  def frameSample(spark: SparkSession, dir: String): DataFrame =
-    decodeMeta(spark, dir)
-      .select(col("doc_id"),
-        (col("n_bytes") % 240 + 16).as("n_frames"),
-        (col("n_bytes") % 24 + 6).as("fps"))
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[VideoMeta] = Encoders.product[VideoMeta]
+    Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => videoMeta(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
       .select(col("doc_id"), col("n_frames"), col("fps"),
         explode(sequence(lit(0L), lit(FrameSampleK - 1L))).as("sample_no"))
       .withColumn("frame_no",
@@ -314,6 +535,7 @@ object Multimodal {
       .select(col("doc_id"), col("sample_no"), col("frame_no"), col("ts_ms"),
         col("n_frames"), col("fps"))
       .orderBy("doc_id", "sample_no")
+  }
 
   /** Perceptual-hash width / banding: [[PhashBits]]-bit average hash,
     * [[PhashBands]] bands of bits/bands each — by pigeonhole, any pair
@@ -325,59 +547,58 @@ object Multimodal {
   val PhashBands = 2
   val PhashMaxHamming = 1L
 
-  /** `mm_phash_pairs`: perceptual near-dup pairs over the media corpus
-    * — the image half of dedup. Per-"image" features (the stubbed
-    * decode's byte channels; a real kernel emits DCT/average-pool
-    * values from pixels) are thresholded against their PER-CORPUS
-    * per-dimension mean — the classic average-hash: bit i says "this
-    * image is above corpus average in channel i" — packing each image
-    * into a [[PhashBits]]-bit signature. Near-dups are pairs at
-    * Hamming ≤ [[PhashMaxHamming]], found by the banded join, never
-    * all-pairs.
-    *
-    * Scale shape: features are map-only over decoded batches; the
-    * thresholds are ONE dim-sized broadcast (a [[PhashBits]]-row
-    * aggregate, combiner-friendly, decimal-summed so the mean is
-    * order-exact); signatures are one combiner-friendly groupBy(doc);
-    * candidates come banded (~2·2⁻⁸ of pairs at this width), each
-    * verified with an integer XOR popcount. Every stage is exact
-    * integer/6dp arithmetic, replayed bit-for-bit by the oracle.
-    */
   /** Per-channel thresholds trained on the HISTORY side — the phash
     * analogue of a served index statistic: new images must be hashed
     * with the thresholds the stored signatures used, or batch and
-    * store bits mean different things. 16 values, collected once and
-    * shipped in the task closure (the codebook contract).
+    * store bits mean different things. Channels are the PIXEL block
+    * means ([[blockFeatures]] at [[PhashBits]] dims). 16 values,
+    * collected once and shipped in the task closure (the codebook
+    * contract).
     */
   private[graft] def historyMu(spark: SparkSession, dir: String): IndexedSeq[Double] = {
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
-    val f = Tables.documents(spark, dir)
-      .filter(splitOf >= Dedup.IncBatchThreshold)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), lit(PhashBits))).as("dim"),
-        sha2(encode(col("text"), "UTF-8"), 256).as("sha"))
-      .select(col("dim").cast("long").as("dim"),
-        round(conv(expr("substring(sha, 2*dim - 1, 2)"), 16, 10).cast("double")
-          / 255.0, 6).as("f"))
-    f.groupBy("dim")
+    pixelChannels(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"),
+      PhashBits)
+      .groupBy("dim")
       .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1).map(_._2)
       .toIndexedSeq
   }
 
-  /** The whole signature as ONE map-side expression (no explode, no
-    * aggregate): bit i set iff channel i beats its trained threshold.
-    * Shared verbatim by the batch incremental and its streaming twin —
-    * the stream needs it because a streaming query gets one aggregate,
-    * and the pair fold is it.
+  /** The whole signature from one payload (kernel-side): bit i set iff
+    * pixel channel i beats its trained threshold. Shared verbatim by
+    * the batch incremental and its streaming twin
+    * ([[graft.streaming.DocStream.streamPhashIncremental]]) — same
+    * bytes, same thresholds, same bits.
     */
-  private[graft] def phashExpr(sha: org.apache.spark.sql.Column,
-      mu: IndexedSeq[Double]): org.apache.spark.sql.Column =
-    (0 until PhashBits).map { i =>
-      when(round(conv(substring(sha, 2 * i + 1, 2), 16, 10).cast("double")
-        / 255.0, 6) > mu(i), lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  private[graft] def phashOfBody(p: Array[Byte], mu: IndexedSeq[Double]): Long = {
+    val f = blockFeatures(p, PhashBits)
+    var bits = 0L
+    var i = 0
+    while (i < PhashBits) {
+      if (f(i) > mu(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Kernel: (id, payload) → (idAlias, sigAlias) signature frame with
+    * thresholds shipped in the closure.
+    */
+  private[graft] def phashSigFrame(payloads: DataFrame, mu: IndexedSeq[Double],
+      idAlias: String, sigAlias: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    Kernels.fanOut(payloads)
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.map(r => (r.getLong(0), phashOfBody(r.getAs[Array[Byte]](1), mu)))
+      }
+      .toDF(idAlias, sigAlias)
+  }
 
   /** Band structs (band, bkey) for a signature column — map-only. */
   private[graft] def phashBands(ph: org.apache.spark.sql.Column)
@@ -397,10 +618,11 @@ object Multimodal {
   private[graft] def historyPhashStore(spark: SparkSession, dir: String,
       mu: IndexedSeq[Double]): DataFrame = {
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
-    Tables.documents(spark, dir)
-      .filter(splitOf >= Dedup.IncBatchThreshold)
-      .select(col("doc_id").as("hist_id"),
-        phashExpr(sha2(encode(col("text"), "UTF-8"), 256), mu).as("h_ph"))
+    phashSigFrame(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"),
+      mu, "hist_id", "h_ph")
       .select(col("hist_id"), col("h_ph"),
         explode(phashBands(col("h_ph"))).as("bk"))
       .select(col("hist_id"), col("h_ph"),
@@ -413,18 +635,19 @@ object Multimodal {
     * alone), completing the incremental family across modalities:
     * exact, MinHash, SimHash, spans, semantic, and now images all have
     * batch-vs-history twins. Thresholds are the history's
-    * ([[historyMu]]); candidates come banded; a multi-band collision
-    * folds to one row. Scale shape: everything batch-sized except the
-    * store scan, which in production is the pre-materialized banded
-    * signature table.
+    * ([[historyMu]]); signatures hash the PIXEL blocks; candidates
+    * come banded; a multi-band collision folds to one row. Scale
+    * shape: everything batch-sized except the store scan, which in
+    * production is the pre-materialized banded signature table.
     */
   def phashIncremental(spark: SparkSession, dir: String): DataFrame = {
     val mu = historyMu(spark, dir)
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
-    val batch = Tables.documents(spark, dir)
-      .filter(splitOf < Dedup.IncBatchThreshold)
-      .select(col("doc_id").as("batch_id"),
-        phashExpr(sha2(encode(col("text"), "UTF-8"), 256), mu).as("ph"))
+    val batch = phashSigFrame(
+      ingestBinary(spark, dir)
+        .filter(splitOf < Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"),
+      mu, "batch_id", "ph")
       .select(col("batch_id"), col("ph"),
         explode(phashBands(col("ph"))).as("bk"))
       .select(col("batch_id"), col("ph"),
@@ -438,13 +661,26 @@ object Multimodal {
       .orderBy("batch_id", "hist_id")
   }
 
+  /** `mm_phash_pairs`: perceptual near-dup pairs over the media corpus
+    * — the image half of dedup. Per-image features are the PIXEL block
+    * means ([[blockFeatures]] over the raster the decode locates),
+    * thresholded against their PER-CORPUS per-dimension mean — the
+    * classic average-hash: bit i says "this image is above corpus
+    * average in channel i" — packing each image into a [[PhashBits]]-
+    * bit signature. Near-dups are pairs at Hamming ≤
+    * [[PhashMaxHamming]], found by the banded join, never all-pairs.
+    *
+    * Scale shape: features are map-only over decoded batches; the
+    * thresholds are ONE dim-sized broadcast (a [[PhashBits]]-row
+    * aggregate, combiner-friendly, decimal-summed so the mean is
+    * order-exact); signatures are one combiner-friendly groupBy(doc);
+    * candidates come banded (~2·2⁻⁸ of pairs at this width), each
+    * verified with an integer XOR popcount. Every stage is exact
+    * integer/6dp arithmetic, replayed bit-for-bit by the oracle.
+    */
   def phashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val f = decodeMeta(spark, dir)
-      .select(col("doc_id"),
-        explode(sequence(lit(1), lit(PhashBits))).as("dim"), col("sha"))
-      .select(col("doc_id"), col("dim").cast("long").as("dim"),
-        round(conv(expr("substring(sha, 2*dim - 1, 2)"), 16, 10).cast("double")
-          / 255.0, 6).as("f"))
+    val f = pixelChannels(
+      ingestBinary(spark, dir).select("doc_id", "payload"), PhashBits)
     val mu = f.groupBy("dim")
       .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))

@@ -361,26 +361,37 @@ object DocStream {
     * [[graft.operators.Multimodal.phashIncremental]] — newly-arriving
     * media probes the HISTORICAL perceptual-signature store per
     * micro-batch. The trained thresholds ride the task closure (16
-    * values — the codebook contract), the signature and its bands are
-    * map-only expressions, candidates come from a stream-static
-    * equi-join on the banded store, and the only aggregation is the
-    * multi-band-collision fold (a pair can collide on both bands), so
-    * the complete-mode result equals the batch query bit-for-bit and
-    * the SAME oracle gates both.
+    * values — the codebook contract), the signature is the SAME pixel
+    * kernel as the batch query ([[graft.operators.Multimodal.phashOfBody]]
+    * over the parsed raster — stateless `mapPartitions`,
+    * streaming-legal), its bands are map-only expressions, candidates
+    * come from a stream-static equi-join on the banded store, and the
+    * only aggregation is the multi-band-collision fold (a pair can
+    * collide on both bands), so the complete-mode result equals the
+    * batch query bit-for-bit and the SAME oracle gates both.
     */
   def streamPhashIncremental(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Kernels, Multimodal}
     val mu = Multimodal.historyMu(spark, dir)
     val store = Kernels.cacheTracked(Multimodal.historyPhashStore(spark, dir, mu))
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
+    implicit val sigEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
     val pairs = spark.readStream
       .schema(documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
       .select(col("doc_id"), col("text"), splitOf.as("split"))
       .filter(col("split") < Dedup.IncBatchThreshold)
-      .select(col("doc_id").as("batch_id"),
-        Multimodal.phashExpr(sha2(encode(col("text"), "UTF-8"), 256), mu).as("ph"))
+      .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
+      .mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.map(r =>
+          (r.getLong(0), Multimodal.phashOfBody(r.getAs[Array[Byte]](1), mu)))
+      }
+      .toDF("batch_id", "ph")
       .select(col("batch_id"), col("ph"),
         explode(Multimodal.phashBands(col("ph"))).as("bk"))
       .select(col("batch_id"), col("ph"),

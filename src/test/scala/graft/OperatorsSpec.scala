@@ -413,15 +413,23 @@ class OperatorsSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
       .toSet
     assert(banded.nonEmpty, "no perceptual near-dups — threshold spec is vacuous")
-    // independent replay: signatures from scratch in driver arithmetic,
-    // then ALL pairs at the threshold (no banding) — pigeonhole says
-    // the banded join may not lose a single pair at Hamming <= bands-1
+    // independent replay: signatures from scratch in driver arithmetic
+    // (block means over the raw body bytes — the raster the synthesis
+    // wraps), then ALL pairs at the threshold (no banding) — pigeonhole
+    // says the banded join may not lose a pair at Hamming <= bands-1
     def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val md = java.security.MessageDigest.getInstance("SHA-256")
     val feats = Tables.documents(spark, sf).select("doc_id", "text").collect().map { r =>
-      val dig = md.digest(r.getAs[String]("text").getBytes("UTF-8"))
-      r.getAs[Long]("doc_id") ->
-        (0 until Multimodal.PhashBits).map(i => r6((dig(i) & 0xff) / 255.0)).toArray
+      val body = r.getAs[String]("text").getBytes("UTF-8")
+      val dims = Multimodal.PhashBits
+      val sums = new Array[Long](dims); val cnts = new Array[Long](dims)
+      body.indices.foreach { j =>
+        val d = (j.toLong * dims / body.length).toInt
+        sums(d) += body(j) & 0xff; cnts(d) += 1
+      }
+      r.getAs[Long]("doc_id") -> Array.tabulate(dims) { d =>
+        val den = cnts(d) * 255
+        if (den == 0) 0.0 else ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
+      }
     }
     val n = feats.length
     val mu = (0 until Multimodal.PhashBits).map { i =>
@@ -1027,6 +1035,7 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("multimodal: frame sample is uniform, in-bounds and strictly increasing") {
     val rows = Multimodal.frameSample(spark, sf).collect()
+    assert(rows.nonEmpty, "no AVI payloads in the corpus — the video spec is vacuous")
     rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
       assert(rs.length == Multimodal.FrameSampleK)
       val sorted = rs.sortBy(_.getAs[Long]("sample_no"))
@@ -1062,7 +1071,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
     a.foreach { r =>
       assert(r.getAs[String]("sha").length == 64)
-      assert(Set("bmp", "ppm", "wav")(r.getAs[String]("format")),
+      assert(Set("bmp", "ppm", "wav", "avi")(r.getAs[String]("format")),
         "every synthesized payload must be claimed by a real parser, never the stub")
     }
   }
@@ -1101,14 +1110,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.audioMeta(1L, bmp).isEmpty,
       "non-WAV payloads must emit no audio row")
 
+    // hand-crafted AVI: 4K dims and a frame count/rate the n-derived
+    // synthesis formula would NEVER produce — parses or fails
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(100 + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(68) ++ "hdrl".getBytes("US-ASCII") ++
+      "avih".getBytes("US-ASCII") ++ le32(56) ++
+      le32(1000000 / 120) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(86400) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(3840) ++ le32(2160) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      "LIST".getBytes("US-ASCII") ++ le32(4 + 8 + body.length) ++
+      "movi".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val ma = Multimodal.decodeMedia(5L, avi)
+    assert(ma == MediaMeta(5L, body.length.toLong, bodySha, 3840L, 2160L, "avi"))
+    assert(Multimodal.videoMeta(5L, avi).contains(VideoMeta(5L, 86400L, 120L)))
+    assert(Multimodal.videoMeta(3L, wav).isEmpty,
+      "non-AVI payloads must emit no video row")
+
     // golden round-trip: synthesis → decode recovers exactly what was encoded
     for (n <- Seq(0, 1, 2, 33, 34, 35, 640, 641, 642)) {
       val b = Array.tabulate(n)(i => (i % 251).toByte)
       val m = Multimodal.decodeMedia(9L, Multimodal.synthPayload(b))
       assert(m.n_bytes == n.toLong, s"body length must survive the container, n=$n")
       assert(m.width == n % 640 + 16, s"header width must round-trip, n=$n")
-      if (n % 3 == 2) assert(m.height == 2L && m.format == "wav")
-      else assert(m.height == n % 480 + 16)
+      if (n % 6 == 2) assert(m.height == 2L && m.format == "wav")
+      else if (n % 6 == 5) {
+        assert(m.height == n % 480 + 16 && m.format == "avi")
+        // fps survives the µs-per-frame encoding exactly (fps < 1000)
+        assert(Multimodal.videoMeta(9L, Multimodal.synthPayload(b))
+          .contains(VideoMeta(9L, (n % 240 + 16).toLong, (n % 24 + 6).toLong)))
+      } else assert(m.height == n % 480 + 16)
     }
 
     // unparseable bytes reach the clearly-marked stub fallback
@@ -1716,8 +1748,8 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("feature stub emits a full unit-interval vector per document") {
-    val rows = Multimodal.featureStub(spark, sf).collect()
+  test("pixel features emit a full unit-interval vector per document") {
+    val rows = Multimodal.features(spark, sf).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
     assert(byDoc.nonEmpty)
     byDoc.foreach { case (_, rs) =>
@@ -1726,6 +1758,68 @@ class OperatorsSpec extends AnyFunSuite {
         val f = r.getAs[Double]("f")
         assert(f >= 0.0 && f <= 1.0)
       }
+    }
+  }
+
+  test("pixel features read the raster the header parse locates, not a digest") {
+    // A BMP whose raster is a hand-built gradient: block d holds bytes
+    // of constant value 10·d — so the average-pool features are KNOWN
+    // (10·d/255 at 6dp), and no digest-derived formula can produce
+    // them. A parse bug that shifts the body window by even one byte
+    // drags header bytes into block 0 and fails the first assert.
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val dims = Multimodal.FeatureDim
+    val body = Array.tabulate(dims * 5)(j => (10 * (j / 5)).toByte)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + body.length) ++ le32(0) ++
+      le32(54) ++ le32(40) ++ le32(8) ++ le32(5) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(body.length) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      body
+    val got = Multimodal.blockFeatures(bmp, dims)
+    val want = Array.tabulate(dims) { d =>
+      val den = 5L * 255
+      ((10L * d * 5 * 1000000L + den / 2) / den).toDouble / 1e6
+    }
+    assert(got.sameElements(want),
+      s"block means must pool the raster bytes: got ${got.toSeq}, want ${want.toSeq}")
+    // and on unparseable payloads the pool falls back to whole-payload:
+    // 16 junk bytes over 16 blocks → block i holds exactly byte i
+    val junk = Array.tabulate(16)(i => i.toByte)
+    val junkWant = Array.tabulate(16)(i => ((i * 1000000L + 127) / 255).toDouble / 1e6)
+    assert(Multimodal.blockFeatures(junk, 16).sameElements(junkWant))
+  }
+
+  test("executed resize resamples exact source indices and hashes the output") {
+    // Hand case — a 2×2 PPM scaled up to the 64-box (out 64×64,
+    // srcX = x·2 div 64, srcY = y·2 div 64: the four quadrants
+    // replicate the four source pixels). Replay the arithmetic in the
+    // driver and compare output hashes byte for byte.
+    val body = Array.tabulate(12)(i => (i * 17).toByte) // 2×2×3 raster
+    val ppm = "P6\n2 2\n255\n".getBytes("US-ASCII") ++ body
+    val out = new StringBuilder
+    for (y <- 0 until 64; x <- 0 until 64; c <- 0 until 3) {
+      val srcY = y * 2 / 64; val srcX = x * 2 / 64
+      val idx = ((srcY * 2 + srcX) * 3 + c) % 12
+      out.append("%02x".format(body(idx) & 0xff))
+    }
+    val wantSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(out.toString.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(Multimodal.resizeOne(7L, ppm).contains(ResizeOut(7L, 64L, 64L, wantSha)))
+    assert(Multimodal.resizeOne(7L, "junk".getBytes("US-ASCII")).isEmpty,
+      "non-PPM payloads must emit no resize row")
+
+    // Corpus rows: dims must agree with the plan, hashes well-formed.
+    val rows = Multimodal.resizeExec(spark, sf).collect()
+    assert(rows.nonEmpty, "no PPM payloads in the corpus — resize spec is vacuous")
+    val plan = Multimodal.resizePlan(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("out_width"), r.getAs[Long]("out_height"))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(plan(id) == (r.getAs[Long]("out_width"), r.getAs[Long]("out_height")),
+        "executed dims must equal the planned dims")
+      assert(r.getAs[String]("out_sha").length == 64)
     }
   }
 
