@@ -28,20 +28,22 @@ object Dedup {
 
   // Cached intermediates can't be unpersisted inside the builders (the
   // returned DataFrame is lazy — the cache must survive until the
-  // caller's action). Contract: BUILD one dedup pipeline, EXECUTE its
-  // action, then call [[retireCaches]] (Bench/Verify do) — or simply
-  // build the next dedup, which retires the previous generation as a
-  // fallback. Building two dedup pipelines before running either, or
-  // running builders concurrently, silently drops the first pipeline's
-  // caches (correct but slow: Spark recomputes).
+  // caller's action). Contract PER THREAD (the registry is
+  // thread-scoped, see [[Kernels]]): BUILD one dedup pipeline, EXECUTE
+  // its action, then call [[retireCaches]] (Bench/Verify do) — or
+  // simply build the next dedup on the same thread, which retires the
+  // previous generation as a fallback. Building two dedup pipelines on
+  // one thread before running either silently drops the first's caches
+  // (correct but slow: Spark recomputes); concurrent queries on
+  // separate threads are isolated.
   private def cacheTracked(df: DataFrame): DataFrame = Kernels.cacheTracked(df)
 
-  /** Unpersist every cache the last builder pinned (registry shared
-    * with other operators via [[Kernels.retireCaches]]). Call after the
-    * consuming action completes; otherwise the (SF-sized) exploded
-    * shingle frames stay pinned in storage memory for the rest of the
-    * session and tax every later query (measured 2-4x on the bench tail
-    * in round 2).
+  /** Unpersist every cache the calling thread's last builder pinned
+    * (thread-scoped registry shared with other operators via
+    * [[Kernels.retireCaches]]). Call after the consuming action
+    * completes; otherwise the (SF-sized) exploded shingle frames stay
+    * pinned in storage memory for the rest of the session and tax
+    * every later query (measured 2-4x on the bench tail in round 2).
     */
   def retireCaches(): Unit = Kernels.retireCaches()
   private def retirePreviousCaches(): Unit = retireCaches()

@@ -24,33 +24,48 @@ private[graft] object Kernels {
     if (ds.rdd.getNumPartitions < p) ds.repartition(p) else ds
   }
 
-  // Shared tracked-cache registry (moved from Dedup so any operator
-  // with a bounded intermediate feeding multiple branches can pin it).
-  // Contract unchanged: BUILD one pipeline, EXECUTE its action, then
-  // retire (Bench/Verify call Dedup.retireCaches after every query,
-  // which drains this registry).
-  private val liveCaches =
-    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+  // Tracked-cache registry, scoped PER CALLING THREAD (≈ per query:
+  // every query builds its pipeline, runs its action and retires on
+  // one thread — Verify/Bench/the streaming wrappers all do). The
+  // scope boundary is what makes mid-query retires safe under
+  // concurrency: Dedup.splitState drains ITS OWN loop's caches between
+  // building the base state and the merge; with a global registry that
+  // drop would unpersist a concurrently-running query's pinned frames.
+  // Contract per scope unchanged: BUILD one pipeline, EXECUTE its
+  // action, then retire (Bench/Verify call Dedup.retireCaches after
+  // every query).
+  private final class Scope {
+    val caches =
+      scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val checkpointIds =
+      scala.collection.mutable.Map.empty[Int, org.apache.spark.SparkContext]
+  }
 
-  def cacheTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    liveCaches.synchronized {
-      liveCaches += df
-      df.cache()
-    }
+  private val scope: ThreadLocal[Scope] =
+    ThreadLocal.withInitial(() => new Scope)
 
+  def cacheTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    scope.get.caches += df
+    df.cache()
+  }
+
+  /** Drain the CALLING THREAD's scope: blocking-unpersist its tracked
+    * caches and checkpoint blocks, then fire the (global) memo
+    * invalidation hooks. Hooks stay global because a memo cleared
+    * spuriously just rebuilds, while a memo OUTLIVING its cache
+    * silently recomputes uncached every use — the cheap direction is
+    * over-clearing. Another thread's pinned frames are never touched.
+    */
   def retireCaches(): Unit = {
-    liveCaches.synchronized {
-      // blocking: async unpersist leaves SF-sized blocks resident while
-      // the NEXT query runs, defeating the point of retiring them
-      liveCaches.foreach(_.unpersist(true))
-      liveCaches.clear()
+    val s = scope.get
+    // blocking: async unpersist leaves SF-sized blocks resident while
+    // the NEXT query runs, defeating the point of retiring them
+    s.caches.foreach(_.unpersist(true))
+    s.caches.clear()
+    s.checkpointIds.foreach { case (id, sc) =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
     }
-    liveCheckpointIds.synchronized {
-      liveCheckpointIds.foreach { case (id, sc) =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
-      }
-      liveCheckpointIds.clear()
-    }
+    s.checkpointIds.clear()
     retireHooks.synchronized { retireHooks.foreach(_.apply()) }
   }
 
@@ -58,11 +73,9 @@ private[graft] object Kernels {
   // localCheckpoint persistence is RDD-level: Dataset.unpersist is a
   // NO-OP on a checkpointed frame (the CacheManager has no entry).
   // Loops that checkpoint per round free the PREVIOUS round by RDD id
-  // as they go; each query's last live checkpoints register here so
-  // retireCaches frees them deterministically instead of leaving
-  // node-sized MEMORY_AND_DISK blocks to ContextCleaner GC.
-  private val liveCheckpointIds =
-    scala.collection.mutable.Map.empty[Int, org.apache.spark.SparkContext]
+  // as they go; each query's last live checkpoints register in its
+  // thread scope so retireCaches frees them deterministically instead
+  // of leaving node-sized MEMORY_AND_DISK blocks to ContextCleaner GC.
 
   /** The checkpoint RDD id read directly from the checkpointed frame's
     * own plan leaf — precise attribution. (A persistent-RDD-registry
@@ -79,9 +92,7 @@ private[graft] object Kernels {
   def trackedCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ck = df.localCheckpoint()
     checkpointRddId(ck).foreach { id =>
-      liveCheckpointIds.synchronized {
-        liveCheckpointIds(id) = ck.sparkSession.sparkContext
-      }
+      scope.get.checkpointIds(id) = ck.sparkSession.sparkContext
     }
     ck
   }
@@ -89,7 +100,22 @@ private[graft] object Kernels {
   /** Free one checkpoint's blocks by id (no-op if already gone). */
   def releaseCheckpoint(sc: org.apache.spark.SparkContext, id: Int): Unit = {
     sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
-    liveCheckpointIds.synchronized { liveCheckpointIds.remove(id); () }
+    scope.get.checkpointIds.remove(id)
+    ()
+  }
+
+  /** Register an ALREADY-checkpointed frame's blocks in the CALLING
+    * thread's scope — for stores built on another thread (e.g. inside
+    * `foreachBatch`, which runs on the stream-execution thread) whose
+    * lifetime belongs to the query thread that will retire them. The
+    * builder thread uses a plain `localCheckpoint` and the query
+    * thread adopts the final artifact.
+    */
+  def adoptCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    checkpointRddId(df).foreach { id =>
+      scope.get.checkpointIds(id) = df.sparkSession.sparkContext
+    }
+    df
   }
 
   // Operators holding session-lifetime memos of CACHED frames (e.g. the

