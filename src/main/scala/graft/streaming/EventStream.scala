@@ -80,6 +80,16 @@ object EventStream {
     */
   val ExpectedStateKeys = 512L
 
+  /** State sizing for the STREAM-STREAM interval joins: each join
+    * partition carries FOUR state stores (key-to-count and
+    * key-with-index per side), so the per-partition fixed cost is ~4×
+    * a windowed agg's and the same key count wants fewer partitions —
+    * the per-user band rows are a few hundred at gate SFs. Measured
+    * (best-of-2 warm, sf0.1): 8 partitions ≈ 2.9 s, 4 ≈ 2.2 s,
+    * 2 ≈ 2.1 s per drain; 4 keeps headroom for band growth.
+    */
+  val JoinBandKeys = 256L
+
   /** partitions = ceil(expectedKeys / [[TargetKeysPerStore]]), clamped
     * to [1, the session's batch shuffle parallelism] — state sizing
     * should never EXCEED the compute parallelism the session asked for.
@@ -372,7 +382,7 @@ object EventStream {
       .select(col("error_id"), col("user_id"), col("purchase_id"),
         col("p_value").cast("decimal(18,2)").cast("double").as("purchase_value"))
     val name = "stream_error_purchase_out"
-    withStatePartitions(spark) {
+    withStatePartitions(spark, JoinBandKeys) {
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
@@ -410,7 +420,7 @@ object EventStream {
       .select(col("error_id"), col("user_id"), col("purchase_id"),
         col("p_value").cast("decimal(18,2)").cast("double").as("purchase_value"))
     val name = "stream_error_purchase_outer_out"
-    withStatePartitions(spark) {
+    withStatePartitions(spark, JoinBandKeys) {
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
@@ -450,7 +460,7 @@ object EventStream {
         col("purchase_id"),
         col("p_value").cast("decimal(18,2)").cast("double").as("purchase_value"))
     val name = "stream_error_purchase_full_out"
-    withStatePartitions(spark) {
+    withStatePartitions(spark, JoinBandKeys) {
       val q = joined.writeStream.outputMode(OutputMode.Append())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
