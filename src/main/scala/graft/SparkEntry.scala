@@ -154,6 +154,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
     "ann_graph" -> ((s, dir) => Similarity.annGraph(s, dir)),
+    "ann_graph_layered" -> Similarity.annGraphLayered _,
     "ann_range" -> Similarity.annRange _,
     "ann_range_ivf" -> Similarity.annRangeIvf _,
     "embedding_quantize" -> Similarity.quantize _,
@@ -1435,6 +1436,14 @@ object SparkEntry {
          |  JOIN nn q ON q.vec_id = c.node)"""
     }.mkString(",\n")
     val vLast = s"gv${Similarity.BeamRounds}"
+    val beamTail =
+      s"""$beamRounds
+         |SELECT probe_id, neighbor_id, sim, rnk FROM (
+         |  SELECT probe_id, node AS neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY sim DESC, node) AS BIGINT) AS rnk
+         |  FROM $vLast WHERE node <> probe_id)
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
     val annGraph =
       s"""$knnCtes,
          |msym AS (SELECT vec_a AS a, vec_b AS b FROM m
@@ -1453,13 +1462,50 @@ object SparkEntry {
          |  FROM gpr JOIN gent USING (cluster)
          |  JOIN nn p ON p.vec_id = gpr.probe_id
          |  JOIN nn q ON q.vec_id = gent.node),
-         |$beamRounds
-         |SELECT probe_id, neighbor_id, sim, rnk FROM (
-         |  SELECT probe_id, node AS neighbor_id, sim,
-         |    CAST(row_number() OVER (PARTITION BY probe_id
-         |      ORDER BY sim DESC, node) AS BIGINT) AS rnk
-         |  FROM $vLast WHERE node <> probe_id)
-         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+         |$beamTail""".stripMargin
+    // the layered serve: upper layer = the ceil(sqrt(n)) graph nodes
+    // with the smallest salted md5 (rank cut — both engines select the
+    // identical sample) plus a K·8 floor, scanned exhaustively per
+    // probe; cells ranked by MEAN sampled sim (decimal-summed), the
+    // BeamWidth best cells seeded at their min-id dominant-component
+    // anchors. Beam tail identical to the flat serve (mirrors
+    // Similarity.annGraphLayered).
+    val annGraphLayered =
+      s"""$knnCtes,
+         |msym AS (SELECT vec_a AS a, vec_b AS b FROM m
+         |  UNION ALL SELECT vec_b, vec_a FROM m),
+         |gnode AS (SELECT DISTINCT a AS vec_id FROM msym),
+         |glayer AS (SELECT vec_id AS node FROM (
+         |    SELECT vec_id, row_number() OVER (
+         |      ORDER BY md5('layer:' || CAST(vec_id AS VARCHAR)), vec_id) AS lrnk
+         |    FROM gnode)
+         |  WHERE lrnk <= greatest(
+         |    CAST(ceil(sqrt((SELECT count(*) FROM gnode))) AS BIGINT),
+         |    ${8L * KMeansCodebook.K})),
+         |glayerc AS (SELECT g.node, la.cluster
+         |  FROM glayer g JOIN $lastA la ON la.vec_id = g.node),
+         |gsk AS (SELECT p.vec_id AS probe_id, l.node, l.cluster,
+         |    ${cosineSql("p", "q")} AS sim
+         |  FROM nn p CROSS JOIN glayerc l
+         |  JOIN nn q ON q.vec_id = l.node
+         |  WHERE p.vec_id < ${Similarity.NumProbes}),
+         |gcell AS (SELECT probe_id, cluster,
+         |    round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS csim
+         |  FROM gsk GROUP BY probe_id, cluster),
+         |gsel AS (SELECT probe_id, cluster FROM (
+         |    SELECT probe_id, cluster,
+         |      row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY csim DESC, cluster) AS rnk FROM gcell)
+         |  WHERE rnk <= ${Similarity.BeamWidth}),
+         |ganchor AS (SELECT la.cluster, min(g.vec_id) AS anchor
+         |  FROM gnode g JOIN $lastA la ON la.vec_id = g.vec_id
+         |  GROUP BY la.cluster),
+         |gv0 AS MATERIALIZED (SELECT s.probe_id, a.anchor AS node,
+         |    ${cosineSql("p", "q")} AS sim
+         |  FROM gsel s JOIN ganchor a USING (cluster)
+         |  JOIN nn p ON p.vec_id = s.probe_id
+         |  JOIN nn q ON q.vec_id = a.anchor),
+         |$beamTail""".stripMargin
     Map("graph_pagerank" -> pagerank, "graph_degrees" -> degrees,
       "graph_triangles" -> triangles, "graph_knn" -> knn,
       // the maintained graph equals the one-shot build row for row
@@ -1471,6 +1517,7 @@ object SparkEntry {
       "graph_knn_components" -> knnComponents,
       "graph_common_neighbors" -> commonNeighbors,
       "ann_graph" -> annGraph,
+      "ann_graph_layered" -> annGraphLayered,
       "keywords_textrank" -> textrank)
   }
 

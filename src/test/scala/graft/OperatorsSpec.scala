@@ -329,6 +329,32 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r >= 0.30, f"beam=$w recall $r%.3f under the 0.30 floor") }
   }
 
+  test("ann_graph_layered: the sqrt-n upper-layer descent matches the flat serve's recall") {
+    // Equal visited-node budget by construction: both serves seed
+    // KmProbeCells entries per probe and walk the same rounds × beam.
+    // The layered entry (nearest of a sqrt-n sample) must not lose to
+    // the flat entry (min-id of the probed trained cells).
+    val exact = Similarity.annTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val flat = Similarity.annGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    Dedup.retireCaches()
+    val layered = Similarity.annGraphLayered(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val nodes = Graph.mutualKnn(spark, sf).collect()
+      .flatMap(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    Dedup.retireCaches()
+    assert(layered.nonEmpty)
+    layered.foreach { case (_, n) =>
+      assert(nodes(n), "layered walk emitted a node outside the kNN graph") }
+    val rFlat = flat.intersect(exact).size.toDouble / exact.size
+    val rLay = layered.intersect(exact).size.toDouble / exact.size
+    info(f"layered recall=$rLay%.3f vs flat=$rFlat%.3f at equal entry/beam budget")
+    assert(rLay >= rFlat,
+      f"layered recall $rLay%.3f fell below the flat serve's $rFlat%.3f")
+    assert(rLay >= 0.30, f"layered recall $rLay%.3f under the 0.30 floor")
+  }
+
   test("knn store maintenance commutes: two-batch append drains to the one-shot graph") {
     // split the production batch in two and push each through the
     // versioned-store appender — cells touched by BOTH halves converge

@@ -1,29 +1,41 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB differential check.
 
-Usage: verify_local.py <sfDir> <verifyOutDir> [query ...]
+Usage: verify_local.py [--scale] <sfDir> <verifyOutDir> [query ...]
 
 Reads <verifyOutDir>/oracle_sql.json (written by graft.Verify), runs each
 oracle SQL in DuckDB against the parquet tables in <sfDir>, and compares
 with the Spark result parquet at <verifyOutDir>/<name>/. Column order is
 normalized by sorting column names; row order by sorting all rows.
+
+--scale (used by verify_sweep.py at tiers above the driver gate) swaps
+the deliberately-exhaustive oracle blocks for value-identical efficient
+forms via scale_oracles.rewrite — see that module. The sf0.01 driver
+gate never passes the flag, so the exhaustive oracles stay the gate.
 """
 import duckdb, glob, json, os, sys
 
 import pandas as pd
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = [a for a in sys.argv[1:] if a != "--scale"]
+    scale = "--scale" in sys.argv[1:]
+    sfdir, outdir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     for p in glob.glob(f"{sfdir}/*.parquet"):
         name = os.path.basename(p).removesuffix(".parquet")
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if scale:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import scale_oracles
     n_ok = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        if scale:
+            sql = scale_oracles.rewrite(con, oracle, name)
         spark_glob = f"{outdir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
             print(f"FAIL {name}: no spark output")

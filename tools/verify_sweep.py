@@ -27,7 +27,12 @@ def main():
     ok, fail, excluded = [], [], []
     t0 = time.time()
     for i, name in enumerate(sorted(oracle)):
-        cmd = [sys.executable, "tools/verify_local.py", sfdir, outdir, name]
+        # --scale: the exhaustive pair/cluster oracle blocks run in
+        # their value-identical efficient forms (tools/scale_oracles.py)
+        # so the heaviest queries get a real differential at this tier
+        # instead of an oracle-side timeout exclusion
+        cmd = [sys.executable, "tools/verify_local.py", "--scale",
+               sfdir, outdir, name]
         try:
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout_s)
