@@ -189,6 +189,7 @@ object SparkEntry {
     "mm_resize_exec" -> Multimodal.resizeExec _,
     "mm_features" -> Multimodal.features _,
     "mm_frames" -> Multimodal.frameSample _,
+    "mm_frame_bytes" -> Multimodal.frameBytes _,
     "mm_phash_pairs" -> Multimodal.phashPairs _,
     "mm_phash_incremental" -> Multimodal.phashIncremental _,
     "stream_phash_incremental" -> graft.streaming.DocStream.streamPhashIncremental _,
@@ -2604,6 +2605,28 @@ object SparkEntry {
          |  CAST((((sample_no * n_frames) // $k) * 1000) // fps AS BIGINT) AS ts_ms,
          |  n_frames, fps
          |FROM s ORDER BY doc_id, sample_no""".stripMargin
+    },
+    // frame extraction: frame f owns body bytes [f*n//nf, (f+1)*n//nf);
+    // hash over the ordered lower-hex rendering (the resizeExec trick)
+    "mm_frame_bytes" -> {
+      val k = Multimodal.FrameSampleK
+      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 6 = 5),
+         |v AS (SELECT doc_id, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf,
+         |    CAST(n % 24 + 6 AS BIGINT) AS fps FROM b),
+         |s AS (SELECT doc_id, hx, n, nf, fps,
+         |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
+         |f AS (SELECT doc_id, hx, n, nf, fps, CAST(sample_no AS BIGINT) AS sample_no,
+         |    (sample_no * nf) // $k AS frame_no FROM s),
+         |g AS (SELECT doc_id, sample_no, frame_no, fps,
+         |    (frame_no * n) // nf AS ffrom, ((frame_no + 1) * n) // nf AS funtil, hx
+         |  FROM f)
+         |SELECT doc_id, sample_no, CAST(frame_no AS BIGINT) AS frame_no,
+         |  CAST(CASE WHEN fps > 0 THEN frame_no * 1000 // fps ELSE 0 END AS BIGINT) AS ts_ms,
+         |  CAST(funtil - ffrom AS BIGINT) AS n_bytes,
+         |  sha256(substr(hx, CAST(2*ffrom + 1 AS INT), CAST(2*(funtil - ffrom) AS INT))) AS frame_sha
+         |FROM g ORDER BY doc_id, sample_no""".stripMargin
     },
     "mm_resize" -> {
       val t = Multimodal.ResizeTarget

@@ -39,6 +39,13 @@ case class MediaFeature(doc_id: Long, dim: Long, f: Double)
 case class ResizeOut(doc_id: Long, out_width: Long, out_height: Long,
                      out_sha: String)
 
+/** One extracted frame: its sampled position, byte length and a
+  * content hash of the actual frame-data slice
+  * ([[Multimodal.frameBytes]]).
+  */
+case class FrameBytes(doc_id: Long, sample_no: Long, frame_no: Long,
+                      ts_ms: Long, n_bytes: Long, frame_sha: String)
+
 /** Multimodal-column plumbing (north star): media as opaque `binary`
   * payloads with typed metadata, processed in per-partition batches.
   *
@@ -534,6 +541,49 @@ object Multimodal {
       .withColumn("ts_ms", expr("CAST((frame_no * 1000) DIV fps AS BIGINT)"))
       .select(col("doc_id"), col("sample_no"), col("frame_no"), col("ts_ms"),
         col("n_frames"), col("fps"))
+      .orderBy("doc_id", "sample_no")
+  }
+
+  /** `mm_frame_bytes`: the frame EXTRACTION that completes
+    * [[frameSample]] — for each uniformly-sampled frame, slice the
+    * actual frame-data bytes out of the parsed `movi` body and emit a
+    * content hash. The synthesized stream is not codec-framed, so
+    * frame f owns the byte range [⌊f·n/F⌋, ⌊(f+1)·n/F⌋) of the body
+    * (exact integer bounds both engines replay; a real container
+    * replaces the bounds with its index chunk, the slice-and-hash
+    * stays). The hash is sha256 over the lower-hex rendering — the
+    * same string-domain trick as [[resizeExec]], so the oracle
+    * rebuilds it from hex substrings. Map-only over decoded batches;
+    * one row per sampled frame.
+    */
+  def frameBytes(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[FrameBytes] = Encoders.product[FrameBytes]
+    Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          videoMeta(r.getLong(0), p).iterator.flatMap { vm =>
+            val off = bodyStart(p)
+            val n = (p.length - off).toLong
+            (0L until FrameSampleK.toLong).iterator.map { s =>
+              val f = s * vm.n_frames / FrameSampleK
+              val from = (f * n / vm.n_frames).toInt
+              val until = ((f + 1) * n / vm.n_frames).toInt
+              val hx = new StringBuilder((until - from) * 2)
+              var j = from
+              while (j < until) { hx.append("%02x".format(p(off + j) & 0xff)); j += 1 }
+              FrameBytes(vm.doc_id, s, f,
+                if (vm.fps > 0) f * 1000 / vm.fps else 0L,
+                (until - from).toLong,
+                MessageDigest.getInstance("SHA-256")
+                  .digest(hx.toString.getBytes("US-ASCII"))
+                  .map("%02x".format(_)).mkString)
+            }
+          }
+        }
+      }
+      .toDF()
       .orderBy("doc_id", "sample_no")
   }
 

@@ -1077,6 +1077,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("frame extraction slices the parsed movi body exactly") {
+    // driver replay: the body is the pre-container text bytes; frame f
+    // owns [f*n/nf, (f+1)*n/nf) and the hash covers the hex rendering
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Multimodal.frameBytes(spark, sf).collect()
+    assert(rows.nonEmpty, "no AVI payloads — frame-bytes spec is vacuous")
+    rows.foreach { r =>
+      val body = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      val n = body.length.toLong
+      val nf = n % 240 + 16
+      val f = r.getAs[Long]("frame_no")
+      val from = (f * n / nf).toInt
+      val until = ((f + 1) * n / nf).toInt
+      assert(r.getAs[Long]("n_bytes") == (until - from).toLong)
+      val hx = body.slice(from, until).map(b => "%02x".format(b & 0xff)).mkString
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(hx.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("frame_sha") == sha,
+        s"frame slice hash mismatch at doc ${r.getAs[Long]("doc_id")} frame $f")
+    }
+    // sampled frames must be distinct per doc (nf >= 16 > K)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("frame_no")).distinct.length == rs.length)
+    }
+  }
+
   test("multimodal: chunks exactly tile each document") {
     val docs = Tables.documents(spark, sf)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))
