@@ -66,4 +66,25 @@ class KernelsScopeSpec extends AnyFunSuite {
     assert(otherCkptId.forall(id => !sc.getPersistentRDDs.contains(id)),
       "B's own retire must free B's checkpoint blocks")
   }
+
+  test("bloom sizing clamps to the session's runtime maxNumBits") {
+    import graft.functions.BloomFunctions
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    // a store above ~9.2M keys at fpp 0.03 computes more bits than the
+    // aggregate accepts — unclamped, BloomFilterAggregate fails analysis
+    assert(BloomFunctions.optimalNumOfBits(20_000_000L, 0.03) > maxBits)
+    assert(BloomFunctions.clampedNumOfBits(spark, 20_000_000L, 0.03) == maxBits)
+    // small stores keep their optimal sizing
+    assert(BloomFunctions.clampedNumOfBits(spark, 1000L, 0.03) ==
+      BloomFunctions.optimalNumOfBits(1000L, 0.03))
+    // and a clamped build still constructs a VALID filter end to end
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val store = (1 to 100).map(i => s"fp$i").toDF("fp")
+    val bf = store.agg(BloomFunctions.bloomAgg(spark, col("fp"), 100L, 0.03))
+      .head.getAs[Array[Byte]](0)
+    val hits = store.filter(BloomFunctions.mightContain(spark, lit(bf), col("fp"))).count()
+    assert(hits == 100, "a bloom filter must never reject its own keys")
+  }
 }
