@@ -857,6 +857,25 @@ object Dedup {
     }.toDF("doc_id", "sig", "shh", "nsh")
   }
 
+  /** [[minHashSigCarry]] for the ingest pipeline: carries (fp, quality)
+    * through the signature kernel so the composed stream computes
+    * signatures in typed code (reused digest, no per-shingle expression
+    * allocation — the same kernel-vs-expression swap that fixed the
+    * standalone stream probe) without a rejoin for the carried columns.
+    */
+  private[graft] def minHashSigCarryIngest(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[(Long, String, Double, Array[String], Array[Long], Int)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val prefixes = Array.tabulate(MinHashFns)(i => s"$i:".getBytes("UTF-8"))
+      it.map { case (id, fp, q, sh, shh, nsh) =>
+        // shingle-less docs ride through with a null signature (their
+        // band keys stay NULL and never match a store row)
+        (id, fp, q, if (sh.isEmpty) null else sigOf(md, prefixes, sh), shh, nsh) }
+    }.toDF("doc_id", "fp", "quality", "sig", "shh", "nsh")
+  }
+
   /** One (doc_id, band, bkey) row per band: the LSH index rows both the
     * full-corpus join and the incremental band store are built from.
     */

@@ -460,11 +460,6 @@ object DocStream {
     val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
     val toksLower = filter(
       split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
-    val sigs = (0 until Dedup.MinHashFns).map(i =>
-      array_min(transform(col("sh"), s => md5(concat(lit(s"$i:"), s)))))
-    val bkeys = (0 until Dedup.MinHashBands).map(b =>
-      when(size(col("sh")) > 0, concat_ws("|",
-        (0 until Dedup.MinHashRows).map(r => sigs(Dedup.MinHashRows * b + r)): _*)))
 
     val batch = spark.readStream
       .schema(documentsSchema)
@@ -472,6 +467,10 @@ object DocStream {
       .parquet(dir)
       .select(col("doc_id"), col("text"), fpOf.as("fp"), splitOf.as("split"))
       .filter(col("split") < Dedup.IncBatchThreshold)
+      // restore batch parallelism for the per-doc compute (the file
+      // source yields one input partition per file) — the
+      // streamIncrementalMinHash lesson
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("toks", TextAnalysis.tokens(col("text")))
       .withColumn("quality",
         round((lenScore + diversity + stopScore) / lit(3.0), 4))
@@ -479,10 +478,22 @@ object DocStream {
       .withColumn("sh", Dedup.shingles(toksLower, 3))
       .withColumn("shh", sort_array(transform(col("sh"), s => xxhash64(s))))
       .withColumn("nsh", size(col("sh")))
-    val withBands = bkeys.zipWithIndex.foldLeft(batch) { case (df, (bk, b)) =>
-      df.withColumn(s"bk$b", bk)
-    }.select((Seq("doc_id", "fp", "quality", "shh", "nsh") ++
-      (0 until Dedup.MinHashBands).map(b => s"bk$b")).map(col): _*)
+      .select("doc_id", "fp", "quality", "sh", "shh", "nsh")
+    // signatures in the typed kernel (reused digest — the declarative
+    // 16×md5-per-shingle expression was the measured bottleneck here,
+    // exactly as in the standalone stream probe); shingle-less docs
+    // keep NULL band keys, which never match a store row — the
+    // expression form's `when(size > 0, …)` semantics
+    val bandKey = (b: Int) =>
+      when(col("nsh") > 0, concat_ws("|",
+        (0 until Dedup.MinHashRows).map(r =>
+          element_at(col("sig"), Dedup.MinHashRows * b + r + 1)): _*))
+    val withBands = (0 until Dedup.MinHashBands)
+      .foldLeft(Dedup.minHashSigCarryIngest(batch)) { (df, b) =>
+        df.withColumn(s"bk$b", bandKey(b))
+      }
+      .select((Seq("doc_id", "fp", "quality", "shh", "nsh") ++
+        (0 until Dedup.MinHashBands).map(b => s"bk$b")).map(col): _*)
 
     val exactDeduped = withBands.join(fpStore, Seq("fp"), "left_anti")
     val nearDeduped = (0 until Dedup.MinHashBands).foldLeft(exactDeduped) { (df, b) =>
