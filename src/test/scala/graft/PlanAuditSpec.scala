@@ -883,4 +883,40 @@ class PlanAuditSpec extends AnyFunSuite {
         s"assignment is a map-side kernel, never a corpus x codebook join:\n${p.take(800)}")
     } finally Dedup.retireCaches() // centroids pins the exploded base frame
   }
+
+  test("multimodal kernels: map-only over a pruned scan, no joins at all") {
+    // features / resize-exec / frame-bytes are one decode-kernel pass
+    // per payload: the plan must be scan -> synth -> mapPartitions ->
+    // (sort for the output contract) with NO join of any kind, and the
+    // documents scan must not read columns the payload path never
+    // touches (at 100 TB an unpruned text-corpus scan is the bug)
+    for ((name, df) <- Seq(
+        "mm_features" -> Multimodal.features(spark, sf),
+        "mm_resize_exec" -> Multimodal.resizeExec(spark, sf),
+        "mm_frame_bytes" -> Multimodal.frameBytes(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("Join"), s"$name must be join-free:\n${p.take(800)}")
+      val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
+      assert(schemas.nonEmpty && schemas.forall(s =>
+          !s.contains("lang") && !s.contains("n_chars")),
+        s"$name must prune unrelated document columns: $schemas")
+    }
+  }
+
+  test("ann_graph_layered: serve plan is checkpoint-cut and the rank window partitioned") {
+    // the beam rounds execute eagerly behind localCheckpoint cuts, so
+    // the FINAL plan must be a bounded checkpoint read + per-probe
+    // top-k — if round lineage ever leaked into the serve plan (the
+    // pointer-jump regression class), the ExistingRDD leaf disappears
+    // and the join machinery shows up here
+    try {
+      val p = plan(Similarity.annGraphLayered(spark, sf))
+      assert(p.contains("Scan ExistingRDD"),
+        s"rounds must be checkpoint-cut out of the serve plan:\n${p.take(800)}")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"the serve tail is a window over the checkpoint, not a join:\n${p.take(800)}")
+      assert(p.contains("WindowGroupLimit"),
+        s"the top-k cut must push the group limit below the exchange:\n${p.take(800)}")
+    } finally Dedup.retireCaches()
+  }
 }
