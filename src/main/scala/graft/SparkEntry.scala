@@ -184,6 +184,8 @@ object SparkEntry {
     // pixel work over the codec-free raster formats)
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_audio" -> Multimodal.audioStats _,
+    "mm_audio_energy" -> Multimodal.audioEnergy _,
+    "mm_video_neardup" -> Multimodal.videoNearDup _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
     "mm_resize" -> Multimodal.resizePlan _,
     "mm_resize_exec" -> Multimodal.resizeExec _,
@@ -2705,6 +2707,82 @@ object SparkEntry {
         |  CAST(n // 2 AS BIGINT) AS n_samples,
         |  CAST((n // 2) * 1000 // (n % 640 + 16) AS BIGINT) AS duration_ms
         |FROM w WHERE n % 6 = 2 ORDER BY doc_id""".stripMargin,
+    // windowed PCM energy over the WAV SAMPLES (body = encode(text),
+    // which synthesis wraps verbatim): 8-bit unsigned PCM, amplitude
+    // |b − 128|, window w owns ⌊(j−1)·W/n⌋, energy is the exact
+    // integer rounding the Spark kernel computes — the silence flag is
+    // a double comparison both engines derive from the same integers
+    "mm_audio_energy" -> {
+      val w = Multimodal.AudioEnergyWindows
+      val thr = Multimodal.SilenceThreshold
+      s"""WITH w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 6 = 2
+         |      AND octet_length(encode(text)) > 0),
+         |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
+         |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
+         |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
+         |  FROM e),
+         |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
+         |  FROM a GROUP BY doc_id, win),
+         |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
+         |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g)
+         |SELECT doc_id, win, win_bytes, energy,
+         |  CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent
+         |FROM r ORDER BY doc_id, win""".stripMargin
+    },
+    // clip-level near-dup: per-sampled-frame average hash (block means
+    // WITHIN the frame's byte range, thresholded against the corpus
+    // per-channel mean over all sampled frames), banded frame-pair
+    // candidates, XOR-popcount verify, then the clip lift — mirrors
+    // Multimodal.videoNearDup stage for stage
+    "mm_video_neardup" -> {
+      val k = Multimodal.FrameSampleK
+      val dims = Multimodal.PhashBits
+      val bb = Multimodal.PhashBits / Multimodal.PhashBands
+      val mask = (1L << bb) - 1
+      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 6 = 5),
+         |v AS (SELECT doc_id, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
+         |s AS (SELECT doc_id, hx, n, nf,
+         |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
+         |fr AS (SELECT doc_id, hx, CAST(sample_no AS BIGINT) AS sample_no,
+         |    ((sample_no * nf) // $k) * n // nf AS ffrom,
+         |    (((sample_no * nf) // $k) + 1) * n // nf AS funtil
+         |  FROM s),
+         |fz AS (SELECT doc_id, hx, sample_no, ffrom, funtil - ffrom AS flen
+         |  FROM fr WHERE funtil > ffrom),
+         |e AS (SELECT doc_id, sample_no, ffrom, flen,
+         |    unnest(generate_series(1, flen)) AS jl, hx FROM fz),
+         |vb AS (SELECT doc_id, sample_no,
+         |    CAST((jl-1) * $dims // flen AS BIGINT) + 1 AS dim,
+         |    (strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl-1)+1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl) AS INT), 1)) - 1 AS byte
+         |  FROM e),
+         |f AS (SELECT doc_id, sample_no, dim,
+         |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+         |  FROM vb GROUP BY doc_id, sample_no, dim),
+         |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+         |  FROM f GROUP BY dim),
+         |ph AS (SELECT doc_id, sample_no,
+         |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+         |  FROM f JOIN m USING (dim) GROUP BY doc_id, sample_no),
+         |bands AS (SELECT doc_id, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+         |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |    x.sample_no AS sa, y.sample_no AS sb, x.ph AS pa, y.ph AS pb
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+         |    AND x.doc_id < y.doc_id),
+         |hits AS (SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |  FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming})
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_frame_matches,
+         |  min(hamming) AS min_hamming
+         |FROM hits GROUP BY doc_a, doc_b
+         |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "mm_chunks" ->
       s"""SELECT doc_id,
          |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,

@@ -39,6 +39,20 @@ case class MediaFeature(doc_id: Long, dim: Long, f: Double)
 case class ResizeOut(doc_id: Long, out_width: Long, out_height: Long,
                      out_sha: String)
 
+/** One PCM energy window: mean absolute amplitude of the window's
+  * samples (6dp-exact) plus its silence flag — the shape a
+  * voice-activity gate consumes.
+  */
+case class AudioEnergy(doc_id: Long, win: Long, win_bytes: Long,
+                       energy: Double, silent: Long)
+
+/** One sampled frame's perceptual-hash channel: average-pooled block
+  * `dim` of the FRAME's bytes (the temporal analogue of
+  * [[MediaFeature]]). Only channels that own at least one byte emit a
+  * row — short frames have fewer than [[Multimodal.PhashBits]].
+  */
+case class FrameChannel(doc_id: Long, sample_no: Long, dim: Long, f: Double)
+
 /** One extracted frame: its sampled position, byte length and a
   * content hash of the actual frame-data slice
   * ([[Multimodal.frameBytes]]).
@@ -320,6 +334,64 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Windowing / silence knobs for [[audioEnergy]]: the PCM stream is
+    * split into [[AudioEnergyWindows]] equal windows; a window is
+    * silent when its mean absolute amplitude (fraction of full scale)
+    * falls below [[SilenceThreshold]]. The threshold compares two
+    * doubles both engines derive from the same exact integers, so the
+    * boundary is deterministic.
+    */
+  val AudioEnergyWindows = 8
+  val SilenceThreshold = 0.25
+
+  /** `mm_audio_energy`: windowed mean-abs PCM energy + per-window
+    * silence flags over the SAMPLES the WAV parse locates — the
+    * voice-activity / silence-trim front of a speech pipeline, and the
+    * first operator to process audio CONTENT (the fmt-chunk metadata
+    * is [[audioStats]]' job). The synthesized stream is 8-bit PCM —
+    * unsigned with midpoint 128 per the WAV spec — so amplitude of
+    * byte b is |b − 128| and full scale is 128. Window w owns sample range [⌊w·n/W⌋, ⌊(w+1)·n/W⌋) (the
+    * [[blockFeatures]] block contract); its energy is the exact
+    * integer rounding ⌊(Σ|b−128|·10⁶ + den/2) / den⌋ / 10⁶ with den =
+    * count·128 — bit-replayable by the oracle. Map-only
+    * iterator-to-iterator kernel; only WAV payloads emit rows, only
+    * windows that own ≥ 1 sample emit a row.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
+    val w = AudioEnergyWindows
+    val thr = SilenceThreshold
+    Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          if (!isWav(p)) Iterator.empty
+          else {
+            val docId = r.getLong(0)
+            val off = 44
+            val n = p.length - off
+            val sums = new Array[Long](w)
+            val cnts = new Array[Long](w)
+            var j = 0
+            while (j < n) {
+              val d = (j.toLong * w / n).toInt
+              sums(d) += math.abs((p(off + j) & 0xff) - 128)
+              cnts(d) += 1
+              j += 1
+            }
+            (0 until w).iterator.filter(cnts(_) > 0).map { d =>
+              val den = cnts(d) * 128
+              val e = ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
+              AudioEnergy(docId, d.toLong, cnts(d), e, if (e < thr) 1L else 0L)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "win")
+  }
+
   /** Batch decode: binary payloads → typed metadata via
     * `mapPartitions` (one iterator per partition; the executor
     * processes a whole batch without materializing it).
@@ -585,6 +657,105 @@ object Multimodal {
       }
       .toDF()
       .orderBy("doc_id", "sample_no")
+  }
+
+  /** Minimum cross-matched sampled-frame pairs (at Hamming ≤
+    * [[PhashMaxHamming]]) for two videos to count as clip-level
+    * near-dups: half the [[FrameSampleK]] sample.
+    */
+  val VideoMatchMinFrames = 4L
+
+  /** Per-sampled-frame phash channels ([[videoNearDup]]'s kernel):
+    * [[blockFeatures]]' block-mean pooling applied WITHIN each sampled
+    * frame's byte range (the [[frameBytes]] bounds — frame f owns body
+    * bytes [⌊f·n/nf⌋, ⌊(f+1)·n/nf⌋)). Empty frames emit nothing;
+    * channels that own no byte emit nothing (they pack as 0 bits
+    * downstream, since a missing mean can never beat a ≥ 0 threshold).
+    */
+  private[graft] def frameChannelRows(docId: Long, p: Array[Byte]): Iterator[FrameChannel] =
+    videoMeta(docId, p).iterator.flatMap { vm =>
+      val off = bodyStart(p)
+      val n = (p.length - off).toLong
+      (0L until FrameSampleK.toLong).iterator.flatMap { s =>
+        val f = s * vm.n_frames / FrameSampleK
+        val from = (f * n / vm.n_frames).toInt
+        val until = ((f + 1) * n / vm.n_frames).toInt
+        val flen = until - from
+        if (flen <= 0) Iterator.empty
+        else {
+          val dims = PhashBits
+          val sums = new Array[Long](dims)
+          val cnts = new Array[Long](dims)
+          var jl = 0
+          while (jl < flen) {
+            val d = (jl.toLong * dims / flen).toInt
+            sums(d) += p(off + from + jl) & 0xff
+            cnts(d) += 1
+            jl += 1
+          }
+          (0 until dims).iterator.filter(cnts(_) > 0).map { d =>
+            val den = cnts(d) * 255
+            FrameChannel(docId, s, d + 1L,
+              ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6)
+          }
+        }
+      }
+    }
+
+  /** `mm_video_neardup`: CLIP-level near-duplicate video pairs — the
+    * video half of dedup, completing the modality row (text has
+    * MinHash/SimHash, images have [[phashPairs]]). The standard
+    * production design: sample K frames per clip ([[frameSample]]'s
+    * uniform grid), perceptual-hash each FRAME (block means over the
+    * frame's actual bytes, thresholded against the per-channel corpus
+    * mean over all sampled frames — the [[phashPairs]] average-hash at
+    * frame granularity), find frame-level matches with the banded
+    * join, then lift to clip pairs: two videos are near-dups when ≥
+    * [[VideoMatchMinFrames]] cross-frame pairs match at Hamming ≤
+    * [[PhashMaxHamming]]. Re-encoded/re-containered copies of a clip
+    * keep their frame content, so their frame hashes — computed from
+    * the stream bytes, not the container — still collide.
+    *
+    * Scale shape: the frame-signature frame is K×|videos| rows (map
+    * only); thresholds are ONE [[PhashBits]]-row broadcast
+    * (decimal-summed, order-exact); candidates come banded (never
+    * all-pairs over frames, let alone clips); the clip lift is one
+    * combiner-friendly groupBy over matched pairs. Every stage is
+    * exact integer/6dp arithmetic the oracle replays bit-for-bit.
+    */
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
+    val fch = Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => frameChannelRows(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+    val mu = fch.groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+    val ph = fch.join(broadcast(mu), "dim")
+      .groupBy("doc_id", "sample_no")
+      .agg(sum(when(col("f") > col("mu"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
+        .otherwise(lit(0L))).as("ph"))
+    val bandBits = PhashBits / PhashBands
+    val mask = (1L << bandBits) - 1
+    val bands = ph.select(col("doc_id"), col("sample_no"), col("ph"),
+        explode(sequence(lit(0), lit(PhashBands - 1))).as("b"))
+      .withColumn("bk", expr(s"shiftright(ph, CAST($bandBits * b AS INT)) & $mask"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sample_no").as("sa"), col("y.sample_no").as("sb"),
+        expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashMaxHamming)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_frame_matches"), min("hamming").as("min_hamming"))
+      .filter(col("n_frame_matches") >= VideoMatchMinFrames)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Perceptual-hash width / banding: [[PhashBits]]-bit average hash,

@@ -474,6 +474,108 @@ class OperatorsSpec extends AnyFunSuite {
       s"banded=${banded.size} all=${all.size} — banding dropped or invented pairs")
   }
 
+  test("audio energy: windows partition the PCM stream and replay in driver arithmetic") {
+    val rows = Multimodal.audioEnergy(spark, sf).collect()
+    assert(rows.nonEmpty, "no WAV rows — the energy operator is vacuous")
+    // independent replay over the pre-container bytes (synthesis wraps
+    // encode(text) verbatim as the 8-bit PCM data chunk)
+    val w = Multimodal.AudioEnergyWindows
+    val expected = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val body = r.getAs[String]("text").getBytes("UTF-8")
+        if (body.length % 6 != 2) Seq.empty
+        else {
+          val sums = new Array[Long](w); val cnts = new Array[Long](w)
+          body.indices.foreach { j =>
+            val d = (j.toLong * w / body.length).toInt
+            sums(d) += math.abs((body(j) & 0xff) - 128); cnts(d) += 1
+          }
+          (0 until w).filter(cnts(_) > 0).map { d =>
+            val den = cnts(d) * 128
+            val e = ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
+            (r.getAs[Long]("doc_id"), d.toLong, cnts(d), e,
+              if (e < Multimodal.SilenceThreshold) 1L else 0L)
+          }
+        }
+      }.toSet
+    val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("win"),
+      r.getAs[Long]("win_bytes"), r.getAs[Double]("energy"),
+      r.getAs[Long]("silent"))).toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    // the windows must PARTITION the sample stream: per-doc byte
+    // counts sum to the data-chunk length, energies live in [0,1]
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val n = rs.map(_.getAs[Long]("win_bytes")).sum
+      assert(n > 0 && n % 6 == 2, s"doc $id: window bytes must sum to the WAV body length")
+    }
+    assert(rows.forall(r => r.getAs[Double]("energy") >= 0.0 &&
+      r.getAs[Double]("energy") <= 1.0))
+    // the threshold must split the corpus — both flag values observed,
+    // otherwise the silence gate is dead code at this SF
+    assert(rows.map(_.getAs[Long]("silent")).toSet == Set(0L, 1L))
+  }
+
+  test("video near-dup: frame hashes come from the frame's bytes; identical clips match on all frames") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // a body the synthesis formula would never pick dims for: craft the
+    // AVI by hand with 20 frames over a 40-byte body → each frame owns
+    // exactly 2 bytes, so the per-frame channel means are hand-checkable
+    val body = Array.tabulate(40)(i => (i * 7 % 256).toByte)
+    def avi(nFrames: Int, b: Array[Byte]) =
+      "RIFF".getBytes("US-ASCII") ++ le32(100 + b.length) ++ "AVI ".getBytes("US-ASCII") ++
+        "LIST".getBytes("US-ASCII") ++ le32(68) ++ "hdrl".getBytes("US-ASCII") ++
+        "avih".getBytes("US-ASCII") ++ le32(56) ++
+        le32(1000000 / 10) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(0) ++
+        le32(64) ++ le32(48) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        "LIST".getBytes("US-ASCII") ++ le32(4 + 8 + b.length) ++
+        "movi".getBytes("US-ASCII") ++ "00dc".getBytes("US-ASCII") ++ le32(b.length) ++ b
+    val chans = Multimodal.frameChannelRows(7L, avi(20, body)).toSeq
+    // sampled frame s picks frame ⌊s·20/8⌋; each frame owns bytes
+    // [2f, 2f+2) — 2 bytes across 16 channels land on dims 1 and 9
+    // only (⌊jl·16/2⌋ ∈ {0, 8}), and empty channels emit NO row
+    assert(chans.nonEmpty)
+    chans.groupBy(_.sample_no).foreach { case (s, cs) =>
+      val f = s * 20 / Multimodal.FrameSampleK
+      val b0 = body((2 * f).toInt) & 0xff
+      val b1 = body((2 * f + 1).toInt) & 0xff
+      def exact(b: Int) = ((b * 1000000L + 127) / 255).toDouble / 1e6
+      assert(cs.map(_.dim).sorted == Seq(1L, 9L),
+        s"sample $s: a 2-byte frame must populate exactly dims 1 and 9")
+      cs.foreach { c =>
+        val want = if (c.dim == 1L) exact(b0) else exact(b1)
+        assert(c.f == want, s"sample $s dim ${c.dim}: got ${c.f}, want $want")
+      }
+    }
+    // identical bodies in different containers (different frame rate)
+    // produce identical channel values — content identity survives
+    // re-containering, which is what makes copies collide downstream
+    val a = Multimodal.frameChannelRows(1L, avi(20, body)).map(c => (c.sample_no, c.dim, c.f)).toSet
+    val b = Multimodal.frameChannelRows(2L, avi(20, body)).map(c => (c.sample_no, c.dim, c.f)).toSet
+    assert(a == b)
+    // empty frames (body shorter than the frame count) emit nothing
+    val tiny = Multimodal.frameChannelRows(3L, avi(200, Array.tabulate(5)(_.toByte))).toSeq
+    assert(tiny.groupBy(_.sample_no).forall(_._2.nonEmpty))
+    assert(tiny.map(_.sample_no).distinct.size < Multimodal.FrameSampleK,
+      "a 5-byte body over 200 frames must leave some sampled frames empty")
+
+    // pipeline: every emitted pair is video-class, ordered, above the
+    // frame-match floor and within the Hamming budget
+    val pairs = Multimodal.videoNearDup(spark, sf).collect()
+    assert(pairs.nonEmpty, "no clip-level near-dups at this SF — the operator is vacuous")
+    val videoIds = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(r => r.getAs[String]("text").getBytes("UTF-8").length % 6 == 5)
+      .map(_.getAs[Long]("doc_id")).toSet
+    pairs.foreach { p =>
+      val (da, db) = (p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))
+      assert(da < db)
+      assert(videoIds(da) && videoIds(db), "clip pairs must both be AVI payloads")
+      assert(p.getAs[Long]("n_frame_matches") >= Multimodal.VideoMatchMinFrames)
+      assert(p.getAs[Long]("min_hamming") <= Multimodal.PhashMaxHamming)
+    }
+  }
+
   test("pagerank conserves mass and replays bit-exactly in driver arithmetic") {
     val rows = Graph.pageRank(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -893,7 +893,8 @@ class PlanAuditSpec extends AnyFunSuite {
     for ((name, df) <- Seq(
         "mm_features" -> Multimodal.features(spark, sf),
         "mm_resize_exec" -> Multimodal.resizeExec(spark, sf),
-        "mm_frame_bytes" -> Multimodal.frameBytes(spark, sf))) {
+        "mm_frame_bytes" -> Multimodal.frameBytes(spark, sf),
+        "mm_audio_energy" -> Multimodal.audioEnergy(spark, sf))) {
       val p = plan(df)
       assert(!p.contains("Join"), s"$name must be join-free:\n${p.take(800)}")
       val schemas = p.linesIterator.filter(_.contains("ReadSchema:")).toSeq
@@ -901,6 +902,18 @@ class PlanAuditSpec extends AnyFunSuite {
           !s.contains("lang") && !s.contains("n_chars")),
         s"$name must prune unrelated document columns: $schemas")
     }
+  }
+
+  test("mm_video_neardup: candidates come banded, thresholds broadcast, never all-pairs") {
+    // clip near-dup is a banded equi-join over frame signatures: the
+    // plan must show a hash join on the band keys (a cartesian or
+    // nested-loop here is the all-pairs bug that kills the operator at
+    // scale) and the 16-row threshold frame arriving by broadcast
+    val p = plan(Multimodal.videoNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frame candidates must come from the banded equi-join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-dim threshold join must broadcast the 16-row side:\n${p.take(800)}")
   }
 
   test("ann_graph_layered: serve plan is checkpoint-cut and the rank window partitioned") {
