@@ -186,6 +186,8 @@ object SparkEntry {
     "mm_audio" -> Multimodal.audioStats _,
     "mm_audio_energy" -> Multimodal.audioEnergy _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
+    "mm_video_neardup_incremental" -> Multimodal.videoNearDupIncremental _,
+    "stream_video_neardup" -> graft.streaming.DocStream.streamVideoNearDup _,
     "mm_chunks" -> Multimodal.chunkPayloads _,
     "mm_resize" -> Multimodal.resizePlan _,
     "mm_resize_exec" -> Multimodal.resizeExec _,
@@ -2564,6 +2566,62 @@ object SparkEntry {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  /** Clip-ingest near-dup replay: frame channels per sampled frame,
+    * thresholds trained on the HISTORY split only, both sides hashed
+    * with them, banded batch→history frame candidates (DISTINCT = the
+    * engine's lowest-matching-band attribution), Hamming verify, clip
+    * lift with the match floor (mirrors
+    * Multimodal.videoNearDupIncremental and its streaming twin).
+    */
+  private lazy val videoNearDupIncrementalSql: String = {
+    val k = Multimodal.FrameSampleK
+    val dims = Multimodal.PhashBits
+    val bb = Multimodal.PhashBits / Multimodal.PhashBands
+    val mask = (1L << bb) - 1
+    val thr = Dedup.IncBatchThreshold
+    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) AS n,
+       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split
+       |  FROM documents WHERE octet_length(encode(text)) % 6 = 5),
+       |v AS (SELECT doc_id, split, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
+       |s AS (SELECT doc_id, split, hx, n, nf,
+       |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
+       |fr AS (SELECT doc_id, split, hx, CAST(sample_no AS BIGINT) AS sample_no,
+       |    ((sample_no * nf) // $k) * n // nf AS ffrom,
+       |    (((sample_no * nf) // $k) + 1) * n // nf AS funtil
+       |  FROM s),
+       |fz AS (SELECT doc_id, split, hx, sample_no, ffrom, funtil - ffrom AS flen
+       |  FROM fr WHERE funtil > ffrom),
+       |e AS (SELECT doc_id, split, sample_no, ffrom, flen,
+       |    unnest(generate_series(1, flen)) AS jl, hx FROM fz),
+       |vb AS (SELECT doc_id, split, sample_no,
+       |    CAST((jl-1) * $dims // flen AS BIGINT) + 1 AS dim,
+       |    (strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl-1)+1 AS INT), 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl) AS INT), 1)) - 1 AS byte
+       |  FROM e),
+       |f AS (SELECT doc_id, split, sample_no, dim,
+       |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+       |  FROM vb GROUP BY doc_id, split, sample_no, dim),
+       |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM f WHERE split >= '$thr' GROUP BY dim),
+       |ph AS (SELECT doc_id, split, sample_no,
+       |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+       |  FROM f JOIN m USING (dim) GROUP BY doc_id, split, sample_no),
+       |bands AS (SELECT doc_id, split, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+       |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS hist_id,
+       |    x.sample_no AS sa, y.sample_no AS sb, x.ph AS pa, y.ph AS pb
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+       |    AND x.split < '$thr' AND y.split >= '$thr'),
+       |hits AS (SELECT batch_id, hist_id, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming})
+       |SELECT batch_id, hist_id, CAST(count(*) AS BIGINT) AS n_frame_matches,
+       |  min(hamming) AS min_hamming
+       |FROM hits GROUP BY batch_id, hist_id
+       |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}
+       |ORDER BY batch_id, hist_id""".stripMargin
+  }
+
   private def multimodalOracles: Map[String, String] = Map(
     // the image half of dedup: corpus-mean-thresholded average hash
     // over the PIXEL block-mean channels, banded candidates,
@@ -2783,6 +2841,14 @@ object SparkEntry {
          |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // the ingest form: thresholds trained on the HISTORY split only,
+    // both sides' frames hashed with them, banded batch→history frame
+    // candidates, DISTINCT standing in for the engine's stateless
+    // lowest-matching-band attribution (same surviving set), then the
+    // clip lift. The streaming twin is a stateless stream-static probe
+    // of the same store — bit-identical, one oracle gates both.
+    "mm_video_neardup_incremental" -> videoNearDupIncrementalSql,
+    "stream_video_neardup" -> videoNearDupIncrementalSql,
     "mm_chunks" ->
       s"""SELECT doc_id,
          |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,

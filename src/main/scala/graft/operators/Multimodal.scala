@@ -758,6 +758,139 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-channel frame thresholds trained on the HISTORY side — the
+    * clip analogue of [[historyMu]]: new clips must be hashed with the
+    * thresholds the stored frame signatures used. Dims no history
+    * frame ever populated carry NO threshold (and therefore can never
+    * set a bit — the inner-join semantics of the full-corpus
+    * [[videoNearDup]], made explicit here). [[PhashBits]] values max,
+    * collected once and shipped in the task closure.
+    */
+  private[graft] def historyFrameMu(spark: SparkSession, dir: String): Map[Long, Double] = {
+    implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    Kernels.fanOut(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => frameChannelRows(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+      .groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** Per-sampled-frame signatures under trained thresholds (kernel):
+    * bit d−1 set iff channel d exists, has a trained threshold, and
+    * beats it. Shared verbatim by the batch incremental and its
+    * streaming twin — same bytes, same thresholds, same bits.
+    */
+  private[graft] def frameSigRows(docId: Long, p: Array[Byte],
+      mu: Map[Long, Double]): Iterator[(Long, Long, Long)] =
+    frameChannelRows(docId, p).toSeq.groupBy(_.sample_no).iterator.collect {
+      // a frame none of whose channels carries a trained threshold has
+      // no signature at all (the inner-join semantics, kept exactly) —
+      // distinct from a frame whose thresholded channels all read 0
+      case (s, cs) if cs.exists(c => mu.contains(c.dim)) =>
+        var bits = 0L
+        cs.foreach { c =>
+          mu.get(c.dim).foreach { m => if (c.f > m) bits |= 1L << (c.dim - 1).toInt }
+        }
+        (docId, s, bits)
+    }
+
+  /** Kernel: (id, payload) → per-frame signature frame. */
+  private[graft] def frameSigFrame(payloads: DataFrame, mu: Map[Long, Double],
+      idAlias: String, sampleAlias: String, sigAlias: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    Kernels.fanOut(payloads)
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => frameSigRows(r.getLong(0), r.getAs[Array[Byte]](1), mu))
+      }
+      .toDF(idAlias, sampleAlias, sigAlias)
+  }
+
+  /** The history side's banded FRAME-signature store (hist_id, hs,
+    * h_ph, band, bkey) — in production a materialized table maintained
+    * by ingest (the [[historyPhashStore]] contract at frame
+    * granularity).
+    */
+  private[graft] def historyFrameStore(spark: SparkSession, dir: String,
+      mu: Map[Long, Double]): DataFrame = {
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    frameSigFrame(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"),
+      mu, "hist_id", "hs", "h_ph")
+      .select(col("hist_id"), col("hs"), col("h_ph"),
+        explode(phashBands(col("h_ph"))).as("bk"))
+      .select(col("hist_id"), col("hs"), col("h_ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** Stateless multi-band dedup: keep a (frame-pair, band) hit only on
+    * the LOWEST band whose keys collide — band 0, or any later band
+    * whose preceding bands all differ. Each matched pair then survives
+    * on exactly one row, so the downstream count needs no `distinct` —
+    * which is what lets the STREAMING twin count frame matches with a
+    * single stateful aggregation (distinct aggregates are not
+    * streaming-legal). With [[PhashBands]] = 2 the condition is: band
+    * 0, or the band-0 keys differ.
+    */
+  private[graft] def firstBandOnly(ph: org.apache.spark.sql.Column,
+      hph: org.apache.spark.sql.Column,
+      band: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bandBits = PhashBits / PhashBands
+    val mask = (1L << bandBits) - 1
+    (1 until PhashBands).foldLeft(band === 0) { (acc, b) =>
+      acc || (band === b &&
+        (0 until b).map { lower =>
+          shiftright(ph, bandBits * lower).bitwiseAND(lit(mask)) =!=
+            shiftright(hph, bandBits * lower).bitwiseAND(lit(mask))
+        }.reduce[org.apache.spark.sql.Column](_ || _))
+    }
+  }
+
+  /** `mm_video_neardup_incremental`: the ingest form of clip-level
+    * near-dup — a batch of new clips probes the HISTORICAL frame-
+    * signature store only (batch-internal pairs are [[videoNearDup]]'s
+    * job on the batch alone), completing the incremental family across
+    * modalities: text, images and now video all have batch-vs-history
+    * twins. Thresholds are the history's ([[historyFrameMu]]); frame
+    * candidates come banded; multi-band collisions collapse via
+    * [[firstBandOnly]] (not `distinct` — the streaming twin shares the
+    * plan shape); the clip lift keeps the [[VideoMatchMinFrames]]
+    * floor. Scale shape: everything batch-sized except the store scan,
+    * which in production is the pre-materialized banded table.
+    */
+  def videoNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val mu = historyFrameMu(spark, dir)
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val batch = frameSigFrame(
+      ingestBinary(spark, dir)
+        .filter(splitOf < Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"),
+      mu, "batch_id", "bs", "ph")
+      .select(col("batch_id"), col("bs"), col("ph"),
+        explode(phashBands(col("ph"))).as("bk"))
+      .select(col("batch_id"), col("bs"), col("ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    batch.join(historyFrameStore(spark, dir, mu), Seq("band", "bkey"))
+      .filter(firstBandOnly(col("ph"), col("h_ph"), col("band")))
+      .select(col("batch_id"), col("hist_id"),
+        expr("CAST(bit_count(ph ^ h_ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .groupBy("batch_id", "hist_id")
+      .agg(count(lit(1)).as("n_frame_matches"), min("hamming").as("min_hamming"))
+      .filter(col("n_frame_matches") >= VideoMatchMinFrames)
+      .orderBy("batch_id", "hist_id")
+  }
+
   /** Perceptual-hash width / banding: [[PhashBits]]-bit average hash,
     * [[PhashBands]] bands of bits/bands each — by pigeonhole, any pair
     * at Hamming ≤ bands−1 (= [[PhashMaxHamming]]) shares a full band,

@@ -415,6 +415,64 @@ object DocStream {
     spark.table(name).orderBy("batch_id", "hist_id")
   }
 
+  /** `stream_video_neardup`: the ingest-stream twin of
+    * [[graft.operators.Multimodal.videoNearDupIncremental]] — newly-
+    * arriving clips probe the HISTORICAL frame-signature store per
+    * micro-batch. Frame signatures are the SAME kernel as the batch
+    * query ([[graft.operators.Multimodal.frameSigRows]] with the
+    * trained thresholds in the closure — stateless `mapPartitions`),
+    * candidates come from a stream-static equi-join on the banded
+    * store, multi-band collisions collapse STATELESSLY via
+    * [[graft.operators.Multimodal.firstBandOnly]] (a `distinct` here
+    * would be a second stateful operator — not streaming-legal next to
+    * the clip aggregation), and the single complete-mode aggregation
+    * lifts frame matches to clip pairs, so the result equals the batch
+    * query bit-for-bit and the SAME oracle gates both.
+    */
+  def streamVideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels, Multimodal}
+    val mu = Multimodal.historyFrameMu(spark, dir)
+    val store = Kernels.cacheTracked(Multimodal.historyFrameStore(spark, dir, mu))
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
+    implicit val sigEnc: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val pairs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+      .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
+      .mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.flatMap(r =>
+          Multimodal.frameSigRows(r.getLong(0), r.getAs[Array[Byte]](1), mu))
+      }
+      .toDF("batch_id", "bs", "ph")
+      .select(col("batch_id"), col("bs"), col("ph"),
+        explode(Multimodal.phashBands(col("ph"))).as("bk"))
+      .select(col("batch_id"), col("bs"), col("ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .join(store, Seq("band", "bkey"))
+      .filter(Multimodal.firstBandOnly(col("ph"), col("h_ph"), col("band")))
+      .select(col("batch_id"), col("hist_id"),
+        expr("CAST(bit_count(ph ^ h_ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashMaxHamming)
+      .groupBy("batch_id", "hist_id")
+      .agg(count(lit(1)).as("n_frame_matches"), min("hamming").as("min_hamming"))
+      .filter(col("n_frame_matches") >= Multimodal.VideoMatchMinFrames)
+    val name = "stream_video_neardup_out"
+    EventStream.withStatePartitions(spark) {
+      val q = pairs.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally { q.stop(); Dedup.retireCaches() }
+    }
+    spark.table(name).orderBy("batch_id", "hist_id")
+  }
+
   /** STREAMING FLAGSHIP — [[graft.operators.Corpus.ingest]] run as a
     * continuous stream: the full per-batch ingest composition (quality
     * gate → exact dedup vs the historical fingerprint store → MinHash

@@ -576,6 +576,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("firstBandOnly keeps each colliding frame pair on exactly one band") {
+    import spark.implicits._
+    // simulated banded-join output: a band-b row exists iff that band's
+    // keys collide. Pair A collides on band 0 only, pair B on band 1
+    // only, pair C on BOTH bands (the duplicate the filter must fold)
+    val hits = Seq(
+      (0x1234L, 0x5634L, 0), // A: band-0 keys equal (0x34), band-1 differ
+      (0x1234L, 0x1299L, 1), // B: band-1 keys equal (0x12), band-0 differ
+      (0x1234L, 0x1234L, 0), // C: identical signatures — both bands emit
+      (0x1234L, 0x1234L, 1)
+    ).toDF("ph", "h_ph", "band")
+    val kept = hits.filter(Multimodal.firstBandOnly(col("ph"), col("h_ph"), col("band")))
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toSet
+    assert(kept == Set((0x5634L, 0), (0x1299L, 1), (0x1234L, 0)),
+      s"got $kept — the lowest matching band must win, duplicates must fold")
+  }
+
   test("pagerank conserves mass and replays bit-exactly in driver arithmetic") {
     val rows = Graph.pageRank(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -981,6 +998,11 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.retireCaches()
     assert(sph.nonEmpty && sph == bph,
       "drained phash-store probe must equal the batch incremental phash bit-for-bit")
+    val svn = DocStream.streamVideoNearDup(spark, sf).collect().map(_.toSeq).toSeq
+    val bvn = Multimodal.videoNearDupIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(svn.nonEmpty && svn == bvn,
+      "drained frame-store probe must equal the batch incremental clip near-dup bit-for-bit")
     // the stream-maintained search index reassembles the batch postings,
     // so the final served ranking equals the batch ranker bit-for-bit
     val sbm = DocStream.streamSearchIndex(spark, sf).collect().map(_.toSeq).toSeq
