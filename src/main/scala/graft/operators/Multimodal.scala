@@ -734,11 +734,15 @@ object Multimodal {
     val mu = fch.groupBy("dim")
       .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))
-    val ph = fch.join(broadcast(mu), "dim")
+    // pin the SIGNATURE frame (K rows per video — aggregate-sized, the
+    // measured cache-discipline bar): the self-join would otherwise
+    // re-run the channel kernel and the threshold aggregate once per
+    // side. Released by the harness's post-action retireCaches().
+    val ph = Kernels.cacheTracked(fch.join(broadcast(mu), "dim")
       .groupBy("doc_id", "sample_no")
       .agg(sum(when(col("f") > col("mu"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
-        .otherwise(lit(0L))).as("ph"))
+        .otherwise(lit(0L))).as("ph")))
     val bandBits = PhashBits / PhashBands
     val mask = (1L << bandBits) - 1
     val bands = ph.select(col("doc_id"), col("sample_no"), col("ph"),
