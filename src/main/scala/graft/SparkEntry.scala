@@ -185,6 +185,8 @@ object SparkEntry {
     "mm_decode" -> Multimodal.decodeMeta _,
     "mm_audio" -> Multimodal.audioStats _,
     "mm_audio_energy" -> Multimodal.audioEnergy _,
+    "mm_audio_segments" -> Multimodal.audioSegments _,
+    "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
     "mm_video_neardup_incremental" -> Multimodal.videoNearDupIncremental _,
     "stream_video_neardup" -> graft.streaming.DocStream.streamVideoNearDup _,
@@ -2566,6 +2568,45 @@ object SparkEntry {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  /** Per-sampled-frame signature CTE chain shared by the clip-level
+    * video oracles (near-dup banding, scene cuts): frame byte ranges
+    * from the avih synthesis formulas, block means WITHIN each frame's
+    * bytes (Multimodal.frameChannelRows' exact integer arithmetic),
+    * per-channel corpus means, average-hash fold. Emits CTEs
+    * b/v/s/fr/fz/e/vb/f/m/ph; ph = (doc_id, sample_no, ph).
+    */
+  private lazy val videoFrameSigCtes: String = {
+    val k = Multimodal.FrameSampleK
+    val dims = Multimodal.PhashBits
+    s"""b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) AS n FROM documents
+       |    WHERE octet_length(encode(text)) % 6 = 5),
+       |v AS (SELECT doc_id, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
+       |s AS (SELECT doc_id, hx, n, nf,
+       |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
+       |fr AS (SELECT doc_id, hx, CAST(sample_no AS BIGINT) AS sample_no,
+       |    ((sample_no * nf) // $k) * n // nf AS ffrom,
+       |    (((sample_no * nf) // $k) + 1) * n // nf AS funtil
+       |  FROM s),
+       |fz AS (SELECT doc_id, hx, sample_no, ffrom, funtil - ffrom AS flen
+       |  FROM fr WHERE funtil > ffrom),
+       |e AS (SELECT doc_id, sample_no, ffrom, flen,
+       |    unnest(generate_series(1, flen)) AS jl, hx FROM fz),
+       |vb AS (SELECT doc_id, sample_no,
+       |    CAST((jl-1) * $dims // flen AS BIGINT) + 1 AS dim,
+       |    (strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl-1)+1 AS INT), 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl) AS INT), 1)) - 1 AS byte
+       |  FROM e),
+       |f AS (SELECT doc_id, sample_no, dim,
+       |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+       |  FROM vb GROUP BY doc_id, sample_no, dim),
+       |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM f GROUP BY dim),
+       |ph AS (SELECT doc_id, sample_no,
+       |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+       |  FROM f JOIN m USING (dim) GROUP BY doc_id, sample_no)""".stripMargin
+  }
+
   /** Clip-ingest near-dup replay: frame channels per sampled frame,
     * thresholds trained on the HISTORY split only, both sides hashed
     * with them, banded batch→history frame candidates (DISTINCT = the
@@ -2790,43 +2831,51 @@ object SparkEntry {
          |  CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent
          |FROM r ORDER BY doc_id, win""".stripMargin
     },
+    // gaps-and-islands over the energy windows: a boundary is any
+    // window whose silence flag differs from its predecessor's; the
+    // running boundary count labels segments (mirrors
+    // Multimodal.audioSegments' two doc-partitioned windows + fold)
+    "mm_audio_segments" -> {
+      val w = Multimodal.AudioEnergyWindows
+      val thr = Multimodal.SilenceThreshold
+      s"""WITH w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 6 = 2
+         |      AND octet_length(encode(text)) > 0),
+         |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
+         |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
+         |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
+         |  FROM e),
+         |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
+         |  FROM a GROUP BY doc_id, win),
+         |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
+         |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g),
+         |x AS (SELECT doc_id, win, win_bytes,
+         |    CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent FROM r),
+         |y AS (SELECT doc_id, win, win_bytes, silent,
+         |    CASE WHEN lag(silent) OVER (PARTITION BY doc_id ORDER BY win) IS NULL
+         |      OR lag(silent) OVER (PARTITION BY doc_id ORDER BY win) <> silent
+         |    THEN 1 ELSE 0 END AS boundary FROM x),
+         |z AS (SELECT doc_id, win, win_bytes, silent,
+         |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY win
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS seg_no FROM y)
+         |SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no, silent,
+         |  min(win) AS start_win, max(win) AS end_win,
+         |  CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(win_bytes) AS BIGINT) AS seg_bytes
+         |FROM z GROUP BY doc_id, seg_no, silent
+         |ORDER BY doc_id, seg_no""".stripMargin
+    },
     // clip-level near-dup: per-sampled-frame average hash (block means
     // WITHIN the frame's byte range, thresholded against the corpus
     // per-channel mean over all sampled frames), banded frame-pair
     // candidates, XOR-popcount verify, then the clip lift — mirrors
     // Multimodal.videoNearDup stage for stage
     "mm_video_neardup" -> {
-      val k = Multimodal.FrameSampleK
-      val dims = Multimodal.PhashBits
       val bb = Multimodal.PhashBits / Multimodal.PhashBands
       val mask = (1L << bb) - 1
-      s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-         |    octet_length(encode(text)) AS n FROM documents
-         |    WHERE octet_length(encode(text)) % 6 = 5),
-         |v AS (SELECT doc_id, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
-         |s AS (SELECT doc_id, hx, n, nf,
-         |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
-         |fr AS (SELECT doc_id, hx, CAST(sample_no AS BIGINT) AS sample_no,
-         |    ((sample_no * nf) // $k) * n // nf AS ffrom,
-         |    (((sample_no * nf) // $k) + 1) * n // nf AS funtil
-         |  FROM s),
-         |fz AS (SELECT doc_id, hx, sample_no, ffrom, funtil - ffrom AS flen
-         |  FROM fr WHERE funtil > ffrom),
-         |e AS (SELECT doc_id, sample_no, ffrom, flen,
-         |    unnest(generate_series(1, flen)) AS jl, hx FROM fz),
-         |vb AS (SELECT doc_id, sample_no,
-         |    CAST((jl-1) * $dims // flen AS BIGINT) + 1 AS dim,
-         |    (strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl-1)+1 AS INT), 1)) - 1) * 16
-         |      + strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl) AS INT), 1)) - 1 AS byte
-         |  FROM e),
-         |f AS (SELECT doc_id, sample_no, dim,
-         |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
-         |  FROM vb GROUP BY doc_id, sample_no, dim),
-         |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-         |  FROM f GROUP BY dim),
-         |ph AS (SELECT doc_id, sample_no,
-         |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
-         |  FROM f JOIN m USING (dim) GROUP BY doc_id, sample_no),
+      s"""WITH $videoFrameSigCtes,
          |bands AS (SELECT doc_id, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
          |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -2841,6 +2890,22 @@ object SparkEntry {
          |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // shot-boundary detection: the SAME per-frame signatures, read
+    // sequentially — each present frame lags to its nearest present
+    // predecessor (empty frames are gaps, not errors); a transition is
+    // a cut strictly above the near-dup Hamming tolerance
+    "mm_video_scene_cuts" ->
+      s"""WITH $videoFrameSigCtes,
+         |lg AS (SELECT doc_id, sample_no,
+         |    lag(sample_no) OVER (PARTITION BY doc_id ORDER BY sample_no) AS prev_sample,
+         |    lag(ph) OVER (PARTITION BY doc_id ORDER BY sample_no) AS prev_ph, ph
+         |  FROM ph)
+         |SELECT doc_id, sample_no, prev_sample,
+         |  CAST(bit_count(xor(ph, prev_ph)) AS BIGINT) AS hamming,
+         |  CAST(CASE WHEN bit_count(xor(ph, prev_ph)) > ${Multimodal.SceneCutHamming}
+         |       THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+         |FROM lg WHERE prev_sample IS NOT NULL
+         |ORDER BY doc_id, sample_no""".stripMargin,
     // the ingest form: thresholds trained on the HISTORY split only,
     // both sides' frames hashed with them, banded batch→history frame
     // candidates, DISTINCT standing in for the engine's stateless

@@ -3,6 +3,7 @@ package graft.operators
 import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -392,6 +393,33 @@ object Multimodal {
       .orderBy("doc_id", "win")
   }
 
+  /** `mm_audio_segments`: contiguous silence/speech SEGMENTS over the
+    * energy windows — the island detection a silence-trimmer or
+    * voice-activity segmenter runs after [[audioEnergy]]'s per-window
+    * gate. Classic gaps-and-islands: a segment boundary is any window
+    * whose silence flag differs from its predecessor's; the running
+    * boundary count labels the islands; one combiner-friendly groupBy
+    * folds each island to (bounds, window count, byte count).
+    *
+    * Scale shape: both window functions partition by doc_id (a doc's
+    * windows are [[AudioEnergyWindows]] rows — never a global window),
+    * so the whole operator is one shuffle by doc plus a map-side fold.
+    */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("win")
+    audioEnergy(spark, dir)
+      .withColumn("boundary",
+        when(lag(col("silent"), 1).over(byDoc).isNull ||
+          lag(col("silent"), 1).over(byDoc) =!= col("silent"), 1L)
+          .otherwise(0L))
+      .withColumn("seg_no", sum(col("boundary")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .groupBy("doc_id", "seg_no", "silent")
+      .agg(min("win").as("start_win"), max("win").as("end_win"),
+        count(lit(1)).as("n_windows"), sum("win_bytes").as("seg_bytes"))
+      .orderBy("doc_id", "seg_no")
+  }
+
   /** Batch decode: binary payloads → typed metadata via
     * `mapPartitions` (one iterator per partition; the executor
     * processes a whole batch without materializing it).
@@ -702,6 +730,32 @@ object Multimodal {
       }
     }
 
+  /** The (doc_id, sample_no, ph) frame-signature frame under
+    * PER-CORPUS per-channel mean thresholds — the signature pipeline
+    * [[videoNearDup]] banded-joins over and [[videoSceneCuts]] scans
+    * sequentially. Channels come from the frame's actual bytes
+    * ([[frameChannelRows]]); thresholds are ONE [[PhashBits]]-row
+    * broadcast (decimal-summed, order-exact); the signature fold is
+    * one combiner-friendly groupBy per sampled frame.
+    */
+  private[graft] def corpusFrameSigs(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
+    val fch = Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r => frameChannelRows(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }
+      .toDF()
+    val mu = fch.groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+    fch.join(broadcast(mu), "dim")
+      .groupBy("doc_id", "sample_no")
+      .agg(sum(when(col("f") > col("mu"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
+        .otherwise(lit(0L))).as("ph"))
+  }
+
   /** `mm_video_neardup`: CLIP-level near-duplicate video pairs — the
     * video half of dedup, completing the modality row (text has
     * MinHash/SimHash, images have [[phashPairs]]). The standard
@@ -724,25 +778,11 @@ object Multimodal {
     * exact integer/6dp arithmetic the oracle replays bit-for-bit.
     */
   def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
-    implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
-    val fch = Kernels.fanOut(
-      ingestBinary(spark, dir).select("doc_id", "payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap(r => frameChannelRows(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }
-      .toDF()
-    val mu = fch.groupBy("dim")
-      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("mu"))
     // pin the SIGNATURE frame (K rows per video — aggregate-sized, the
     // measured cache-discipline bar): the self-join would otherwise
     // re-run the channel kernel and the threshold aggregate once per
     // side. Released by the harness's post-action retireCaches().
-    val ph = Kernels.cacheTracked(fch.join(broadcast(mu), "dim")
-      .groupBy("doc_id", "sample_no")
-      .agg(sum(when(col("f") > col("mu"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
-        .otherwise(lit(0L))).as("ph")))
+    val ph = Kernels.cacheTracked(corpusFrameSigs(spark, dir))
     val bandBits = PhashBits / PhashBands
     val mask = (1L << bandBits) - 1
     val bands = ph.select(col("doc_id"), col("sample_no"), col("ph"),
@@ -895,6 +935,35 @@ object Multimodal {
       .orderBy("batch_id", "hist_id")
   }
 
+  /** `mm_video_scene_cuts`: shot-boundary detection — the temporal
+    * segmentation a video pipeline runs before sampling one keyframe
+    * per shot. Each consecutive pair of a clip's sampled frames emits
+    * a transition row with the Hamming distance between their
+    * perceptual hashes ([[corpusFrameSigs]] — the same signatures the
+    * near-dup family banded-joins, read sequentially here) and a cut
+    * flag at distance > [[SceneCutHamming]]. Empty sampled frames have
+    * no signature, so the lag pairs each frame with its nearest
+    * PRESENT predecessor (`prev_sample` names it — gaps are data, not
+    * an error).
+    *
+    * Scale shape: one lag window partitioned BY CLIP (≤
+    * [[FrameSampleK]] rows per partition key — never a global
+    * window); everything upstream is the signature pipeline's
+    * map-only kernel + one broadcast + one groupBy.
+    */
+  def videoSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("sample_no")
+    corpusFrameSigs(spark, dir)
+      .withColumn("prev_sample", lag(col("sample_no"), 1).over(byDoc))
+      .withColumn("prev_ph", lag(col("ph"), 1).over(byDoc))
+      .filter(col("prev_sample").isNotNull)
+      .select(col("doc_id"), col("sample_no"), col("prev_sample"),
+        expr("CAST(bit_count(ph ^ prev_ph) AS BIGINT)").as("hamming"))
+      .withColumn("is_cut",
+        when(col("hamming") > SceneCutHamming, 1L).otherwise(0L))
+      .orderBy("doc_id", "sample_no")
+  }
+
   /** Perceptual-hash width / banding: [[PhashBits]]-bit average hash,
     * [[PhashBands]] bands of bits/bands each — by pigeonhole, any pair
     * at Hamming ≤ bands−1 (= [[PhashMaxHamming]]) shares a full band,
@@ -904,6 +973,15 @@ object Multimodal {
   val PhashBits = 16
   val PhashBands = 2
   val PhashMaxHamming = 1L
+
+  /** A transition is a CUT when consecutive sampled frames' hashes
+    * differ in more than [[SceneCutHamming]] of the [[PhashBits]]
+    * bits — strictly above the near-dup tolerance, so a "cut" is
+    * exactly "these two frames would NOT be perceptual near-dups".
+    * (Declared after [[PhashMaxHamming]]: object vals initialize in
+    * declaration order, and a forward reference would read 0.)
+    */
+  val SceneCutHamming = PhashMaxHamming
 
   /** Per-channel thresholds trained on the HISTORY side — the phash
     * analogue of a served index statistic: new images must be hashed

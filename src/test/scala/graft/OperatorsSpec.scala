@@ -576,6 +576,61 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio segments are maximal islands: contiguous, alternating, covering") {
+    val energy = Multimodal.audioEnergy(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val segs = Multimodal.audioSegments(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(segs.nonEmpty && segs.keySet == energy.keySet)
+    for ((id, ss) <- segs) {
+      val sorted = ss.sortBy(_.getAs[Long]("seg_no"))
+      // dense labels from 0, contiguous bounds, no window lost
+      assert(sorted.map(_.getAs[Long]("seg_no")).sameElements(0L until sorted.length.toLong))
+      assert(sorted.head.getAs[Long]("start_win") == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_win") == a.getAs[Long]("end_win") + 1,
+            s"doc $id: segments must tile the window axis")
+          assert(a.getAs[Long]("silent") != b.getAs[Long]("silent"),
+            s"doc $id: adjacent segments with equal flags are not MAXIMAL islands")
+        case _ =>
+      }
+      assert(sorted.map(_.getAs[Long]("n_windows")).sum == energy(id).length.toLong)
+      assert(sorted.map(_.getAs[Long]("seg_bytes")).sum ==
+        energy(id).map(_.getAs[Long]("win_bytes")).sum)
+      // each segment's flag matches its member windows' flags
+      val flagOf = energy(id).map(r => r.getAs[Long]("win") -> r.getAs[Long]("silent")).toMap
+      sorted.foreach { s =>
+        (s.getAs[Long]("start_win") to s.getAs[Long]("end_win")).foreach { w =>
+          assert(flagOf(w) == s.getAs[Long]("silent"))
+        }
+      }
+    }
+  }
+
+  test("scene cuts pair each present frame with its nearest present predecessor") {
+    val sigs = Multimodal.corpusFrameSigs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_no"), r.getAs[Long]("ph")))
+    Dedup.retireCaches()
+    val byDoc = sigs.groupBy(_._1)
+    val cuts = Multimodal.videoSceneCuts(spark, sf).collect()
+    assert(cuts.nonEmpty)
+    val got = cuts.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_no"),
+      r.getAs[Long]("prev_sample"), r.getAs[Long]("hamming"),
+      r.getAs[Long]("is_cut"))).toSet
+    // driver replay: consecutive PRESENT frames, XOR popcount, cut flag
+    val expected = byDoc.iterator.flatMap { case (id, fs) =>
+      fs.sortBy(_._2).sliding(2).collect {
+        case Array((_, s0, p0), (_, s1, p1)) =>
+          val h = java.lang.Long.bitCount(p0 ^ p1).toLong
+          (id, s1, s0, h, if (h > Multimodal.SceneCutHamming) 1L else 0L)
+      }
+    }.toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    // the threshold must split the corpus — both flag values observed
+    assert(cuts.map(_.getAs[Long]("is_cut")).toSet == Set(0L, 1L))
+  }
+
   test("firstBandOnly keeps each colliding frame pair on exactly one band") {
     import spark.implicits._
     // simulated banded-join output: a band-b row exists iff that band's
