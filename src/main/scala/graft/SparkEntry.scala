@@ -187,6 +187,7 @@ object SparkEntry {
     "mm_audio_energy" -> Multimodal.audioEnergy _,
     "mm_audio_segments" -> Multimodal.audioSegments _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
+    "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
     "mm_video_neardup_incremental" -> Multimodal.videoNearDupIncremental _,
     "stream_video_neardup" -> graft.streaming.DocStream.streamVideoNearDup _,
@@ -2867,6 +2868,26 @@ object SparkEntry {
          |FROM z GROUP BY doc_id, seg_no, silent
          |ORDER BY doc_id, seg_no""".stripMargin
     },
+    // keyframe-per-shot: cuts applied as a segmenter (boundary = first
+    // present frame or Hamming above the tolerance), running boundary
+    // count labels shots, each shot keeps its first sampled frame
+    "mm_video_keyframes" ->
+      s"""WITH $videoFrameSigCtes,
+         |lg AS (SELECT doc_id, sample_no, ph,
+         |    lag(ph) OVER (PARTITION BY doc_id ORDER BY sample_no) AS prev_ph
+         |  FROM ph),
+         |bo AS (SELECT doc_id, sample_no,
+         |    CASE WHEN prev_ph IS NULL
+         |      OR bit_count(xor(ph, prev_ph)) > ${Multimodal.SceneCutHamming}
+         |    THEN 1 ELSE 0 END AS boundary FROM lg),
+         |sh AS (SELECT doc_id, sample_no,
+         |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY sample_no
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS shot_no FROM bo)
+         |SELECT doc_id, CAST(shot_no AS BIGINT) AS shot_no,
+         |  min(sample_no) AS keyframe_sample, max(sample_no) AS end_sample,
+         |  CAST(count(*) AS BIGINT) AS n_frames
+         |FROM sh GROUP BY doc_id, shot_no
+         |ORDER BY doc_id, shot_no""".stripMargin,
     // clip-level near-dup: per-sampled-frame average hash (block means
     // WITHIN the frame's byte range, thresholded against the corpus
     // per-channel mean over all sampled frames), banded frame-pair

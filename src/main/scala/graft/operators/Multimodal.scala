@@ -964,6 +964,36 @@ object Multimodal {
       .orderBy("doc_id", "sample_no")
   }
 
+  /** `mm_video_keyframes`: one representative frame per SHOT — the
+    * consumer of [[videoSceneCuts]] and the end of the video
+    * preprocessing chain (sample → hash → cut → keyframe): a vision
+    * encoder's frame budget ingests keyframes, not the raw sample
+    * grid. Shots are the islands between cuts (boundary = first
+    * present frame or a transition at Hamming > [[SceneCutHamming]]
+    * from the previous present frame — the [[videoSceneCuts]] cut
+    * definition applied as a segmenter); the keyframe is each shot's
+    * FIRST sampled frame (the frame right after the cut, the standard
+    * choice). Same scale shape as the cut detector: everything rides
+    * the signature pipeline plus doc-partitioned windows over ≤
+    * [[FrameSampleK]] rows per key.
+    */
+  def videoKeyframes(spark: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("sample_no")
+    corpusFrameSigs(spark, dir)
+      .withColumn("prev_ph", lag(col("ph"), 1).over(byDoc))
+      .withColumn("boundary",
+        when(col("prev_ph").isNull ||
+          expr(s"bit_count(ph ^ prev_ph) > $SceneCutHamming"), 1L)
+          .otherwise(0L))
+      .withColumn("shot_no", sum(col("boundary")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .groupBy("doc_id", "shot_no")
+      .agg(min("sample_no").as("keyframe_sample"),
+        max("sample_no").as("end_sample"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("doc_id", "shot_no")
+  }
+
   /** Perceptual-hash width / banding: [[PhashBits]]-bit average hash,
     * [[PhashBands]] bands of bits/bands each — by pigeonhole, any pair
     * at Hamming ≤ bands−1 (= [[PhashMaxHamming]]) shares a full band,

@@ -631,6 +631,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cuts.map(_.getAs[Long]("is_cut")).toSet == Set(0L, 1L))
   }
 
+  test("keyframes are consistent with the cut detector: one shot per cut plus one") {
+    val cuts = Multimodal.videoSceneCuts(spark, sf).collect()
+    Dedup.retireCaches()
+    val shots = Multimodal.videoKeyframes(spark, sf).collect()
+    Dedup.retireCaches()
+    assert(shots.nonEmpty)
+    val cutsByDoc = cuts.groupBy(_.getAs[Long]("doc_id"))
+    val shotsByDoc = shots.groupBy(_.getAs[Long]("doc_id"))
+    // cut targets per doc (frames that start a new shot mid-clip)
+    for ((id, ss) <- shotsByDoc) {
+      val sorted = ss.sortBy(_.getAs[Long]("shot_no"))
+      assert(sorted.map(_.getAs[Long]("shot_no")).sameElements(0L until sorted.length.toLong))
+      val cutTargets = cutsByDoc.getOrElse(id, Array.empty)
+        .filter(_.getAs[Long]("is_cut") == 1L).map(_.getAs[Long]("sample_no")).toSet
+      // every shot after the first starts exactly at a cut target, and
+      // every cut target starts a shot
+      assert(sorted.tail.map(_.getAs[Long]("keyframe_sample")).toSet == cutTargets,
+        s"doc $id: shot starts must be exactly the cut targets")
+      assert(sorted.length == cutTargets.size + 1,
+        s"doc $id: shot count must be cuts + 1")
+      // shots tile the present-frame axis in order
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_sample") < b.getAs[Long]("keyframe_sample"))
+        case _ =>
+      }
+      sorted.foreach { s =>
+        assert(s.getAs[Long]("keyframe_sample") <= s.getAs[Long]("end_sample"))
+      }
+    }
+  }
+
   test("firstBandOnly keeps each colliding frame pair on exactly one band") {
     import spark.implicits._
     // simulated banded-join output: a band-b row exists iff that band's
