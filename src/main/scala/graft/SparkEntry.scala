@@ -186,6 +186,7 @@ object SparkEntry {
     "mm_audio" -> Multimodal.audioStats _,
     "mm_audio_energy" -> Multimodal.audioEnergy _,
     "mm_audio_segments" -> Multimodal.audioSegments _,
+    "mm_audio_trim" -> Multimodal.audioTrim _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -2831,6 +2832,40 @@ object SparkEntry {
          |SELECT doc_id, win, win_bytes, energy,
          |  CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent
          |FROM r ORDER BY doc_id, win""".stripMargin
+    },
+    // leading/trailing trim: first/last non-silent windows bound the
+    // kept span (interior silence stays); all-silent clips emit no row
+    "mm_audio_trim" -> {
+      val w = Multimodal.AudioEnergyWindows
+      val thr = Multimodal.SilenceThreshold
+      s"""WITH w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) % 6 = 2
+         |      AND octet_length(encode(text)) > 0),
+         |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
+         |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
+         |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
+         |  FROM e),
+         |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
+         |  FROM a GROUP BY doc_id, win),
+         |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
+         |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g),
+         |x AS (SELECT doc_id, win, win_bytes,
+         |    CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent FROM r),
+         |bd AS (SELECT doc_id,
+         |    min(CASE WHEN silent = 0 THEN win END) AS start_win,
+         |    max(CASE WHEN silent = 0 THEN win END) AS end_win,
+         |    CAST(sum(win_bytes) AS BIGINT) AS total_bytes
+         |  FROM x GROUP BY doc_id HAVING min(CASE WHEN silent = 0 THEN win END) IS NOT NULL)
+         |SELECT x.doc_id, bd.start_win, bd.end_win,
+         |  CAST(count(*) AS BIGINT) AS kept_windows,
+         |  CAST(sum(x.win_bytes) AS BIGINT) AS kept_bytes,
+         |  bd.total_bytes - CAST(sum(x.win_bytes) AS BIGINT) AS trimmed_bytes
+         |FROM x JOIN bd ON x.doc_id = bd.doc_id
+         |WHERE x.win >= bd.start_win AND x.win <= bd.end_win
+         |GROUP BY x.doc_id, bd.start_win, bd.end_win, bd.total_bytes
+         |ORDER BY x.doc_id""".stripMargin
     },
     // gaps-and-islands over the energy windows: a boundary is any
     // window whose silence flag differs from its predecessor's; the

@@ -420,6 +420,37 @@ object Multimodal {
       .orderBy("doc_id", "seg_no")
   }
 
+  /** `mm_audio_trim`: leading/trailing-silence trim bounds — the
+    * consumer of [[audioEnergy]]'s gate and the end of the audio
+    * preprocessing chain (window → energy → segment → trim): a speech
+    * pipeline drops the silent lead-in/tail before paying for any
+    * transcription, but INTERIOR silence stays (it carries prosody).
+    * Per clip: the first and last non-silent windows, the kept
+    * byte/window counts over that span, and the bytes trimmed off the
+    * ends. Clips whose every window is silent emit NO row — pure
+    * silence is dropped wholesale, which is the trim semantics.
+    * One combiner-friendly conditional aggregate per doc; the span
+    * byte re-sum joins the bounds back to the window frame (both
+    * doc-keyed — a co-partitioned join, no extra pass over payloads).
+    */
+  def audioTrim(spark: SparkSession, dir: String): DataFrame = {
+    val energy = audioEnergy(spark, dir)
+    val bounds = energy
+      .groupBy("doc_id")
+      .agg(min(when(col("silent") === 0L, col("win"))).as("start_win"),
+        max(when(col("silent") === 0L, col("win"))).as("end_win"),
+        sum("win_bytes").as("total_bytes"))
+      .filter(col("start_win").isNotNull)
+    energy.join(bounds, "doc_id")
+      .filter(col("win") >= col("start_win") && col("win") <= col("end_win"))
+      .groupBy("doc_id", "start_win", "end_win", "total_bytes")
+      .agg(count(lit(1)).as("kept_windows"), sum("win_bytes").as("kept_bytes"))
+      .select(col("doc_id"), col("start_win"), col("end_win"),
+        col("kept_windows"), col("kept_bytes"),
+        (col("total_bytes") - col("kept_bytes")).as("trimmed_bytes"))
+      .orderBy("doc_id")
+  }
+
   /** Batch decode: binary payloads → typed metadata via
     * `mapPartitions` (one iterator per partition; the executor
     * processes a whole batch without materializing it).

@@ -631,6 +631,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cuts.map(_.getAs[Long]("is_cut")).toSet == Set(0L, 1L))
   }
 
+  test("audio trim keeps exactly the span between the outermost non-silent windows") {
+    val energy = Multimodal.audioEnergy(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val trim = Multimodal.audioTrim(spark, sf).collect()
+    assert(trim.nonEmpty)
+    val trimmedDocs = trim.map(_.getAs[Long]("doc_id")).toSet
+    // docs with no row are exactly the all-silent clips
+    assert(energy.keySet -- trimmedDocs ==
+      energy.filter(_._2.forall(_.getAs[Long]("silent") == 1L)).keySet)
+    trim.foreach { t =>
+      val id = t.getAs[Long]("doc_id")
+      val ws = energy(id).sortBy(_.getAs[Long]("win"))
+      val nonSilent = ws.filter(_.getAs[Long]("silent") == 0L).map(_.getAs[Long]("win"))
+      assert(t.getAs[Long]("start_win") == nonSilent.min)
+      assert(t.getAs[Long]("end_win") == nonSilent.max)
+      val span = ws.filter(r => r.getAs[Long]("win") >= nonSilent.min &&
+        r.getAs[Long]("win") <= nonSilent.max)
+      assert(t.getAs[Long]("kept_windows") == span.length.toLong)
+      assert(t.getAs[Long]("kept_bytes") == span.map(_.getAs[Long]("win_bytes")).sum)
+      assert(t.getAs[Long]("trimmed_bytes") ==
+        ws.map(_.getAs[Long]("win_bytes")).sum - t.getAs[Long]("kept_bytes"))
+    }
+    // the operator must actually trim something at this SF, and must
+    // also keep interior silence somewhere (the semantics under test)
+    assert(trim.exists(_.getAs[Long]("trimmed_bytes") > 0L))
+    assert(trim.exists { t =>
+      val ws = energy(t.getAs[Long]("doc_id")).sortBy(_.getAs[Long]("win"))
+      ws.exists(r => r.getAs[Long]("silent") == 1L &&
+        r.getAs[Long]("win") > t.getAs[Long]("start_win") &&
+        r.getAs[Long]("win") < t.getAs[Long]("end_win"))
+    }, "no clip with interior silence kept — the trim semantics are unexercised")
+  }
+
   test("keyframes are consistent with the cut detector: one shot per cut plus one") {
     val cuts = Multimodal.videoSceneCuts(spark, sf).collect()
     Dedup.retireCaches()
