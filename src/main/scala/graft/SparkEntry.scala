@@ -2570,6 +2570,33 @@ object SparkEntry {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  /** PCM energy-window CTE chain shared by the audio-content oracles
+    * (energy, segments, trim): WAV rows only, amplitude |b−128| from
+    * the hex rendering, window ⌊(j−1)·W/n⌋, exact integer energy
+    * rounding, silence flag. Emits CTEs w/e/a/g/r/x; x = (doc_id,
+    * win, win_bytes, energy, silent). One text — an edit to the
+    * energy arithmetic cannot diverge across the three oracles.
+    */
+  private lazy val audioEnergyCtes: String = {
+    val w = Multimodal.AudioEnergyWindows
+    val thr = Multimodal.SilenceThreshold
+    s"""w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    octet_length(encode(text)) AS n FROM documents
+       |    WHERE octet_length(encode(text)) % 6 = 2
+       |      AND octet_length(encode(text)) > 0),
+       |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
+       |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
+       |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
+       |  FROM e),
+       |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
+       |  FROM a GROUP BY doc_id, win),
+       |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
+       |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g),
+       |x AS (SELECT doc_id, win, win_bytes, energy,
+       |    CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent FROM r)""".stripMargin
+  }
+
   /** Per-sampled-frame signature CTE chain shared by the clip-level
     * video oracles (near-dup banding, scene cuts): frame byte ranges
     * from the avih synthesis formulas, block means WITHIN each frame's
@@ -2577,37 +2604,47 @@ object SparkEntry {
     * per-channel corpus means, average-hash fold. Emits CTEs
     * b/v/s/fr/fz/e/vb/f/m/ph; ph = (doc_id, sample_no, ph).
     */
-  private lazy val videoFrameSigCtes: String = {
+  private def videoFrameSigCtesFor(split: Boolean): String = {
     val k = Multimodal.FrameSampleK
     val dims = Multimodal.PhashBits
+    // split=true threads the incremental batch/history split through
+    // the chain and trains the thresholds on the HISTORY side only
+    // (the videoNearDupIncrementalSql contract); split=false is the
+    // whole-corpus form the near-dup/cut/keyframe oracles share
+    val sCol = if (split) ", split" else ""
+    val sSel = if (split)
+      ",\n    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split" else ""
+    val mWhere = if (split) s"WHERE split >= '${Dedup.IncBatchThreshold}' " else ""
     s"""b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-       |    octet_length(encode(text)) AS n FROM documents
+       |    octet_length(encode(text)) AS n$sSel FROM documents
        |    WHERE octet_length(encode(text)) % 6 = 5),
-       |v AS (SELECT doc_id, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
-       |s AS (SELECT doc_id, hx, n, nf,
+       |v AS (SELECT doc_id$sCol, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
+       |s AS (SELECT doc_id$sCol, hx, n, nf,
        |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
-       |fr AS (SELECT doc_id, hx, CAST(sample_no AS BIGINT) AS sample_no,
+       |fr AS (SELECT doc_id$sCol, hx, CAST(sample_no AS BIGINT) AS sample_no,
        |    ((sample_no * nf) // $k) * n // nf AS ffrom,
        |    (((sample_no * nf) // $k) + 1) * n // nf AS funtil
        |  FROM s),
-       |fz AS (SELECT doc_id, hx, sample_no, ffrom, funtil - ffrom AS flen
+       |fz AS (SELECT doc_id$sCol, hx, sample_no, ffrom, funtil - ffrom AS flen
        |  FROM fr WHERE funtil > ffrom),
-       |e AS (SELECT doc_id, sample_no, ffrom, flen,
+       |e AS (SELECT doc_id$sCol, sample_no, ffrom, flen,
        |    unnest(generate_series(1, flen)) AS jl, hx FROM fz),
-       |vb AS (SELECT doc_id, sample_no,
+       |vb AS (SELECT doc_id$sCol, sample_no,
        |    CAST((jl-1) * $dims // flen AS BIGINT) + 1 AS dim,
        |    (strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl-1)+1 AS INT), 1)) - 1) * 16
        |      + strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl) AS INT), 1)) - 1 AS byte
        |  FROM e),
-       |f AS (SELECT doc_id, sample_no, dim,
+       |f AS (SELECT doc_id$sCol, sample_no, dim,
        |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
-       |  FROM vb GROUP BY doc_id, sample_no, dim),
+       |  FROM vb GROUP BY doc_id$sCol, sample_no, dim),
        |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-       |  FROM f GROUP BY dim),
-       |ph AS (SELECT doc_id, sample_no,
+       |  FROM f ${mWhere}GROUP BY dim),
+       |ph AS (SELECT doc_id$sCol, sample_no,
        |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
-       |  FROM f JOIN m USING (dim) GROUP BY doc_id, sample_no)""".stripMargin
+       |  FROM f JOIN m USING (dim) GROUP BY doc_id$sCol, sample_no)""".stripMargin
   }
+
+  private lazy val videoFrameSigCtes: String = videoFrameSigCtesFor(split = false)
 
   /** Clip-ingest near-dup replay: frame channels per sampled frame,
     * thresholds trained on the HISTORY split only, both sides hashed
@@ -2617,39 +2654,10 @@ object SparkEntry {
     * Multimodal.videoNearDupIncremental and its streaming twin).
     */
   private lazy val videoNearDupIncrementalSql: String = {
-    val k = Multimodal.FrameSampleK
-    val dims = Multimodal.PhashBits
     val bb = Multimodal.PhashBits / Multimodal.PhashBands
     val mask = (1L << bb) - 1
     val thr = Dedup.IncBatchThreshold
-    s"""WITH b AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-       |    octet_length(encode(text)) AS n,
-       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split
-       |  FROM documents WHERE octet_length(encode(text)) % 6 = 5),
-       |v AS (SELECT doc_id, split, hx, n, CAST(n % 240 + 16 AS BIGINT) AS nf FROM b),
-       |s AS (SELECT doc_id, split, hx, n, nf,
-       |    unnest(generate_series(0, ${k - 1})) AS sample_no FROM v),
-       |fr AS (SELECT doc_id, split, hx, CAST(sample_no AS BIGINT) AS sample_no,
-       |    ((sample_no * nf) // $k) * n // nf AS ffrom,
-       |    (((sample_no * nf) // $k) + 1) * n // nf AS funtil
-       |  FROM s),
-       |fz AS (SELECT doc_id, split, hx, sample_no, ffrom, funtil - ffrom AS flen
-       |  FROM fr WHERE funtil > ffrom),
-       |e AS (SELECT doc_id, split, sample_no, ffrom, flen,
-       |    unnest(generate_series(1, flen)) AS jl, hx FROM fz),
-       |vb AS (SELECT doc_id, split, sample_no,
-       |    CAST((jl-1) * $dims // flen AS BIGINT) + 1 AS dim,
-       |    (strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl-1)+1 AS INT), 1)) - 1) * 16
-       |      + strpos('0123456789abcdef', substr(hx, CAST(2*(ffrom+jl) AS INT), 1)) - 1 AS byte
-       |  FROM e),
-       |f AS (SELECT doc_id, split, sample_no, dim,
-       |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
-       |  FROM vb GROUP BY doc_id, split, sample_no, dim),
-       |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-       |  FROM f WHERE split >= '$thr' GROUP BY dim),
-       |ph AS (SELECT doc_id, split, sample_no,
-       |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
-       |  FROM f JOIN m USING (dim) GROUP BY doc_id, split, sample_no),
+    s"""WITH ${videoFrameSigCtesFor(split = true)},
        |bands AS (SELECT doc_id, split, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
        |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
        |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS hist_id,
@@ -2813,46 +2821,14 @@ object SparkEntry {
     // |b − 128|, window w owns ⌊(j−1)·W/n⌋, energy is the exact
     // integer rounding the Spark kernel computes — the silence flag is
     // a double comparison both engines derive from the same integers
-    "mm_audio_energy" -> {
-      val w = Multimodal.AudioEnergyWindows
-      val thr = Multimodal.SilenceThreshold
-      s"""WITH w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-         |    octet_length(encode(text)) AS n FROM documents
-         |    WHERE octet_length(encode(text)) % 6 = 2
-         |      AND octet_length(encode(text)) > 0),
-         |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
-         |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
-         |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
-         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
-         |  FROM e),
-         |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
-         |  FROM a GROUP BY doc_id, win),
-         |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
-         |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g)
-         |SELECT doc_id, win, win_bytes, energy,
-         |  CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent
-         |FROM r ORDER BY doc_id, win""".stripMargin
-    },
+    "mm_audio_energy" ->
+      s"""WITH $audioEnergyCtes
+         |SELECT doc_id, win, win_bytes, energy, silent
+         |FROM x ORDER BY doc_id, win""".stripMargin,
     // leading/trailing trim: first/last non-silent windows bound the
     // kept span (interior silence stays); all-silent clips emit no row
     "mm_audio_trim" -> {
-      val w = Multimodal.AudioEnergyWindows
-      val thr = Multimodal.SilenceThreshold
-      s"""WITH w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-         |    octet_length(encode(text)) AS n FROM documents
-         |    WHERE octet_length(encode(text)) % 6 = 2
-         |      AND octet_length(encode(text)) > 0),
-         |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
-         |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
-         |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
-         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
-         |  FROM e),
-         |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
-         |  FROM a GROUP BY doc_id, win),
-         |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
-         |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g),
-         |x AS (SELECT doc_id, win, win_bytes,
-         |    CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent FROM r),
+      s"""WITH $audioEnergyCtes,
          |bd AS (SELECT doc_id,
          |    min(CASE WHEN silent = 0 THEN win END) AS start_win,
          |    max(CASE WHEN silent = 0 THEN win END) AS end_win,
@@ -2872,23 +2848,7 @@ object SparkEntry {
     // running boundary count labels segments (mirrors
     // Multimodal.audioSegments' two doc-partitioned windows + fold)
     "mm_audio_segments" -> {
-      val w = Multimodal.AudioEnergyWindows
-      val thr = Multimodal.SilenceThreshold
-      s"""WITH w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-         |    octet_length(encode(text)) AS n FROM documents
-         |    WHERE octet_length(encode(text)) % 6 = 2
-         |      AND octet_length(encode(text)) > 0),
-         |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
-         |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
-         |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
-         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
-         |  FROM e),
-         |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
-         |  FROM a GROUP BY doc_id, win),
-         |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
-         |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g),
-         |x AS (SELECT doc_id, win, win_bytes,
-         |    CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent FROM r),
+      s"""WITH $audioEnergyCtes,
          |y AS (SELECT doc_id, win, win_bytes, silent,
          |    CASE WHEN lag(silent) OVER (PARTITION BY doc_id ORDER BY win) IS NULL
          |      OR lag(silent) OVER (PARTITION BY doc_id ORDER BY win) <> silent

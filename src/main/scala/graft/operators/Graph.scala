@@ -455,22 +455,31 @@ object Graph {
   private[graft] def appendBatchToKnn(batch: DataFrame, dir: String,
       storeRoot: String, version: Int): Int = {
     val spark = batch.sparkSession
-    val idx = Kernels.cacheTracked(Dedup.cappedCelledIndex(spark, dir)
-      .select("vec_id", "cluster", "sub", "v", "norm"))
-    val bids = batch.select("vec_id").distinct()
-    bids.write.mode("append").parquet(s"$storeRoot/seen")
-    val seen = spark.read.parquet(s"$storeRoot/seen")
-    val batchCells = idx.join(bids, Seq("vec_id"), "left_semi")
-      .select("cluster", "sub").distinct()
-    val members = idx.filter(incSplit >= Dedup.IncBatchThreshold)
-      .unionByName(idx.join(seen, Seq("vec_id"), "left_semi"))
-    val recomputed = directedTopK(spark,
-      members.join(broadcast(batchCells), Seq("cluster", "sub"), "left_semi"))
-    spark.read.parquet(s"$storeRoot/lists_v$version")
-      .join(broadcast(batchCells), Seq("cluster", "sub"), "left_anti")
-      .unionByName(recomputed)
-      .write.mode("overwrite").parquet(s"$storeRoot/lists_v${version + 1}")
-    version + 1
+    // function-scoped pin, NOT cacheTracked: this runs inside
+    // foreachBatch on the STREAM-EXECUTION thread, whose per-thread
+    // registry scope no query thread ever retires — a tracked pin here
+    // would leave the corpus-sized celled index (full embedding
+    // vectors) resident for the rest of the session. The index is
+    // consumed entirely by this batch's two write actions, so its
+    // lifetime IS the function body.
+    val idx = Dedup.cappedCelledIndex(spark, dir)
+      .select("vec_id", "cluster", "sub", "v", "norm").cache()
+    try {
+      val bids = batch.select("vec_id").distinct()
+      bids.write.mode("append").parquet(s"$storeRoot/seen")
+      val seen = spark.read.parquet(s"$storeRoot/seen")
+      val batchCells = idx.join(bids, Seq("vec_id"), "left_semi")
+        .select("cluster", "sub").distinct()
+      val members = idx.filter(incSplit >= Dedup.IncBatchThreshold)
+        .unionByName(idx.join(seen, Seq("vec_id"), "left_semi"))
+      val recomputed = directedTopK(spark,
+        members.join(broadcast(batchCells), Seq("cluster", "sub"), "left_semi"))
+      spark.read.parquet(s"$storeRoot/lists_v$version")
+        .join(broadcast(batchCells), Seq("cluster", "sub"), "left_anti")
+        .unionByName(recomputed)
+        .write.mode("overwrite").parquet(s"$storeRoot/lists_v${version + 1}")
+      version + 1
+    } finally idx.unpersist(true)
   }
 
   /** Vocabulary cap for the co-occurrence graph: top terms by

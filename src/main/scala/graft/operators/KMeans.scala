@@ -245,7 +245,10 @@ object KMeansCodebook {
       assignments.getOrElseUpdate(key, {
         val b = base
         val cb = trainedCodebookOn(spark, key, b)
-        Kernels.cacheTracked(assign(spark, b, cb))
+        // memoCache, not cacheTracked: the memo may be created on the
+        // stream-execution thread (foreachBatch) whose scope is never
+        // retired; memo-lifetime pins drain globally with the hooks
+        Kernels.memoCache(assign(spark, b, cb))
       })
     }
 

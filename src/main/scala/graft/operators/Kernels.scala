@@ -49,6 +49,27 @@ private[graft] object Kernels {
     df.cache()
   }
 
+  // Memo-LIFETIME caches live in one GLOBAL registry, not a thread
+  // scope: session memos (the k-means assignment, PQ codes, the
+  // pipeline base) deliberately outlive a single query, and the memo
+  // may be CREATED on a thread no query ever retires (a `foreachBatch`
+  // body runs on the stream-execution thread). The memo-invalidation
+  // hooks are already global; the backing caches must drain with them,
+  // or clearing the memo orphans SF-sized pinned blocks for the rest
+  // of the session. A memo and its cache die together on EVERY retire,
+  // from any thread — the pre-thread-scoping semantics, kept exactly.
+  private val memoCaches =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+
+  /** Cache a frame whose lifetime is a session MEMO's, not the calling
+    * thread's scope — drained globally by [[retireCaches]] together
+    * with the memo-invalidation hooks.
+    */
+  def memoCache(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    memoCaches.synchronized { memoCaches += df }
+    df.cache()
+  }
+
   /** Drain the CALLING THREAD's scope: blocking-unpersist its tracked
     * caches and checkpoint blocks, then fire the (global) memo
     * invalidation hooks. Hooks stay global because a memo cleared
@@ -66,6 +87,13 @@ private[graft] object Kernels {
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
     }
     s.checkpointIds.clear()
+    // memo caches drain with the memo-invalidation hooks below — both
+    // are global, and one without the other either orphans pinned
+    // blocks or leaves a memo of unpersisted frames
+    memoCaches.synchronized {
+      memoCaches.foreach(_.unpersist(true))
+      memoCaches.clear()
+    }
     retireHooks.synchronized { retireHooks.foreach(_.apply()) }
   }
 

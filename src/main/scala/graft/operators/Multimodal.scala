@@ -214,10 +214,14 @@ object Multimodal {
 
   /** AVI movi-data offset: past the avih main header (cbSize parsed
     * from the chunk, offset 28) and the `LIST movi` + `00dc` chunk
-    * preambles (12 + 8 bytes).
+    * preambles (12 + 8 bytes). Long arithmetic: cbSize is an untrusted
+    * 32-bit field, and a hostile value near 2³¹ would overflow an Int
+    * to a NEGATIVE offset that slips past the `off <= length` guards
+    * into negative array reads — the callers compare as Long and fall
+    * back to the stub.
     */
-  private def aviBodyOff(p: Array[Byte]): Int =
-    32 + readLe32(p, 28).toInt + 20
+  private def aviBodyOff(p: Array[Byte]): Long =
+    52L + readLe32(p, 28)
 
   /** Where the media STREAM (raster / samples / frame data) starts in
     * the payload — the shared parse the decode, the pixel features and
@@ -233,7 +237,7 @@ object Multimodal {
     } else if (isWav(p)) 44
     else if (isAvi(p)) {
       val off = aviBodyOff(p)
-      if (off <= p.length) off else 0
+      if (off <= p.length) off.toInt else 0
     } else 0
 
   /** REAL decode kernel: detects the container by magic bytes and
@@ -276,7 +280,7 @@ object Multimodal {
     } else if (isAvi(p)) {
       val off = aviBodyOff(p)
       if (off <= p.length)
-        MediaMeta(docId, p.length.toLong - off, sha256Hex(p, off),
+        MediaMeta(docId, p.length.toLong - off, sha256Hex(p, off.toInt),
           readLe32(p, 64), readLe32(p, 68), "avi")
       else decodeStub(docId, p)
     } else decodeStub(docId, p)
@@ -434,7 +438,10 @@ object Multimodal {
     * doc-keyed — a co-partitioned join, no extra pass over payloads).
     */
   def audioTrim(spark: SparkSession, dir: String): DataFrame = {
-    val energy = audioEnergy(spark, dir)
+    // pin the energy frame (8 rows per clip — aggregate-sized): both
+    // the bounds aggregate and the span join consume it, and unpinned
+    // each would re-run the payload scan + windowing kernel
+    val energy = Kernels.cacheTracked(audioEnergy(spark, dir))
     val bounds = energy
       .groupBy("doc_id")
       .agg(min(when(col("silent") === 0L, col("win"))).as("start_win"),
@@ -593,6 +600,29 @@ object Multimodal {
     }
   }
 
+  /** [[blockFeatures]] as (0-based dim, value) pairs for POPULATED
+    * blocks only — the row-emitting form whose output matches the
+    * oracle's byte-driven replay exactly (a block owning no byte
+    * produces no row, not a 0.0 filler).
+    */
+  private[graft] def blockChannels(p: Array[Byte], dims: Int): Iterator[(Int, Double)] = {
+    val off = bodyStart(p)
+    val n = p.length - off
+    val sums = new Array[Long](dims)
+    val cnts = new Array[Long](dims)
+    var j = 0
+    while (j < n) {
+      val d = (j.toLong * dims / n).toInt
+      sums(d) += p(off + j) & 0xff
+      cnts(d) += 1
+      j += 1
+    }
+    (0 until dims).iterator.filter(cnts(_) > 0).map { d =>
+      val den = cnts(d) * 255
+      (d, ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6)
+    }
+  }
+
   /** The per-document pixel-channel frame (doc_id, dim, f) — one
     * [[blockFeatures]] kernel pass shared by [[features]] (8 dims) and
     * the perceptual-hash family ([[PhashBits]] dims). Map-only,
@@ -604,9 +634,13 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          blockFeatures(r.getAs[Array[Byte]](1), dims)
-            .iterator.zipWithIndex
-            .map { case (f, i) => MediaFeature(id, i + 1L, f) }
+          // populated channels ONLY — the oracle's byte-driven CTE can
+          // only produce rows for blocks owning >= 1 byte, so a body
+          // shorter than `dims` bytes must not emit 0.0 filler rows
+          // here (they would shift the per-dim corpus means). Same
+          // convention as the frame-granularity twin frameChannelRows.
+          blockChannels(r.getAs[Array[Byte]](1), dims)
+            .map { case (d, f) => MediaFeature(id, d + 1L, f) }
         }
       }
       .toDF()
@@ -694,7 +728,10 @@ object Multimodal {
       .mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           val p = r.getAs[Array[Byte]](1)
-          videoMeta(r.getLong(0), p).iterator.flatMap { vm =>
+          // zero-frame guard: a parsed dwTotalFrames of 0 (never
+          // synthesized, but the parser claims arbitrary AVI bytes)
+          // has no frame ranges — emit nothing, don't divide by it
+          videoMeta(r.getLong(0), p).filter(_.n_frames > 0).iterator.flatMap { vm =>
             val off = bodyStart(p)
             val n = (p.length - off).toLong
             (0L until FrameSampleK.toLong).iterator.map { s =>
@@ -732,7 +769,8 @@ object Multimodal {
     * downstream, since a missing mean can never beat a ≥ 0 threshold).
     */
   private[graft] def frameChannelRows(docId: Long, p: Array[Byte]): Iterator[FrameChannel] =
-    videoMeta(docId, p).iterator.flatMap { vm =>
+    // zero-frame guard: see frameBytes — no frame ranges, no division
+    videoMeta(docId, p).filter(_.n_frames > 0).iterator.flatMap { vm =>
       val off = bodyStart(p)
       val n = (p.length - off).toLong
       (0L until FrameSampleK.toLong).iterator.flatMap { s =>

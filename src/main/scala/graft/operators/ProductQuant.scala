@@ -191,7 +191,8 @@ object ProductQuant {
       codesMemo.getOrElseUpdate(key, {
         val b = base
         val books = trainedBooksOn(spark, key, b)
-        Kernels.cacheTracked(
+        // memoCache: memo-lifetime pin (see Kernels.memoCache)
+        Kernels.memoCache(
           assign(spark, b, books)
             .select(col("vec_id"), col("ss"), col("code")))
       })
@@ -764,7 +765,8 @@ object ProductQuant {
   private def pipeBase(spark: SparkSession, dir: String): DataFrame =
     pipeBaseMemo.synchronized {
       pipeBaseMemo.getOrElseUpdate(pipeKey(dir),
-        Kernels.cacheTracked(Kernels.fanOut(
+        // memoCache: memo-lifetime pin (see Kernels.memoCache)
+        Kernels.memoCache(Kernels.fanOut(
           Tables.embeddings(spark, dir)
             .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
             .join(Dedup.keepIds(spark, dir).select(col("doc_id").as("vec_id")),

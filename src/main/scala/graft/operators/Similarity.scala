@@ -368,12 +368,7 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("norm").as("pnorm"))
     // (probe_id, node) -> + sim against the probe vector
-    def score(nodes: DataFrame): DataFrame =
-      nodes.join(emb.as("c"), col("node") === col("c.vec_id"))
-        .join(broadcast(probes).as("p"), "probe_id")
-        .select(col("probe_id"), col("node"),
-          round(dot(spark, col("p.pv"), col("c.v")) /
-            (col("p.pnorm") * col("c.norm")), 6).as("sim"))
+    def score(nodes: DataFrame): DataFrame = scoreAgainstProbes(spark, emb, probes, nodes)
     // entry node per trained cell: the minimum edge-incident id (the
     // assignment join is the graph-node-sized serve lookup, |cells| rows out)
     val entries = sym.select(col("a").as("vec_id")).distinct()
@@ -390,10 +385,16 @@ object Similarity {
     * graph as [[annGraph]] — a coarse UPPER LAYER of ⌈√n⌉ sampled
     * graph nodes replaces the trained-cell entry table: each probe
     * scans the upper layer exhaustively (the tiny-top-layer limit of
-    * HNSW's greedy descent) and seeds the base-layer beam from its
-    * [[KmProbeCells]] nearest layer nodes — the SAME entries-per-probe
-    * budget as the flat serve, so recall compares at equal
-    * visited-node cost. The sample is a salted-md5 rank cut (take the
+    * HNSW's greedy descent) and seeds the base-layer beam with its
+    * [[BeamWidth]] best cells by sampled-node evidence — a FULL first
+    * round's worth of entries (the HNSW ef analogue), where the flat
+    * serve seeds [[KmProbeCells]] cells by centroid distance. The
+    * EXPANSION budget (rounds × beam × k) is identical — the beam
+    * prunes to [[BeamWidth]] from round 1 either way — but the entry
+    * stage differs by design: the layered serve pays √n sampled-node
+    * scores plus two extra entry anchors per probe to pick better
+    * cells; the recall spec compares the serves at that stated,
+    * unequal entry cost. The sample is a salted-md5 rank cut (take the
     * ⌈√n⌉ smallest hashes — a TakeOrdered, no global window), so both
     * engines select the identical layer and the walk replays
     * bit-for-bit.
@@ -415,12 +416,7 @@ object Similarity {
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("norm").as("pnorm"))
-    def score(nodes: DataFrame): DataFrame =
-      nodes.join(emb.as("c"), col("node") === col("c.vec_id"))
-        .join(broadcast(probes).as("p"), "probe_id")
-        .select(col("probe_id"), col("node"),
-          round(dot(spark, col("p.pv"), col("c.v")) /
-            (col("p.pnorm") * col("c.norm")), 6).as("sim"))
+    def score(nodes: DataFrame): DataFrame = scoreAgainstProbes(spark, emb, probes, nodes)
     val gnodes = sym.select(col("a").as("vec_id")).distinct()
     // layer size: ceil(sqrt(n)) with a K·8 floor — below ~4k nodes a
     // bare sqrt-n sample leaves trained cells with ~2 sampled nodes
@@ -478,19 +474,28 @@ object Similarity {
     beamSearch(spark, emb, sym, probes, entries, BeamWidth)
   }
 
+  /** Score a (probe_id, node) frame against the probe vectors: the
+    * one rounded-cosine projection every graph-serve stage uses —
+    * entry anchors, layer seeks and beam rounds all share this exact
+    * arithmetic (a divergence here would make the walks incomparable).
+    */
+  private def scoreAgainstProbes(spark: SparkSession, emb: DataFrame,
+      probes: DataFrame, nodes: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    nodes.join(emb.as("c"), col("node") === col("c.vec_id"))
+      .join(broadcast(probes).as("p"), "probe_id")
+      .select(col("probe_id"), col("node"),
+        round(dot(spark, col("p.pv"), col("c.v")) /
+          (col("p.pnorm") * col("c.norm")), 6).as("sim"))
+  }
+
   /** The shared base-layer beam walk of [[annGraph]] /
     * [[annGraphLayered]]: [[BeamRounds]] rounds over an already-scored
     * start frame (probe_id, node, sim).
     */
   private def beamSearch(spark: SparkSession, emb: DataFrame, sym: DataFrame,
       probes: DataFrame, starts: DataFrame, beamWidth: Int): DataFrame = {
-    import graft.functions.VectorFunctions.dot
-    def score(nodes: DataFrame): DataFrame =
-      nodes.join(emb.as("c"), col("node") === col("c.vec_id"))
-        .join(broadcast(probes).as("p"), "probe_id")
-        .select(col("probe_id"), col("node"),
-          round(dot(spark, col("p.pv"), col("c.v")) /
-            (col("p.pnorm") * col("c.norm")), 6).as("sim"))
+    def score(nodes: DataFrame): DataFrame = scoreAgainstProbes(spark, emb, probes, nodes)
     var visited = Kernels.trackedCheckpoint(starts)
     for (round <- 1 to BeamRounds) {
       val beam = visited

@@ -67,6 +67,27 @@ class KernelsScopeSpec extends AnyFunSuite {
       "B's own retire must free B's checkpoint blocks")
   }
 
+  test("a memo cache created on a foreign thread drains on any thread's retire") {
+    import spark.implicits._
+    // the stream_knn_maintain shape: a session memo (k-means
+    // assignment, PQ codes) is CREATED inside foreachBatch on the
+    // stream-execution thread, whose per-thread scope nothing ever
+    // retires. Memo-lifetime pins must therefore live in the global
+    // memo registry: the next retire from ANY thread drops the cache
+    // together with the memo-invalidation hooks — otherwise clearing
+    // the memo orphans the pinned blocks for the rest of the session.
+    @volatile var memoDf: org.apache.spark.sql.DataFrame = null
+    val t = new Thread(() => {
+      memoDf = Kernels.memoCache((1 to 100).toDF("m"))
+      assert(memoDf.count() == 100)
+    })
+    t.start(); t.join()
+    assert(memoDf.storageLevel != StorageLevel.NONE)
+    Kernels.retireCaches() // a query thread's ordinary retire
+    assert(memoDf.storageLevel == StorageLevel.NONE,
+      "memo cache built on the stream thread survived the query thread's retire")
+  }
+
   test("bloom sizing clamps to the session's runtime maxNumBits") {
     import graft.functions.BloomFunctions
     val maxBits = spark.conf

@@ -349,7 +349,11 @@ class OperatorsSpec extends AnyFunSuite {
       assert(nodes(n), "layered walk emitted a node outside the kNN graph") }
     val rFlat = flat.intersect(exact).size.toDouble / exact.size
     val rLay = layered.intersect(exact).size.toDouble / exact.size
-    info(f"layered recall=$rLay%.3f vs flat=$rFlat%.3f at equal entry/beam budget")
+    // equal EXPANSION budget (rounds x beam x k); the layered serve
+    // deliberately pays a richer entry stage (sqrt-n sampled scores +
+    // BeamWidth cell anchors vs KmProbeCells) to pick better cells —
+    // see the annGraphLayered docstring for the stated cost model
+    info(f"layered recall=$rLay%.3f vs flat=$rFlat%.3f at equal expansion budget")
     assert(rLay >= rFlat,
       f"layered recall $rLay%.3f fell below the flat serve's $rFlat%.3f")
     assert(rLay >= 0.30, f"layered recall $rLay%.3f under the 0.30 floor")
