@@ -131,8 +131,16 @@ object KMeansCodebook {
     (dir, walk(new java.io.File(s"$dir/embeddings.parquet")).mkString("|"))
   }
 
+  // memoCache, not cacheTracked: this frame is only built (lazily, by
+  // name) inside the globally-memoized trainedCodebookOn/assignmentOn
+  // miss paths, which can fire on the STREAM-EXECUTION thread
+  // (foreachBatch → appendBatchToKnn → cappedCelledIndex →
+  // lastAssignment) — a thread whose per-thread registry scope no
+  // query thread ever retires. Its lifetime is the memo's, exactly
+  // like the assignment frame it feeds, so it drains globally with
+  // the memo-invalidation hooks.
   private def embeddingBase(spark: SparkSession, dir: String): DataFrame =
-    Kernels.cacheTracked(Kernels.fanOut(
+    Kernels.memoCache(Kernels.fanOut(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))))
 

@@ -41,8 +41,22 @@ private[graft] object Kernels {
       scala.collection.mutable.Map.empty[Int, org.apache.spark.SparkContext]
   }
 
+  // Every live scope is ALSO tracked globally against its owning thread
+  // (weakly — a collected thread drops its entry) so retireCaches can
+  // drain scopes whose thread has terminated. The thread-scoped
+  // contract is enforced by convention plus one spec; this is the
+  // self-healing backstop for the one convention-violation class that
+  // would otherwise pin frames for the whole session: a cacheTracked
+  // call on a short-lived thread (a pool worker, a stream-execution
+  // thread) that never calls retireCaches itself.
+  private val allScopes = new java.util.WeakHashMap[Thread, Scope]
+
   private val scope: ThreadLocal[Scope] =
-    ThreadLocal.withInitial(() => new Scope)
+    ThreadLocal.withInitial { () =>
+      val s = new Scope
+      allScopes.synchronized { allScopes.put(Thread.currentThread(), s) }
+      s
+    }
 
   def cacheTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     scope.get.caches += df
@@ -78,15 +92,20 @@ private[graft] object Kernels {
     * over-clearing. Another thread's pinned frames are never touched.
     */
   def retireCaches(): Unit = {
-    val s = scope.get
-    // blocking: async unpersist leaves SF-sized blocks resident while
-    // the NEXT query runs, defeating the point of retiring them
-    s.caches.foreach(_.unpersist(true))
-    s.caches.clear()
-    s.checkpointIds.foreach { case (id, sc) =>
-      sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+    drainScope(scope.get)
+    // backstop: drain scopes whose owning thread has DIED without
+    // retiring (a convention violation this registry self-heals, the
+    // way the old global registry did on the next retire from any
+    // thread). Live threads' scopes are never touched — mid-query
+    // pins on concurrent threads stay pinned.
+    allScopes.synchronized {
+      val it = allScopes.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val t = e.getKey
+        if (t != null && !t.isAlive) { drainScope(e.getValue); it.remove() }
+      }
     }
-    s.checkpointIds.clear()
     // memo caches drain with the memo-invalidation hooks below — both
     // are global, and one without the other either orphans pinned
     // blocks or leaves a memo of unpersisted frames
@@ -95,6 +114,19 @@ private[graft] object Kernels {
       memoCaches.clear()
     }
     retireHooks.synchronized { retireHooks.foreach(_.apply()) }
+  }
+
+  /** Blocking-unpersist one scope's tracked caches and checkpoint
+    * blocks. Async unpersist would leave SF-sized blocks resident
+    * while the NEXT query runs, defeating the point of retiring them.
+    */
+  private def drainScope(s: Scope): Unit = {
+    s.caches.foreach(_.unpersist(true))
+    s.caches.clear()
+    s.checkpointIds.foreach { case (id, sc) =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
+    }
+    s.checkpointIds.clear()
   }
 
   // ---- checkpoint-block bookkeeping ----
@@ -197,9 +229,14 @@ private[graft] object Kernels {
     Option(base.getParentFile).flatMap(d => Option(d.listFiles())).foreach {
       _.foreach { f =>
         if (f.getName.startsWith(prefix)) {
-          val pid = f.getName.stripPrefix(prefix)
-          val dead = pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
-            ProcessHandle.of(pid.toLong).map[Boolean](!_.isAlive).orElse(true)
+          // Try-guarded parse: a digit string beyond Long range (a
+          // crafted or corrupted sibling name) is NOT a pid suffix —
+          // skip it rather than throw out of store registration
+          val dead = scala.util.Try {
+            val pid = f.getName.stripPrefix(prefix).toLong
+            pid != self &&
+              ProcessHandle.of(pid).map[Boolean](!_.isAlive).orElse(true)
+          }.getOrElse(false)
           if (dead) rmTree(f)
         }
       }

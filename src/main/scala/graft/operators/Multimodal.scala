@@ -860,10 +860,15 @@ object Multimodal {
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
+      // multi-band collisions collapse STATELESSLY via the lowest-
+      // matching-band filter the streaming twin uses (one surviving
+      // row per frame pair, no distinct = no extra exchange of the
+      // banded candidate stream; same surviving set — the oracle's
+      // SELECT DISTINCT replays it)
+      .filter(firstBandOnly(col("x.ph"), col("y.ph"), col("x.b")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.sample_no").as("sa"), col("y.sample_no").as("sb"),
         expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= PhashMaxHamming)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_frame_matches"), min("hamming").as("min_hamming"))
@@ -1130,7 +1135,16 @@ object Multimodal {
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     Kernels.fanOut(payloads)
       .mapPartitions { rows: Iterator[Row] =>
-        rows.map(r => (r.getLong(0), phashOfBody(r.getAs[Array[Byte]](1), mu)))
+        // populated bodies ONLY (flatMap — the pixelChannels
+        // convention): an empty raster has no channels, so it gets NO
+        // signature row rather than an all-zero ph=0 the oracle's
+        // byte-driven replay can never produce (a ph=0 filler here
+        // would band-collide empty docs into hamming-0 pairs)
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          if (p.length - bodyStart(p) <= 0) Iterator.empty
+          else Iterator.single((r.getLong(0), phashOfBody(p, mu)))
+        }
       }
       .toDF(idAlias, sigAlias)
   }

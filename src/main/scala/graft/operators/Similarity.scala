@@ -40,18 +40,30 @@ object Similarity {
     * The probe side is broadcast — no shuffle of the corpus; ranking
     * ties broken by neighbor id after rounding, so the result is
     * deterministic across engines and partitionings.
+    *
+    * Ranking rides the bounded `graft_topk` aggregate
+    * ([[graft.functions.TopKByScore]]), not a rank window: the window
+    * form shuffles ALL |probes|·|corpus| scored rows into |probes|
+    * partitions and sorts there; the aggregate partial-reduces each
+    * map task's slice to ≤ k entries per probe BEFORE the exchange, so
+    * the shuffle carries at most k·|probes| rows — even this exact
+    * small-scale verifier is scale-shaped (its score pass stays
+    * linear in the corpus, which is the documented exact-scan cost;
+    * the IVF/PQ/graph serves are the sublinear path).
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
     val emb = withNorm(spark, Tables.embeddings(spark, dir))
     val probes = emb.filter(col("vec_id") < NumProbes)
     broadcast(probes).as("p")
       .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
       .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
               cosine(spark).as("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= TopK)
+      .groupBy("probe_id")
+      .agg(topK(spark, col("sim"), col("neighbor_id"), lit(TopK)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -67,22 +79,35 @@ object Similarity {
     * candidate join ([[annIvfKmeans]]) instead of the exact one.
     */
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
     val emb = Kernels.fanOut(
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v")))
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
     val probes = emb.filter(col("vec_id") < NumProbes)
-    broadcast(probes).as("p")
+    // bounded `graft_topk` ranking (see [[annTopK]]): the probe label
+    // rides the grouping key; the neighbor label is re-fetched for the
+    // k·|probes| surviving rows only — a broadcast probe of the label
+    // column, not a corpus shuffle (labels can't ride the aggregate's
+    // (score, id) pairs, and carrying them TO the aggregate would put
+    // them on every scored row)
+    val ranked = broadcast(probes).as("p")
       .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id") &&
         col("p.label") =!= col("c.label"))
       .select(col("p.vec_id").as("probe_id"), col("p.label").as("probe_label"),
-        col("c.vec_id").as("neighbor_id"), col("c.label").as("neighbor_label"),
-        cosine(spark).as("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= TopK)
+        col("c.vec_id").as("neighbor_id"), cosine(spark).as("sim"))
+      .groupBy("probe_id", "probe_label")
+      .agg(topK(spark, col("sim"), col("neighbor_id"), lit(TopK)).as("top"))
+      .select(col("probe_id"), col("probe_label"), posexplode(col("top")))
+      .select(col("probe_id"), col("probe_label"),
+        col("col.id").as("neighbor_id"), col("col.score").as("sim"),
+        (col("pos") + 1).cast("long").as("rnk"))
+    broadcast(ranked)
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").as("neighbor_label")), "neighbor_id")
+      .select(col("probe_id"), col("probe_label"), col("neighbor_id"),
+        col("neighbor_label"), col("sim"), col("rnk"))
       .orderBy("probe_id", "rnk")
   }
 
