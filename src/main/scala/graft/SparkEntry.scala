@@ -2571,28 +2571,43 @@ object SparkEntry {
   }
 
   /** PCM energy-window CTE chain shared by the audio-content oracles
-    * (energy, segments, trim): WAV rows only, amplitude |b−128| from
-    * the hex rendering, window ⌊(j−1)·W/n⌋, exact integer energy
-    * rounding, silence flag. Emits CTEs w/e/a/g/r/x; x = (doc_id,
-    * win, win_bytes, energy, silent). One text — an edit to the
-    * energy arithmetic cannot diverge across the three oracles.
+    * (energy, segments, trim): WAV rows only, SAMPLE-WIDTH-AWARE —
+    * the synthesis writes 8-bit PCM for n%12 = 2 and 16-bit LE for
+    * n%12 = 8 (both stereo), and the Spark kernel recovers width/
+    * stride/offset by parsing the actual fmt and data chunks, so the
+    * replay dispatches on the same split. Amplitude per channel-
+    * sample unit u: 8-bit |b−128| (full scale 128); 16-bit
+    * |lo + 256·hi − 2¹⁶·[hi ≥ 128]| (full scale 32768). Window
+    * ⌊frame·W/nf⌋ over whole frames (frame = (u−1) div 2 — stereo;
+    * nf = n div blockAlign), exact integer energy rounding, silence
+    * flag. Emits CTEs w/e/a/g/r/x; x = (doc_id, win, win_bytes,
+    * energy, silent). One text — an edit to the energy arithmetic
+    * cannot diverge across the three oracles.
     */
   private lazy val audioEnergyCtes: String = {
     val w = Multimodal.AudioEnergyWindows
     val thr = Multimodal.SilenceThreshold
+    def byteAt(j: String) =
+      s"""((strpos('0123456789abcdef', substr(hx, CAST(2*($j)-1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(hx, CAST(2*($j) AS INT), 1)) - 1)""".stripMargin
     s"""w AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
-       |    octet_length(encode(text)) AS n FROM documents
+       |    octet_length(encode(text)) AS n,
+       |    CASE WHEN octet_length(encode(text)) % 12 = 2 THEN 1 ELSE 2 END AS sw
+       |  FROM documents
        |    WHERE octet_length(encode(text)) % 6 = 2
        |      AND octet_length(encode(text)) > 0),
-       |e AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM w),
-       |a AS (SELECT doc_id, CAST((j-1) * $w // n AS BIGINT) AS win,
-       |    abs((strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
-       |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 - 128) AS amp
+       |e AS (SELECT doc_id, n, hx, sw, unnest(generate_series(1, n // sw)) AS u FROM w),
+       |a AS (SELECT doc_id, sw,
+       |    CAST(((u-1) // 2) * $w // (n // (2*sw)) AS BIGINT) AS win,
+       |    CASE WHEN sw = 1 THEN abs(${byteAt("u")} - 128)
+       |      ELSE abs(${byteAt("2*u-1")} + 256 * ${byteAt("2*u")}
+       |        - CASE WHEN ${byteAt("2*u")} >= 128 THEN 65536 ELSE 0 END) END AS amp
        |  FROM e),
-       |g AS (SELECT doc_id, win, count(*) AS c, sum(amp) AS sa
-       |  FROM a GROUP BY doc_id, win),
-       |r AS (SELECT doc_id, win, CAST(c AS BIGINT) AS win_bytes,
-       |    ((sa * 1000000 + (c*128)//2) // (c*128)) / 1000000.0 AS energy FROM g),
+       |g AS (SELECT doc_id, sw, win, count(*) AS c, sum(amp) AS sa
+       |  FROM a GROUP BY doc_id, sw, win),
+       |r AS (SELECT doc_id, win, CAST(c * sw AS BIGINT) AS win_bytes,
+       |    ((sa * 1000000 + (c * CASE WHEN sw = 1 THEN 128 ELSE 32768 END) // 2)
+       |      // (c * CASE WHEN sw = 1 THEN 128 ELSE 32768 END)) / 1000000.0 AS energy FROM g),
        |x AS (SELECT doc_id, win, win_bytes, energy,
        |    CAST(CASE WHEN energy < $thr THEN 1 ELSE 0 END AS BIGINT) AS silent FROM r)""".stripMargin
   }
@@ -2804,17 +2819,21 @@ object SparkEntry {
         |       ELSE 'avi' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
     // replays the WAV synthesis formulas (wav rows only — n%6=2; the
-    // other RIFF class is AVI); the Spark side recovers every field by
-    // parsing the actual fmt-chunk bytes (LE16/LE32 at the canonical
-    // offsets), then exact truncating integer arithmetic
+    // other RIFF class is AVI): 8-bit stereo for n%12=2 (blockAlign
+    // 2), 16-bit stereo for n%12=8 (blockAlign 4, non-canonical
+    // layout). The Spark side recovers every field by WALKING the
+    // chunk list and parsing the actual fmt-chunk bytes, then exact
+    // truncating integer arithmetic
     "mm_audio" ->
-      """WITH w AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+      """WITH w AS (SELECT doc_id, octet_length(encode(text)) AS n,
+        |    CASE WHEN octet_length(encode(text)) % 12 = 2 THEN 2 ELSE 4 END AS ba
+        |  FROM documents)
         |SELECT doc_id,
         |  CAST(n % 640 + 16 AS BIGINT) AS sample_rate,
         |  CAST(2 AS BIGINT) AS channels,
-        |  CAST(8 AS BIGINT) AS bits_per_sample,
-        |  CAST(n // 2 AS BIGINT) AS n_samples,
-        |  CAST((n // 2) * 1000 // (n % 640 + 16) AS BIGINT) AS duration_ms
+        |  CAST(ba * 4 AS BIGINT) AS bits_per_sample,
+        |  CAST(n // ba AS BIGINT) AS n_samples,
+        |  CAST((n // ba) * 1000 // (n % 640 + 16) AS BIGINT) AS duration_ms
         |FROM w WHERE n % 6 = 2 ORDER BY doc_id""".stripMargin,
     // windowed PCM energy over the WAV SAMPLES (body = encode(text),
     // which synthesis wraps verbatim): 8-bit unsigned PCM, amplitude

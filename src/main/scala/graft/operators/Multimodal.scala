@@ -85,11 +85,21 @@ object Multimodal {
 
   /** Synthesize a real container payload around a media body: the byte
     * format is chosen by body length (n%3 → BMP / binary PPM / RIFF,
-    * with the RIFF class split n%6 → WAVE / AVI) and the header fields
-    * are genuinely encoded — LE int32/int16 for BMP, WAV and AVI,
-    * ASCII for PPM — so the decode kernel must parse actual bytes to
-    * recover them. Width/height (or sample rate / frame count) carry
-    * the deterministic n-derived values the oracle replays.
+    * with the RIFF class split n%6 → WAVE / AVI, and the WAVE class
+    * split again n%12 → 8-bit / 16-bit PCM) and the header fields are
+    * genuinely encoded — LE int32/int16 for BMP, WAV and AVI, ASCII
+    * for PPM — so the decode kernel must parse actual bytes to recover
+    * them. Width/height (or sample rate / frame count) carry the
+    * deterministic n-derived values the oracle replays.
+    *
+    * The 16-bit WAVE variant (n%12 = 8) is deliberately NON-canonical:
+    * a `LIST INFO` chunk sits between `fmt ` and `data`, so the data
+    * chunk is NOT at offset 44 — a parser that hard-codes the
+    * canonical layout instead of walking the chunk list reads header
+    * bytes as samples. Real-world WAV is overwhelmingly 16-bit LE
+    * (and frequently carries INFO/fact chunks); the mixed-width corpus
+    * is what forces every audio kernel to dispatch on the PARSED fmt
+    * fields ([[wavPcm]]).
     */
   private[graft] def synthPayload(body: Array[Byte]): Array[Byte] = {
     val n = body.length
@@ -108,11 +118,24 @@ object Multimodal {
           body
       case 1 => // binary PPM: ASCII magic + dims + maxval, then raster
         s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ body
-      case _ if n % 6 == 2 =>
+      case _ if n % 12 == 2 =>
         // canonical 44-byte RIFF/WAVE header: stereo 8-bit PCM at rate w
         "RIFF".getBytes("US-ASCII") ++ le32(36 + n) ++ "WAVE".getBytes("US-ASCII") ++
           "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
           le32(w) ++ le32(w * 2) ++ le16(2) ++ le16(8) ++
+          "data".getBytes("US-ASCII") ++ le32(n) ++
+          body
+      case _ if n % 12 == 8 =>
+        // stereo 16-bit LE PCM at rate w, NON-canonical layout: a
+        // LIST INFO chunk (empty ISFT sub-chunk) between fmt and data
+        // pushes the data chunk to offset 64 — the parse must walk
+        // the chunk list. n ≡ 8 (mod 12) is divisible by 4, so the
+        // body is whole stereo 16-bit frames.
+        "RIFF".getBytes("US-ASCII") ++ le32(56 + n) ++ "WAVE".getBytes("US-ASCII") ++
+          "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(2) ++
+          le32(w) ++ le32(w * 4) ++ le16(4) ++ le16(16) ++
+          "LIST".getBytes("US-ASCII") ++ le32(12) ++ "INFO".getBytes("US-ASCII") ++
+          "ISFT".getBytes("US-ASCII") ++ le32(0) ++
           "data".getBytes("US-ASCII") ++ le32(n) ++
           body
       case _ => // minimal canonical RIFF/AVI: LIST hdrl{avih} + LIST movi{00dc}
@@ -177,6 +200,15 @@ object Multimodal {
       .digest(java.util.Arrays.copyOfRange(b, from, b.length))
       .map("%02x".format(_)).mkString
 
+  /** Ranged form for streams that are NOT the payload tail (a WAV data
+    * chunk may have trailing siblings): hash exactly the chunk bytes,
+    * so `sha` and `n_bytes` always describe the same range.
+    */
+  private def sha256HexRange(b: Array[Byte], from: Int, len: Int): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(java.util.Arrays.copyOfRange(b, from, from + len))
+      .map("%02x".format(_)).mkString
+
   // ---- container magics ----
   private def isBmp(p: Array[Byte]): Boolean =
     p.length >= 54 && p(0) == 'B' && p(1) == 'M'
@@ -189,6 +221,52 @@ object Multimodal {
   private def isAvi(p: Array[Byte]): Boolean =
     p.length >= 108 && isRiff(p, "AVI ") &&
       p(24) == 'a' && p(25) == 'v' && p(26) == 'i' && p(27) == 'h'
+
+  /** Parsed RIFF/WAVE PCM layout: where the samples live (`dataOff`,
+    * `dataSize`) and how to read them (`channels`, `blockAlign`,
+    * `bits`) — everything a sample-width-aware kernel needs, from the
+    * actual fmt/data chunks.
+    */
+  private[graft] case class WavPcm(dataOff: Int, dataSize: Int, channels: Int,
+                                   rate: Long, blockAlign: Int, bits: Int)
+
+  /** RIFF/WAVE chunk walk: locate the `fmt ` and `data` chunks by
+    * scanning the chunk list from offset 12 (ckId, LE32 ckSize, data,
+    * odd sizes padded to word boundaries) — NOT by assuming the
+    * canonical 44-byte layout, because real WAV routinely carries
+    * LIST/fact/cue chunks between fmt and data (the synthesized
+    * 16-bit corpus does, deliberately). fmt fields: channels LE16@+10,
+    * rate LE32@+12, blockAlign LE16@+20, bits LE16@+22 within the
+    * chunk. All offset arithmetic is Long: ckSize is an untrusted
+    * 32-bit field and a hostile value near 2³¹ must not overflow into
+    * a negative offset that slips past the bounds guards (the
+    * [[aviBodyOff]] argument). The data size is clamped to the bytes
+    * actually present. None when either chunk is missing/truncated —
+    * callers fall back to the stub.
+    */
+  private[graft] def wavPcm(p: Array[Byte]): Option[WavPcm] = {
+    if (!(p.length >= 12 && isRiff(p, "WAVE"))) None
+    else {
+      var fmt: Option[(Int, Long, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      var off = 12L
+      while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val o = off.toInt
+        val size = readLe32(p, o + 4)
+        if (p(o) == 'f' && p(o + 1) == 'm' && p(o + 2) == 't' && p(o + 3) == ' ') {
+          if (fmt.isEmpty && size >= 16 && off + 8 + 16 <= p.length)
+            fmt = Some((readLe16(p, o + 10).toInt, readLe32(p, o + 12),
+              readLe16(p, o + 20).toInt, readLe16(p, o + 22).toInt))
+        } else if (p(o) == 'd' && p(o + 1) == 'a' && p(o + 2) == 't' && p(o + 3) == 'a') {
+          if (data.isEmpty)
+            data = Some((o + 8, math.min(size, (p.length - o - 8).toLong).toInt))
+        }
+        off += 8L + size + (size & 1L)
+      }
+      for ((ch, rate, ba, bits) <- fmt; (dOff, dSize) <- data)
+        yield WavPcm(dOff, dSize, ch, rate, ba, bits)
+    }
+  }
 
   /** Binary-PPM header parse: (width, height, raster offset), or None
     * when the ASCII header is malformed. Three whitespace-separated
@@ -234,7 +312,7 @@ object Multimodal {
       if (off >= 54 && off <= p.length) off else 0
     } else if (isPpm(p)) {
       ppmParse(p).map(_._3).getOrElse(0)
-    } else if (isWav(p)) 44
+    } else if (isWav(p)) wavPcm(p).map(_.dataOff).getOrElse(0)
     else if (isAvi(p)) {
       val off = aviBodyOff(p)
       if (off <= p.length) off.toInt else 0
@@ -249,10 +327,12 @@ object Multimodal {
     *  - binary PPM: `P6` magic; ASCII whitespace-separated width,
     *    height, maxval; raster follows the single whitespace byte
     *    after maxval.
-    *  - RIFF/WAVE: `RIFF….WAVE` magics; channel count (LE int16 at
-    *    offset 22) and sample rate (LE int32 at offset 24) from the
-    *    fmt chunk; samples follow the canonical 44-byte header. Audio
-    *    has no raster dims, so width ← sample rate, height ← channels.
+    *  - RIFF/WAVE: `RIFF….WAVE` magics; channel count, sample rate
+    *    and sample layout from the `fmt ` chunk, samples from the
+    *    `data` chunk — both LOCATED by walking the chunk list
+    *    ([[wavPcm]]), never assumed at canonical offsets (the 16-bit
+    *    corpus variant has a LIST chunk before `data`). Audio has no
+    *    raster dims, so width ← sample rate, height ← channels.
     *  - RIFF/AVI: `RIFF….AVI ` magics + `avih` main header;
     *    dwWidth/dwHeight (LE int32 at offsets 64/68); frame data
     *    follows the `LIST movi` preamble ([[aviBodyOff]]).
@@ -275,8 +355,13 @@ object Multimodal {
         case None => decodeStub(docId, p)
       }
     } else if (isWav(p)) {
-      MediaMeta(docId, p.length.toLong - 44, sha256Hex(p, 44),
-        readLe32(p, 24), readLe16(p, 22), "wav")
+      wavPcm(p) match {
+        case Some(m) =>
+          MediaMeta(docId, m.dataSize.toLong,
+            sha256HexRange(p, m.dataOff, m.dataSize),
+            m.rate, m.channels.toLong, "wav")
+        case None => decodeStub(docId, p)
+      }
     } else if (isAvi(p)) {
       val off = aviBodyOff(p)
       if (off <= p.length)
@@ -287,23 +372,18 @@ object Multimodal {
   }
 
   /** Audio-stream statistics parsed from REAL RIFF/WAVE fmt-chunk
-    * fields — channels (LE16@22), sample rate (LE32@24), block align
-    * (LE16@32), bits per sample (LE16@34), data-chunk size (LE32@40);
-    * sample count and duration are exact integer arithmetic on the
-    * parsed values (truncating division, engine-identical). Returns
-    * None for non-WAV payloads, so [[audioStats]] is the wav-rows-only
-    * projection of the corpus.
+    * fields located by the chunk walk ([[wavPcm]] — never canonical
+    * offsets: the 16-bit corpus variant carries a LIST chunk before
+    * `data`); sample count and duration are exact integer arithmetic
+    * on the parsed values (truncating division, engine-identical).
+    * Returns None for non-WAV payloads, so [[audioStats]] is the
+    * wav-rows-only projection of the corpus.
     */
   private[graft] def audioMeta(docId: Long, p: Array[Byte]): Option[AudioMeta] =
-    if (isWav(p)) {
-      val channels = readLe16(p, 22)
-      val rate = readLe32(p, 24)
-      val blockAlign = readLe16(p, 32)
-      val bits = readLe16(p, 34)
-      val dataSize = readLe32(p, 40)
-      val nSamples = if (blockAlign > 0) dataSize / blockAlign else 0L
-      Some(AudioMeta(docId, rate, channels, bits, nSamples,
-        if (rate > 0) nSamples * 1000 / rate else 0L))
+    if (isWav(p)) wavPcm(p).map { m =>
+      val nSamples = if (m.blockAlign > 0) m.dataSize.toLong / m.blockAlign else 0L
+      AudioMeta(docId, m.rate, m.channels.toLong, m.bits.toLong, nSamples,
+        if (m.rate > 0) nSamples * 1000 / m.rate else 0L)
     } else None
 
   /** Video-stream statistics parsed from REAL RIFF/AVI `avih`
@@ -353,48 +433,85 @@ object Multimodal {
     * silence flags over the SAMPLES the WAV parse locates — the
     * voice-activity / silence-trim front of a speech pipeline, and the
     * first operator to process audio CONTENT (the fmt-chunk metadata
-    * is [[audioStats]]' job). The synthesized stream is 8-bit PCM —
-    * unsigned with midpoint 128 per the WAV spec — so amplitude of
-    * byte b is |b − 128| and full scale is 128. Window w owns sample range [⌊w·n/W⌋, ⌊(w+1)·n/W⌋) (the
-    * [[blockFeatures]] block contract); its energy is the exact
-    * integer rounding ⌊(Σ|b−128|·10⁶ + den/2) / den⌋ / 10⁶ with den =
-    * count·128 — bit-replayable by the oracle. Map-only
-    * iterator-to-iterator kernel; only WAV payloads emit rows, only
-    * windows that own ≥ 1 sample emit a row.
+    * is [[audioStats]]' job).
+    *
+    * Everything dispatches on the PARSED fmt fields ([[wavPcm]]):
+    * data offset from the located data chunk (never a hard-coded 44 —
+    * the 16-bit corpus variant has a LIST chunk before `data`),
+    * sample width from bits_per_sample, frame stride from block
+    * align. Amplitude per channel-sample: 8-bit PCM is unsigned with
+    * midpoint 128 (|b − 128|, full scale 128); 16-bit PCM is signed
+    * little-endian (|s|, full scale 32768). Window w owns FRAME range
+    * [⌊w·nf/W⌋, ⌊(w+1)·nf/W⌋) over the nf = dataSize div blockAlign
+    * whole frames (windows never split a frame, so multi-channel
+    * audio keeps its channels together); its energy is the exact
+    * integer rounding ⌊(Σ|amp|·10⁶ + den/2) / den⌋ / 10⁶ with den =
+    * channelSampleCount·fullScale — the mean |amplitude| as a
+    * fraction of full scale across all channels, bit-replayable by
+    * the oracle. `win_bytes` is the window's PCM byte count
+    * (channel-samples × sample width). Map-only iterator-to-iterator
+    * kernel; only WAV payloads whose bit depth the PCM reader knows
+    * (8/16) emit rows, only windows that own ≥ 1 frame emit a row.
     */
   def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
-    val w = AudioEnergyWindows
-    val thr = SilenceThreshold
     Kernels.fanOut(
       ingestBinary(spark, dir).select("doc_id", "payload"))
       .mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap { r =>
-          val p = r.getAs[Array[Byte]](1)
-          if (!isWav(p)) Iterator.empty
-          else {
-            val docId = r.getLong(0)
-            val off = 44
-            val n = p.length - off
-            val sums = new Array[Long](w)
-            val cnts = new Array[Long](w)
-            var j = 0
-            while (j < n) {
-              val d = (j.toLong * w / n).toInt
-              sums(d) += math.abs((p(off + j) & 0xff) - 128)
-              cnts(d) += 1
-              j += 1
-            }
-            (0 until w).iterator.filter(cnts(_) > 0).map { d =>
-              val den = cnts(d) * 128
-              val e = ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
-              AudioEnergy(docId, d.toLong, cnts(d), e, if (e < thr) 1L else 0L)
-            }
-          }
-        }
+        rows.flatMap(r => audioEnergyRows(r.getLong(0), r.getAs[Array[Byte]](1)))
       }
       .toDF()
       .orderBy("doc_id", "win")
+  }
+
+  /** [[audioEnergy]]'s kernel body over one payload — exposed so the
+    * spec can drive hand-built 16-bit/multi-chunk WAVs through the
+    * exact production arithmetic.
+    */
+  private[graft] def audioEnergyRows(docId: Long, p: Array[Byte]): Iterator[AudioEnergy] = {
+    val w = AudioEnergyWindows
+    val thr = SilenceThreshold
+    if (!isWav(p)) Iterator.empty
+    else wavPcm(p) match {
+      case Some(m) if m.blockAlign > 0 && (m.bits == 8 || m.bits == 16) &&
+          m.blockAlign % (m.bits / 8) == 0 =>
+        val sw = m.bits / 8            // bytes per channel-sample
+        val cpf = m.blockAlign / sw    // channel-samples per frame
+        val nf = m.dataSize / m.blockAlign // whole frames only
+        val fullScale = if (m.bits == 8) 128L else 32768L
+        if (nf <= 0) Iterator.empty
+        else {
+          val sums = new Array[Long](w)
+          val cnts = new Array[Long](w)
+          var t = 0
+          while (t < nf) {
+            val d = (t.toLong * w / nf).toInt
+            var c = 0
+            while (c < cpf) {
+              val base = m.dataOff + t * m.blockAlign + c * sw
+              val amp =
+                if (sw == 1) math.abs((p(base) & 0xff) - 128).toLong
+                else {
+                  val v = (p(base) & 0xff) | ((p(base + 1) & 0xff) << 8)
+                  math.abs(if (v >= 32768) v - 65536 else v).toLong
+                }
+              sums(d) += amp
+              cnts(d) += 1
+              c += 1
+            }
+            t += 1
+          }
+          (0 until w).iterator.filter(cnts(_) > 0).map { d =>
+            val den = cnts(d) * fullScale
+            val e = ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
+            AudioEnergy(docId, d.toLong, cnts(d) * sw, e,
+              if (e < thr) 1L else 0L)
+          }
+        }
+      // unknown bit depths (24/32-bit, compressed codecs) are a
+      // quarantine, not garbage numbers: emit nothing
+      case _ => Iterator.empty
+    }
   }
 
   /** `mm_audio_segments`: contiguous silence/speech SEGMENTS over the

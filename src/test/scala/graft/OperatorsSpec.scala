@@ -482,22 +482,35 @@ class OperatorsSpec extends AnyFunSuite {
     val rows = Multimodal.audioEnergy(spark, sf).collect()
     assert(rows.nonEmpty, "no WAV rows — the energy operator is vacuous")
     // independent replay over the pre-container bytes (synthesis wraps
-    // encode(text) verbatim as the 8-bit PCM data chunk)
+    // encode(text) verbatim as the PCM data chunk): 8-bit stereo for
+    // n%12=2, 16-bit LE stereo for n%12=8, windows over whole FRAMES
     val w = Multimodal.AudioEnergyWindows
     val expected = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .flatMap { r =>
         val body = r.getAs[String]("text").getBytes("UTF-8")
-        if (body.length % 6 != 2) Seq.empty
+        val n = body.length
+        if (n % 6 != 2 || n == 0) Seq.empty
         else {
+          val sw = if (n % 12 == 2) 1 else 2
+          val ba = 2 * sw
+          val nf = n / ba
+          val fullScale = if (sw == 1) 128L else 32768L
           val sums = new Array[Long](w); val cnts = new Array[Long](w)
-          body.indices.foreach { j =>
-            val d = (j.toLong * w / body.length).toInt
-            sums(d) += math.abs((body(j) & 0xff) - 128); cnts(d) += 1
+          for (t <- 0 until nf; c <- 0 until 2) {
+            val base = t * ba + c * sw
+            val amp =
+              if (sw == 1) math.abs((body(base) & 0xff) - 128).toLong
+              else {
+                val v = (body(base) & 0xff) | ((body(base + 1) & 0xff) << 8)
+                math.abs(if (v >= 32768) v - 65536 else v).toLong
+              }
+            val d = (t.toLong * w / nf).toInt
+            sums(d) += amp; cnts(d) += 1
           }
           (0 until w).filter(cnts(_) > 0).map { d =>
-            val den = cnts(d) * 128
+            val den = cnts(d) * fullScale
             val e = ((sums(d) * 1000000L + den / 2) / den).toDouble / 1e6
-            (r.getAs[Long]("doc_id"), d.toLong, cnts(d), e,
+            (r.getAs[Long]("doc_id"), d.toLong, cnts(d) * sw, e,
               if (e < Multimodal.SilenceThreshold) 1L else 0L)
           }
         }
@@ -517,6 +530,59 @@ class OperatorsSpec extends AnyFunSuite {
     // the threshold must split the corpus — both flag values observed,
     // otherwise the silence gate is dead code at this SF
     assert(rows.map(_.getAs[Long]("silent")).toSet == Set(0L, 1L))
+  }
+
+  test("audio energy is sample-width-aware: 16-bit payloads diverge from the 8-bit formula") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    // 8 stereo 16-bit frames: channel samples ±256·t — tiny as 16-bit
+    // fractions (|s|/32768 < 0.06 → silent), but their BYTES read as
+    // loud 8-bit samples (every hi byte lands near 0 or 255), so the
+    // old byte-blind formula produces the OPPOSITE flags
+    val frames = Array.tabulate(8) { t => val s = 256 * (t + 1); if (t % 2 == 0) s else -s }
+    val body = frames.flatMap { s =>
+      val u = if (s < 0) s + 65536 else s
+      // stereo: both channels carry the same sample
+      le16(u) ++ le16(u)
+    }
+    def wav16(b: Array[Byte], extraChunk: Boolean) = {
+      val mid: Array[Byte] =
+        if (extraChunk)
+          "LIST".getBytes("US-ASCII") ++ le32(12) ++ "INFO".getBytes("US-ASCII") ++
+            "ISFT".getBytes("US-ASCII") ++ le32(0)
+        else Array.empty[Byte]
+      "RIFF".getBytes("US-ASCII") ++ le32(36 + mid.length + b.length) ++
+        "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(2) ++ le32(8000) ++ le32(8000 * 4) ++ le16(4) ++ le16(16) ++
+        mid ++ "data".getBytes("US-ASCII") ++ le32(b.length) ++ b
+    }
+    val rows = Multimodal.audioEnergyRows(1L, wav16(body, extraChunk = true)).toSeq
+    assert(rows.nonEmpty)
+    // 8 frames over 8 windows: one frame (2 channel-samples, 4 bytes) each
+    assert(rows.map(_.win) == (0L until 8L), "one window per frame")
+    assert(rows.forall(_.win_bytes == 4L))
+    // exact 16-bit energies: window t has both channels at |256·(t+1)|
+    rows.zipWithIndex.foreach { case (row, t) =>
+      val amp = 256L * (t + 1)
+      val den = 2L * 32768L
+      val want = ((2 * amp * 1000000L + den / 2) / den).toDouble / 1e6
+      assert(row.energy == want, s"win $t: got ${row.energy}, want $want")
+      assert(row.silent == 1L, "all these samples are quiet at 16-bit full scale")
+    }
+    // the 8-bit formula CANNOT produce these energies: bytes of the
+    // same stream read as 8-bit give near-maximal mean |b−128|
+    val asBytes = body.map(b => math.abs((b & 0xff) - 128).toLong)
+    assert(asBytes.sum / asBytes.length > 64L,
+      "byte-blind reading of this stream would be loud — the formulas genuinely diverge")
+    // the data chunk is NOT at offset 44 here: a canonical-offset
+    // parser would read the LIST chunk as samples; chunk-walked and
+    // canonical containers of the SAME stream agree exactly
+    val canonical = Multimodal.audioEnergyRows(1L, wav16(body, extraChunk = false)).toSeq
+    assert(canonical == rows, "data-chunk location must not change the energies")
+    // parsed layout sanity: the chunk walk located data past the LIST
+    val m = Multimodal.wavPcm(wav16(body, extraChunk = true)).get
+    assert(m.dataOff == 64 && m.bits == 16 && m.blockAlign == 4 && m.channels == 2)
   }
 
   test("video near-dup: frame hashes come from the frame's bytes; identical clips match on all frames") {
@@ -1429,8 +1495,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Multimodal.videoMeta(3L, wav).isEmpty,
       "non-AVI payloads must emit no video row")
 
-    // golden round-trip: synthesis → decode recovers exactly what was encoded
-    for (n <- Seq(0, 1, 2, 33, 34, 35, 640, 641, 642)) {
+    // golden round-trip: synthesis → decode recovers exactly what was
+    // encoded (8, 20, 56 are the 16-bit WAV class — n%12 = 8 — whose
+    // data chunk sits past a LIST chunk, so the chunk walk is load-
+    // bearing for them)
+    for (n <- Seq(0, 1, 2, 8, 20, 33, 34, 35, 56, 640, 641, 642)) {
       val b = Array.tabulate(n)(i => (i % 251).toByte)
       val m = Multimodal.decodeMedia(9L, Multimodal.synthPayload(b))
       assert(m.n_bytes == n.toLong, s"body length must survive the container, n=$n")
