@@ -157,6 +157,9 @@ object SparkEntry {
     "ann_graph_layered" -> Similarity.annGraphLayered _,
     "ann_range" -> Similarity.annRange _,
     "ann_range_ivf" -> Similarity.annRangeIvf _,
+    // image content into the trained ANN serve: search-images-by-image
+    // over the pixel-feature vectors (the cross-modal composition)
+    "ann_image_search" -> Similarity.annImageSearch _,
     "embedding_quantize" -> Similarity.quantize _,
     "ann_quantized" -> Similarity.annTopKQuantized _,
     "embedding_pq" -> ProductQuant.encode _,
@@ -2281,7 +2284,52 @@ object SparkEntry {
          |  JOIN nn c ON c.vec_id = b.vec_id)
          |SELECT batch_id, hist_id, cosine FROM s
          |WHERE cosine >= ${Dedup.CosineDupThreshold} ORDER BY batch_id, hist_id""".stripMargin
+    // the cross-modal serve: the SAME Lloyd/probe/serve chain as
+    // ivfKmeans, but `e` is the image-feature corpus — blockFeatures
+    // block means over the raster bytes, densely assembled to
+    // FeatureDim dims (unpopulated blocks 0.0), empty bodies dropped.
+    // Mirrors Similarity.annImageSearch end to end: feature extract,
+    // training, cell assignment, probe-cell choice, in-cell ranking.
+    val imageSearch = {
+      val fd = Multimodal.FeatureDim
+      s"""WITH ib AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n FROM documents
+         |    WHERE octet_length(encode(text)) > 0),
+         |ie AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM ib),
+         |ivv AS (SELECT doc_id, CAST((j-1) * $fd // n AS BIGINT) + 1 AS dim,
+         |    (strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+         |    + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 AS byte
+         |  FROM ie),
+         |ifr AS (SELECT doc_id, dim,
+         |    ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+         |  FROM ivv GROUP BY doc_id, dim),
+         |ig AS (SELECT d.doc_id, g.dim FROM (SELECT DISTINCT doc_id FROM ib) d,
+         |    generate_series(1, $fd) g(dim)),
+         |e AS (SELECT ig.doc_id AS vec_id,
+         |    list(coalesce(ifr.f, 0.0) ORDER BY ig.dim) AS v
+         |  FROM ig LEFT JOIN ifr ON ig.doc_id = ifr.doc_id AND ig.dim = ifr.dim
+         |  GROUP BY ig.doc_id),
+         |$kmeansChainCtes,
+         |nn AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, q -> q * q))) AS nrm
+         |  FROM e WHERE list_sum(list_transform(v, q -> q * q)) > 0),
+         |pr AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+         |    FROM d${KMeansCodebook.LloydIters} WHERE vec_id < ${Similarity.NumProbes})
+         |  WHERE rn <= ${Similarity.KmProbeCells}),
+         |s3 AS (SELECT pr.vec_id AS probe_id, ca.vec_id AS neighbor_id,
+         |    ${cosineSql("p", "c")} AS sim
+         |  FROM pr JOIN $lastA ca ON pr.cluster = ca.cluster AND pr.vec_id <> ca.vec_id
+         |  JOIN nn p ON p.vec_id = pr.vec_id
+         |  JOIN nn c ON c.vec_id = ca.vec_id),
+         |r3 AS (SELECT probe_id, neighbor_id, sim,
+         |        row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |      FROM s3)
+         |SELECT probe_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk FROM r3
+         |WHERE rnk <= ${Similarity.TopK} ORDER BY probe_id, rnk""".stripMargin
+    }
     Map("ann_topk" -> topk, "ann_range" -> range, "ann_range_ivf" -> rangeIvf,
+        "ann_image_search" -> imageSearch,
         "dedup_incremental_semantic" -> semInc,
         // the streaming twin is stateless stream-static joins over the
         // same celled index — bit-identical, one oracle gates both

@@ -775,6 +775,30 @@ object Multimodal {
     pixelChannels(ingestBinary(spark, dir).select("doc_id", "payload"), FeatureDim)
       .orderBy("doc_id", "dim")
 
+  /** The image-feature corpus as DENSE vectors (vec_id, v) — the
+    * [[blockFeatures]] channels assembled into fixed
+    * [[FeatureDim]]-length arrays (unpopulated blocks read 0.0, the
+    * [[blockFeatures]] convention), which is the shape the ANN
+    * machinery consumes: [[graft.operators.KMeansCodebook]] trains
+    * cells over it and [[Similarity.annImageSearch]] serves from them.
+    * Empty bodies emit no vector (the [[pixelChannels]] convention —
+    * an all-zero vector has no direction to search by). Map-only
+    * kernel, one pass over the payloads.
+    */
+  private[graft] def imageVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          if (p.length - bodyStart(p) <= 0) Iterator.empty
+          else Iterator.single((r.getLong(0), blockFeatures(p, FeatureDim).toSeq))
+        }
+      }
+      .toDF("vec_id", "v")
+  }
+
   val ChunkBytes = 256
 
   /** Fixed-size chunking of payloads — the frame-sampling / tiling

@@ -346,6 +346,58 @@ object Similarity {
       .orderBy("probe_id", "rnk")
   }
 
+  /** `ann_image_search`: image content served through the trained ANN
+    * machinery — the query that closes the loop the multimodal family
+    * was built for: [[Multimodal.imageVectors]] pools each decoded
+    * raster into a [[Multimodal.FeatureDim]]-dim vector (the
+    * `mm_features` channels, densely assembled), a k-means codebook is
+    * trained ON THOSE vectors ([[KMeansCodebook.trainedCodebookOn]] —
+    * the same Lloyd trainer the embedding index uses, keyed to the
+    * documents table), and image probes search only their
+    * [[KmProbeCells]] nearest trained cells — search-images-by-image,
+    * the [[annIvfKmeans]] contract at the image modality. In
+    * production the pooling kernel is a learned image encoder behind
+    * the same `mapPartitions` shape; everything downstream (training,
+    * cell routing, in-cell ranking) is this exact pipeline.
+    *
+    * Scale shape: one map-only feature pass over payloads, the
+    * memoized trainer, then the [[annIvfKmeans]] serve — broadcast
+    * probes against 1/|cells| of the image corpus, ranking via the
+    * bounded `graft_topk` aggregate. Zero-norm vectors (possible only
+    * for degenerate all-zero rasters) are excluded from the serve on
+    * both engines — a cosine against them is undefined. Recall vs the
+    * exact scan is spec-pinned with a floor; the oracle replays
+    * feature extraction, training, cell assignment and in-cell
+    * ranking bit-for-bit.
+    */
+  def annImageSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val key = Kernels.inputKey(dir, "documents.parquet")
+    // memoCache (not cacheTracked): only built inside the globally-
+    // memoized train/assign miss paths — the embeddingBase contract
+    def base = Kernels.memoCache(Kernels.fanOut(Multimodal.imageVectors(spark, dir)))
+    val corpus = KMeansCodebook.assignmentOn(spark, key, base)
+      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+      .filter(col("norm") > 0)
+    val cb = KMeansCodebook.trainedCodebookOn(spark, key, base)
+    val probes = KMeansCodebook.probeCellsFromBase(spark,
+        Multimodal.imageVectors(spark, dir), cb, NumProbes, KmProbeCells).as("pc")
+      .join(corpus.as("pv"), col("pc.probe_id") === col("pv.vec_id"))
+      .select(col("pc.probe_id").as("vec_id"), col("pc.pcluster"),
+        col("pv.v").as("v"), col("pv.norm").as("norm"))
+    broadcast(probes).as("p")
+      .join(corpus.as("c"),
+        col("p.pcluster") === col("c.cluster") && col("p.vec_id") =!= col("c.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+        cosine(spark).as("sim"))
+      .groupBy("probe_id")
+      .agg(topK(spark, col("sim"), col("neighbor_id"), lit(TopK)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("probe_id", "rnk")
+  }
+
   /** Beam width and fixed round count for [[annGraph]] — with mutual
     * degree ≤ [[Graph.KnnK]] by construction, per-probe search state is
     * bounded by 1 + rounds·beam·k nodes, independent of corpus size.

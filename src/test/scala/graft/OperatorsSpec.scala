@@ -247,6 +247,47 @@ class OperatorsSpec extends AnyFunSuite {
       f"recall $recall%.3f under the 0.60 floor — cell probing, codes or rerank regressed")
   }
 
+  test("ann_image_search serves from trained image cells with a recall floor vs the exact scan") {
+    val served = Similarity.annImageSearch(spark, sf).collect()
+    val vecs = Multimodal.imageVectors(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray).toMap
+    Dedup.retireCaches()
+    assert(served.nonEmpty)
+    // rank contract: dense 1..k, sims non-increasing per probe
+    served.groupBy(_.getAs[Long]("probe_id")).foreach { case (pid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).sameElements(1L to sorted.length.toLong))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, s"probe $pid")
+    }
+    // exact top-k over the SAME feature vectors, replayed in the driver
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact = vecs.keys.filter(id => id < Similarity.NumProbes && norm(vecs(id)) > 0)
+      .map { pid =>
+        pid -> vecs.toSeq
+          .filter { case (id, v) => id != pid && norm(v) > 0 }
+          .map { case (id, v) => (id, cos(vecs(pid), v)) }
+          .sortBy { case (id, s) => (-s, id) }
+          .take(Similarity.TopK).map(_._1).toSet
+      }.toMap
+    assert(exact.nonEmpty)
+    val got = served.groupBy(_.getAs[Long]("probe_id"))
+      .map { case (pid, rs) => pid -> rs.map(_.getAs[Long]("neighbor_id")).toSet }
+    // served probes are exactly the exact-scan probes (nonzero-norm,
+    // id < NumProbes), and every served neighbor is a distinct non-self
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (pid, ns) => assert(!ns.contains(pid)) }
+    val recall = exact.map { case (pid, ex) =>
+      got(pid).intersect(ex).size.toDouble / ex.size
+    }.sum / exact.size
+    info(f"image-search recall=$recall%.3f (2 of 8 trained image cells probed)")
+    assert(recall >= 0.55,
+      f"recall $recall%.3f under the 0.55 floor — image cell training or probing regressed")
+  }
+
   test("ann_graph beam search holds a recall floor and only emits true graph nodes") {
     val exact = Similarity.annTopK(spark, sf).collect()
       .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
