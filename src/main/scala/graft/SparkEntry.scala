@@ -154,6 +154,9 @@ object SparkEntry {
     "ann_ivf_kmeans" -> Similarity.annIvfKmeans _,
     "ann_hard_negatives" -> Similarity.hardNegatives _,
     "ann_graph" -> ((s, dir) => Similarity.annGraph(s, dir)),
+    // the SAME beam serve over the incrementally-MAINTAINED edges —
+    // the production read path: search survives index maintenance
+    "ann_graph_maintain" -> Similarity.annGraphMaintain _,
     "ann_graph_layered" -> Similarity.annGraphLayered _,
     "ann_range" -> Similarity.annRange _,
     "ann_range_ivf" -> Similarity.annRangeIvf _,
@@ -1529,6 +1532,10 @@ object SparkEntry {
       "graph_knn_components" -> knnComponents,
       "graph_common_neighbors" -> commonNeighbors,
       "ann_graph" -> annGraph,
+      // the maintained edge frame equals the one-shot artifact row for
+      // row (the graph_knn_maintain contract), so the walk visits
+      // identical nodes — one oracle text gates both serves
+      "ann_graph_maintain" -> annGraph,
       "ann_graph_layered" -> annGraphLayered,
       "keywords_textrank" -> textrank)
   }

@@ -401,6 +401,14 @@ object Graph {
     * + anti-join on the (|cells|-bounded) touched-cell list.
     */
   def knnMaintain(spark: SparkSession, dir: String,
+      thresh: String = Dedup.IncBatchThreshold): DataFrame =
+    maintainedKnnEdges(spark, dir, thresh).orderBy("vec_a", "vec_b")
+
+  /** The maintained mutual-edge frame without the output ordering —
+    * the form downstream consumers compose on
+    * ([[Similarity.annGraphMaintain]] beam-searches it directly).
+    */
+  private[graft] def maintainedKnnEdges(spark: SparkSession, dir: String,
       thresh: String = Dedup.IncBatchThreshold): DataFrame = {
     val idx = Kernels.cacheTracked(Dedup.cappedCelledIndex(spark, dir)
       .select("vec_id", "cluster", "sub", "v", "norm"))
@@ -408,7 +416,6 @@ object Graph {
       .select("cluster", "sub").distinct()
     val hist = spark.read.parquet(ensureKnnDirectedHistory(spark, dir, thresh))
     maintainedEdges(spark, idx, hist, batchCells)
-      .orderBy("vec_a", "vec_b")
   }
 
   /** The maintainer's merge core over explicit frames — carry

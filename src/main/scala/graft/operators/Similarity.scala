@@ -435,9 +435,33 @@ object Similarity {
     * exactly the production trade.
     */
   def annGraph(spark: SparkSession, dir: String,
-      beamWidth: Int = BeamWidth): DataFrame = {
+      beamWidth: Int = BeamWidth): DataFrame =
+    annGraphOver(spark, dir,
+      spark.read.parquet(Graph.ensureKnnEdges(spark, dir)), beamWidth)
+
+  /** `ann_graph_maintain`: the SAME beam serve over the incrementally
+    * MAINTAINED mutual-kNN edges ([[Graph.knnMaintain]]'s merge of
+    * carried-over untouched cells + recomputed touched cells) instead
+    * of the one-shot artifact — proving the graph serve survives index
+    * maintenance: because the maintained graph equals the one-shot
+    * build row for row (the contract [[Graph.knnMaintain]] documents
+    * and its spec pins), the walk visits identical nodes and the
+    * `ann_graph` oracle text gates this query too; the serve
+    * equivalence over a two-batch drained store is additionally
+    * spec-pinned. At scale this is the production read path: beam
+    * searches hit the continuously-maintained edge store, not a
+    * rebuild.
+    */
+  def annGraphMaintain(spark: SparkSession, dir: String): DataFrame =
+    annGraphOver(spark, dir, Graph.maintainedKnnEdges(spark, dir))
+
+  /** [[annGraph]]'s serve over an EXPLICIT mutual-edge frame — shared
+    * by the artifact path, the maintained path, and the spec's
+    * drained-store serve.
+    */
+  private[graft] def annGraphOver(spark: SparkSession, dir: String,
+      edges: DataFrame, beamWidth: Int = BeamWidth): DataFrame = {
     val emb = Kernels.cacheTracked(withNorm(spark, Tables.embeddings(spark, dir)))
-    val edges = spark.read.parquet(Graph.ensureKnnEdges(spark, dir))
     val sym = Kernels.cacheTracked(
       edges.select(col("vec_a").as("a"), col("vec_b").as("b"))
         .union(edges.select(col("vec_b").as("a"), col("vec_a").as("b"))))

@@ -423,7 +423,30 @@ class OperatorsSpec extends AnyFunSuite {
       Dedup.retireCaches()
       assert(drained.nonEmpty && drained == oneShot,
         "two-batch maintenance must drain to the one-shot mutual graph")
+
+      // the SERVE over that two-batch drained store: beam search reads
+      // the maintained edges exactly like the artifact — the walk and
+      // therefore the ranked answer are value-identical
+      val rebuiltServe = Similarity.annGraph(spark, sf).collect().map(_.toSeq).toSeq
+      Dedup.retireCaches()
+      val drainedServe = Similarity.annGraphOver(spark, sf,
+          spark.read.parquet(s"$tmp/lists_v$v2")
+            .select(col("src"), col("dst"), col("sim"))
+            .transform(Graph.mutualFromDirected))
+        .collect().map(_.toSeq).toSeq
+      Dedup.retireCaches()
+      assert(drainedServe.nonEmpty && drainedServe == rebuiltServe,
+        "beam serve over the two-batch drained store must equal the rebuilt serve")
     } finally operators.Kernels.rmTree(tmp.toFile)
+  }
+
+  test("ann_graph_maintain serves the maintained edges identically to the rebuilt artifact") {
+    val rebuilt = Similarity.annGraph(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    val maintained = Similarity.annGraphMaintain(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(maintained.nonEmpty && maintained == rebuilt,
+      "maintained-edge beam serve must equal the one-shot-artifact serve row for row")
   }
 
   test("ann_ivf_pq recall rises monotonically with nprobe (the recall/latency knob)") {
