@@ -234,6 +234,9 @@ object SparkEntry {
     "length_histogram" -> Corpus.lengthHistogram _,
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "bm25_search" -> Retrieval.bm25Search _,
+    // late-interaction (multi-vector) retrieval: per-token vectors,
+    // per-query-token max cosine, summed per doc (the ColBERT shape)
+    "retrieval_maxsim" -> Retrieval.maxSimSearch _,
     "tfidf_search" -> ((s: SparkSession, d: String) => Retrieval.tfidfSearch(s, d)),
     "bm25_search_served" -> Retrieval.bm25SearchServed _,
     "tfidf_search_served" -> Retrieval.tfidfSearchServed _,
@@ -3196,6 +3199,45 @@ object SparkEntry {
          |      FROM sc)
          |SELECT query_id, doc_id, score, rnk FROM r
          |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
+    // late-interaction replay (mirrors Retrieval.maxSimSearch): the
+    // deterministic md5 token encoder (byte i − 127.5, fixed-order
+    // sums), per-(query-token, doc) max of the 6dp-rounded cosine over
+    // ALL doc tokens (duplicates can't change a max), decimal sum per
+    // doc, rank cut
+    val maxsim = {
+      val nd = Retrieval.MaxSimDims
+      val msQValues = Retrieval.Queries.flatMap { case (qid, q) =>
+        q.split(" ").zipWithIndex.map { case (t, i) => s"($qid, $i, '$t')" }
+      }.mkString(", ")
+      def msByte(i: Int) =
+        s"((strpos('0123456789abcdef', substr(h, ${2 * i - 1}, 1)) - 1) * 16" +
+          s" + strpos('0123456789abcdef', substr(h, ${2 * i}, 1)) - 1)"
+      val msDims = (1 to nd).map(i => s"${msByte(i)} - 127.5 AS v$i")
+        .mkString(",\n    ")
+      val vCols = (1 to nd).map(i => s"v$i").mkString(", ")
+      val msNorm = (1 to nd).map(i => s"v$i * v$i").mkString(" + ")
+      val msDot = (1 to nd).map(i => s"d.v$i * q.v$i").mkString(" + ")
+      s"""WITH dt AS (SELECT doc_id, unnest($toksLowerSql) AS term FROM documents),
+         |dh AS (SELECT doc_id, md5('tok:' || term) AS h FROM dt),
+         |dv AS (SELECT doc_id, $msDims FROM dh),
+         |dn AS (SELECT doc_id, $vCols, sqrt($msNorm) AS nrm FROM dv),
+         |qt(query_id, qpos, term) AS (VALUES $msQValues),
+         |qh AS (SELECT query_id, qpos, md5('tok:' || term) AS h FROM qt),
+         |qv AS (SELECT query_id, qpos, $msDims FROM qh),
+         |qn AS (SELECT query_id, qpos, $vCols, sqrt($msNorm) AS nrm FROM qv),
+         |ms AS (SELECT q.query_id, q.qpos, d.doc_id,
+         |    max(round(($msDot) / (d.nrm * q.nrm), 6)) AS msim
+         |  FROM dn d CROSS JOIN qn q GROUP BY q.query_id, q.qpos, d.doc_id),
+         |sc AS (SELECT query_id, doc_id,
+         |    round(CAST(sum(CAST(msim AS DECIMAL(18,6))) AS DOUBLE), 6) AS score
+         |  FROM ms GROUP BY query_id, doc_id),
+         |r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sc)
+         |SELECT query_id, doc_id, score, rnk FROM r
+         |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
+    }
     // the VSM twin of bm25: same posting frame, corpus-wide df + doc
     // norms (the two corpus statistics cosine genuinely needs), every
     // sum over 9dp decimal contributions (mirrors Retrieval.tfidfSearch)
@@ -3434,6 +3476,7 @@ object SparkEntry {
         "stream_bm25_index" -> bm25,
         "stream_bm25_compact" -> bm25,
         "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
+        "retrieval_maxsim" -> maxsim,
         // the artifact stores exact integers + 6dp-fixed norms, so the
         // served rankers equal the computed ones — one oracle text each
         // (value-equality is additionally spec-pinned cross-session)

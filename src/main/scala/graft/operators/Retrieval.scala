@@ -220,6 +220,95 @@ object Retrieval {
       .orderBy("query_id", "rnk")
   }
 
+  /** Per-token vector width for [[maxSimSearch]]'s deterministic token
+    * encoder: 8 dims from the md5 of the token, each byte centered at
+    * 127.5 (exactly representable, so the arithmetic replays).
+    */
+  val MaxSimDims = 8
+
+  /** Deterministic token encoder: dim columns `<prefix>1..<prefix>D`
+    * plus `<prefix>nrm` appended to a frame with a `term` column —
+    * byte i of md5("tok:" + term) centered at 127.5. The same
+    * expression encodes corpus tokens and query tokens, so identical
+    * terms get cosine exactly 1 and the encoder stands in for a
+    * learned per-token embedding behind the identical plan shape (a
+    * production stack swaps this projection for stored ColBERT token
+    * vectors; everything downstream is unchanged). Fixed-order
+    * explicit sums, so both engines run the identical IEEE ops.
+    */
+  private def withTokenVec(df: DataFrame, prefix: String): DataFrame = {
+    val h = md5(concat(lit("tok:"), col("term")))
+    val dims = (1 to MaxSimDims).map { i =>
+      (conv(substring(h, 2 * i - 1, 2), 16, 10).cast("double") - 127.5)
+        .as(s"$prefix$i")
+    }
+    val out = df.select(df.columns.map(col) ++ dims: _*)
+    out.withColumn(s"${prefix}nrm",
+      sqrt((1 to MaxSimDims).map(i => col(s"$prefix$i") * col(s"$prefix$i"))
+        .reduceLeft(_ + _)))
+  }
+
+  /** `retrieval_maxsim`: late-interaction (multi-vector) retrieval —
+    * the ColBERT scoring shape: every token of query and document
+    * carries its OWN vector; score(q, d) = Σ over query-token
+    * instances of the MAX cosine against any of d's token vectors,
+    * top-[[BmTopK]] docs per query. Late interaction dominates modern
+    * retrieval stacks because it keeps token-level matching (unlike
+    * single-vector ANN) without a cross-encoder's quadratic cost —
+    * and it disagrees with BM25 exactly where it should: near-miss
+    * vocabulary still earns partial credit through vector similarity
+    * instead of scoring zero.
+    *
+    * 100 TB shape: the corpus is tokenized ONCE, map-side — no
+    * distinct, no posting shuffle: duplicate (doc, term) rows cannot
+    * change a max. Token vectors are computed in the scan projection
+    * (in production they are STORED per-token encoder outputs — the
+    * multi-vector index — read the same way). The query token set is
+    * a broadcast; the per-(query-token, doc) max is the ONE
+    * corpus-scale shuffle, and it partial-aggregates map-side to ≤
+    * |docs|·|query tokens| rows before the exchange. The per-doc sum
+    * runs over that bounded frame (6dp contributions summed as
+    * DECIMAL — order-exact), and the final per-query cut rides the
+    * bounded `graft_topk` aggregate, never a rank window over scored
+    * docs. No window function anywhere in the plan (plan-audited).
+    */
+  def maxSimSearch(spark: SparkSession, dir: String): DataFrame =
+    maxSimSearch(spark, dir, Queries)
+
+  def maxSimSearch(spark: SparkSession, dir: String,
+      queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TopKFunctions.topK
+    val docTerms = withTokenVec(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(lower(col("text")))).as("term")),
+      "x")
+    // query-token INSTANCES (qpos) — a repeated query term contributes
+    // its max once per occurrence, the ColBERT sum-over-instances
+    val qtoks = withTokenVec(
+      queries.flatMap { case (qid, q) =>
+        q.split(" ").zipWithIndex.map { case (t, i) => (qid, i.toLong, t) }
+      }.toDF("query_id", "qpos", "term"),
+      "y").drop("term")
+    val dot = (1 to MaxSimDims).map(i => col(s"x$i") * col(s"y$i"))
+      .reduceLeft(_ + _)
+    docTerms.crossJoin(broadcast(qtoks))
+      .select(col("query_id"), col("qpos"), col("doc_id"),
+        round(dot / (col("xnrm") * col("ynrm")), 6).as("sim"))
+      .groupBy("query_id", "qpos", "doc_id")
+      .agg(max("sim").as("msim"))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("msim").cast("decimal(18,6)")).cast("double"), 6)
+        .as("score"))
+      .groupBy("query_id")
+      .agg(topK(spark, col("score"), col("doc_id"), lit(BmTopK)).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Reciprocal-rank-fusion constant (the Cormack/Clarke default). */
   val RrfK = 60
 

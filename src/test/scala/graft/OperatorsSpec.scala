@@ -983,6 +983,43 @@ class OperatorsSpec extends AnyFunSuite {
       "the corpus spans several days — the store must actually partition by day")
   }
 
+  test("maxsim: exact-vocabulary docs hit the instance-count ceiling, ranks dense") {
+    val rows = Retrieval.maxSimSearch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rank contract per query: dense 1..k, scores non-increasing
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).sameElements(1L to sorted.length.toLong))
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"query $qid")
+    }
+    // ceiling semantics: a query built from tokens of a REAL document
+    // scores that document at exactly (query-token instances) — each
+    // instance's max cosine is 1.0 against its own token's vector —
+    // and no document can exceed the ceiling
+    val docToks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("toks"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    val (srcDoc, srcToks) = docToks.toSeq.sortBy(_._1)
+      .find(_._2.distinct.length >= 3).get
+    val q = Seq(9L -> srcToks.distinct.take(3).mkString(" "))
+    val hits = Retrieval.maxSimSearch(spark, sf, q).collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[Double]("score") <= 3.0),
+      "no doc can beat one max-cosine of 1.0 per query-token instance")
+    val srcScore = hits.find(_.getAs[Long]("doc_id") == srcDoc)
+    // the source doc holds all three tokens → exactly the ceiling
+    // (it appears in the top-k unless ≥ k other docs tie at 3.0)
+    assert(hits.count(_.getAs[Double]("score") == 3.0) >= 1)
+    srcScore.foreach(r => assert(r.getAs[Double]("score") == 3.0))
+    // query-set independence: the same query alone or alongside others
+    // produces identical per-query rows (no cross-query statistic)
+    val alone = Retrieval.maxSimSearch(spark, sf, q).collect().map(_.toSeq).toSeq
+    val mixed = Retrieval.maxSimSearch(spark, sf, q ++ Retrieval.Queries)
+      .collect().filter(_.getAs[Long]("query_id") == 9L).map(_.toSeq).toSeq
+    assert(alone == mixed, "maxsim must have no cross-query coupling")
+  }
+
   test("tfidf_search is a true cosine and rrf fusion is rank-only") {
     val vs = Retrieval.tfidfSearch(spark, sf).collect()
     assert(vs.nonEmpty)

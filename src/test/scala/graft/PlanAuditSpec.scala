@@ -378,6 +378,23 @@ class PlanAuditSpec extends AnyFunSuite {
       "custom DotProduct expression should appear in the plan")
   }
 
+  test("retrieval_maxsim: broadcast query tokens, one combined corpus shuffle, no rank window") {
+    val p = plan(Retrieval.maxSimSearch(spark, sf))
+    // the query-token side is a broadcast against the corpus token
+    // stream — a shuffle join of the token stream is the scale killer
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query tokens must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "no sort-merge of the token stream")
+    // the per-(query-token, doc) max must partial-aggregate map-side
+    // BEFORE its exchange — the one corpus-scale shuffle
+    assert(p.contains("partial_max"),
+      s"the max must combine map-side:\n${p.take(800)}")
+    // the final cut rides the bounded graft_topk aggregate
+    // (ObjectHashAggregate), never a row_number window over scored docs
+    assert(p.contains("ObjectHashAggregate"), "graft_topk must rank the cut")
+    assert(!p.contains("Window"), s"no window function anywhere:\n${p.take(800)}")
+  }
+
   test("events scan prunes to referenced columns only") {
     val p = plan(Events.jsonExtract(spark, sf))
     assert(p.contains("event_id") && p.contains("props"))
