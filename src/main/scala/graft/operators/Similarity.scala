@@ -453,7 +453,15 @@ object Similarity {
     * rebuild.
     */
   def annGraphMaintain(spark: SparkSession, dir: String): DataFrame =
-    annGraphOver(spark, dir, Graph.maintainedKnnEdges(spark, dir))
+    // checkpoint the maintained merge into a leaf before serving: the
+    // serve references the edge frame many times (the symmetrized
+    // union alone reads it twice, then every beam round joins it) and
+    // Catalyst does NOT reuse exchanges for self-joined subtrees here
+    // (measured) — without the cut each reference re-executes the
+    // touched-cell recompute (measured 11.8 s vs 4.4 s at sf0.1). The
+    // artifact path gets the same property from its parquet leaf.
+    annGraphOver(spark, dir,
+      Kernels.trackedCheckpoint(Graph.maintainedKnnEdges(spark, dir)))
 
   /** [[annGraph]]'s serve over an EXPLICIT mutual-edge frame — shared
     * by the artifact path, the maintained path, and the spec's
