@@ -193,6 +193,9 @@ object SparkEntry {
     "mm_audio_energy" -> Multimodal.audioEnergy _,
     "mm_audio_segments" -> Multimodal.audioSegments _,
     "mm_audio_trim" -> Multimodal.audioTrim _,
+    // the audio cell of the dedup modality row: energy-profile
+    // average hash, banded pairs
+    "mm_audio_neardup" -> Multimodal.audioNearDup _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -2642,8 +2645,13 @@ object SparkEntry {
     * energy, silent). One text — an edit to the energy arithmetic
     * cannot diverge across the three oracles.
     */
-  private lazy val audioEnergyCtes: String = {
-    val w = Multimodal.AudioEnergyWindows
+  private lazy val audioEnergyCtes: String =
+    audioEnergyCtesFor(Multimodal.AudioEnergyWindows)
+
+  /** The same chain at an arbitrary window count — the audio near-dup
+    * signature reads [[Multimodal.PhashBits]] windows (one bit each).
+    */
+  private def audioEnergyCtesFor(w: Int): String = {
     val thr = Multimodal.SilenceThreshold
     def byteAt(j: String) =
       s"""((strpos('0123456789abcdef', substr(hx, CAST(2*($j)-1 AS INT), 1)) - 1) * 16
@@ -2919,6 +2927,30 @@ object SparkEntry {
          |WHERE x.win >= bd.start_win AND x.win <= bd.end_win
          |GROUP BY x.doc_id, bd.start_win, bd.end_win, bd.total_bytes
          |ORDER BY x.doc_id""".stripMargin
+    },
+    // energy-profile average hash at PhashBits window granularity:
+    // per-window corpus-mean thresholds, one bit per window, banded
+    // candidates, XOR-popcount verify (mirrors Multimodal.audioNearDup;
+    // DISTINCT stands in for the engine's stateless lowest-band
+    // collapse — same surviving set)
+    "mm_audio_neardup" -> {
+      val bb = Multimodal.PhashBits / Multimodal.PhashBands
+      val mask = (1L << bb) - 1
+      s"""WITH ${audioEnergyCtesFor(Multimodal.PhashBits)},
+         |m AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+         |  FROM x GROUP BY win),
+         |ph AS (SELECT doc_id,
+         |    sum(CASE WHEN x.energy > m.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
+         |  FROM x JOIN m USING (win) GROUP BY doc_id),
+         |bands AS (SELECT doc_id, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+         |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+         |cand AS (SELECT DISTINCT x2.doc_id AS doc_a, y2.doc_id AS doc_b,
+         |    x2.ph AS pa, y2.ph AS pb
+         |  FROM bands x2 JOIN bands y2 ON x2.b = y2.b AND x2.bk = y2.bk
+         |    AND x2.doc_id < y2.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     // gaps-and-islands over the energy windows: a boundary is any
     // window whose silence flag differs from its predecessor's; the

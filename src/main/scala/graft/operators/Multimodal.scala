@@ -466,10 +466,13 @@ object Multimodal {
 
   /** [[audioEnergy]]'s kernel body over one payload — exposed so the
     * spec can drive hand-built 16-bit/multi-chunk WAVs through the
-    * exact production arithmetic.
+    * exact production arithmetic. `w` is the window count: the
+    * voice-activity queries read [[AudioEnergyWindows]]; the audio
+    * near-dup signature reads [[PhashBits]] windows so each window
+    * yields one signature bit.
     */
-  private[graft] def audioEnergyRows(docId: Long, p: Array[Byte]): Iterator[AudioEnergy] = {
-    val w = AudioEnergyWindows
+  private[graft] def audioEnergyRows(docId: Long, p: Array[Byte],
+      w: Int = AudioEnergyWindows): Iterator[AudioEnergy] = {
     val thr = SilenceThreshold
     if (!isWav(p)) Iterator.empty
     else wavPcm(p) match {
@@ -573,6 +576,58 @@ object Multimodal {
         col("kept_windows"), col("kept_bytes"),
         (col("total_bytes") - col("kept_bytes")).as("trimmed_bytes"))
       .orderBy("doc_id")
+  }
+
+  /** `mm_audio_neardup`: clip-level audio near-duplicate pairs — the
+    * AUDIO cell of the dedup modality row (text has MinHash/SimHash,
+    * images [[phashPairs]], video [[videoNearDup]]). The signature is
+    * an energy-profile hash: the PCM stream splits into [[PhashBits]]
+    * windows ([[audioEnergyRows]] at signature granularity — the same
+    * sample-width-aware kernel the voice-activity gate uses), and bit
+    * w says "window w is louder than the corpus average for window w"
+    * — the average-hash construction at the audio modality, a coarse
+    * echo of spectral fingerprinting (same loudness CONTOUR → same
+    * bits). Re-containered copies keep their sample bytes, so their
+    * contours — computed from the parsed data chunk, not the
+    * container — still collide. Pairs at Hamming ≤ [[PhashMaxHamming]]
+    * via the banded join with the stateless [[firstBandOnly]]
+    * collapse — never all-pairs, no distinct exchange.
+    *
+    * Scale shape: energy profiles are map-only over decoded batches;
+    * thresholds are ONE [[PhashBits]]-row broadcast (decimal-summed,
+    * order-exact); signatures fold in one combiner-friendly
+    * groupBy(doc); candidates come banded. Exact integer/6dp
+    * arithmetic end to end — the oracle replays every bit.
+    */
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
+    val energy = Kernels.fanOut(
+      ingestBinary(spark, dir).select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r =>
+          audioEnergyRows(r.getLong(0), r.getAs[Array[Byte]](1), PhashBits))
+      }
+      .toDF()
+    val mu = energy.groupBy("win")
+      .agg(round(sum(col("energy").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+    val ph = energy.join(broadcast(mu), "win")
+      .groupBy("doc_id")
+      .agg(sum(when(col("energy") > col("mu"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
+        .otherwise(lit(0L))).as("ph"))
+    val bands = ph.select(col("doc_id"), col("ph"),
+        explode(phashBands(col("ph"))).as("bs"))
+      .select(col("doc_id"), col("ph"),
+        col("bs.band").as("b"), col("bs.bkey").as("bk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(firstBandOnly(col("x.ph"), col("y.ph"), col("x.b")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Batch decode: binary payloads → typed metadata via
@@ -1387,9 +1442,12 @@ object Multimodal {
     bands.as("x").join(bands.as("y"),
         col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
           col("x.doc_id") < col("y.doc_id"))
+      // stateless lowest-matching-band collapse (the videoNearDup /
+      // audioNearDup convention) — one row per colliding pair, no
+      // distinct exchange; the oracle's SELECT DISTINCT replays it
+      .filter(firstBandOnly(col("x.ph"), col("y.ph"), col("x.b")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= PhashMaxHamming)
       .orderBy("doc_a", "doc_b")
   }

@@ -710,6 +710,50 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio near-dup: banded energy-hash pairs equal the all-pairs answer") {
+    val rows = Multimodal.audioNearDup(spark, sf).collect()
+    assert(rows.nonEmpty, "no audio near-dup pairs at this SF — the operator is vacuous")
+    // driver replay of the whole signature pipeline: per-window
+    // energies at signature granularity (the production kernel, whose
+    // arithmetic has its own independent replay spec), decimal-exact
+    // corpus thresholds, bit fold, then ALL-PAIRS Hamming — the banded
+    // join must lose nothing at the emitted threshold (pigeonhole)
+    val bits = Multimodal.PhashBits
+    val energies = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val p = Multimodal.synthPayload(r.getAs[String]("text").getBytes("UTF-8"))
+        Multimodal.audioEnergyRows(r.getAs[Long]("doc_id"), p, bits)
+          .map(e => (e.doc_id, e.win, e.energy))
+      }
+    assert(energies.nonEmpty)
+    val mu = energies.groupBy(_._2).map { case (win, es) =>
+      val sum = es.map(e => BigDecimal(e._3).setScale(6)).sum
+      win -> BigDecimal(sum.toDouble / es.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val sigs = energies.groupBy(_._1).map { case (id, es) =>
+      id -> es.foldLeft(0L) { case (acc, (_, win, e)) =>
+        if (e > mu(win)) acc | (1L << win.toInt) else acc
+      }
+    }
+    val allPairs = (for {
+      (a, pa) <- sigs.toSeq; (b, pb) <- sigs.toSeq if a < b
+      h = java.lang.Long.bitCount(pa ^ pb).toLong
+      if h <= Multimodal.PhashMaxHamming
+    } yield (a, b, h)).toSet
+    val got = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("hamming"))).toSet
+    assert(got == allPairs,
+      s"banded=${got.size} all-pairs=${allPairs.size} — banding dropped or invented pairs")
+    // identical bodies (the corpus's planted duplicates) collide at 0
+    assert(rows.exists(_.getAs[Long]("hamming") == 0L))
+    // every pair is WAV-class on both sides
+    val wavIds = sigs.keySet
+    rows.foreach { r =>
+      assert(wavIds(r.getAs[Long]("doc_a")) && wavIds(r.getAs[Long]("doc_b")))
+    }
+  }
+
   test("audio segments are maximal islands: contiguous, alternating, covering") {
     val energy = Multimodal.audioEnergy(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
