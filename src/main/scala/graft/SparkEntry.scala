@@ -194,8 +194,10 @@ object SparkEntry {
     "mm_audio_segments" -> Multimodal.audioSegments _,
     "mm_audio_trim" -> Multimodal.audioTrim _,
     // the audio cell of the dedup modality row: energy-profile
-    // average hash, banded pairs
+    // average hash, banded pairs — batch, ingest, and stream forms
     "mm_audio_neardup" -> Multimodal.audioNearDup _,
+    "mm_audio_neardup_incremental" -> Multimodal.audioNearDupIncremental _,
+    "stream_audio_neardup" -> graft.streaming.DocStream.streamAudioNearDup _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -2631,6 +2633,36 @@ object SparkEntry {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  /** Audio-ingest near-dup replay: per-window thresholds trained on
+    * the HISTORY split only, both sides' energy profiles hashed with
+    * them, banded batch→history candidates (DISTINCT = the engine's
+    * multi-band fold), XOR-popcount verify (mirrors
+    * Multimodal.audioNearDupIncremental and its streaming twin —
+    * bit-identical, one oracle text gates both).
+    */
+  private lazy val audioNearDupIncrementalSql: String = {
+    val bb = Multimodal.PhashBits / Multimodal.PhashBands
+    val mask = (1L << bb) - 1
+    val thr = Dedup.IncBatchThreshold
+    s"""WITH ${audioEnergyCtesFor(Multimodal.PhashBits)},
+       |sx AS (SELECT doc_id, win, energy,
+       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split FROM x),
+       |m AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM sx WHERE split >= '$thr' GROUP BY win),
+       |ph AS (SELECT doc_id, split,
+       |    sum(CASE WHEN sx.energy > m.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
+       |  FROM sx JOIN m USING (win) GROUP BY doc_id, split),
+       |bands AS (SELECT doc_id, split, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+       |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+       |cand AS (SELECT DISTINCT x2.doc_id AS batch_id, y2.doc_id AS hist_id,
+       |    x2.ph AS pa, y2.ph AS pb
+       |  FROM bands x2 JOIN bands y2 ON x2.b = y2.b AND x2.bk = y2.bk
+       |    AND x2.split < '$thr' AND y2.split >= '$thr')
+       |SELECT batch_id, hist_id, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
+       |ORDER BY batch_id, hist_id""".stripMargin
+  }
+
   /** PCM energy-window CTE chain shared by the audio-content oracles
     * (energy, segments, trim): WAV rows only, SAMPLE-WIDTH-AWARE —
     * the synthesis writes 8-bit PCM for n%12 = 2 and 16-bit LE for
@@ -3039,6 +3071,9 @@ object SparkEntry {
     // of the same store — bit-identical, one oracle gates both.
     "mm_video_neardup_incremental" -> videoNearDupIncrementalSql,
     "stream_video_neardup" -> videoNearDupIncrementalSql,
+    // the audio twins share one oracle text the same way
+    "mm_audio_neardup_incremental" -> audioNearDupIncrementalSql,
+    "stream_audio_neardup" -> audioNearDupIncrementalSql,
     "mm_chunks" ->
       s"""SELECT doc_id,
          |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,

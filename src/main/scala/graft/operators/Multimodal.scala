@@ -630,6 +630,120 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-window energy thresholds trained on the HISTORY side — the
+    * audio analogue of [[historyMu]]/[[historyFrameMu]]: new clips
+    * must be hashed with the thresholds the stored signatures used.
+    * Windows no history clip ever populated carry NO threshold (and
+    * can never set a bit — the inner-join semantics of the corpus
+    * [[audioNearDup]], made explicit). ≤ [[PhashBits]] values,
+    * collected once and shipped in the task closure.
+    */
+  private[graft] def historyAudioMu(spark: SparkSession, dir: String): Map[Long, Double] = {
+    implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    Kernels.fanOut(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap(r =>
+          audioEnergyRows(r.getLong(0), r.getAs[Array[Byte]](1), PhashBits))
+      }
+      .toDF()
+      .groupBy("win")
+      .agg(round(sum(col("energy").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** The energy-profile signature from one payload under TRAINED
+    * per-window thresholds — bit w set iff window w exists, has a
+    * threshold, and beats it; None for payloads that yield no energy
+    * windows (non-WAV / unknown bit depth / empty stream). Shared
+    * verbatim by the batch incremental and its streaming twin.
+    */
+  private[graft] def audioSigOfBody(p: Array[Byte],
+      mu: Map[Long, Double]): Option[Long] = {
+    val rows = audioEnergyRows(0L, p, PhashBits).toSeq
+    // a clip none of whose windows carries a trained threshold has no
+    // signature at all (the inner-join semantics, kept exactly —
+    // the frameSigRows convention) — distinct from a clip whose
+    // thresholded windows all read 0
+    if (!rows.exists(e => mu.contains(e.win))) None
+    else Some(rows.foldLeft(0L) { (acc, e) =>
+      mu.get(e.win) match {
+        case Some(m) if e.energy > m => acc | (1L << e.win.toInt)
+        case _ => acc
+      }
+    })
+  }
+
+  /** The history side's banded audio-signature store (hist_id, h_ph,
+    * band, bkey) — in production a materialized table maintained by
+    * ingest (the [[historyPhashStore]] contract at the audio
+    * modality).
+    */
+  private[graft] def historyAudioStore(spark: SparkSession, dir: String,
+      mu: Map[Long, Double]): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    Kernels.fanOut(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          audioSigOfBody(r.getAs[Array[Byte]](1), mu).map((r.getLong(0), _))
+        }
+      }
+      .toDF("hist_id", "h_ph")
+      .select(col("hist_id"), col("h_ph"),
+        explode(phashBands(col("h_ph"))).as("bk"))
+      .select(col("hist_id"), col("h_ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** `mm_audio_neardup_incremental`: the ingest form of audio
+    * near-dup — a batch of new clips probes the HISTORICAL signature
+    * store only (batch-internal pairs are [[audioNearDup]]'s job on
+    * the batch alone), completing the incremental family across ALL
+    * content modalities: text, images, video and now audio have
+    * batch-vs-history twins. Thresholds are the history's
+    * ([[historyAudioMu]]); candidates come banded; a multi-band
+    * collision folds through the pair aggregate (one signature per
+    * clip — `min` over duplicate band rows is exact). Scale shape:
+    * everything batch-sized except the store scan, which in
+    * production is the pre-materialized banded table.
+    */
+  def audioNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val mu = historyAudioMu(spark, dir)
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val batch = Kernels.fanOut(
+      ingestBinary(spark, dir)
+        .filter(splitOf < Dedup.IncBatchThreshold)
+        .select("doc_id", "payload"))
+      .mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          audioSigOfBody(r.getAs[Array[Byte]](1), mu).map((r.getLong(0), _))
+        }
+      }
+      .toDF("batch_id", "ph")
+      .select(col("batch_id"), col("ph"),
+        explode(phashBands(col("ph"))).as("bk"))
+      .select(col("batch_id"), col("ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    batch.join(historyAudioStore(spark, dir, mu), Seq("band", "bkey"))
+      .select(col("batch_id"), col("hist_id"),
+        expr("CAST(bit_count(ph ^ h_ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .groupBy("batch_id", "hist_id")
+      .agg(min("hamming").as("hamming"))
+      .orderBy("batch_id", "hist_id")
+  }
+
   /** Batch decode: binary payloads → typed metadata via
     * `mapPartitions` (one iterator per partition; the executor
     * processes a whole batch without materializing it).

@@ -415,6 +415,61 @@ object DocStream {
     spark.table(name).orderBy("batch_id", "hist_id")
   }
 
+  /** `stream_audio_neardup`: the ingest-stream twin of
+    * [[graft.operators.Multimodal.audioNearDupIncremental]] — newly-
+    * arriving clips probe the HISTORICAL energy-signature store per
+    * micro-batch. The trained per-window thresholds ride the task
+    * closure; the signature is the SAME sample-width-aware kernel as
+    * the batch query ([[graft.operators.Multimodal.audioSigOfBody]] —
+    * stateless `mapPartitions`, streaming-legal); bands are map-only
+    * expressions; candidates come from a stream-static equi-join on
+    * the banded store; and the only aggregation is the multi-band-
+    * collision fold, so the complete-mode result equals the batch
+    * query bit-for-bit and the SAME oracle gates both.
+    */
+  def streamAudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels, Multimodal}
+    val mu = Multimodal.historyAudioMu(spark, dir)
+    val store = Kernels.cacheTracked(Multimodal.historyAudioStore(spark, dir, mu))
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
+    implicit val sigEnc: org.apache.spark.sql.Encoder[(Long, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+    val pairs = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("doc_id"), col("text"), splitOf.as("split"))
+      .filter(col("split") < Dedup.IncBatchThreshold)
+      .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
+      .mapPartitions { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.flatMap { r =>
+          Multimodal.audioSigOfBody(r.getAs[Array[Byte]](1), mu)
+            .map((r.getLong(0), _))
+        }
+      }
+      .toDF("batch_id", "ph")
+      .select(col("batch_id"), col("ph"),
+        explode(Multimodal.phashBands(col("ph"))).as("bk"))
+      .select(col("batch_id"), col("ph"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .join(store, Seq("band", "bkey"))
+      .select(col("batch_id"), col("hist_id"),
+        expr("CAST(bit_count(ph ^ h_ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= Multimodal.PhashMaxHamming)
+      .groupBy("batch_id", "hist_id")
+      .agg(min("hamming").as("hamming"))
+    val name = "stream_audio_neardup_out"
+    EventStream.withStatePartitions(spark) {
+      val q = pairs.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally { q.stop(); Dedup.retireCaches() }
+    }
+    spark.table(name).orderBy("batch_id", "hist_id")
+  }
+
   /** `stream_video_neardup`: the ingest-stream twin of
     * [[graft.operators.Multimodal.videoNearDupIncremental]] — newly-
     * arriving clips probe the HISTORICAL frame-signature store per

@@ -1338,6 +1338,22 @@ class OperatorsSpec extends AnyFunSuite {
     Dedup.retireCaches()
     assert(svn.nonEmpty && svn == bvn,
       "drained frame-store probe must equal the batch incremental clip near-dup bit-for-bit")
+    val san = DocStream.streamAudioNearDup(spark, sf).collect().map(_.toSeq).toSeq
+    val ban = Multimodal.audioNearDupIncremental(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(san.nonEmpty && san == ban,
+      "drained audio-store probe must equal the batch incremental audio near-dup bit-for-bit")
+    // both sides respect the ingest split: batch ids hash below the
+    // threshold, history ids at or above it
+    def splitOf(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"inc:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.substring(0, 1)
+    }
+    ban.foreach { r =>
+      assert(splitOf(r(0).asInstanceOf[Long]) < Dedup.IncBatchThreshold)
+      assert(splitOf(r(1).asInstanceOf[Long]) >= Dedup.IncBatchThreshold)
+    }
     // the stream-maintained search index reassembles the batch postings,
     // so the final served ranking equals the batch ranker bit-for-bit
     val sbm = DocStream.streamSearchIndex(spark, sf).collect().map(_.toSeq).toSeq
