@@ -240,8 +240,10 @@ object SparkEntry {
     "tfidf_top_terms" -> Corpus.tfidfTopTerms _,
     "bm25_search" -> Retrieval.bm25Search _,
     // late-interaction (multi-vector) retrieval: per-token vectors,
-    // per-query-token max cosine, summed per doc (the ColBERT shape)
+    // per-query-token max cosine, summed per doc (the ColBERT shape);
+    // the served twin reads the stored multi-vector index
     "retrieval_maxsim" -> Retrieval.maxSimSearch _,
+    "retrieval_maxsim_served" -> Retrieval.maxSimServed _,
     "tfidf_search" -> ((s: SparkSession, d: String) => Retrieval.tfidfSearch(s, d)),
     "bm25_search_served" -> Retrieval.bm25SearchServed _,
     "tfidf_search_served" -> Retrieval.tfidfSearchServed _,
@@ -3544,6 +3546,10 @@ object SparkEntry {
         "stream_bm25_compact" -> bm25,
         "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
         "retrieval_maxsim" -> maxsim,
+        // the stored-index serve: deduped occurrences + vocabulary
+        // vectors feed the identical tail — duplicates cannot change
+        // a max, so one oracle text gates both
+        "retrieval_maxsim_served" -> maxsim,
         // the artifact stores exact integers + 6dp-fixed norms, so the
         // served rankers equal the computed ones — one oracle text each
         // (value-equality is additionally spec-pinned cross-session)

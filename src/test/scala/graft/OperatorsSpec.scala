@@ -1062,6 +1062,12 @@ class OperatorsSpec extends AnyFunSuite {
     val mixed = Retrieval.maxSimSearch(spark, sf, q ++ Retrieval.Queries)
       .collect().filter(_.getAs[Long]("query_id") == 9L).map(_.toSeq).toSeq
     assert(alone == mixed, "maxsim must have no cross-query coupling")
+    // the stored multi-vector index serves the identical ranking:
+    // deduped occurrences + vocabulary vectors, no text access
+    val served = Retrieval.maxSimServed(spark, sf).collect().map(_.toSeq).toSeq
+    Dedup.retireCaches()
+    assert(served.nonEmpty && served == rows.map(_.toSeq).toSeq,
+      "maxsim served from the stored index must equal the computed ranking")
   }
 
   test("tfidf_search is a true cosine and rrf fusion is rank-only") {
