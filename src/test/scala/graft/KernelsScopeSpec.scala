@@ -88,6 +88,36 @@ class KernelsScopeSpec extends AnyFunSuite {
       "memo cache built on the stream thread survived the query thread's retire")
   }
 
+  test("a dead thread's unretired pins drain on the next retire from any thread") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a convention violation: a short-lived thread pins a tracked
+    // cache and a checkpoint but dies WITHOUT calling retireCaches
+    // (the leak class the round-13 advisory named — a pool worker or
+    // stream thread using cacheTracked instead of memoCache). The
+    // weak-registry backstop must reclaim both on the next retire
+    // from a live thread, while live threads' pins stay pinned (the
+    // concurrency spec above).
+    @volatile var deadCache: org.apache.spark.sql.DataFrame = null
+    @volatile var deadCkptId: Option[Int] = None
+    val t = new Thread(() => {
+      val df = Kernels.cacheTracked((1 to 64).toDF("d"))
+      assert(df.count() == 64)
+      val ck = Kernels.trackedCheckpoint((1 to 32).toDF("e"))
+      assert(ck.count() == 32)
+      deadCache = df
+      deadCkptId = Kernels.checkpointRddId(ck)
+    })
+    t.start(); t.join()
+    assert(deadCache.storageLevel != StorageLevel.NONE,
+      "the dead thread's pin should still be resident before any retire")
+    Kernels.retireCaches() // an ordinary retire on a live thread
+    assert(deadCache.storageLevel == StorageLevel.NONE,
+      "a dead thread's orphaned cache must drain on the next retire")
+    assert(deadCkptId.forall(id => !sc.getPersistentRDDs.contains(id)),
+      "a dead thread's orphaned checkpoint blocks must drain on the next retire")
+  }
+
   test("bloom sizing clamps to the session's runtime maxNumBits") {
     import graft.functions.BloomFunctions
     val maxBits = spark.conf

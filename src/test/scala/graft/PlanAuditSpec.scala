@@ -933,6 +933,34 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the per-dim threshold join must broadcast the 16-row side:\n${p.take(800)}")
   }
 
+  test("mm_audio_neardup: banded equi-join over energy hashes, thresholds broadcast") {
+    // same contract as the image/video cells of the modality row: the
+    // candidate join must be a hash join on band keys (a cartesian or
+    // nested-loop is the all-pairs bug) with the 16-row per-window
+    // threshold frame arriving by broadcast
+    val p = plan(Multimodal.audioNearDup(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"audio candidates must come from the banded equi-join:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-window threshold join must broadcast the 16-row side:\n${p.take(800)}")
+  }
+
+  test("ann_image_search: serve is a broadcast cell probe ranked by the bounded aggregate") {
+    try {
+      val p = plan(Similarity.annImageSearch(spark, sf))
+      // probes ride a broadcast into their trained cells' members —
+      // the image corpus must never shuffle for the serve
+      assert(p.contains("BroadcastHashJoin"),
+        s"the probe-cell join must broadcast the probe side:\n${p.take(800)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"no sort-merge of the image corpus:\n${p.take(800)}")
+      // ranking rides graft_topk (ObjectHashAggregate), not a window
+      assert(p.contains("ObjectHashAggregate"),
+        s"graft_topk must rank the serve:\n${p.take(800)}")
+      assert(!p.contains("Window"), s"no rank window in the serve:\n${p.take(800)}")
+    } finally Dedup.retireCaches()
+  }
+
   test("ann_graph_layered: serve plan is checkpoint-cut and the rank window partitioned") {
     // the beam rounds execute eagerly behind localCheckpoint cuts, so
     // the FINAL plan must be a bounded checkpoint read + per-probe
