@@ -244,6 +244,8 @@ object SparkEntry {
     // the served twin reads the stored multi-vector index
     "retrieval_maxsim" -> Retrieval.maxSimSearch _,
     "retrieval_maxsim_served" -> Retrieval.maxSimServed _,
+    // three-system hybrid fusion: lexical x2 + late-interaction
+    "retrieval_rrf3" -> Retrieval.rrfFusion3 _,
     "tfidf_search" -> ((s: SparkSession, d: String) => Retrieval.tfidfSearch(s, d)),
     "bm25_search_served" -> Retrieval.bm25SearchServed _,
     "tfidf_search_served" -> Retrieval.tfidfSearchServed _,
@@ -3358,6 +3360,30 @@ object SparkEntry {
          |  FROM u)
          |SELECT query_id, doc_id, rrf, rnk FROM r
          |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
+    // three-system fusion (mirrors Retrieval.rrfFusion3): the same
+    // full-outer chain with the maxsim ranking as the third system;
+    // reciprocal terms as IEEE doubles on both engines
+    val rrf3 =
+      s"""WITH bm AS (SELECT * FROM ($bm25)),
+         |vs AS (SELECT * FROM ($tfidfSearch)),
+         |mx AS (SELECT * FROM ($maxsim)),
+         |u1 AS (SELECT coalesce(bm.query_id, vs.query_id) AS query_id,
+         |    coalesce(bm.doc_id, vs.doc_id) AS doc_id,
+         |    bm.rnk AS rnk_bm, vs.rnk AS rnk_vsm
+         |  FROM bm FULL OUTER JOIN vs
+         |    ON bm.query_id = vs.query_id AND bm.doc_id = vs.doc_id),
+         |u AS (SELECT coalesce(u1.query_id, mx.query_id) AS query_id,
+         |    coalesce(u1.doc_id, mx.doc_id) AS doc_id,
+         |    round(coalesce(CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + u1.rnk_bm), 0)
+         |        + coalesce(CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + u1.rnk_vsm), 0)
+         |        + coalesce(CAST(1.0 AS DOUBLE) / (${Retrieval.RrfK} + mx.rnk), 0), 6) AS rrf
+         |  FROM u1 FULL OUTER JOIN mx
+         |    ON u1.query_id = mx.query_id AND u1.doc_id = mx.doc_id),
+         |r AS (SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM u)
+         |SELECT query_id, doc_id, rrf, rnk FROM r
+         |WHERE rnk <= ${Retrieval.BmTopK} ORDER BY query_id, rnk""".stripMargin
     // counts measure substitutions actually made: each pattern counted
     // AFTER the previous redactions (mirrors Corpus.piiScrub exactly)
     val pii =
@@ -3545,6 +3571,7 @@ object SparkEntry {
         "stream_bm25_index" -> bm25,
         "stream_bm25_compact" -> bm25,
         "tfidf_search" -> tfidfSearch, "retrieval_rrf" -> rrf,
+        "retrieval_rrf3" -> rrf3,
         "retrieval_maxsim" -> maxsim,
         // the stored-index serve: deduped occurrences + vocabulary
         // vectors feed the identical tail — duplicates cannot change

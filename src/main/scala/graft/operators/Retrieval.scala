@@ -523,6 +523,37 @@ object Retrieval {
   def rrfFusionServed(spark: SparkSession, dir: String): DataFrame =
     rrfOver(bm25SearchServed(spark, dir), tfidfSearchServed(spark, dir))
 
+  /** `retrieval_rrf3`: the full hybrid stack — BM25, tf·idf cosine
+    * AND late-interaction maxsim fused by reciprocal rank. This is
+    * the modern production shape (lexical + semantic fusion): maxsim
+    * earns partial credit for near-miss vocabulary where the lexical
+    * rankers score zero, and RRF needs no calibration across the
+    * three wildly different score scales — only ranks enter. Scale
+    * shape: fusion itself runs over three query-sized top-k lists
+    * (two broadcast-sized full-outer joins, one rank window per
+    * query); the corpus-touching cost is the underlying rankers'.
+    */
+  def rrfFusion3(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Search(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_bm"))
+    val vs = tfidfSearch(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_vsm"))
+    val ms = maxSimSearch(spark, dir)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_ms"))
+    bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
+      .join(ms, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("rnk_bm")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rnk_vsm")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("rnk_ms")), lit(0.0)), 6)
+          .as("rrf"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id")))
+        .cast("long"))
+      .filter(col("rnk") <= BmTopK)
+      .orderBy("query_id", "rnk")
+  }
+
   private def rrfOver(bm25: DataFrame, tfidf: DataFrame): DataFrame = {
     val bm = bm25
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_bm"))

@@ -1070,6 +1070,41 @@ class OperatorsSpec extends AnyFunSuite {
       "maxsim served from the stored index must equal the computed ranking")
   }
 
+  test("rrf3 fuses exactly the three component rankings, rank-only") {
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rnk")).toMap
+    val bm = ranks(Retrieval.bm25Search(spark, sf))
+    val vs = ranks(Retrieval.tfidfSearch(spark, sf))
+    val ms = ranks(Retrieval.maxSimSearch(spark, sf))
+    val fused = Retrieval.rrfFusion3(spark, sf).collect()
+    assert(fused.nonEmpty)
+    // driver replay: the fused score of every emitted row is exactly
+    // the sum of the reciprocal ranks of the systems that ranked it
+    fused.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      def term(m: Map[(Long, Long), Long]) =
+        m.get(key).map(rk => 1.0 / (Retrieval.RrfK + rk)).getOrElse(0.0)
+      val want = BigDecimal(term(bm) + term(vs) + term(ms))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == want, s"$key: ${r.getAs[Double]("rrf")} != $want")
+      assert(bm.contains(key) || vs.contains(key) || ms.contains(key),
+        s"$key fused without being ranked by any system")
+    }
+    // the third system must actually move the fusion somewhere: some
+    // fused doc is ranked by maxsim but by NEITHER lexical system
+    // (late interaction's partial credit surfacing new candidates)
+    assert(fused.exists { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      ms.contains(key) && !bm.contains(key) && !vs.contains(key)
+    }, "maxsim contributed no unique candidate — the third system is dead weight")
+    // rank contract
+    fused.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).sameElements(1L to sorted.length.toLong))
+    }
+  }
+
   test("tfidf_search is a true cosine and rrf fusion is rank-only") {
     val vs = Retrieval.tfidfSearch(spark, sf).collect()
     assert(vs.nonEmpty)
