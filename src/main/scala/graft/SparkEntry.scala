@@ -198,6 +198,8 @@ object SparkEntry {
     "mm_audio_neardup" -> Multimodal.audioNearDup _,
     "mm_audio_neardup_incremental" -> Multimodal.audioNearDupIncremental _,
     "stream_audio_neardup" -> graft.streaming.DocStream.streamAudioNearDup _,
+    // cross-modal signature-exact keep-list (the capstone grouping)
+    "mm_media_keep" -> Multimodal.mediaKeep _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -3078,6 +3080,54 @@ object SparkEntry {
     // the audio twins share one oracle text the same way
     "mm_audio_neardup_incremental" -> audioNearDupIncrementalSql,
     "stream_audio_neardup" -> audioNearDupIncrementalSql,
+    // cross-modal keep-list: modality-native fingerprints (image pixel
+    // phash under IMAGE-corpus thresholds, audio energy hash, video
+    // ordered frame-sig fold), one group per (modality, fingerprint),
+    // min doc kept (mirrors Multimodal.mediaKeep; each modality's
+    // chain nests as a subquery so the shared CTE names can't collide)
+    "mm_media_keep" -> {
+      val pb = Multimodal.PhashBits
+      s"""WITH img AS (SELECT doc_id, 'image' AS modality,
+         |    CAST(sig AS VARCHAR) AS fingerprint FROM (
+         |  WITH ib AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |      octet_length(encode(text)) AS n FROM documents
+         |      WHERE octet_length(encode(text)) % 3 < 2
+         |        AND octet_length(encode(text)) > 0),
+         |  ie AS (SELECT doc_id, n, hx, unnest(generate_series(1, n)) AS j FROM ib),
+         |  iv AS (SELECT doc_id, CAST((j-1) * $pb // n AS BIGINT) + 1 AS dim,
+         |      (strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+         |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 AS byte
+         |    FROM ie),
+         |  ifr AS (SELECT doc_id, dim,
+         |      ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+         |    FROM iv GROUP BY doc_id, dim),
+         |  im AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+         |    FROM ifr GROUP BY dim),
+         |  isg AS (SELECT doc_id,
+         |      sum(CASE WHEN ifr.f > im.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS sig
+         |    FROM ifr JOIN im USING (dim) GROUP BY doc_id)
+         |  SELECT doc_id, sig FROM isg)),
+         |aud AS (SELECT doc_id, 'audio' AS modality,
+         |    CAST(ph AS VARCHAR) AS fingerprint FROM (
+         |  WITH ${audioEnergyCtesFor(pb).linesIterator.map("  " + _).mkString("\n").trim},
+         |  am AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+         |    FROM x GROUP BY win),
+         |  aph AS (SELECT doc_id,
+         |      sum(CASE WHEN x.energy > am.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
+         |    FROM x JOIN am USING (win) GROUP BY doc_id)
+         |  SELECT doc_id, ph FROM aph)),
+         |vid AS (SELECT doc_id, 'video' AS modality, fingerprint FROM (
+         |  WITH ${videoFrameSigCtes.linesIterator.map("  " + _).mkString("\n").trim}
+         |  SELECT doc_id,
+         |    md5(string_agg(CAST(sample_no AS VARCHAR) || ':' || CAST(ph AS VARCHAR),
+         |      ',' ORDER BY sample_no)) AS fingerprint
+         |  FROM ph GROUP BY doc_id)),
+         |u AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+         |SELECT modality, fingerprint, min(doc_id) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members
+         |FROM u GROUP BY modality, fingerprint
+         |ORDER BY modality, keep_id""".stripMargin
+    },
     "mm_chunks" ->
       s"""SELECT doc_id,
          |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,

@@ -599,7 +599,13 @@ object Multimodal {
     * groupBy(doc); candidates come banded. Exact integer/6dp
     * arithmetic end to end — the oracle replays every bit.
     */
-  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus audio signature frame (doc_id, ph) under whole-corpus
+    * per-window thresholds — the frame [[audioNearDup]] banded-joins
+    * and [[mediaKeep]] groups by. Map-only energy kernel, one
+    * [[PhashBits]]-row threshold broadcast, one combiner-friendly
+    * fold per clip.
+    */
+  private[graft] def audioSigCorpus(spark: SparkSession, dir: String): DataFrame = {
     implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
     val energy = Kernels.fanOut(
       ingestBinary(spark, dir).select("doc_id", "payload"))
@@ -611,12 +617,16 @@ object Multimodal {
     val mu = energy.groupBy("win")
       .agg(round(sum(col("energy").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))
-    val ph = energy.join(broadcast(mu), "win")
+    energy.join(broadcast(mu), "win")
       .groupBy("doc_id")
       .agg(sum(when(col("energy") > col("mu"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
         .otherwise(lit(0L))).as("ph"))
-    val bands = ph.select(col("doc_id"), col("ph"),
+  }
+
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val bands = audioSigCorpus(spark, dir)
+      .select(col("doc_id"), col("ph"),
         explode(phashBands(col("ph"))).as("bs"))
       .select(col("doc_id"), col("ph"),
         col("bs.band").as("b"), col("bs.bkey").as("bk"))
@@ -1564,5 +1574,63 @@ object Multimodal {
         expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** `mm_media_keep`: the cross-modal dedup keep-list — ONE
+    * signature-identical grouping over the whole media corpus, the
+    * capstone the per-modality signature pipelines exist for: a media
+    * ingest keeps one representative per content group regardless of
+    * container. Each payload gets its MODALITY-NATIVE fingerprint —
+    * images: the [[PhashBits]]-bit pixel average hash under
+    * image-corpus thresholds; audio: the energy-profile hash
+    * ([[audioSigCorpus]]); video: a clip fingerprint folding the
+    * ordered per-frame signatures ([[corpusFrameSigs]]) — and groups
+    * with identical (modality, fingerprint) keep their minimum doc_id
+    * (the [[Dedup]] keep-list convention). Payloads with no decodable
+    * content (empty bodies) have no fingerprint and emit no row.
+    *
+    * Scale shape: three map-heavy signature pipelines (each one
+    * payload pass + one dim-sized threshold broadcast + one
+    * combiner-friendly per-doc fold), then ONE groupBy on (modality,
+    * fingerprint) — no loops, no pair joins, no all-pairs anywhere;
+    * this is strictly cheaper than the near-dup pair family it
+    * complements (signature-EQUALITY dedup is the exact tier; the
+    * banded Hamming pairs are the near tier).
+    */
+  def mediaKeep(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
+    // IMAGE: pixel phash under IMAGE-corpus thresholds (the parsed
+    // format is the filter — magic bytes, never the synthesis formula)
+    val imgF = pixelChannels(
+      payloads.filter { r: Row =>
+        val p = r.getAs[Array[Byte]]("payload"); isBmp(p) || isPpm(p)
+      }, PhashBits)
+    val imgMu = imgF.groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+    val imgSig = imgF.join(broadcast(imgMu), "dim")
+      .groupBy("doc_id")
+      .agg(sum(when(col("f") > col("mu"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
+        .otherwise(lit(0L))).as("sig"))
+      .select(col("doc_id"), lit("image").as("modality"),
+        col("sig").cast("string").as("fingerprint"))
+    // AUDIO: the energy-profile hash
+    val audSig = audioSigCorpus(spark, dir)
+      .select(col("doc_id"), lit("audio").as("modality"),
+        col("ph").cast("string").as("fingerprint"))
+    // VIDEO: ordered fold of the per-frame signatures — re-encoded
+    // copies keep frame content, so their clip fingerprints collide
+    val vidSig = corpusFrameSigs(spark, dir)
+      .groupBy("doc_id")
+      .agg(md5(concat_ws(",",
+        transform(sort_array(collect_list(struct(col("sample_no"), col("ph")))),
+          x => concat(x("sample_no").cast("string"), lit(":"),
+            x("ph").cast("string"))))).as("fingerprint"))
+      .select(col("doc_id"), lit("video").as("modality"), col("fingerprint"))
+    imgSig.unionByName(audSig).unionByName(vidSig)
+      .groupBy("modality", "fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .orderBy("modality", "keep_id")
   }
 }

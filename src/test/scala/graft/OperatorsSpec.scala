@@ -754,6 +754,60 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("media keep-list: one group per (modality, fingerprint), min doc kept, counts cover") {
+    val keep = Multimodal.mediaKeep(spark, sf).collect()
+    Dedup.retireCaches()
+    assert(keep.nonEmpty)
+    // all three modalities present, and each group keeps >= 1 member
+    assert(keep.map(_.getAs[String]("modality")).toSet == Set("image", "audio", "video"))
+    assert(keep.forall(_.getAs[Long]("n_members") >= 1L))
+    // the corpus's planted duplicates must fold into shared groups
+    assert(keep.exists(_.getAs[Long]("n_members") > 1L),
+      "no multi-member group — the keep-list groups nothing at this SF")
+    // fingerprints are unique per modality and keep_ids are distinct
+    val byMod = keep.groupBy(_.getAs[String]("modality"))
+    byMod.foreach { case (m, rows) =>
+      val fps = rows.map(_.getAs[String]("fingerprint"))
+      assert(fps.distinct.length == fps.length, s"$m: duplicate fingerprint groups")
+      val keeps = rows.map(_.getAs[Long]("keep_id"))
+      assert(keeps.distinct.length == keeps.length, s"$m: one doc keeps two groups")
+    }
+    // member counts cover the fingerprintable corpus exactly: every
+    // payload with decodable content is exactly one modality's member
+    // (format partition). Images/audio need a non-empty body; a video
+    // clip needs >= 1 NON-EMPTY sampled frame (tiny bodies spread over
+    // many frames can leave the whole sample grid empty — those carry
+    // no fingerprint by design)
+    val n = Tables.documents(spark, sf).select("text").collect().count { r =>
+      val b = r.getAs[String]("text").getBytes("UTF-8").length
+      if (b == 0) false
+      else if (b % 6 != 5) true // image or audio: any non-empty body
+      else {
+        val nf = b % 240 + 16
+        (0 until Multimodal.FrameSampleK).exists { s =>
+          val f = s.toLong * nf / Multimodal.FrameSampleK
+          (f + 1) * b / nf > f * b / nf
+        }
+      }
+    }
+    assert(keep.map(_.getAs[Long]("n_members")).sum == n.toLong,
+      "every decodable payload must land in exactly one keep group")
+    // the keep law, replayed exactly on one modality: group the audio
+    // corpus by its signature driver-side — keep_id must be each
+    // group's MINIMUM doc and n_members its size, value for value
+    val audSigs = Multimodal.audioSigCorpus(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ph"))
+    Dedup.retireCaches()
+    val expAudio = audSigs.groupBy(_._2).map { case (sig, ds) =>
+      (sig.toString, ds.map(_._1).min, ds.length.toLong)
+    }.toSet
+    val gotAudio = keep.filter(_.getAs[String]("modality") == "audio")
+      .map(r => (r.getAs[String]("fingerprint"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    assert(gotAudio == expAudio,
+      s"audio keep groups diverge: got=${gotAudio.size} want=${expAudio.size}")
+  }
+
   test("audio segments are maximal islands: contiguous, alternating, covering") {
     val energy = Multimodal.audioEnergy(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
