@@ -961,6 +961,22 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Dedup.retireCaches()
   }
 
+  test("mm_media_keep: signature passes fold map-side, thresholds broadcast, no pair joins") {
+    val p = plan(Multimodal.mediaKeep(spark, sf))
+    // the keep-list is grouping, not pairing: any nested-loop or
+    // cartesian would mean an all-pairs path crept in
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair joins in the keep-list:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"threshold joins must broadcast, never sort-merge a corpus side:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim/window threshold frames must arrive by broadcast:\n${p.take(800)}")
+    // the final (modality, fingerprint) group must partial-aggregate
+    // before its exchange (map-side combine on the count/min)
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"the keep fold must combine map-side:\n${p.take(800)}")
+  }
+
   test("ann_graph_layered: serve plan is checkpoint-cut and the rank window partitioned") {
     // the beam rounds execute eagerly behind localCheckpoint cuts, so
     // the FINAL plan must be a bounded checkpoint read + per-probe
