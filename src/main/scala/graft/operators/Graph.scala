@@ -402,11 +402,45 @@ object Graph {
     */
   def knnMaintain(spark: SparkSession, dir: String,
       thresh: String = Dedup.IncBatchThreshold): DataFrame =
-    maintainedKnnEdges(spark, dir, thresh).orderBy("vec_a", "vec_b")
+    spark.read.parquet(ensureMaintainedKnnEdges(spark, dir, thresh))
+      .orderBy("vec_a", "vec_b")
+
+  /** The maintained mutual-edge frame materialized to a fingerprinted
+    * durable artifact, one MERGE per (corpus, thresh, JVM) — the
+    * production contract the maintainer's docstring describes: an
+    * index under ingest is maintained IN ITS STORE, and every consumer
+    * (the gate query, the beam serve, future analytics) reads the
+    * stored edges instead of re-running the touched-cell recompute.
+    * Within a session this amortizes the merge across
+    * `graph_knn_maintain` and `ann_graph_maintain` (each previously
+    * paid it separately), and the parquet leaf gives the beam serve
+    * the multi-reference property a live merge tree lacks (Catalyst
+    * does not reuse exchanges for self-joined subtrees here —
+    * measured 11.8 s vs 4.4 s at sf0.1 without a cut).
+    */
+  private[graft] def ensureMaintainedKnnEdges(spark: SparkSession, dir: String,
+      thresh: String = Dedup.IncBatchThreshold): String =
+    knnMaintEdgeMemo.synchronized {
+      val key = Kernels.inputKey(dir, "embeddings.parquet")
+      knnMaintEdgeMemo.getOrElseUpdate((key, thresh), {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"knnmaint|$thresh|${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-knn-maint-$h")
+        maintainedKnnEdges(spark, dir, thresh)
+          .write.mode("overwrite").parquet(root)
+        root
+      })
+    }
+
+  private val knnMaintEdgeMemo =
+    scala.collection.mutable.Map.empty[((String, String), String), String]
 
   /** The maintained mutual-edge frame without the output ordering —
-    * the form downstream consumers compose on
-    * ([[Similarity.annGraphMaintain]] beam-searches it directly).
+    * the LIVE merge [[ensureMaintainedKnnEdges]] materializes (all
+    * downstream consumers, including
+    * [[Similarity.annGraphMaintain]]'s beam serve, read the artifact).
     */
   private[graft] def maintainedKnnEdges(spark: SparkSession, dir: String,
       thresh: String = Dedup.IncBatchThreshold): DataFrame = {

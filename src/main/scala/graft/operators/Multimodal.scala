@@ -1600,11 +1600,19 @@ object Multimodal {
   def mediaKeep(spark: SparkSession, dir: String): DataFrame = {
     val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
     // IMAGE: pixel phash under IMAGE-corpus thresholds (the parsed
-    // format is the filter — magic bytes, never the synthesis formula)
+    // format is the filter — magic bytes, never the synthesis formula).
+    // The magic test is a COLUMN expression on the leading payload
+    // bytes (binary substring comparisons mirror isBmp/isPpm exactly:
+    // 'BM' + 54-byte header floor, or 'P6'), so the scan stays
+    // codegen-friendly — a Row-lambda filter here forced full-row
+    // deserialization and a typed barrier ahead of pixelChannels, the
+    // only typed filter in the otherwise columnar keep-list plan.
     val imgF = pixelChannels(
-      payloads.filter { r: Row =>
-        val p = r.getAs[Array[Byte]]("payload"); isBmp(p) || isPpm(p)
-      }, PhashBits)
+      payloads.filter(
+        (substring(col("payload"), 1, 2) === lit("BM".getBytes("US-ASCII")) &&
+          length(col("payload")) >= 54) ||
+        substring(col("payload"), 1, 2) === lit("P6".getBytes("US-ASCII"))),
+      PhashBits)
     val imgMu = imgF.groupBy("dim")
       .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))

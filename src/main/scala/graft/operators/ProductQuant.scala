@@ -233,29 +233,43 @@ object ProductQuant {
       .toDF("probe_id", "ss", "code", "td")
   }
 
-  /** Folds (probe_id, vec_id, ss-level td rows) into the ranked ADC
+  /** Folds (probe_id, vec_id, ss-level td rows) into the top-`k` ADC
     * frame (probe_id, neighbor_id, adist, rnk) — shared by the
-    * full-corpus and cell-restricted searches.
+    * full-corpus and cell-restricted searches. Ranking (adist ASC,
+    * id ASC) rides the bounded `graft_topk` aggregate with the
+    * DISTANCE NEGATED (score DESC ≡ distance ASC; the double negation
+    * round-trips exactly, −(−x) = x in IEEE): the old `row_number`
+    * window funneled every probe's scored candidates — the full code
+    * table for [[annPq]], a probed-cell fraction for the IVFPQ family
+    * — into ONE window partition and sorted there, the exact shape
+    * that dies at 100 TB. The aggregate partial-reduces each map
+    * task's slice to ≤ k entries per probe BEFORE the exchange, so
+    * the shuffle carries at most k·|probes| rows whatever the corpus.
     */
-  private def adcRank(joined: DataFrame): DataFrame =
+  private def adcRank(joined: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    val spark = joined.sparkSession
     joined
       .filter(col("vec_id") =!= col("probe_id"))
       .groupBy("probe_id", "vec_id")
       .agg(sum("td").as("adist_d"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         col("adist_d").cast("double").as("adist"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id")))
-        .cast("long"))
+      .groupBy("probe_id")
+      .agg(topK(spark, -col("adist"), col("neighbor_id"), lit(k)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        (-col("col.score")).as("adist"), (col("pos") + 1).cast("long").as("rnk"))
+  }
 
-  /** Full per-probe ADC ranking (probe_id, neighbor_id, adist, rnk).
-    * The per-probe distance table is query-sized and BROADCAST; the
-    * corpus side contributes only its code rows.
+  /** Per-probe ADC top-`k` (probe_id, neighbor_id, adist, rnk) over
+    * the full code table. The per-probe distance table is query-sized
+    * and BROADCAST; the corpus side contributes only its code rows.
     */
-  private def adcRanked(spark: SparkSession, dir: String): DataFrame =
+  private def adcRanked(spark: SparkSession, dir: String, k: Int): DataFrame =
     adcRank(
       codesOf(spark, dir)
-        .join(broadcast(adcTable(spark, dir)), Seq("ss", "code")))
+        .join(broadcast(adcTable(spark, dir)), Seq("ss", "code")), k)
 
   /** `ann_pq`: ADC top-k — exact probes against the quantized corpus.
     * Standalone ADC recall on this corpus is modest (the planted
@@ -264,8 +278,7 @@ object ProductQuant {
     * [[annPqRerank]], which uses ADC only as the cheap shortlist.
     */
   def annPq(spark: SparkSession, dir: String): DataFrame =
-    adcRanked(spark, dir)
-      .filter(col("rnk") <= Similarity.TopK)
+    adcRanked(spark, dir, Similarity.TopK)
       .orderBy("probe_id", "rnk")
 
   /** ADC shortlist width for the re-ranked query. */
@@ -282,8 +295,7 @@ object ProductQuant {
     */
   def annPqRerank(spark: SparkSession, dir: String): DataFrame =
     rerankExact(spark, dir,
-      adcRanked(spark, dir)
-        .filter(col("rnk") <= Shortlist)
+      adcRanked(spark, dir, Shortlist)
         .select("probe_id", "neighbor_id"))
 
   /** Exact-cosine re-rank of a query-sized (probe_id, neighbor_id)
@@ -305,6 +317,7 @@ object ProductQuant {
   private def rerankExactOn(
       spark: SparkSession, base: DataFrame, short: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions.dot
+    import graft.functions.TopKFunctions.topK
     val emb = base
       .withColumn("nrm", sqrt(dot(spark, col("v"), col("v"))))
     val probes = emb.filter(col("vec_id") < Similarity.NumProbes)
@@ -315,10 +328,14 @@ object ProductQuant {
       .join(broadcast(probes), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         round(dot(spark, col("pv"), col("cv")) / (col("pn") * col("cn")), 6).as("sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id")))
-        .cast("long"))
-      .filter(col("rnk") <= Similarity.TopK)
+      // the input is already shortlist-bounded, but the graft_topk cut
+      // keeps the whole PQ serve window-free (one plan-audit invariant
+      // for the family instead of a bounded-window carve-out)
+      .groupBy("probe_id")
+      .agg(topK(spark, col("sim"), col("neighbor_id"), lit(Similarity.TopK)).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("probe_id", "rnk")
   }
 
@@ -390,8 +407,7 @@ object ProductQuant {
     val short = adcRank(
       celledCodes
         .join(broadcast(pcells), col("cluster") === col("pcluster"))
-        .join(broadcast(adc), Seq("probe_id", "ss", "code")))
-      .filter(col("rnk") <= Shortlist)
+        .join(broadcast(adc), Seq("probe_id", "ss", "code")), Shortlist)
       .select("probe_id", "neighbor_id")
     rerankExactOn(spark, rerankBase, short)
   }

@@ -120,11 +120,29 @@ object Retrieval {
         round(idf * tfNorm, 9).cast("decimal(18,9)").as("contrib"))
       .groupBy("query_id", "doc_id")
       .agg(round(sum("contrib").cast("double"), 6).as("score"))
+    // the per-query cut rides the bounded `graft_topk` aggregate (the
+    // [[maxSimSearch]] contract): a high-df query term makes a query's
+    // matched-doc set O(corpus), and the old rank window shuffled ALL
+    // of it into one partition to sort; the aggregate partial-reduces
+    // map-side to ≤ k docs per query before the exchange
+    topKDocs(scores)
+  }
+
+  /** The per-query top-[[BmTopK]] cut over a scored (query_id, doc_id,
+    * score) frame — shared by every lexical ranking tail (BM25,
+    * tf·idf, and their served twins through those tails): `graft_topk`
+    * with the window formulation's exact order (score DESC, doc_id
+    * ASC), never a `row_number` window over the candidate set.
+    */
+  private def topKDocs(scores: DataFrame): DataFrame = {
+    import graft.functions.TopKFunctions.topK
     scores
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
-        .cast("long"))
-      .filter(col("rnk") <= BmTopK)
+      .groupBy("query_id")
+      .agg(topK(scores.sparkSession, col("score"), col("doc_id"), lit(BmTopK))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rnk"))
       .orderBy("query_id", "rnk")
   }
 
@@ -208,16 +226,12 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(sum(round(col("qw") * col("w"), 9).cast("decimal(18,9)"))
         .cast("double").as("dot"))
-    dot
+    // graft_topk cut, not a rank window — see [[topKDocs]]
+    topKDocs(dot
       .join(broadcast(qNorm), "query_id")
       .join(dNorm, "doc_id") // dot side is query-sized: it broadcasts
       .select(col("query_id"), col("doc_id"),
-        round(col("dot") / (col("nrm") * col("qnrm")), 6).as("score"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id")))
-        .cast("long"))
-      .filter(col("rnk") <= BmTopK)
-      .orderBy("query_id", "rnk")
+        round(col("dot") / (col("nrm") * col("qnrm")), 6).as("score")))
   }
 
   /** Per-token vector width for [[maxSimSearch]]'s deterministic token
@@ -531,14 +545,22 @@ object Retrieval {
     * three wildly different score scales — only ranks enter. Scale
     * shape: fusion itself runs over three query-sized top-k lists
     * (two broadcast-sized full-outer joins, one rank window per
-    * query); the corpus-touching cost is the underlying rankers'.
+    * query); all three component rankings come from their SERVED
+    * twins — the postings artifact ([[ensureSearchIndex]]) and the
+    * multi-vector index ([[ensureMaxSimIndex]]) — so the fused stack
+    * runs with ZERO corpus text scans (the production hybrid read
+    * path; recomputing all three rankers in-session measured ~6 s at
+    * sf0.1 for identical ranks). Served == computed is exact for
+    * every component (stored integers and 6dp-fixed norms), and RRF
+    * consumes only ranks, so the fused result is row-identical to the
+    * in-session formulation — one oracle text covers both.
     */
   def rrfFusion3(spark: SparkSession, dir: String): DataFrame = {
-    val bm = bm25Search(spark, dir)
+    val bm = bm25SearchServed(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_bm"))
-    val vs = tfidfSearch(spark, dir)
+    val vs = tfidfSearchServed(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_vsm"))
-    val ms = maxSimSearch(spark, dir)
+    val ms = maxSimServed(spark, dir)
       .select(col("query_id"), col("doc_id"), col("rnk").as("rnk_ms"))
     bm.join(vs, Seq("query_id", "doc_id"), "full_outer")
       .join(ms, Seq("query_id", "doc_id"), "full_outer")

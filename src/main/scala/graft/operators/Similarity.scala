@@ -52,13 +52,31 @@ object Similarity {
     * the IVF/PQ/graph serves are the sublinear path).
     */
   def annTopK(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKFunctions.topK
     val emb = withNorm(spark, Tables.embeddings(spark, dir))
     val probes = emb.filter(col("vec_id") < NumProbes)
-    broadcast(probes).as("p")
-      .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
-      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-              cosine(spark).as("sim"))
+    topKRanked(spark,
+      broadcast(probes).as("p")
+        .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
+        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+                cosine(spark).as("sim")))
+  }
+
+  /** The per-probe top-[[TopK]] cut over a scored (probe_id,
+    * neighbor_id, sim) frame — the ONE ranking tail every ANN serve
+    * shares: the bounded `graft_topk` aggregate
+    * ([[graft.functions.TopKByScore]], sim DESC / id ASC — the exact
+    * order the old rank-window formulation used), never a
+    * `row_number` window. The window form shuffles EVERY scored
+    * candidate into its probe's single partition and sorts there — at
+    * 100 TB a probe's candidate set is a corpus fraction, so that one
+    * task sorts a corpus fraction; the aggregate partial-reduces each
+    * map task's slice to ≤ k entries per probe BEFORE the exchange,
+    * bounding the shuffle at k·|probes| rows regardless of corpus
+    * size.
+    */
+  private def topKRanked(spark: SparkSession, scored: DataFrame): DataFrame = {
+    import graft.functions.TopKFunctions.topK
+    scored
       .groupBy("probe_id")
       .agg(topK(spark, col("sim"), col("neighbor_id"), lit(TopK)).as("top"))
       .select(col("probe_id"), posexplode(col("top")))
@@ -217,15 +235,11 @@ object Similarity {
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
       .select("vec_id", "v", "norm")
     val probes = emb.filter(col("vec_id") < NumProbes)
-    broadcast(probes).as("p")
-      .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
-      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(spark).as("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .orderBy("probe_id", "rnk")
+    topKRanked(spark,
+      broadcast(probes).as("p")
+        .join(emb.as("c"), col("p.vec_id") =!= col("c.vec_id"))
+        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+          cosine(spark).as("sim")))
   }
 
   val IvfBits = 6 // 2^6 = 64 coarse cells
@@ -296,16 +310,12 @@ object Similarity {
     val probes = base.filter(col("vec_id") < NumProbes)
       .select(col("vec_id"), col("v"), col("norm"),
         explode(array(variants: _*)).as("pcell"))
-    broadcast(probes).as("p")
-      .join(base.as("c"),
-            col("p.pcell") === col("c.cell") && col("p.vec_id") =!= col("c.vec_id"))
-      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-              cosine(spark).as("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .orderBy("probe_id", "rnk")
+    topKRanked(spark,
+      broadcast(probes).as("p")
+        .join(base.as("c"),
+              col("p.pcell") === col("c.cell") && col("p.vec_id") =!= col("c.vec_id"))
+        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+                cosine(spark).as("sim")))
   }
 
   /** Cells each probe searches in [[annIvfKmeans]] (of [[KMeansCodebook.K]]). */
@@ -334,16 +344,12 @@ object Similarity {
       .join(corpus.as("pv"), col("pc.probe_id") === col("pv.vec_id"))
       .select(col("pc.probe_id").as("vec_id"), col("pc.pcluster"),
         col("pv.v").as("v"), col("pv.norm").as("norm"))
-    broadcast(probes).as("p")
-      .join(corpus.as("c"),
-        col("p.pcluster") === col("c.cluster") && col("p.vec_id") =!= col("c.vec_id"))
-      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(spark).as("sim"))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("probe_id")
-          .orderBy(col("sim").desc, col("neighbor_id"))).cast("long"))
-      .filter(col("rnk") <= TopK)
-      .orderBy("probe_id", "rnk")
+    topKRanked(spark,
+      broadcast(probes).as("p")
+        .join(corpus.as("c"),
+          col("p.pcluster") === col("c.cluster") && col("p.vec_id") =!= col("c.vec_id"))
+        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+          cosine(spark).as("sim")))
   }
 
   /** `ann_image_search`: image content served through the trained ANN
@@ -371,31 +377,31 @@ object Similarity {
     * ranking bit-for-bit.
     */
   def annImageSearch(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKFunctions.topK
     val key = Kernels.inputKey(dir, "documents.parquet")
     // memoCache (not cacheTracked): only built inside the globally-
     // memoized train/assign miss paths — the embeddingBase contract
     def base = Kernels.memoCache(Kernels.fanOut(Multimodal.imageVectors(spark, dir)))
-    val corpus = KMeansCodebook.assignmentOn(spark, key, base)
+    // probe cells read the MEMOIZED assignment frame (pinned by the
+    // train/assign memo), not a fresh imageVectors pass — passing a new
+    // payload-ingest frame here re-ran the full feature pipeline once
+    // per serve just to pick probe cells. Zero-norm probes lose nothing:
+    // they are excluded from the serve join below either way.
+    val assigned = KMeansCodebook.assignmentOn(spark, key, base)
+    val corpus = assigned
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
       .filter(col("norm") > 0)
     val cb = KMeansCodebook.trainedCodebookOn(spark, key, base)
     val probes = KMeansCodebook.probeCellsFromBase(spark,
-        Multimodal.imageVectors(spark, dir), cb, NumProbes, KmProbeCells).as("pc")
+        assigned.select("vec_id", "v"), cb, NumProbes, KmProbeCells).as("pc")
       .join(corpus.as("pv"), col("pc.probe_id") === col("pv.vec_id"))
       .select(col("pc.probe_id").as("vec_id"), col("pc.pcluster"),
         col("pv.v").as("v"), col("pv.norm").as("norm"))
-    broadcast(probes).as("p")
-      .join(corpus.as("c"),
-        col("p.pcluster") === col("c.cluster") && col("p.vec_id") =!= col("c.vec_id"))
-      .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
-        cosine(spark).as("sim"))
-      .groupBy("probe_id")
-      .agg(topK(spark, col("sim"), col("neighbor_id"), lit(TopK)).as("top"))
-      .select(col("probe_id"), posexplode(col("top")))
-      .select(col("probe_id"), col("col.id").as("neighbor_id"),
-        col("col.score").as("sim"), (col("pos") + 1).cast("long").as("rnk"))
-      .orderBy("probe_id", "rnk")
+    topKRanked(spark,
+      broadcast(probes).as("p")
+        .join(corpus.as("c"),
+          col("p.pcluster") === col("c.cluster") && col("p.vec_id") =!= col("c.vec_id"))
+        .select(col("p.vec_id").as("probe_id"), col("c.vec_id").as("neighbor_id"),
+          cosine(spark).as("sim")))
   }
 
   /** Beam width and fixed round count for [[annGraph]] — with mutual
@@ -453,15 +459,17 @@ object Similarity {
     * rebuild.
     */
   def annGraphMaintain(spark: SparkSession, dir: String): DataFrame =
-    // checkpoint the maintained merge into a leaf before serving: the
-    // serve references the edge frame many times (the symmetrized
-    // union alone reads it twice, then every beam round joins it) and
-    // Catalyst does NOT reuse exchanges for self-joined subtrees here
-    // (measured) — without the cut each reference re-executes the
-    // touched-cell recompute (measured 11.8 s vs 4.4 s at sf0.1). The
-    // artifact path gets the same property from its parquet leaf.
+    // serve from the DURABLE maintained-edge artifact
+    // ([[Graph.ensureMaintainedKnnEdges]]) — the production read path:
+    // the maintainer merges into the stored index once per ingest, and
+    // every consumer (this beam serve, the `graph_knn_maintain` gate
+    // read, future analytics) reads stored edges instead of re-running
+    // the touched-cell recompute per query. The parquet leaf also
+    // gives the serve plan the multi-reference property the previous
+    // in-session trackedCheckpoint bought (the symmetrized union reads
+    // the frame twice, then every beam round joins it).
     annGraphOver(spark, dir,
-      Kernels.trackedCheckpoint(Graph.maintainedKnnEdges(spark, dir)))
+      spark.read.parquet(Graph.ensureMaintainedKnnEdges(spark, dir)))
 
   /** [[annGraph]]'s serve over an EXPLICIT mutual-edge frame — shared
     * by the artifact path, the maintained path, and the spec's

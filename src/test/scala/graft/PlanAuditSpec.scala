@@ -183,26 +183,63 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"),
       "posting-frame tf aggregate must map-side combine")
     assert(p.contains("BroadcastExchange"), "query-term set must broadcast")
-    // exactly two windows: df over the query-matched postings and the
-    // per-query rank — doc length must ride the tokenize pass + tf
-    // group key, NOT a third corpus-wide doc_id window (the round-7
-    // plan's avoidable second corpus shuffle)
+    // exactly ONE window: df over the query-matched postings — the
+    // per-query rank rides the bounded graft_topk aggregate (a high-df
+    // query term makes a query's candidate set O(corpus); the old rank
+    // window funneled all of it into one partition), and doc length
+    // must ride the tokenize pass + tf group key, NOT a third
+    // corpus-wide doc_id window (the round-7 plan's avoidable second
+    // corpus shuffle)
     val windows = "Window \\(".r.findAllIn(p).length
-    assert(windows == 2, s"expected df + rank windows only, got $windows:\n${p.take(800)}")
+    assert(windows == 1, s"expected the df window only, got $windows:\n${p.take(800)}")
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+      s"the per-query cut must partial-aggregate map-side:\n${p.take(1500)}")
     // df must be counted over a TRUE semi-join (one row per (doc, term))
     // — the (query_id, term) inner join sits ABOVE the df window, so a
     // term shared by two queries cannot double its postings in the count
     assert(p.contains("BroadcastHashJoin LeftSemi"),
       "df input must be the leftsemi-matched postings (one row per doc-term)")
-    // tree order (root-first): rank Window > (query_id,term) inner join
-    // > df Window > leftsemi — df counts the semi-joined frame, the
-    // scoring join attaches query ids afterwards. ("Window (" skips the
-    // WindowGroupLimit nodes the rank's top-k inserts.)
-    val dfWindow = p.indexOf("Window (", p.indexOf("Window (") + 1) // 2nd = df
+    // tree order (root-first): (query_id,term) inner join > df Window >
+    // leftsemi — df counts the semi-joined frame, the scoring join
+    // attaches query ids afterwards.
+    val dfWindow = p.indexOf("Window (")
     val semiJoin = p.indexOf("BroadcastHashJoin LeftSemi")
     val innerJoin = p.indexOf("BroadcastHashJoin Inner")
     assert(innerJoin < dfWindow && dfWindow < semiJoin,
       s"tree order must be inner join > df window > leftsemi, got $innerJoin/$dfWindow/$semiJoin")
+  }
+
+  test("ANN/retrieval serves rank via bounded graft_topk, never a per-probe rank window") {
+    // the round-14 conversion: every production serve's final cut must
+    // partial-aggregate map-side (<= k entries per probe BEFORE the
+    // exchange) — the row_number window formulation shuffled each
+    // probe's whole candidate stream (a corpus fraction) into ONE
+    // partition and sorted it there
+    try {
+      for ((name, df) <- Seq(
+          "ann_quantized" -> Similarity.annTopKQuantized(spark, sf),
+          "ann_ivf" -> Similarity.annIvf(spark, sf),
+          "ann_ivf_kmeans" -> Similarity.annIvfKmeans(spark, sf),
+          "ann_pq" -> ProductQuant.annPq(spark, sf),
+          "ann_pq_rerank" -> ProductQuant.annPqRerank(spark, sf),
+          "ann_ivf_pq" -> ProductQuant.annIvfPq(spark, sf))) {
+        val p = plan(df)
+        assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+          s"$name: the serve cut must partial-aggregate map-side:\n${p.take(1500)}")
+        assert(!p.contains("Window"),
+          s"$name: no rank window anywhere in the serve:\n${p.take(800)}")
+      }
+      // tfidf keeps only the corpus-df statistic windows its norm
+      // genuinely needs (partitioned by TERM; the weighted-postings
+      // frame has two consumers and exchanges are not reused here, so
+      // the df window instantiates twice) — the per-query rank rides
+      // graft_topk, so no window is ever partitioned by query_id
+      val pt = plan(Retrieval.tfidfSearch(spark, sf))
+      assert(pt.contains("partial_graft_topk") || pt.contains("partial_topkbyscore"),
+        s"tfidf_search: the per-query cut must partial-aggregate:\n${pt.take(1500)}")
+      assert(!pt.contains("windowspecdefinition(query_id"),
+        s"tfidf_search: no per-query rank window may remain:\n${pt.take(800)}")
+    } finally Dedup.retireCaches()
   }
 
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
