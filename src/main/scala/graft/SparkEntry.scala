@@ -200,6 +200,8 @@ object SparkEntry {
     "stream_audio_neardup" -> graft.streaming.DocStream.streamAudioNearDup _,
     // cross-modal signature-exact keep-list (the capstone grouping)
     "mm_media_keep" -> Multimodal.mediaKeep _,
+    // the near-dup tier: banded pair streams → components → keep-list
+    "mm_media_keep_neardup" -> Multimodal.mediaKeepNearDup _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -2792,27 +2794,121 @@ object SparkEntry {
        |ORDER BY batch_id, hist_id""".stripMargin
   }
 
+  /** Full-corpus pixel-phash signature subquery — `SELECT doc_id, ph`
+    * (mirrors Multimodal.phashSigCorpus; shared by the image pair
+    * oracle and the media near-dup keep-list).
+    */
+  private lazy val phashSigSql: String =
+    s"""WITH ${pixelChannelCtes(Multimodal.PhashBits)},
+       |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |      FROM f GROUP BY dim),
+       |ph AS (SELECT doc_id,
+       |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+       |  FROM f JOIN m USING (dim) GROUP BY doc_id)
+       |SELECT doc_id, ph FROM ph""".stripMargin
+
+  /** Full-corpus audio energy-profile signature subquery — `SELECT
+    * doc_id, ph` (mirrors Multimodal.audioSigCorpus).
+    */
+  private lazy val audioSigSql: String =
+    s"""WITH ${audioEnergyCtesFor(Multimodal.PhashBits)},
+       |m AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM x GROUP BY win),
+       |ph AS (SELECT doc_id,
+       |    sum(CASE WHEN x.energy > m.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
+       |  FROM x JOIN m USING (win) GROUP BY doc_id)
+       |SELECT doc_id, ph FROM ph""".stripMargin
+
+  /** Banded Hamming pair replay over a `(doc_id, ph)` signature
+    * subquery — the shared tail of the image/audio pair oracles and
+    * the near-dup keep-list's edge streams (mirrors
+    * Multimodal.sigBandPairs; DISTINCT stands in for the engine's
+    * stateless lowest-matching-band collapse — same surviving set).
+    * Unordered; callers append ORDER BY or nest.
+    */
+  private def sigBandPairsSql(sigSql: String): String = {
+    val bb = Multimodal.PhashBits / Multimodal.PhashBands
+    val mask = (1L << bb) - 1
+    s"""WITH sig AS ($sigSql),
+       |bands AS (SELECT doc_id, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+       |  FROM sig, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS pa, y.ph AS pb
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}""".stripMargin
+  }
+
+  /** Clip-level near-dup pair replay (unordered) — banded frame-pair
+    * candidates over the per-frame signature chain, Hamming verify,
+    * clip lift with the match floor (mirrors Multimodal.videoClipPairs;
+    * shared by the video pair oracle and the near-dup keep-list).
+    */
+  private lazy val videoClipPairsSql: String = {
+    val bb = Multimodal.PhashBits / Multimodal.PhashBands
+    val mask = (1L << bb) - 1
+    s"""WITH $videoFrameSigCtes,
+       |bands AS (SELECT doc_id, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
+       |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    x.sample_no AS sa, y.sample_no AS sb, x.ph AS pa, y.ph AS pb
+       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+       |    AND x.doc_id < y.doc_id),
+       |hits AS (SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming})
+       |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_frame_matches,
+       |  min(hamming) AS min_hamming
+       |FROM hits GROUP BY doc_a, doc_b
+       |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}""".stripMargin
+  }
+
+  /** The media near-dup keep-list replay: per-modality pair streams
+    * (the SAME subqueries that gate the pair oracles) become edges,
+    * the transitive closure labels each component with its minimum
+    * member (the `clustersSql` recursive-CTE pattern —
+    * implementation-independent of the Spark side's iterative label
+    * propagation), and components aggregate to representative + member
+    * count. The three modality graphs share one id space — (modality
+    * m, doc d) encodes as 3·d + m, exactly the engine's encoding — so
+    * one closure covers all three; edges never cross modalities.
+    * Universes are the signature-carrying docs per modality (the same
+    * subqueries' doc sets), so singletons count themselves.
+    */
+  private lazy val mediaKeepNearDupSql: String =
+    s"""WITH RECURSIVE
+       |inodes AS (SELECT doc_id * 3 AS id FROM ($phashSigSql)),
+       |anodes AS (SELECT doc_id * 3 + 1 AS id FROM ($audioSigSql)),
+       |vnodes AS (SELECT DISTINCT doc_id * 3 + 2 AS id
+       |  FROM (WITH $videoFrameSigCtes SELECT doc_id FROM ph)),
+       |u AS (SELECT id FROM inodes UNION ALL SELECT id FROM anodes
+       |  UNION ALL SELECT id FROM vnodes),
+       |pairs AS (
+       |  SELECT doc_a * 3 AS a, doc_b * 3 AS b FROM (${sigBandPairsSql(phashSigSql)})
+       |  UNION ALL
+       |  SELECT doc_a * 3 + 1, doc_b * 3 + 1 FROM (${sigBandPairsSql(audioSigSql)})
+       |  UNION ALL
+       |  SELECT doc_a * 3 + 2, doc_b * 3 + 2 FROM ($videoClipPairsSql)),
+       |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach AS (SELECT a, b FROM sym
+       |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a AND r.a <> s.b),
+       |lab AS (SELECT a AS id, min(b) AS m FROM reach GROUP BY a),
+       |l2 AS (SELECT u.id,
+       |    CASE WHEN l.m IS NULL OR u.id < l.m THEN u.id ELSE l.m END AS cluster
+       |  FROM u LEFT JOIN lab l ON u.id = l.id)
+       |SELECT CASE cluster % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |    ELSE 'video' END AS modality,
+       |  cluster // 3 AS keep_id, CAST(count(*) AS BIGINT) AS n_members
+       |FROM l2 GROUP BY cluster
+       |ORDER BY modality, keep_id""".stripMargin
+
   private def multimodalOracles: Map[String, String] = Map(
     // the image half of dedup: corpus-mean-thresholded average hash
     // over the PIXEL block-mean channels, banded candidates,
     // XOR-popcount verify (mirrors Multimodal.phashPairs bit for bit)
-    "mm_phash_pairs" -> {
-      val bb = Multimodal.PhashBits / Multimodal.PhashBands
-      val mask = (1L << bb) - 1
-      s"""WITH ${pixelChannelCtes(Multimodal.PhashBits)},
-         |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-         |      FROM f GROUP BY dim),
-         |ph AS (SELECT doc_id,
-         |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
-         |  FROM f JOIN m USING (dim) GROUP BY doc_id),
-         |bands AS (SELECT doc_id, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
-         |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ph AS pa, y.ph AS pb
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "mm_phash_pairs" ->
+      s"${sigBandPairsSql(phashSigSql)}\nORDER BY doc_a, doc_b",
+    // pairs → components → representative: the near-dup keep-list over
+    // all three media modalities (mirrors Multimodal.mediaKeepNearDup)
+    "mm_media_keep_neardup" -> mediaKeepNearDupSql,
     "mm_phash_incremental" -> phashIncrementalSql,
     // the streaming twin is a stateless stream-static probe of the
     // same store — bit-identical, one oracle gates both
@@ -2971,25 +3067,8 @@ object SparkEntry {
     // candidates, XOR-popcount verify (mirrors Multimodal.audioNearDup;
     // DISTINCT stands in for the engine's stateless lowest-band
     // collapse — same surviving set)
-    "mm_audio_neardup" -> {
-      val bb = Multimodal.PhashBits / Multimodal.PhashBands
-      val mask = (1L << bb) - 1
-      s"""WITH ${audioEnergyCtesFor(Multimodal.PhashBits)},
-         |m AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
-         |  FROM x GROUP BY win),
-         |ph AS (SELECT doc_id,
-         |    sum(CASE WHEN x.energy > m.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
-         |  FROM x JOIN m USING (win) GROUP BY doc_id),
-         |bands AS (SELECT doc_id, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
-         |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
-         |cand AS (SELECT DISTINCT x2.doc_id AS doc_a, y2.doc_id AS doc_b,
-         |    x2.ph AS pa, y2.ph AS pb
-         |  FROM bands x2 JOIN bands y2 ON x2.b = y2.b AND x2.bk = y2.bk
-         |    AND x2.doc_id < y2.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming}
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "mm_audio_neardup" ->
+      s"${sigBandPairsSql(audioSigSql)}\nORDER BY doc_a, doc_b",
     // gaps-and-islands over the energy windows: a boundary is any
     // window whose silence flag differs from its predecessor's; the
     // running boundary count labels segments (mirrors
@@ -3035,24 +3114,7 @@ object SparkEntry {
     // per-channel mean over all sampled frames), banded frame-pair
     // candidates, XOR-popcount verify, then the clip lift — mirrors
     // Multimodal.videoNearDup stage for stage
-    "mm_video_neardup" -> {
-      val bb = Multimodal.PhashBits / Multimodal.PhashBands
-      val mask = (1L << bb) - 1
-      s"""WITH $videoFrameSigCtes,
-         |bands AS (SELECT doc_id, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
-         |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
-         |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |    x.sample_no AS sa, y.sample_no AS sb, x.ph AS pa, y.ph AS pb
-         |  FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
-         |    AND x.doc_id < y.doc_id),
-         |hits AS (SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |  FROM cand WHERE bit_count(xor(pa, pb)) <= ${Multimodal.PhashMaxHamming})
-         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_frame_matches,
-         |  min(hamming) AS min_hamming
-         |FROM hits GROUP BY doc_a, doc_b
-         |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "mm_video_neardup" -> s"$videoClipPairsSql\nORDER BY doc_a, doc_b",
     // shot-boundary detection: the SAME per-frame signatures, read
     // sequentially — each present frame lags to its nearest present
     // predecessor (empty frames are gaps, not errors); a transition is

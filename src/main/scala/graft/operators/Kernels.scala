@@ -41,25 +41,37 @@ private[graft] object Kernels {
       scala.collection.mutable.Map.empty[Int, org.apache.spark.SparkContext]
   }
 
-  // Every live scope is ALSO tracked globally against its owning thread
-  // (weakly — a collected thread drops its entry) so retireCaches can
+  // Every live scope is ALSO tracked globally so retireCaches can
   // drain scopes whose thread has terminated. The thread-scoped
   // contract is enforced by convention plus one spec; this is the
   // self-healing backstop for the one convention-violation class that
   // would otherwise pin frames for the whole session: a cacheTracked
   // call on a short-lived thread (a pool worker, a stream-execution
-  // thread) that never calls retireCaches itself.
-  private val allScopes = new java.util.WeakHashMap[Thread, Scope]
+  // thread) that never calls retireCaches itself. The SCOPE is held
+  // STRONGLY and only the Thread weakly — a WeakHashMap[Thread, Scope]
+  // would silently expunge an orphaned scope once its dead Thread
+  // object is collected, losing the pinned-frame list BEFORE any
+  // retire could drain it (the one failure the backstop exists for).
+  // An entry leaves the registry only through drainScope.
+  private val allScopes = scala.collection.mutable.ArrayBuffer
+    .empty[(java.lang.ref.WeakReference[Thread], Scope)]
 
   private val scope: ThreadLocal[Scope] =
     ThreadLocal.withInitial { () =>
       val s = new Scope
-      allScopes.synchronized { allScopes.put(Thread.currentThread(), s) }
+      allScopes.synchronized {
+        allScopes += ((new java.lang.ref.WeakReference(Thread.currentThread()), s))
+      }
       s
     }
 
   def cacheTracked(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    scope.get.caches += df
+    val s = scope.get
+    // every Scope mutation and the cross-thread drain synchronize on
+    // the Scope itself: !t.isAlive alone gives no happens-before edge
+    // with the dead thread's writes (unlike join), so an unsynchronized
+    // drain could read a stale caches buffer
+    s.synchronized { s.caches += df }
     df.cache()
   }
 
@@ -93,18 +105,19 @@ private[graft] object Kernels {
     */
   def retireCaches(): Unit = {
     drainScope(scope.get)
-    // backstop: drain scopes whose owning thread has DIED without
-    // retiring (a convention violation this registry self-heals, the
-    // way the old global registry did on the next retire from any
-    // thread). Live threads' scopes are never touched — mid-query
-    // pins on concurrent threads stay pinned.
+    // backstop: drain scopes whose owning thread has DIED (isAlive
+    // false) or been collected (weak ref cleared) without retiring — a
+    // convention violation this registry self-heals, the way the old
+    // global registry did on the next retire from any thread. The
+    // scope reference is strong, so a collected Thread never takes its
+    // undrained scope with it. Live threads' scopes are never touched
+    // — mid-query pins on concurrent threads stay pinned.
     allScopes.synchronized {
-      val it = allScopes.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val t = e.getKey
-        if (t != null && !t.isAlive) { drainScope(e.getValue); it.remove() }
+      val dead = allScopes.filter { case (ref, _) =>
+        val t = ref.get(); t == null || !t.isAlive
       }
+      dead.foreach { case (_, s) => drainScope(s) }
+      allScopes --= dead
     }
     // memo caches drain with the memo-invalidation hooks below — both
     // are global, and one without the other either orphans pinned
@@ -120,7 +133,7 @@ private[graft] object Kernels {
     * blocks. Async unpersist would leave SF-sized blocks resident
     * while the NEXT query runs, defeating the point of retiring them.
     */
-  private def drainScope(s: Scope): Unit = {
+  private def drainScope(s: Scope): Unit = s.synchronized {
     s.caches.foreach(_.unpersist(true))
     s.caches.clear()
     s.checkpointIds.foreach { case (id, sc) =>
@@ -152,7 +165,8 @@ private[graft] object Kernels {
   def trackedCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val ck = df.localCheckpoint()
     checkpointRddId(ck).foreach { id =>
-      scope.get.checkpointIds(id) = ck.sparkSession.sparkContext
+      val s = scope.get
+      s.synchronized { s.checkpointIds(id) = ck.sparkSession.sparkContext }
     }
     ck
   }
@@ -160,7 +174,8 @@ private[graft] object Kernels {
   /** Free one checkpoint's blocks by id (no-op if already gone). */
   def releaseCheckpoint(sc: org.apache.spark.SparkContext, id: Int): Unit = {
     sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
-    scope.get.checkpointIds.remove(id)
+    val s = scope.get
+    s.synchronized { s.checkpointIds.remove(id) }
     ()
   }
 
@@ -173,7 +188,8 @@ private[graft] object Kernels {
     */
   def adoptCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     checkpointRddId(df).foreach { id =>
-      scope.get.checkpointIds(id) = df.sparkSession.sparkContext
+      val s = scope.get
+      s.synchronized { s.checkpointIds(id) = df.sparkSession.sparkContext }
     }
     df
   }

@@ -624,8 +624,21 @@ object Multimodal {
         .otherwise(lit(0L))).as("ph"))
   }
 
-  def audioNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val bands = audioSigCorpus(spark, dir)
+  def audioNearDup(spark: SparkSession, dir: String): DataFrame =
+    sigBandPairs(audioSigCorpus(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** Banded Hamming near-dup pairs over a (doc_id, ph) signature frame
+    * — the ONE corpus-side band-join shape the image and audio pair
+    * queries share (and [[mediaKeepNearDup]]'s edge streams reuse):
+    * explode each signature into its [[PhashBands]] band keys, equi-join
+    * band collisions (never all-pairs), collapse multi-band collisions
+    * STATELESSLY via [[firstBandOnly]] (one surviving row per pair, no
+    * distinct exchange), verify with an integer XOR popcount at Hamming
+    * ≤ [[PhashMaxHamming]]. Output is unordered (doc_a, doc_b,
+    * hamming) with doc_a < doc_b; callers order or consume.
+    */
+  private[graft] def sigBandPairs(sig: DataFrame): DataFrame = {
+    val bands = sig
       .select(col("doc_id"), col("ph"),
         explode(phashBands(col("ph"))).as("bs"))
       .select(col("doc_id"), col("ph"),
@@ -637,7 +650,6 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
       .filter(col("hamming") <= PhashMaxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Per-window energy thresholds trained on the HISTORY side — the
@@ -1166,12 +1178,19 @@ object Multimodal {
     * combiner-friendly groupBy over matched pairs. Every stage is
     * exact integer/6dp arithmetic the oracle replays bit-for-bit.
     */
-  def videoNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def videoNearDup(spark: SparkSession, dir: String): DataFrame =
     // pin the SIGNATURE frame (K rows per video — aggregate-sized, the
     // measured cache-discipline bar): the self-join would otherwise
     // re-run the channel kernel and the threshold aggregate once per
     // side. Released by the harness's post-action retireCaches().
-    val ph = Kernels.cacheTracked(corpusFrameSigs(spark, dir))
+    videoClipPairs(Kernels.cacheTracked(corpusFrameSigs(spark, dir)))
+      .orderBy("doc_a", "doc_b")
+
+  /** The clip-lift band join over an explicit per-frame signature
+    * frame (doc_id, sample_no, ph) — shared by [[videoNearDup]] and
+    * [[mediaKeepNearDup]]'s video edge stream. Unordered output.
+    */
+  private[graft] def videoClipPairs(ph: DataFrame): DataFrame = {
     val bandBits = PhashBits / PhashBands
     val mask = (1L << bandBits) - 1
     val bands = ph.select(col("doc_id"), col("sample_no"), col("ph"),
@@ -1193,7 +1212,6 @@ object Multimodal {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_frame_matches"), min("hamming").as("min_hamming"))
       .filter(col("n_frame_matches") >= VideoMatchMinFrames)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Per-channel frame thresholds trained on the HISTORY side — the
@@ -1547,33 +1565,28 @@ object Multimodal {
     * verified with an integer XOR popcount. Every stage is exact
     * integer/6dp arithmetic, replayed bit-for-bit by the oracle.
     */
-  def phashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def phashPairs(spark: SparkSession, dir: String): DataFrame =
+    sigBandPairs(phashSigCorpus(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** The corpus pixel-phash signature frame (doc_id, ph) under
+    * whole-corpus per-dimension thresholds — the frame [[phashPairs]]
+    * banded-joins (the image twin of [[audioSigCorpus]]); every
+    * payload with a non-empty decoded body carries a signature. One
+    * map-only channel kernel pass, one [[PhashBits]]-row threshold
+    * broadcast (decimal-summed, order-exact), one combiner-friendly
+    * fold per document.
+    */
+  private[graft] def phashSigCorpus(spark: SparkSession, dir: String): DataFrame = {
     val f = pixelChannels(
       ingestBinary(spark, dir).select("doc_id", "payload"), PhashBits)
     val mu = f.groupBy("dim")
       .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))
-    val ph = f.join(broadcast(mu), "dim")
+    f.join(broadcast(mu), "dim")
       .groupBy("doc_id")
       .agg(sum(when(col("f") > col("mu"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
         .otherwise(lit(0L))).as("ph"))
-    val bandBits = PhashBits / PhashBands
-    val mask = (1L << bandBits) - 1
-    val bands = ph.select(col("doc_id"), col("ph"),
-        explode(sequence(lit(0), lit(PhashBands - 1))).as("b"))
-      .withColumn("bk", expr(s"shiftright(ph, CAST($bandBits * b AS INT)) & $mask"))
-    bands.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      // stateless lowest-matching-band collapse (the videoNearDup /
-      // audioNearDup convention) — one row per colliding pair, no
-      // distinct exchange; the oracle's SELECT DISTINCT replays it
-      .filter(firstBandOnly(col("x.ph"), col("y.ph"), col("x.b")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("CAST(bit_count(x.ph ^ y.ph) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= PhashMaxHamming)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** `mm_media_keep`: the cross-modal dedup keep-list — ONE
@@ -1597,6 +1610,18 @@ object Multimodal {
     * complements (signature-EQUALITY dedup is the exact tier; the
     * banded Hamming pairs are the near tier).
     */
+  /** Image-format predicate as a COLUMN expression on the leading
+    * payload bytes (binary substring comparisons mirror isBmp/isPpm
+    * exactly: 'BM' + 54-byte header floor, or 'P6') — keeps image-side
+    * scans codegen-friendly where a Row-lambda filter would force
+    * full-row deserialization and a typed barrier. Shared by
+    * [[mediaKeep]] and the keep-list maintenance twins.
+    */
+  private def isImagePayload: org.apache.spark.sql.Column =
+    (substring(col("payload"), 1, 2) === lit("BM".getBytes("US-ASCII")) &&
+      length(col("payload")) >= 54) ||
+    substring(col("payload"), 1, 2) === lit("P6".getBytes("US-ASCII"))
+
   def mediaKeep(spark: SparkSession, dir: String): DataFrame = {
     val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
     // IMAGE: pixel phash under IMAGE-corpus thresholds (the parsed
@@ -1607,12 +1632,7 @@ object Multimodal {
     // codegen-friendly — a Row-lambda filter here forced full-row
     // deserialization and a typed barrier ahead of pixelChannels, the
     // only typed filter in the otherwise columnar keep-list plan.
-    val imgF = pixelChannels(
-      payloads.filter(
-        (substring(col("payload"), 1, 2) === lit("BM".getBytes("US-ASCII")) &&
-          length(col("payload")) >= 54) ||
-        substring(col("payload"), 1, 2) === lit("P6".getBytes("US-ASCII"))),
-      PhashBits)
+    val imgF = pixelChannels(payloads.filter(isImagePayload), PhashBits)
     val imgMu = imgF.groupBy("dim")
       .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
         / count(lit(1)), 6).as("mu"))
@@ -1639,6 +1659,62 @@ object Multimodal {
     imgSig.unionByName(audSig).unionByName(vidSig)
       .groupBy("modality", "fingerprint")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .orderBy("modality", "keep_id")
+  }
+
+  /** `mm_media_keep_neardup`: the media NEAR-dup keep-list — the
+    * cluster/representative end product the banded pair streams
+    * ([[phashPairs]], [[audioNearDup]], [[videoNearDup]]) exist to
+    * feed, closing the gap the text side closed long ago (pairs →
+    * components → `dedup_keep`): per modality, near-dup pairs become
+    * edges, connected components group transitive near-dups, and each
+    * component keeps its minimum doc_id with a member count — what a
+    * curation pipeline actually consumes (a pair stream still needs
+    * this closure before anything can be dropped; A~B and B~C must
+    * collapse to ONE survivor even when A~C itself missed the Hamming
+    * cut). [[mediaKeep]] remains the signature-EXACT tier; this is the
+    * banded near tier over the same corpus.
+    *
+    * Scale shape: the three signature frames are each ONE map-heavy
+    * pass + one threshold broadcast + one per-doc fold (cached — each
+    * serves both its band self-join and the node universe); edges come
+    * banded, never all-pairs; and the three modality graphs are solved
+    * by ONE [[Dedup.clustersFromEdges]] label-propagation loop
+    * (O(log diameter) pointer-jump rounds, per-round checkpoints) over
+    * a shared id space — (modality m, doc d) encodes as 3·d + m. The
+    * encoding is affine and monotone per modality and edges never
+    * cross modalities, so each component's minimum encoded id decodes
+    * to exactly the modality's minimum member: one loop harness
+    * instead of three, with bit-identical labels.
+    */
+  def mediaKeepNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // each signature frame is aggregate-sized (≤ one row per doc /
+    // K per clip) and read twice (band join x+y) or thrice (+ node
+    // universe) — pinned for the query, retired by the harness
+    val imgSig = Kernels.cacheTracked(phashSigCorpus(spark, dir))
+    val audSig = Kernels.cacheTracked(audioSigCorpus(spark, dir))
+    val vidSig = Kernels.cacheTracked(corpusFrameSigs(spark, dir))
+    def encId(c: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
+      (c * 3 + m).as("doc_id")
+    def encEdges(pairs: DataFrame, m: Int): DataFrame =
+      pairs.select((col("doc_a") * 3 + m).as("doc_a"),
+        (col("doc_b") * 3 + m).as("doc_b"))
+    val nodes = imgSig.select(encId(col("doc_id"), 0))
+      .union(audSig.select(encId(col("doc_id"), 1)))
+      .union(vidSig.select(col("doc_id")).distinct()
+        .select(encId(col("doc_id"), 2)))
+    val edges = encEdges(sigBandPairs(imgSig), 0)
+      .union(encEdges(sigBandPairs(audSig), 1))
+      .union(encEdges(videoClipPairs(vidSig), 2))
+    Dedup.clustersFromEdges(nodes, edges)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .select(
+        when(col("cluster") % 3 === 0, "image")
+          .when(col("cluster") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        expr("CAST(cluster div 3 AS BIGINT)").as("keep_id"),
+        col("n_members"))
       .orderBy("modality", "keep_id")
   }
 }

@@ -95,7 +95,9 @@ class KernelsScopeSpec extends AnyFunSuite {
     // cache and a checkpoint but dies WITHOUT calling retireCaches
     // (the leak class the round-13 advisory named — a pool worker or
     // stream thread using cacheTracked instead of memoCache). The
-    // weak-registry backstop must reclaim both on the next retire
+    // backstop registry (scopes held strongly, threads weakly — a
+    // collected Thread must never expunge its undrained scope's
+    // pinned-frame list) must reclaim both on the next retire
     // from a live thread, while live threads' pins stay pinned (the
     // concurrency spec above).
     @volatile var deadCache: org.apache.spark.sql.DataFrame = null

@@ -808,6 +808,71 @@ class OperatorsSpec extends AnyFunSuite {
       s"audio keep groups diverge: got=${gotAudio.size} want=${expAudio.size}")
   }
 
+  test("media near-dup keep-list: per-modality components replay, coverage exact") {
+    val keep = Multimodal.mediaKeepNearDup(spark, sf).collect()
+    Dedup.retireCaches()
+    assert(keep.map(_.getAs[String]("modality")).toSet == Set("image", "audio", "video"))
+    // the corpus's planted near-dups must actually cluster
+    assert(keep.exists(_.getAs[Long]("n_members") > 1L))
+    // independent replay: union-find over the PAIR STREAMS per modality
+    // (the queries the keep-list closes over) — representative must be
+    // each component's minimum member and counts must tile the
+    // signature-carrying universe exactly (singletons included)
+    def components(univ: Set[Long], pairs: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]() ++ univ.map(d => d -> d)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      univ.groupBy(find).map { case (_, ms) => (ms.min, ms.size.toLong) }.toSet
+    }
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] = {
+      val ps = df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      Dedup.retireCaches(); ps
+    }
+    val gotByMod = keep.groupBy(_.getAs[String]("modality")).map { case (m, rows) =>
+      m -> rows.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"))).toSet
+    }
+    def check(mod: String, univ: Set[Long], pairs: Seq[(Long, Long)]): Unit =
+      assert(gotByMod(mod) == components(univ, pairs),
+        s"$mod: clusters diverge from the union-find replay over the pair stream")
+    val imgUniv = Multimodal.phashSigCorpus(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    Dedup.retireCaches()
+    check("image", imgUniv, pairsOf(Multimodal.phashPairs(spark, sf)))
+    val audUniv = Multimodal.audioSigCorpus(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    Dedup.retireCaches()
+    check("audio", audUniv, pairsOf(Multimodal.audioNearDup(spark, sf)))
+    val vidUniv = Multimodal.corpusFrameSigs(spark, sf).select("doc_id").distinct()
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    Dedup.retireCaches()
+    check("video", vidUniv, pairsOf(Multimodal.videoNearDup(spark, sf)))
+    // the near tier subsumes the exact tier: identical audio signatures
+    // pair at Hamming 0, so each mm_media_keep audio group must land
+    // inside ONE near cluster (image/video exact groups are format-
+    // filtered/fold-keyed — the audio modality is the directly
+    // comparable one)
+    val audSigs = Multimodal.audioSigCorpus(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("ph"))
+    Dedup.retireCaches()
+    val nearPairs = pairsOf(Multimodal.audioNearDup(spark, sf))
+    val label = {
+      val parent = scala.collection.mutable.Map[Long, Long]() ++ audUniv.map(d => d -> d)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      nearPairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      audUniv.map(d => d -> find(d)).toMap
+    }
+    audSigs.groupBy(_._2).values.foreach { grp =>
+      assert(grp.map(g => label(g._1)).toSet.size == 1,
+        "an exact signature group straddles two near-dup clusters")
+    }
+  }
+
   test("audio segments are maximal islands: contiguous, alternating, covering") {
     val energy = Multimodal.audioEnergy(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
