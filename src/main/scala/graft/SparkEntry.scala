@@ -202,6 +202,9 @@ object SparkEntry {
     "mm_media_keep" -> Multimodal.mediaKeep _,
     // the near-dup tier: banded pair streams → components → keep-list
     "mm_media_keep_neardup" -> Multimodal.mediaKeepNearDup _,
+    // keep-list maintenance: batch merge + true-streaming twin
+    "mm_media_keep_maintain" -> Multimodal.mediaKeepMaintain _,
+    "stream_media_keep" -> graft.streaming.DocStream.streamMediaKeep _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -2861,6 +2864,67 @@ object SparkEntry {
        |HAVING count(*) >= ${Multimodal.VideoMatchMinFrames}""".stripMargin
   }
 
+  /** Maintained-keep-list replay: the full regroup of ALL docs'
+    * modality-native fingerprints under HISTORY-trained thresholds —
+    * the exact value of the batch maintenance's CDC merge AND of the
+    * streaming twin's drained store (fingerprints are frozen, so
+    * (min, sum) group merges commute; the contract
+    * Multimodal.mergeMediaKeep documents and its spec pins). Image =
+    * format-filtered pixel phash, audio = energy hash, video = md5
+    * fold of ordered frame signatures — each under thresholds trained
+    * on the `inc:` history split only (inner-join semantics: untrained
+    * dims/windows set no bit; docs with no trained channel carry no
+    * fingerprint).
+    */
+  private lazy val mediaKeepMaintainSql: String = {
+    val thr = Dedup.IncBatchThreshold
+    val pb = Multimodal.PhashBits
+    s"""WITH img AS (SELECT doc_id, 'image' AS modality,
+       |    CAST(sig AS VARCHAR) AS fingerprint FROM (
+       |  WITH ib AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |      octet_length(encode(text)) AS n,
+       |      substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split
+       |    FROM documents
+       |      WHERE octet_length(encode(text)) % 3 < 2
+       |        AND octet_length(encode(text)) > 0),
+       |  ie AS (SELECT doc_id, split, n, hx, unnest(generate_series(1, n)) AS j FROM ib),
+       |  iv AS (SELECT doc_id, split, CAST((j-1) * $pb // n AS BIGINT) + 1 AS dim,
+       |      (strpos('0123456789abcdef', substr(hx, CAST(2*j-1 AS INT), 1)) - 1) * 16
+       |      + strpos('0123456789abcdef', substr(hx, CAST(2*j AS INT), 1)) - 1 AS byte
+       |    FROM ie),
+       |  ifr AS (SELECT doc_id, split, dim,
+       |      ((sum(byte) * 1000000 + (count(*)*255)//2) // (count(*)*255)) / 1000000.0 AS f
+       |    FROM iv GROUP BY doc_id, split, dim),
+       |  im AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |    FROM ifr WHERE split >= '$thr' GROUP BY dim),
+       |  isg AS (SELECT doc_id,
+       |      sum(CASE WHEN ifr.f > im.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS sig
+       |    FROM ifr JOIN im USING (dim) GROUP BY doc_id)
+       |  SELECT doc_id, sig FROM isg)),
+       |aud AS (SELECT doc_id, 'audio' AS modality,
+       |    CAST(ph AS VARCHAR) AS fingerprint FROM (
+       |  WITH ${audioEnergyCtesFor(pb).linesIterator.map("  " + _).mkString("\n").trim},
+       |  sx AS (SELECT doc_id, win, energy,
+       |      substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split FROM x),
+       |  am AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |    FROM sx WHERE split >= '$thr' GROUP BY win),
+       |  aph AS (SELECT doc_id,
+       |      sum(CASE WHEN sx.energy > am.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
+       |    FROM sx JOIN am USING (win) GROUP BY doc_id)
+       |  SELECT doc_id, ph FROM aph)),
+       |vid AS (SELECT doc_id, 'video' AS modality, fingerprint FROM (
+       |  WITH ${videoFrameSigCtesFor(split = true).linesIterator.map("  " + _).mkString("\n").trim}
+       |  SELECT doc_id,
+       |    md5(string_agg(CAST(sample_no AS VARCHAR) || ':' || CAST(ph AS VARCHAR),
+       |      ',' ORDER BY sample_no)) AS fingerprint
+       |  FROM ph GROUP BY doc_id)),
+       |u AS (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)
+       |SELECT modality, fingerprint, min(doc_id) AS keep_id,
+       |  CAST(count(*) AS BIGINT) AS n_members
+       |FROM u GROUP BY modality, fingerprint
+       |ORDER BY modality, keep_id""".stripMargin
+  }
+
   /** The media near-dup keep-list replay: per-modality pair streams
     * (the SAME subqueries that gate the pair oracles) become edges,
     * the transitive closure labels each component with its minimum
@@ -2909,6 +2973,11 @@ object SparkEntry {
     // pairs → components → representative: the near-dup keep-list over
     // all three media modalities (mirrors Multimodal.mediaKeepNearDup)
     "mm_media_keep_neardup" -> mediaKeepNearDupSql,
+    // maintained == recomputed over the union corpus under history
+    // thresholds (the mergeMediaKeep contract); the streaming twin's
+    // drained store is bit-identical, one oracle text gates both
+    "mm_media_keep_maintain" -> mediaKeepMaintainSql,
+    "stream_media_keep" -> mediaKeepMaintainSql,
     "mm_phash_incremental" -> phashIncrementalSql,
     // the streaming twin is a stateless stream-static probe of the
     // same store — bit-identical, one oracle gates both

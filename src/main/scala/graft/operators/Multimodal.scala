@@ -1717,4 +1717,168 @@ object Multimodal {
         col("n_members"))
       .orderBy("modality", "keep_id")
   }
+
+  // ---- keep-list maintenance: the mm_media_keep product as a
+  // maintained store (the dedup_keep_maintain pattern at the media
+  // modalities) ----
+
+  /** Per-dimension pixel thresholds trained on the HISTORY side's
+    * IMAGE docs — the keep-list maintenance analogue of [[historyMu]]
+    * (which trains over the WHOLE history corpus for the cross-format
+    * phash probe): [[mediaKeep]]'s image fingerprints are
+    * image-corpus-thresholded, so maintaining them needs the history
+    * slice of that same corpus. Dims no history image populated carry
+    * NO threshold (inner-join semantics). ≤ [[PhashBits]] values,
+    * collected once and shipped in task closures.
+    */
+  private[graft] def historyImageMu(spark: SparkSession, dir: String): Map[Long, Double] = {
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    pixelChannels(
+      ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload")
+        .filter(isImagePayload),
+      PhashBits)
+      .groupBy("dim")
+      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("mu"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+  }
+
+  /** The pixel average-hash from one payload under TRAINED
+    * per-dimension thresholds — bit d−1 set iff block d is populated,
+    * has a threshold, and beats it; None when no populated block
+    * carries a trained threshold (the [[frameSigRows]] inner-join
+    * convention). The Map-keyed twin of [[phashOfBody]] (whose dense
+    * IndexedSeq assumes every dim trained — true for whole-corpus
+    * thresholds, not for a maintained store's).
+    */
+  private[graft] def phashOfBodyMap(p: Array[Byte], mu: Map[Long, Double]): Option[Long] = {
+    val chans = blockChannels(p, PhashBits).toSeq
+    if (!chans.exists { case (d, _) => mu.contains(d + 1L) }) None
+    else Some(chans.foldLeft(0L) { case (acc, (d, f)) =>
+      mu.get(d + 1L) match {
+        case Some(m) if f > m => acc | (1L << d)
+        case _ => acc
+      }
+    })
+  }
+
+  /** One payload's modality-native fingerprint under TRAINED
+    * thresholds — the [[mediaKeep]] signature law with the history's
+    * thresholds in the closure, dispatched on the PARSED format
+    * (magic bytes, the [[decodeMedia]] contract): images the pixel
+    * phash, audio the energy-profile hash, video the md5 fold of the
+    * ordered per-frame signatures. None for undecodable payloads or
+    * payloads none of whose channels/windows/frames carry a trained
+    * threshold. Shared verbatim by the batch maintenance and its
+    * streaming twin — same bytes, same thresholds, same fingerprints.
+    */
+  private[graft] def mediaSigOfPayload(p: Array[Byte],
+      imgMu: Map[Long, Double], audMu: Map[Long, Double],
+      vidMu: Map[Long, Double]): Option[(String, String)] =
+    if (isBmp(p) || isPpm(p))
+      phashOfBodyMap(p, imgMu).map(s => ("image", s.toString))
+    else if (isWav(p))
+      audioSigOfBody(p, audMu).map(s => ("audio", s.toString))
+    else if (isAvi(p)) {
+      val frames = frameSigRows(0L, p, vidMu).toSeq
+      if (frames.isEmpty) None
+      else {
+        val folded = frames.sortBy(_._2).map(f => s"${f._2}:${f._3}").mkString(",")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(folded.getBytes("UTF-8"))
+        Some(("video", md.map("%02x".format(_)).mkString))
+      }
+    } else None
+
+  /** Kernel: an explicit (doc_id, payload) frame → (doc_id, modality,
+    * fingerprint) under the thresholds in the closure. Map-only,
+    * stateless — streaming-legal, shared by the history-store build,
+    * the batch maintenance and the stream's per-micro-batch ingest.
+    */
+  private[graft] def mediaSigFrame(payloads: DataFrame,
+      imgMu: Map[Long, Double], audMu: Map[Long, Double],
+      vidMu: Map[Long, Double]): DataFrame = {
+    implicit val enc: Encoder[(Long, String, String)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    payloads.mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        mediaSigOfPayload(r.getAs[Array[Byte]](1), imgMu, audMu, vidMu)
+          .map { case (m, fp) => (r.getLong(0), m, fp) }
+      }
+    }.toDF("doc_id", "modality", "fingerprint")
+  }
+
+  /** The HISTORY corpus's keep store — [[mediaKeep]]'s grouping over
+    * the history docs under history-trained thresholds: the durable
+    * artifact ingest maintenance merges into (in production a
+    * materialized table; the [[historyPhashStore]] contract at the
+    * keep-list product).
+    */
+  private[graft] def mediaKeepHistoryStore(spark: SparkSession, dir: String,
+      imgMu: Map[Long, Double], audMu: Map[Long, Double],
+      vidMu: Map[Long, Double]): DataFrame = {
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    mediaSigFrame(
+      Kernels.fanOut(ingestBinary(spark, dir)
+        .filter(splitOf >= Dedup.IncBatchThreshold)
+        .select("doc_id", "payload")),
+      imgMu, audMu, vidMu)
+      .groupBy("modality", "fingerprint")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+  }
+
+  /** Merge one ingest batch's fingerprint groups into a keep store —
+    * the [[Dedup.maintainKeep]] CDC shape at the media keep-list:
+    * untouched store rows ride an anti-join unchanged (the store is
+    * never shuffled beyond the touched groups); touched groups merge
+    * by (min keep_id, summed member count), which is exact because
+    * fingerprints are frozen (history-trained) — so per-batch merges
+    * COMMUTE and any micro-batching of the ingest drains to the same
+    * store as the one-shot merge, which equals the full regroup over
+    * the union corpus (spec-pinned both ways).
+    */
+  private[graft] def mergeMediaKeep(store: DataFrame, batchSigs: DataFrame): DataFrame = {
+    val batchAgg = batchSigs
+      .groupBy("modality", "fingerprint")
+      .agg(min("doc_id").as("b_keep"), count(lit(1)).as("n_batch"))
+    val untouched = store.join(batchAgg.select("modality", "fingerprint"),
+      Seq("modality", "fingerprint"), "left_anti")
+    val upserts = batchAgg.join(store, Seq("modality", "fingerprint"), "left")
+      .select(col("modality"), col("fingerprint"),
+        least(col("b_keep"), coalesce(col("keep_id"), col("b_keep"))).as("keep_id"),
+        (coalesce(col("n_members"), lit(0L)) + col("n_batch")).as("n_members"))
+    untouched.unionByName(upserts)
+  }
+
+  /** `mm_media_keep_maintain`: incremental maintenance of the
+    * cross-modal keep-list — the missing refresh path between the
+    * per-modality duplicate FINDERS ([[phashIncremental]],
+    * [[audioNearDupIncremental]], [[videoNearDupIncremental]]) and the
+    * full [[mediaKeep]] recompute: one ingest batch's fingerprints
+    * merge into the history keep store via [[mergeMediaKeep]], so the
+    * maintained list over the union corpus costs batch-sized work plus
+    * the store's touched groups instead of a backfill. Thresholds are
+    * the HISTORY's (the incremental convention — stored fingerprints
+    * must stay comparable across ingests, so the batch hashes with the
+    * thresholds the store used; a threshold retrain is a rebuild
+    * event, not maintenance). The oracle is the full regroup over the
+    * union corpus under those same thresholds: maintained ==
+    * recomputed, exactly — signature-exact groups merge by (min, sum),
+    * no approximation anywhere.
+    */
+  def mediaKeepMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val imgMu = historyImageMu(spark, dir)
+    val audMu = historyAudioMu(spark, dir)
+    val vidMu = historyFrameMu(spark, dir)
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val batch = mediaSigFrame(
+      Kernels.fanOut(ingestBinary(spark, dir)
+        .filter(splitOf < Dedup.IncBatchThreshold)
+        .select("doc_id", "payload")),
+      imgMu, audMu, vidMu)
+    mergeMediaKeep(mediaKeepHistoryStore(spark, dir, imgMu, audMu, vidMu), batch)
+      .orderBy("modality", "keep_id")
+  }
 }

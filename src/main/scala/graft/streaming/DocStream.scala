@@ -882,6 +882,59 @@ object DocStream {
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
+  /** `stream_media_keep`: the streaming twin of
+    * [[graft.operators.Multimodal.mediaKeepMaintain]] — keep-list
+    * maintenance under TRUE streaming ingest. The history keep store
+    * (fingerprint groups under history-trained thresholds) is written
+    * once; then each micro-batch of newly-arriving media is
+    * fingerprinted with the FROZEN thresholds (≤ 3×PhashBits values in
+    * the task closure — the codebook contract) by the SAME kernel as
+    * the batch query ([[graft.operators.Multimodal.mediaSigFrame]] —
+    * stateless `mapPartitions`, streaming-legal) and merged into a
+    * versioned store ([[graft.operators.Multimodal.mergeMediaKeep]] —
+    * the same per-batch body the batch query runs once). Frozen-
+    * threshold fingerprints make per-batch merges COMMUTE ((min, sum)
+    * per group), so however the source micro-batches the ingest, the
+    * drained store equals the one-shot maintenance row-for-row and the
+    * SAME oracle gates both. Per-batch cost is batch-sized map-only
+    * work plus the store's touched groups — the keep-list twin of the
+    * band-store and ANN-index maintenance streams.
+    */
+  def streamMediaKeep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels, Multimodal}
+    val imgMu = Multimodal.historyImageMu(spark, dir)
+    val audMu = Multimodal.historyAudioMu(spark, dir)
+    val vidMu = Multimodal.historyFrameMu(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-mediakeep")
+    try {
+      Multimodal.mediaKeepHistoryStore(spark, dir, imgMu, audMu, vidMu)
+        .write.parquet(s"$tmp/keep_v0")
+      var version = 0
+      val splitOf =
+        substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+      val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
+      val q = spark.readStream
+        .schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"), splitOf.as("split"))
+        .filter(col("split") < Dedup.IncBatchThreshold)
+        .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sigs = Multimodal.mediaSigFrame(batch, imgMu, audMu, vidMu)
+          Multimodal.mergeMediaKeep(
+              spark.read.parquet(s"$tmp/keep_v$version"), sigs)
+            .write.parquet(s"$tmp/keep_v${version + 1}")
+          version += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      Kernels.trackedCheckpoint(
+        spark.read.parquet(s"$tmp/keep_v$version").orderBy("modality", "keep_id"))
+    } finally graft.operators.Kernels.rmTree(tmp.toFile)
+  }
+
   /** `stream_knn_maintain`: the streaming twin of
     * [[graft.operators.Graph.knnMaintain]] — vectors stream in and
     * each micro-batch recomputes only the trained cells it touches

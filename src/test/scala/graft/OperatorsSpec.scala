@@ -873,6 +873,49 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("media keep maintenance: merge == rebuild, two-batch merges commute") {
+    import org.apache.spark.sql.functions._
+    val imgMu = Multimodal.historyImageMu(spark, sf)
+    val audMu = Multimodal.historyAudioMu(spark, sf)
+    val vidMu = Multimodal.historyFrameMu(spark, sf)
+    val payloads = Multimodal.ingestBinary(spark, sf).select("doc_id", "payload")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long, Long)] =
+      df.collect().map(r => (r.getAs[String]("modality"),
+        r.getAs[String]("fingerprint"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    // maintained == the full regroup over the union corpus under the
+    // SAME (history-trained) thresholds — the mergeMediaKeep contract
+    val rebuilt = rows(
+      Multimodal.mediaSigFrame(payloads, imgMu, audMu, vidMu)
+        .groupBy("modality", "fingerprint")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members")))
+    val maintained = rows(Multimodal.mediaKeepMaintain(spark, sf))
+    Dedup.retireCaches()
+    assert(maintained == rebuilt, "maintained keep-list diverges from the rebuild")
+    assert(maintained.nonEmpty && maintained.map(_._1) == Set("image", "audio", "video"))
+    // the batch must actually TOUCH history groups (otherwise the merge
+    // path is untested) and grow at least one member count
+    val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val store = Multimodal.mediaKeepHistoryStore(spark, sf, imgMu, audMu, vidMu)
+    val histRows = rows(store)
+    assert(maintained.exists { case (m, fp, _, n) =>
+      histRows.exists(h => h._1 == m && h._2 == fp && h._4 < n)
+    }, "no batch fingerprint touched a history group at this SF")
+    // two-batch COMMUTATIVITY: however the ingest is micro-batched, the
+    // drained store equals the one-shot merge (the stream twin's claim)
+    val batchSigs = Multimodal.mediaSigFrame(
+      payloads.filter(splitOf < Dedup.IncBatchThreshold), imgMu, audMu, vidMu)
+    val b1 = batchSigs.filter(col("doc_id") % 2 === 0)
+    val b2 = batchSigs.filter(col("doc_id") % 2 === 1)
+    val m12 = rows(Multimodal.mergeMediaKeep(
+      Multimodal.mergeMediaKeep(store, b1), b2))
+    val m21 = rows(Multimodal.mergeMediaKeep(
+      Multimodal.mergeMediaKeep(store, b2), b1))
+    Dedup.retireCaches()
+    assert(m12 == maintained, "batch-split merge order 1,2 diverges")
+    assert(m21 == maintained, "batch-split merge order 2,1 diverges")
+  }
+
   test("audio segments are maximal islands: contiguous, alternating, covering") {
     val energy = Multimodal.audioEnergy(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
