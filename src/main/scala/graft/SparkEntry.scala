@@ -237,6 +237,7 @@ object SparkEntry {
     "mix_token_budget" -> Sampling.mixTokenBudget _,
     "mix_epochs" -> Sampling.mixEpochs _,
     "pack_sequences" -> Sampling.packSequences _,
+    "pack_media" -> Sampling.packMedia _,
     "export_shuffle" -> Sampling.exportShuffle _,
     "export_curriculum" -> Sampling.exportCurriculum _,
     // Corpus hygiene (north star)
@@ -3216,10 +3217,27 @@ object SparkEntry {
     // ordered frame-sig fold), one group per (modality, fingerprint),
     // min doc kept (mirrors Multimodal.mediaKeep; each modality's
     // chain nests as a subquery so the shared CTE names can't collide)
-    "mm_media_keep" -> {
-      val pb = Multimodal.PhashBits
-      s"""WITH img AS (SELECT doc_id, 'image' AS modality,
-         |    CAST(sig AS VARCHAR) AS fingerprint FROM (
+    "mm_media_keep" -> mediaKeepSql,
+    "mm_chunks" ->
+      s"""SELECT doc_id,
+         |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,
+         |  CAST(length(substr(text, start, ${Multimodal.ChunkBytes})) AS BIGINT) AS chunk_len,
+         |  md5(substr(text, start, ${Multimodal.ChunkBytes})) AS chunk_md5
+         |FROM (SELECT doc_id, text,
+         |        unnest(generate_series(1, greatest(length(text), 1), ${Multimodal.ChunkBytes})) AS start
+         |      FROM documents)
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+  )
+
+  /** Cross-modal signature-exact keep-list replay (mirrors
+    * Multimodal.mediaKeep; each modality's chain nests as a subquery so
+    * the shared CTE names can't collide). Shared by the `mm_media_keep`
+    * gate and the `pack_media` export oracle.
+    */
+  private lazy val mediaKeepSql: String = {
+    val pb = Multimodal.PhashBits
+    s"""WITH img AS (SELECT doc_id, 'image' AS modality,
+       |    CAST(sig AS VARCHAR) AS fingerprint FROM (
          |  WITH ib AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
          |      octet_length(encode(text)) AS n FROM documents
          |      WHERE octet_length(encode(text)) % 3 < 2
@@ -3258,17 +3276,7 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_members
          |FROM u GROUP BY modality, fingerprint
          |ORDER BY modality, keep_id""".stripMargin
-    },
-    "mm_chunks" ->
-      s"""SELECT doc_id,
-         |  CAST((start - 1) // ${Multimodal.ChunkBytes} AS BIGINT) AS chunk_id,
-         |  CAST(length(substr(text, start, ${Multimodal.ChunkBytes})) AS BIGINT) AS chunk_len,
-         |  md5(substr(text, start, ${Multimodal.ChunkBytes})) AS chunk_md5
-         |FROM (SELECT doc_id, text,
-         |        unnest(generate_series(1, greatest(length(text), 1), ${Multimodal.ChunkBytes})) AS start
-         |      FROM documents)
-         |ORDER BY doc_id, chunk_id""".stripMargin,
-  )
+  }
 
   // Deterministic hash-driven samplers (operators/Sampling.scala): both
   // engines compute the same salted md5, so selection matches exactly.
@@ -3349,6 +3357,26 @@ object SparkEntry {
          |  FROM t)
          |SELECT doc_id, shard, n_tokens, run // ${Sampling.PackBudget} AS pack_no
          |FROM r ORDER BY doc_id""".stripMargin,
+    // byte-budget media export: the keep-list's survivors hash-sharded,
+    // md5-permuted within shard, position-numbered and offset-binned
+    // into byte packs (mirrors Sampling.packMedia; the keep subquery is
+    // the SAME text that gates mm_media_keep)
+    "pack_media" ->
+      s"""WITH mk AS (SELECT modality, keep_id FROM ($mediaKeepSql)),
+         |d AS (SELECT mk.modality, mk.keep_id,
+         |    CAST(octet_length(encode(t.text)) AS BIGINT) AS n_bytes,
+         |    md5('mpack:' || CAST(mk.keep_id AS VARCHAR)) AS h
+         |  FROM mk JOIN documents t ON t.doc_id = mk.keep_id),
+         |s AS (SELECT *, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |      % ${Sampling.MediaPackShards} AS BIGINT) AS shard FROM d),
+         |r AS (SELECT keep_id, modality, shard, n_bytes,
+         |    CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY shard ORDER BY h, keep_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY h, keep_id) AS BIGINT) AS pos
+         |  FROM s)
+         |SELECT keep_id, modality, shard, n_bytes,
+         |  run // ${Sampling.MediaPackBudget} AS pack_no, pos
+         |FROM r ORDER BY shard, pos""".stripMargin,
   )
 
   /** DuckDB n-gram list expression over `toks` (1-indexed), with the

@@ -317,6 +317,50 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  val MediaPackShards = 8
+  val MediaPackBudget = 4096L // bytes per pack
+
+  /** `pack_media`: byte-budget packing of the DEDUPED media corpus —
+    * the export stage the multimodal family stopped short of (text
+    * reaches training order through [[packSequences]]/[[exportShuffle]];
+    * media rows never did): the [[Multimodal.mediaKeep]] keep-list's
+    * surviving representatives are hash-sharded, de-clustered within
+    * each shard by the salted-md5 permutation (the [[exportShuffle]]
+    * reproducibility contract — no `rand()`), position-numbered, and
+    * binned into fixed BYTE-budget packs — media rows budget by
+    * payload bytes, not tokens: pack_no = (exclusive running byte
+    * total) div [[MediaPackBudget]], i.e. a clip lands in the pack its
+    * first byte falls into ([[packSequences]]' streaming-friendly
+    * offset-binning rule).
+    *
+    * Scale shape: the keep-list is the (already-paid) dedup product;
+    * sizing is one map-side `octet_length` on the document scan joined
+    * by keep_id; the permutation/prefix-sum/position windows are all
+    * PARTITIONED BY SHARD — |keep|/shards rows each, never a global
+    * single-partition sort — and shards are the unit of export
+    * parallelism, so the op scales by adding shards. The spec pins
+    * that packs tile the keep-list exactly (every survivor in exactly
+    * one (shard, pack, pos) slot, prefix sums reconstructed).
+    */
+  def packMedia(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Multimodal.mediaKeep(spark, dir).select("modality", "keep_id")
+    val sized = keep.join(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("keep_id"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+      "keep_id")
+    val byShard = Window.partitionBy("shard").orderBy("h", "keep_id")
+    sized.withColumn("h", saltedHash("mpack", col("keep_id")))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 1), 16, 10).cast("long") % MediaPackShards)
+      .withColumn("run", coalesce(sum("n_bytes").over(
+        byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select(col("keep_id"), col("modality"), col("shard"), col("n_bytes"),
+        expr(s"run div $MediaPackBudget").as("pack_no"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -916,6 +916,51 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m21 == maintained, "batch-split merge order 2,1 diverges")
   }
 
+  test("pack_media: packs tile the keep-list exactly, permutation and prefix sums replayed") {
+    val keep = Multimodal.mediaKeep(spark, sf).collect()
+    Dedup.retireCaches()
+    val packed = Sampling.packMedia(spark, sf).collect()
+    Dedup.retireCaches()
+    // bijection: every keep-list survivor lands in exactly one slot
+    assert(packed.length == keep.length)
+    assert(packed.map(_.getAs[Long]("keep_id")).toSet ==
+      keep.map(_.getAs[Long]("keep_id")).toSet,
+      "packed rows must tile the keep-list exactly")
+    val modOf = keep.map(r =>
+      r.getAs[Long]("keep_id") -> r.getAs[String]("modality")).toMap
+    packed.foreach(r =>
+      assert(modOf(r.getAs[Long]("keep_id")) == r.getAs[String]("modality")))
+    // byte sizes are the documents' body bytes
+    val bytesOf = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").getBytes("UTF-8").length.toLong).toMap
+    packed.foreach(r =>
+      assert(r.getAs[Long]("n_bytes") == bytesOf(r.getAs[Long]("keep_id"))))
+    // full driver replay per shard: the salted-md5 permutation, shard
+    // routing, dense positions and FIRST-BYTE offset binning
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(r =>
+        (md5hex("mpack:" + r.getAs[Long]("keep_id")), r.getAs[Long]("keep_id")))
+      sorted.foreach { r =>
+        val h = md5hex("mpack:" + r.getAs[Long]("keep_id"))
+        assert(java.lang.Long.parseLong(h.substring(0, 1), 16)
+          % Sampling.MediaPackShards == shard, "shard must derive from the hash")
+      }
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq == (1L to sorted.length.toLong),
+        s"shard $shard: positions must be dense in permutation order")
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("pack_no") == run / Sampling.MediaPackBudget,
+          s"shard $shard: pack_no must bin each doc's FIRST byte")
+        run += r.getAs[Long]("n_bytes")
+      }
+    }
+    // multiple packs actually materialize at this SF (the budget binds)
+    assert(packed.map(_.getAs[Long]("pack_no")).max > 0L)
+  }
+
   test("audio segments are maximal islands: contiguous, alternating, covering") {
     val energy = Multimodal.audioEnergy(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
