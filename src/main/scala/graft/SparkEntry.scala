@@ -205,6 +205,9 @@ object SparkEntry {
     // keep-list maintenance: batch merge + true-streaming twin
     "mm_media_keep_maintain" -> Multimodal.mediaKeepMaintain _,
     "stream_media_keep" -> graft.streaming.DocStream.streamMediaKeep _,
+    // near-dup keep maintenance: the contraction merge over the
+    // frozen-threshold media graph
+    "mm_media_keep_neardup_maintain" -> Multimodal.mediaKeepNearDupMaintain _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -2847,10 +2850,12 @@ object SparkEntry {
     * clip lift with the match floor (mirrors Multimodal.videoClipPairs;
     * shared by the video pair oracle and the near-dup keep-list).
     */
-  private lazy val videoClipPairsSql: String = {
+  private lazy val videoClipPairsSql: String = videoClipPairsSqlOver(videoFrameSigCtes)
+
+  private def videoClipPairsSqlOver(sigCtes: String): String = {
     val bb = Multimodal.PhashBits / Multimodal.PhashBands
     val mask = (1L << bb) - 1
-    s"""WITH $videoFrameSigCtes,
+    s"""WITH $sigCtes,
        |bands AS (SELECT doc_id, sample_no, ph, b, (ph >> CAST($bb * b AS INT)) & $mask AS bk
        |  FROM ph, generate_series(0, ${Multimodal.PhashBands - 1}) t(b)),
        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -2939,19 +2944,58 @@ object SparkEntry {
     * subqueries' doc sets), so singletons count themselves.
     */
   private lazy val mediaKeepNearDupSql: String =
+    mediaKeepNearDupSqlOver(phashSigSql, audioSigSql, videoFrameSigCtes)
+
+  /** The same closure under HISTORY-trained thresholds — the
+    * maintenance oracle: signatures (and therefore band collisions and
+    * Hamming verdicts, which depend only on the two endpoints) are
+    * frozen, so the maintained merge equals this full union recompute
+    * exactly (the Dedup.maintainKeep contraction argument).
+    */
+  private lazy val mediaKeepNearDupMaintainSql: String =
+    mediaKeepNearDupSqlOver(phashSigHistSql, audioSigHistSql,
+      videoFrameSigCtesFor(split = true))
+
+  /** History-thresholded twin of [[phashSigSql]] (all docs hashed, mu
+    * trained on the `inc:` history split — the phashIncremental
+    * convention).
+    */
+  private lazy val phashSigHistSql: String =
+    s"""WITH ${pixelChannelCtes(Multimodal.PhashBits)},
+       |m AS (SELECT dim, round(CAST(sum(CAST(f AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |      FROM f WHERE split >= '${Dedup.IncBatchThreshold}' GROUP BY dim),
+       |ph AS (SELECT doc_id,
+       |    sum(CASE WHEN f.f > m.mu THEN CAST(1 AS BIGINT) << CAST(dim - 1 AS INT) ELSE 0 END) AS ph
+       |  FROM f JOIN m USING (dim) GROUP BY doc_id)
+       |SELECT doc_id, ph FROM ph""".stripMargin
+
+  /** History-thresholded twin of [[audioSigSql]]. */
+  private lazy val audioSigHistSql: String =
+    s"""WITH ${audioEnergyCtesFor(Multimodal.PhashBits)},
+       |sx AS (SELECT doc_id, win, energy,
+       |    substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 1) AS split FROM x),
+       |m AS (SELECT win, round(CAST(sum(CAST(energy AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mu
+       |  FROM sx WHERE split >= '${Dedup.IncBatchThreshold}' GROUP BY win),
+       |ph AS (SELECT doc_id,
+       |    sum(CASE WHEN sx.energy > m.mu THEN CAST(1 AS BIGINT) << CAST(win AS INT) ELSE 0 END) AS ph
+       |  FROM sx JOIN m USING (win) GROUP BY doc_id)
+       |SELECT doc_id, ph FROM ph""".stripMargin
+
+  private def mediaKeepNearDupSqlOver(imgSigSql: String, audSigSql: String,
+      videoCtes: String): String =
     s"""WITH RECURSIVE
-       |inodes AS (SELECT doc_id * 3 AS id FROM ($phashSigSql)),
-       |anodes AS (SELECT doc_id * 3 + 1 AS id FROM ($audioSigSql)),
+       |inodes AS (SELECT doc_id * 3 AS id FROM ($imgSigSql)),
+       |anodes AS (SELECT doc_id * 3 + 1 AS id FROM ($audSigSql)),
        |vnodes AS (SELECT DISTINCT doc_id * 3 + 2 AS id
-       |  FROM (WITH $videoFrameSigCtes SELECT doc_id FROM ph)),
+       |  FROM (WITH $videoCtes SELECT doc_id FROM ph)),
        |u AS (SELECT id FROM inodes UNION ALL SELECT id FROM anodes
        |  UNION ALL SELECT id FROM vnodes),
        |pairs AS (
-       |  SELECT doc_a * 3 AS a, doc_b * 3 AS b FROM (${sigBandPairsSql(phashSigSql)})
+       |  SELECT doc_a * 3 AS a, doc_b * 3 AS b FROM (${sigBandPairsSql(imgSigSql)})
        |  UNION ALL
-       |  SELECT doc_a * 3 + 1, doc_b * 3 + 1 FROM (${sigBandPairsSql(audioSigSql)})
+       |  SELECT doc_a * 3 + 1, doc_b * 3 + 1 FROM (${sigBandPairsSql(audSigSql)})
        |  UNION ALL
-       |  SELECT doc_a * 3 + 2, doc_b * 3 + 2 FROM ($videoClipPairsSql)),
+       |  SELECT doc_a * 3 + 2, doc_b * 3 + 2 FROM (${videoClipPairsSqlOver(videoCtes)})),
        |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
        |reach AS (SELECT a, b FROM sym
        |  UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a AND r.a <> s.b),
@@ -2979,6 +3023,9 @@ object SparkEntry {
     // drained store is bit-identical, one oracle text gates both
     "mm_media_keep_maintain" -> mediaKeepMaintainSql,
     "stream_media_keep" -> mediaKeepMaintainSql,
+    // maintained == the full union recompute under history thresholds
+    // (frozen signatures partition the pair set exactly)
+    "mm_media_keep_neardup_maintain" -> mediaKeepNearDupMaintainSql,
     "mm_phash_incremental" -> phashIncrementalSql,
     // the streaming twin is a stateless stream-static probe of the
     // same store — bit-identical, one oracle gates both

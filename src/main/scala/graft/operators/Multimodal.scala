@@ -1691,9 +1691,28 @@ object Multimodal {
     // each signature frame is aggregate-sized (≤ one row per doc /
     // K per clip) and read twice (band join x+y) or thrice (+ node
     // universe) — pinned for the query, retired by the harness
-    val imgSig = Kernels.cacheTracked(phashSigCorpus(spark, dir))
-    val audSig = Kernels.cacheTracked(audioSigCorpus(spark, dir))
-    val vidSig = Kernels.cacheTracked(corpusFrameSigs(spark, dir))
+    val (nodes, edges) = encodedMediaGraph(
+      Kernels.cacheTracked(phashSigCorpus(spark, dir)),
+      Kernels.cacheTracked(audioSigCorpus(spark, dir)),
+      Kernels.cacheTracked(corpusFrameSigs(spark, dir)))
+    decodeMediaKeep(
+      Dedup.clustersFromEdges(nodes, edges)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"))
+        .withColumnRenamed("cluster", "doc_id"))
+  }
+
+  /** The three modality near-dup graphs over explicit signature frames
+    * ((doc_id, ph) for image/audio; (doc_id, sample_no, ph) for video)
+    * in ONE shared id space — (modality m, doc d) encodes as 3·d + m.
+    * The encoding is affine and monotone per modality and edges never
+    * cross modalities, so each component's minimum encoded id decodes
+    * to exactly the modality's minimum member: one label-propagation
+    * loop covers all three graphs. Returns (nodes, edges); shared by
+    * the one-shot keep-list and its incremental maintenance.
+    */
+  private[graft] def encodedMediaGraph(imgSig: DataFrame, audSig: DataFrame,
+      vidSig: DataFrame): (DataFrame, DataFrame) = {
     def encId(c: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
       (c * 3 + m).as("doc_id")
     def encEdges(pairs: DataFrame, m: Int): DataFrame =
@@ -1706,16 +1725,87 @@ object Multimodal {
     val edges = encEdges(sigBandPairs(imgSig), 0)
       .union(encEdges(sigBandPairs(audSig), 1))
       .union(encEdges(videoClipPairs(vidSig), 2))
-    Dedup.clustersFromEdges(nodes, edges)
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"))
-      .select(
-        when(col("cluster") % 3 === 0, "image")
-          .when(col("cluster") % 3 === 1, "audio")
-          .otherwise("video").as("modality"),
-        expr("CAST(cluster div 3 AS BIGINT)").as("keep_id"),
-        col("n_members"))
+    (nodes, edges)
+  }
+
+  /** Decode an encoded keep frame (doc_id = 3·keep + m, n_members) to
+    * (modality, keep_id, n_members), canonically ordered.
+    */
+  private def decodeMediaKeep(df: DataFrame): DataFrame =
+    df.select(
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("modality"),
+      expr("CAST(doc_id div 3 AS BIGINT)").as("keep_id"),
+      col("n_members"))
       .orderBy("modality", "keep_id")
+
+  /** [[encodedMediaGraph]] under HISTORY-trained thresholds — the
+    * frozen-signature graph the maintenance path merges over (stored
+    * signatures must stay comparable across ingests, so new docs hash
+    * with the thresholds the store used — the incremental convention
+    * shared with [[phashIncremental]]/[[audioNearDupIncremental]]/
+    * [[videoNearDupIncremental]], whose kernels this reuses verbatim).
+    * Signature frames are cached for the query (each feeds its band
+    * self-join plus the node universe).
+    */
+  private[graft] def mediaGraphHistThresh(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
+    val imgSig = Kernels.cacheTracked(
+      phashSigFrame(payloads, historyMu(spark, dir), "doc_id", "ph"))
+    val audMu = historyAudioMu(spark, dir)
+    val audSig = Kernels.cacheTracked(
+      Kernels.fanOut(payloads).mapPartitions { rows: Iterator[Row] =>
+        rows.flatMap { r =>
+          audioSigOfBody(r.getAs[Array[Byte]](1), audMu).map((r.getLong(0), _))
+        }
+      }.toDF("doc_id", "ph"))
+    val vidSig = Kernels.cacheTracked(
+      frameSigFrame(payloads, historyFrameMu(spark, dir),
+        "doc_id", "sample_no", "ph"))
+    encodedMediaGraph(imgSig, audSig, vidSig)
+  }
+
+  /** `mm_media_keep_neardup_maintain`: incremental maintenance of the
+    * media NEAR-dup keep-list — [[Dedup.maintainKeep]]'s contraction
+    * merge applied to the encoded media graph, completing the media
+    * family's symmetry with text (exact keep: batch + maintain +
+    * stream; near keep: batch + maintain): history endpoints of
+    * batch-touching near-dup edges contract to their stored cluster
+    * representative, components re-solve ONLY over the batch's blast
+    * radius, member counts merge by weight, untouched keep rows ride
+    * an anti-join. Thresholds are the history's, so signatures — and
+    * therefore band collisions and Hamming verdicts, which depend only
+    * on the two endpoint signatures — are FROZEN: the union corpus's
+    * pair set partitions exactly into history-internal edges (folded
+    * into the base labels) and batch-touching edges (the change log),
+    * and maintained == the full recompute over the union under the
+    * same thresholds — the oracle, exactly, and the spec's Spark-side
+    * rebuild.
+    */
+  def mediaKeepNearDupMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = mediaGraphHistThresh(spark, dir)
+    def isBatchEnc(idCol: String): org.apache.spark.sql.Column =
+      substring(md5(concat(lit("inc:"),
+        expr(s"CAST($idCol div 3 AS BIGINT)").cast("string"))), 1, 1) <
+        Dedup.IncBatchThreshold
+    // the base state is an INPUT to the merge, not part of its plan
+    // (production reads stored labels from parquet): checkpoint-cut,
+    // then the loop's + signature caches retire; the cut frames adopt
+    // into this query's scope so its end-of-query retire frees them
+    val histLabels = Dedup.clustersFromEdges(
+      nodes.filter(!isBatchEnc("doc_id")),
+      edges.filter(!isBatchEnc("doc_a") && !isBatchEnc("doc_b")))
+      .localCheckpoint()
+    val batchNodes = nodes.filter(isBatchEnc("doc_id")).localCheckpoint()
+    val batchEdges = edges.filter(isBatchEnc("doc_a") || isBatchEnc("doc_b"))
+      .localCheckpoint()
+    Dedup.retireCaches()
+    Seq(histLabels, batchNodes, batchEdges).foreach(Kernels.adoptCheckpoint)
+    decodeMediaKeep(Dedup.maintainKeep(histLabels, batchNodes, batchEdges))
   }
 
   // ---- keep-list maintenance: the mm_media_keep product as a

@@ -916,6 +916,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m21 == maintained, "batch-split merge order 2,1 diverges")
   }
 
+  test("media near-dup keep maintenance: maintained == full union recompute, history clusters grow") {
+    import org.apache.spark.sql.functions._
+    def decode(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] = {
+      val out = df.collect().map { r =>
+        val c = r.getAs[Long](0)
+        val mod = (c % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        (mod, c / 3, r.getAs[Long](1))
+      }.toSet
+      Dedup.retireCaches(); out
+    }
+    val maintained = Multimodal.mediaKeepNearDupMaintain(spark, sf).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    Dedup.retireCaches()
+    // the exactness contract: ONE components pass over the SAME
+    // frozen-threshold union graph must reproduce the maintained list
+    val (nodes, edges) = Multimodal.mediaGraphHistThresh(spark, sf)
+    val rebuilt = decode(Dedup.clustersFromEdges(nodes, edges)
+      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("n_members")))
+    assert(maintained == rebuilt,
+      s"maintained (${maintained.size}) != union recompute (${rebuilt.size})")
+    assert(maintained.map(_._1) == Set("image", "audio", "video"))
+    // the MERGE path is actually exercised: some batch doc attached to
+    // an existing history cluster (its representative's count grew)
+    val (hn, he) = Multimodal.mediaGraphHistThresh(spark, sf)
+    def isBatchEnc(idCol: String) =
+      substring(md5(concat(lit("inc:"),
+        expr(s"CAST($idCol div 3 AS BIGINT)").cast("string"))), 1, 1) <
+        Dedup.IncBatchThreshold
+    val histKeep = decode(Dedup.clustersFromEdges(
+        hn.filter(!isBatchEnc("doc_id")),
+        he.filter(!isBatchEnc("doc_a") && !isBatchEnc("doc_b")))
+      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("n_members")))
+    assert(maintained.exists { case (m, k, n) =>
+      histKeep.exists { case (hm, hk, hn2) => hm == m && hk == k && hn2 < n }
+    }, "no batch doc touched a history cluster at this SF — merge path untested")
+  }
+
   test("pack_media: packs tile the keep-list exactly, permutation and prefix sums replayed") {
     val keep = Multimodal.mediaKeep(spark, sf).collect()
     Dedup.retireCaches()

@@ -1014,6 +1014,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the keep fold must combine map-side:\n${p.take(800)}")
   }
 
+  test("mm_media_keep_maintain: CDC merge — anti-join pass-through, no pair joins, no windows") {
+    val p = plan(Multimodal.mediaKeepMaintain(spark, sf))
+    Dedup.retireCaches()
+    // the store's untouched groups ride an anti-join unchanged — the
+    // CDC contract (the store is never shuffled beyond touched groups)
+    assert(p.contains("LeftAnti"),
+      s"untouched store rows must pass through an anti-join:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no pair joins in the maintenance merge:\n${p.take(800)}")
+    // group folds combine map-side; nothing ranks, nothing windows
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"the fingerprint folds must combine map-side:\n${p.take(800)}")
+    assert(!p.contains("Window"), s"no windows in the merge:\n${p.take(800)}")
+  }
+
+  test("pack_media windows by shard, never a global single-partition sort") {
+    val p = plan(operators.Sampling.packMedia(spark, sf))
+    Dedup.retireCaches()
+    assert(p.contains("hashpartitioning(shard"),
+      s"permutation/prefix-sum/position windows must partition by shard:\n${p.take(800)}")
+    assert(!p.contains("SinglePartition"),
+      "a global packing window would serialize the export through one task")
+  }
+
   test("ann_graph_layered: serve plan is checkpoint-cut and the rank window partitioned") {
     // the beam rounds execute eagerly behind localCheckpoint cuts, so
     // the FINAL plan must be a bounded checkpoint read + per-probe
