@@ -751,14 +751,21 @@ object Dedup {
       // change count then reads the cached blocks. Same discipline as
       // [[Graph.pageRank]], except every round because of the 4x (vs
       // pageRank's linear) growth rate.
-      val next = Kernels.trackedCheckpoint(stepped.as("a")
+      // loopCheckpoint, not trackedCheckpoint: the checkpoint must ALSO
+      // sever the inherited plan STATISTICS — localCheckpoint copies the
+      // round plan's estimated stats onto the new leaf, and this loop's
+      // self-join then squares sizeInBytes round over round; past ~20
+      // rounds the BigInt estimate carries millions of digits and the
+      // driver spends MINUTES per round multiplying statistics
+      // (measured: media near-dup components at sf0.1 — see
+      // Kernels.loopCheckpoint)
+      val (next, ckptId) = Kernels.loopCheckpoint(stepped.as("a")
         .join(stepped.select(col("doc_id").as("jid"), col("label").as("jlabel")).as("j"),
           col("a.label") === col("j.jid"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
           (col("a.chg") ||
             (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg")))
-      val ckptId = Kernels.checkpointRddId(next)
       changed = next.filter(col("chg")).count()
       stepped.unpersist(true)
       labelsCache.unpersist(true) // effective for the round-0 cache only

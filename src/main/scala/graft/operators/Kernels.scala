@@ -171,6 +171,42 @@ private[graft] object Kernels {
     ck
   }
 
+  /** [[trackedCheckpoint]] for UNBOUNDED-round iterative loops, with
+    * the inherited plan STATISTICS severed. Spark 4's `localCheckpoint`
+    * copies the child plan's ESTIMATED statistics onto the new
+    * `LogicalRDD` leaf (`LogicalRDD.rewriteStatsAndConstraints`), so a
+    * loop that joins its own previous checkpoint compounds the
+    * `sizeInBytes` estimate every round — each round's self-join
+    * SQUARES it, the next checkpoint inherits the square, and by round
+    * ~20 the BigInt carries millions of digits: the driver burns
+    * minutes per round just COMPUTING and MULTIPLYING statistics
+    * (measured on the media near-dup components at sf0.1:
+    * 0.6 s/round at round 12 → 43 s at round 21 → 167 s at round 22,
+    * main thread pinned in `BigInteger.multiplyToomCook3`).
+    * Re-wrapping the checkpointed RDD in a fresh DataFrame resets the
+    * leaf to `defaultSizeInBytes`, so round estimates stay flat.
+    * Bounded-round loops (beam search, PageRank) keep the plain
+    * [[trackedCheckpoint]] — a handful of compoundings is harmless and
+    * the inherited sizes can inform broadcast choices; in the
+    * label-propagation loops the node-sized frame's Row round-trip is
+    * noise next to a single stats pass.
+    *
+    * Returns the frame AND the PERSISTED checkpoint RDD id (the
+    * re-wrap's own plan leaf is the unpersisted Row conversion, so
+    * [[checkpointRddId]] on the returned frame would misattribute —
+    * callers release rounds by this id).
+    */
+  def loopCheckpoint(df: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, Option[Int]) = {
+    val ck = df.localCheckpoint()
+    val id = checkpointRddId(ck)
+    id.foreach { i =>
+      val s = scope.get
+      s.synchronized { s.checkpointIds(i) = ck.sparkSession.sparkContext }
+    }
+    (ck.sparkSession.createDataFrame(ck.rdd, ck.schema), id)
+  }
+
   /** Free one checkpoint's blocks by id (no-op if already gone). */
   def releaseCheckpoint(sc: org.apache.spark.SparkContext, id: Int): Unit = {
     sc.getPersistentRDDs.get(id).foreach(_.unpersist(true))
