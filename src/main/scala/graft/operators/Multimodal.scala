@@ -1675,82 +1675,104 @@ object Multimodal {
     * cut). [[mediaKeep]] remains the signature-EXACT tier; this is the
     * banded near tier over the same corpus.
     *
-    * Scale shape: the three signature frames are each ONE map-heavy
-    * pass + one threshold broadcast + one per-doc fold (cached — each
-    * serves both its band self-join and the node universe); edges come
-    * banded, never all-pairs; and the three modality graphs are solved
-    * by ONE [[Dedup.clustersFromEdges]] label-propagation loop
-    * (O(log diameter) pointer-jump rounds, per-round checkpoints) over
-    * a shared id space — (modality m, doc d) encodes as 3·d + m. The
-    * encoding is affine and monotone per modality and edges never
-    * cross modalities, so each component's minimum encoded id decodes
-    * to exactly the modality's minimum member: one loop harness
-    * instead of three, with bit-identical labels.
+    * Scale shape — the load-bearing observation: at Hamming ≤
+    * [[PhashMaxHamming]] over [[PhashBits]]-bit signatures, the
+    * image/audio near-dup graphs are LIFTS of a graph on SIGNATURE
+    * VALUES — two docs are adjacent iff their signatures are, and the
+    * signature space is BOUNDED (2^[[PhashBits]] values) regardless of
+    * corpus size. So their components are solved by a driver-side
+    * union-find over the PRESENT signatures' Hamming adjacency
+    * ([[sigComponentKeep]]) — O(|present|·bits) work capped at
+    * 2^PhashBits·bits forever, the same bounded-driver-product
+    * contract as a k-means codebook — followed by ONE combiner-
+    * friendly aggregate (min doc, count per component). No iterative
+    * job at all. Measured: the previous encoded-graph label-prop loop
+    * needed 28 rounds ≈ 40 s at sf0.1 (long chains threading the
+    * signature hypercube); the DSU path is two collect-bounded jobs.
+    * VIDEO components still run the distributed loop: the clip pair
+    * predicate (≥ [[VideoMatchMinFrames]] frame matches) counts
+    * cross-frame pairs, so clip adjacency is not a function of any
+    * bounded per-doc key — [[Dedup.clustersFromEdges]] over the
+    * video-only graph (O(log diameter) rounds, stats-severed
+    * checkpoints).
     */
   def mediaKeepNearDup(spark: SparkSession, dir: String): DataFrame = {
-    // each signature frame is aggregate-sized (≤ one row per doc /
-    // K per clip) and read twice (band join x+y) or thrice (+ node
-    // universe) — pinned for the query, retired by the harness
-    val (nodes, edges) = encodedMediaGraph(
-      Kernels.cacheTracked(phashSigCorpus(spark, dir)),
-      Kernels.cacheTracked(audioSigCorpus(spark, dir)),
-      Kernels.cacheTracked(corpusFrameSigs(spark, dir)))
-    decodeMediaKeep(
-      Dedup.clustersFromEdges(nodes, edges)
-        .groupBy("cluster")
-        .agg(count(lit(1)).as("n_members"))
-        .withColumnRenamed("cluster", "doc_id"))
+    val img = sigComponentKeep(spark, phashSigCorpus(spark, dir), "image")
+    val aud = sigComponentKeep(spark, audioSigCorpus(spark, dir), "audio")
+    val vidSig = Kernels.cacheTracked(corpusFrameSigs(spark, dir))
+    val vid = Dedup.clustersFromEdges(
+        vidSig.select("doc_id").distinct(),
+        videoClipPairs(vidSig).select("doc_a", "doc_b"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+      .select(lit("video").as("modality"), col("cluster").as("keep_id"),
+        col("n_members"))
+    img.unionByName(aud).unionByName(vid).orderBy("modality", "keep_id")
   }
 
-  /** The three modality near-dup graphs over explicit signature frames
-    * ((doc_id, ph) for image/audio; (doc_id, sample_no, ph) for video)
-    * in ONE shared id space — (modality m, doc d) encodes as 3·d + m.
-    * The encoding is affine and monotone per modality and edges never
-    * cross modalities, so each component's minimum encoded id decodes
-    * to exactly the modality's minimum member: one label-propagation
-    * loop covers all three graphs. Returns (nodes, edges); shared by
-    * the one-shot keep-list and its incremental maintenance.
+  /** All non-zero XOR masks within the Hamming radius of the signature
+    * metric — the neighbor enumeration of the sig-space union-find.
     */
-  private[graft] def encodedMediaGraph(imgSig: DataFrame, audSig: DataFrame,
-      vidSig: DataFrame): (DataFrame, DataFrame) = {
-    def encId(c: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
-      (c * 3 + m).as("doc_id")
-    def encEdges(pairs: DataFrame, m: Int): DataFrame =
-      pairs.select((col("doc_a") * 3 + m).as("doc_a"),
-        (col("doc_b") * 3 + m).as("doc_b"))
-    val nodes = imgSig.select(encId(col("doc_id"), 0))
-      .union(audSig.select(encId(col("doc_id"), 1)))
-      .union(vidSig.select(col("doc_id")).distinct()
-        .select(encId(col("doc_id"), 2)))
-    val edges = encEdges(sigBandPairs(imgSig), 0)
-      .union(encEdges(sigBandPairs(audSig), 1))
-      .union(encEdges(videoClipPairs(vidSig), 2))
-    (nodes, edges)
+  private def hammingMasks(bits: Int, radius: Long): Array[Long] =
+    (1L until (1L << bits)).filter(m => java.lang.Long.bitCount(m) <= radius).toArray
+
+  /** Union-find over the PRESENT signature values' Hamming-≤
+    * [[PhashMaxHamming]] adjacency: sig → component root (roots keyed
+    * by the component's minimum present sig under the sorted-input
+    * order — any consistent keying yields identical groups). Work is
+    * O(|present| · masks), |present| ≤ 2^[[PhashBits]] by
+    * construction — corpus-INDEPENDENT, the bounded-driver-product
+    * contract (a codebook, not a data pass).
+    */
+  private[graft] def sigComponents(present: Array[Long]): Map[Long, Long] = {
+    val sigs = present.sorted
+    val idx = sigs.zipWithIndex.toMap
+    val parent = Array.tabulate(sigs.length)(identity)
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val masks = hammingMasks(PhashBits, PhashMaxHamming)
+    for (i <- sigs.indices; m <- masks) idx.get(sigs(i) ^ m).foreach { j =>
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    sigs.indices.map(i => sigs(i) -> sigs(find(i))).toMap
   }
 
-  /** Decode an encoded keep frame (doc_id = 3·keep + m, n_members) to
-    * (modality, keep_id, n_members), canonically ordered.
+  /** Near-dup keep rows for one sig-space modality: distinct present
+    * sigs collect (≤ 2^[[PhashBits]] longs), the driver union-find
+    * labels them, the (sig → component) table broadcast-joins back and
+    * ONE combiner-friendly aggregate keeps each component's minimum
+    * doc with its member count.
     */
-  private def decodeMediaKeep(df: DataFrame): DataFrame =
-    df.select(
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("modality"),
-      expr("CAST(doc_id div 3 AS BIGINT)").as("keep_id"),
-      col("n_members"))
-      .orderBy("modality", "keep_id")
+  private def sigComponentKeep(spark: SparkSession, sig: DataFrame,
+      modality: String): DataFrame = {
+    import spark.implicits._
+    val pinned = Kernels.cacheTracked(sig)
+    val present = pinned.select("ph").distinct().collect().map(_.getLong(0))
+    val comp = sigComponents(present)
+    val compDf = present.toSeq.map(s => (s, comp(s))).toDF("ph", "comp")
+    pinned.join(broadcast(compDf), "ph")
+      .groupBy("comp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      .select(lit(modality).as("modality"), col("keep_id"), col("n_members"))
+  }
 
-  /** [[encodedMediaGraph]] under HISTORY-trained thresholds — the
-    * frozen-signature graph the maintenance path merges over (stored
-    * signatures must stay comparable across ingests, so new docs hash
-    * with the thresholds the store used — the incremental convention
-    * shared with [[phashIncremental]]/[[audioNearDupIncremental]]/
-    * [[videoNearDupIncremental]], whose kernels this reuses verbatim).
-    * Signature frames are cached for the query (each feeds its band
-    * self-join plus the node universe).
+  /** The three modality signature frames under HISTORY-trained
+    * thresholds — the frozen-signature inputs the maintenance path
+    * merges over (stored signatures must stay comparable across
+    * ingests, so new docs hash with the thresholds the store used —
+    * the incremental convention shared with [[phashIncremental]]/
+    * [[audioNearDupIncremental]]/[[videoNearDupIncremental]], whose
+    * kernels this reuses verbatim). Each frame is cached for the
+    * query.
     */
-  private[graft] def mediaGraphHistThresh(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private[graft] def mediaHistSigFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     implicit val enc: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
@@ -1766,46 +1788,103 @@ object Multimodal {
     val vidSig = Kernels.cacheTracked(
       frameSigFrame(payloads, historyFrameMu(spark, dir),
         "doc_id", "sample_no", "ph"))
-    encodedMediaGraph(imgSig, audSig, vidSig)
+    (imgSig, audSig, vidSig)
+  }
+
+  /** The batch-role predicate of the shared `inc:` id-hash split. */
+  private def isIncBatchDoc(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(md5(concat(lit("inc:"), id.cast("string"))), 1, 1) <
+      Dedup.IncBatchThreshold
+
+  /** Sig-space CDC maintenance for one modality: the stored product is
+    * the HISTORY sig-component keep table; an ingest batch's blast
+    * radius in sig space is bounded by 2^[[PhashBits]] forever, so the
+    * merge re-solves the union-find over (history ∪ batch) present
+    * sigs on the driver, re-keys the stored history keep rows through
+    * the old-root → new-root map (adding nodes/edges only MERGES
+    * components, so every old component maps into exactly one new
+    * one), aggregates the batch docs by new component, and folds both
+    * with the exact (min keep_id, summed count) monoid — the
+    * [[Dedup.maintainKeep]] contraction argument with the contraction
+    * done in bounded signature space. Maintained == the full union
+    * regroup, exactly.
+    */
+  private def sigComponentMaintain(spark: SparkSession, sig: DataFrame,
+      modality: String): DataFrame = {
+    import spark.implicits._
+    val pinned = Kernels.cacheTracked(
+      sig.withColumn("is_batch", isIncBatchDoc(col("doc_id"))))
+    val histPresent = pinned.filter(!col("is_batch"))
+      .select("ph").distinct().collect().map(_.getLong(0))
+    val allPresent = pinned.select("ph").distinct().collect().map(_.getLong(0))
+    val histComp = sigComponents(histPresent)
+    val allComp = sigComponents(allPresent)
+    // the STORED history keep table (old-component keyed)
+    val histCompDf = histPresent.toSeq.map(s => (s, histComp(s))).toDF("ph", "comp")
+    val histKeep = pinned.filter(!col("is_batch"))
+      .join(broadcast(histCompDf), "ph")
+      .groupBy("comp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+    // old root → new root (any member sig maps it; roots are members)
+    val rootMap = histComp.values.toSeq.distinct.map(r => (r, allComp(r)))
+      .toDF("comp", "ncomp")
+    val allCompDf = allPresent.toSeq.map(s => (s, allComp(s))).toDF("ph", "ncomp")
+    val batchAgg = pinned.filter(col("is_batch"))
+      .join(broadcast(allCompDf), "ph")
+      .groupBy("ncomp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+    histKeep.join(broadcast(rootMap), "comp")
+      .select(col("ncomp"), col("keep_id"), col("n_members"))
+      .unionByName(batchAgg)
+      .groupBy("ncomp")
+      .agg(min("keep_id").as("keep_id"), sum("n_members").as("n_members"))
+      .select(lit(modality).as("modality"), col("keep_id"), col("n_members"))
   }
 
   /** `mm_media_keep_neardup_maintain`: incremental maintenance of the
-    * media NEAR-dup keep-list — [[Dedup.maintainKeep]]'s contraction
-    * merge applied to the encoded media graph, completing the media
-    * family's symmetry with text (exact keep: batch + maintain +
-    * stream; near keep: batch + maintain): history endpoints of
-    * batch-touching near-dup edges contract to their stored cluster
-    * representative, components re-solve ONLY over the batch's blast
-    * radius, member counts merge by weight, untouched keep rows ride
-    * an anti-join. Thresholds are the history's, so signatures — and
-    * therefore band collisions and Hamming verdicts, which depend only
-    * on the two endpoint signatures — are FROZEN: the union corpus's
-    * pair set partitions exactly into history-internal edges (folded
-    * into the base labels) and batch-touching edges (the change log),
-    * and maintained == the full recompute over the union under the
-    * same thresholds — the oracle, exactly, and the spec's Spark-side
-    * rebuild.
+    * media NEAR-dup keep-list, completing the media family's symmetry
+    * with text (exact keep: batch + maintain + stream; near keep:
+    * batch + maintain). Thresholds are the history's, so signatures —
+    * and therefore adjacency, which depends only on the endpoints —
+    * are FROZEN, and maintained == the full recompute over the union
+    * under the same thresholds (the oracle, exactly, and the spec's
+    * independent driver replay). Image/audio merge in BOUNDED
+    * signature space ([[sigComponentMaintain]] — the ingest's blast
+    * radius can never exceed 2^[[PhashBits]] sig nodes); video runs
+    * [[Dedup.maintainKeep]]'s contraction merge over the clip graph:
+    * history endpoints of batch-touching clip edges contract to their
+    * stored representatives, components re-solve over the batch's
+    * blast radius only, counts merge by weight, untouched keep rows
+    * ride an anti-join.
     */
   def mediaKeepNearDupMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = mediaGraphHistThresh(spark, dir)
-    def isBatchEnc(idCol: String): org.apache.spark.sql.Column =
-      substring(md5(concat(lit("inc:"),
-        expr(s"CAST($idCol div 3 AS BIGINT)").cast("string"))), 1, 1) <
-        Dedup.IncBatchThreshold
-    // the base state is an INPUT to the merge, not part of its plan
-    // (production reads stored labels from parquet): checkpoint-cut,
-    // then the loop's + signature caches retire; the cut frames adopt
-    // into this query's scope so its end-of-query retire frees them
+    val (imgSig, audSig, vidSig) = mediaHistSigFrames(spark, dir)
+    val img = sigComponentMaintain(spark, imgSig, "image")
+    val aud = sigComponentMaintain(spark, audSig, "audio")
+    // video: the clip-graph contraction merge. The base state is an
+    // INPUT to the merge, not part of its plan (production reads
+    // stored labels from parquet): checkpoint-cut, then the loop's +
+    // signature caches retire... but the image/audio results above
+    // still need their pinned sig frames, so the cut frames adopt into
+    // this query's scope and the single end-of-query retire frees
+    // everything together.
+    val vidNodes = vidSig.select("doc_id").distinct()
+    val vidEdges = videoClipPairs(vidSig).select("doc_a", "doc_b")
     val histLabels = Dedup.clustersFromEdges(
-      nodes.filter(!isBatchEnc("doc_id")),
-      edges.filter(!isBatchEnc("doc_a") && !isBatchEnc("doc_b")))
+      vidNodes.filter(!isIncBatchDoc(col("doc_id"))),
+      vidEdges.filter(!isIncBatchDoc(col("doc_a")) &&
+        !isIncBatchDoc(col("doc_b"))))
       .localCheckpoint()
-    val batchNodes = nodes.filter(isBatchEnc("doc_id")).localCheckpoint()
-    val batchEdges = edges.filter(isBatchEnc("doc_a") || isBatchEnc("doc_b"))
-      .localCheckpoint()
-    Dedup.retireCaches()
-    Seq(histLabels, batchNodes, batchEdges).foreach(Kernels.adoptCheckpoint)
-    decodeMediaKeep(Dedup.maintainKeep(histLabels, batchNodes, batchEdges))
+    val batchNodes = Kernels.adoptCheckpoint(
+      vidNodes.filter(isIncBatchDoc(col("doc_id"))).localCheckpoint())
+    val batchEdges = Kernels.adoptCheckpoint(
+      vidEdges.filter(isIncBatchDoc(col("doc_a")) ||
+        isIncBatchDoc(col("doc_b"))).localCheckpoint())
+    val vid = Dedup.maintainKeep(Kernels.adoptCheckpoint(histLabels),
+        batchNodes, batchEdges)
+      .select(lit("video").as("modality"), col("doc_id").as("keep_id"),
+        col("n_members"))
+    img.unionByName(aud).unionByName(vid).orderBy("modality", "keep_id")
   }
 
   // ---- keep-list maintenance: the mm_media_keep product as a

@@ -917,40 +917,53 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("media near-dup keep maintenance: maintained == full union recompute, history clusters grow") {
-    import org.apache.spark.sql.functions._
-    def decode(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Long)] = {
-      val out = df.collect().map { r =>
-        val c = r.getAs[Long](0)
-        val mod = (c % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-        (mod, c / 3, r.getAs[Long](1))
-      }.toSet
-      Dedup.retireCaches(); out
-    }
     val maintained = Multimodal.mediaKeepNearDupMaintain(spark, sf).collect()
       .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_members"))).toSet
     Dedup.retireCaches()
-    // the exactness contract: ONE components pass over the SAME
-    // frozen-threshold union graph must reproduce the maintained list
-    val (nodes, edges) = Multimodal.mediaGraphHistThresh(spark, sf)
-    val rebuilt = decode(Dedup.clustersFromEdges(nodes, edges)
-      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
-      .select(col("cluster"), col("n_members")))
+    // INDEPENDENT rebuild: collect the banded pair streams over the
+    // same history-thresholded sig frames and union-find them
+    // driver-side — the PAIR-STREAM replay, a different path from the
+    // engine's sig-space DSU (image/audio) and contraction merge
+    // (video); the two must agree exactly
+    def unionFind(univ: Set[Long], pairs: Seq[(Long, Long)]): Set[(Long, Long)] = {
+      val parent = scala.collection.mutable.Map[Long, Long]() ++ univ.map(d => d -> d)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      univ.groupBy(find).map { case (_, ms) => (ms.min, ms.size.toLong) }.toSet
+    }
+    val (imgSig, audSig, vidSig) = Multimodal.mediaHistSigFrames(spark, sf)
+    def docs(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").distinct().collect().map(_.getAs[Long]("doc_id")).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    val universes = Map(
+      "image" -> docs(imgSig), "audio" -> docs(audSig), "video" -> docs(vidSig))
+    val edgesByMod = Map(
+      "image" -> pairs(Multimodal.sigBandPairs(imgSig)),
+      "audio" -> pairs(Multimodal.sigBandPairs(audSig)),
+      "video" -> pairs(Multimodal.videoClipPairs(vidSig)))
+    Dedup.retireCaches()
+    val rebuilt = universes.keySet.flatMap { m =>
+      unionFind(universes(m), edgesByMod(m)).map { case (k, n) => (m, k, n) }
+    }
     assert(maintained == rebuilt,
       s"maintained (${maintained.size}) != union recompute (${rebuilt.size})")
     assert(maintained.map(_._1) == Set("image", "audio", "video"))
     // the MERGE path is actually exercised: some batch doc attached to
     // an existing history cluster (its representative's count grew)
-    val (hn, he) = Multimodal.mediaGraphHistThresh(spark, sf)
-    def isBatchEnc(idCol: String) =
-      substring(md5(concat(lit("inc:"),
-        expr(s"CAST($idCol div 3 AS BIGINT)").cast("string"))), 1, 1) <
-        Dedup.IncBatchThreshold
-    val histKeep = decode(Dedup.clustersFromEdges(
-        hn.filter(!isBatchEnc("doc_id")),
-        he.filter(!isBatchEnc("doc_a") && !isBatchEnc("doc_b")))
-      .groupBy("cluster").agg(count(lit(1)).as("n_members"))
-      .select(col("cluster"), col("n_members")))
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isBatch(id: Long): Boolean =
+      md5hex("inc:" + id).substring(0, 1) < Dedup.IncBatchThreshold
+    val histKeep = universes.keySet.flatMap { m =>
+      unionFind(universes(m).filterNot(isBatch),
+        edgesByMod(m).filter { case (a, b) => !isBatch(a) && !isBatch(b) })
+        .map { case (k, n) => (m, k, n) }
+    }
     assert(maintained.exists { case (m, k, n) =>
       histKeep.exists { case (hm, hk, hn2) => hm == m && hk == k && hn2 < n }
     }, "no batch doc touched a history cluster at this SF — merge path untested")
