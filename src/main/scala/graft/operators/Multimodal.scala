@@ -83,6 +83,40 @@ case class FrameBytes(doc_id: Long, sample_no: Long, frame_no: Long,
   */
 object Multimodal {
 
+  // Corpus SIGNATURE frames are per-corpus PRODUCTS a production
+  // pipeline materializes once per ingest and every consumer reads —
+  // the [[Dedup]] labelsMemo contract: pixel phash feeds mm_phash_pairs
+  // AND the near-dup keep-list; the audio energy hash feeds
+  // mm_audio_neardup, mm_media_keep AND the keep-list; the per-frame
+  // clip signatures feed video near-dup, scene cuts, keyframes,
+  // mm_media_keep, the keep-list and (via mediaKeep) pack_media. Keyed
+  // on dir + file fingerprint (Kernels.inputKey) and localCheckpoint'ed
+  // — lineage-free, blocks pinned by the memo reference, surviving the
+  // per-query cache retirement that drops each builder's own
+  // intermediates. Frames are ≤ one row per doc (K per clip) — the
+  // bounded-artifact bar.
+  private val sigMemo =
+    scala.collection.mutable.Map.empty[(String, (String, String)), DataFrame]
+
+  private def memoSig(spark: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame =
+    sigMemo.synchronized {
+      sigMemo.getOrElseUpdate((kind, Kernels.inputKey(dir, "documents.parquet")),
+        build.localCheckpoint())
+    }
+
+  // Trained-threshold DRIVER values (≤ PhashBits doubles each) —
+  // memoized per corpus like the k-means codebooks they parallel: every
+  // incremental/stream/maintain query re-collected the same aggregate.
+  private val muMemo =
+    scala.collection.mutable.Map.empty[(String, (String, String)), AnyRef]
+
+  private def memoMu[T <: AnyRef](dir: String, kind: String)(build: => T): T =
+    muMemo.synchronized {
+      muMemo.getOrElseUpdate((kind, Kernels.inputKey(dir, "documents.parquet")),
+        build).asInstanceOf[T]
+    }
+
   /** Synthesize a real container payload around a media body: the byte
     * format is chosen by body length (n%3 → BMP / binary PPM / RIFF,
     * with the RIFF class split n%6 → WAVE / AVI, and the WAVE class
@@ -605,24 +639,25 @@ object Multimodal {
     * [[PhashBits]]-row threshold broadcast, one combiner-friendly
     * fold per clip.
     */
-  private[graft] def audioSigCorpus(spark: SparkSession, dir: String): DataFrame = {
-    implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
-    val energy = Kernels.fanOut(
-      ingestBinary(spark, dir).select("doc_id", "payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap(r =>
-          audioEnergyRows(r.getLong(0), r.getAs[Array[Byte]](1), PhashBits))
-      }
-      .toDF()
-    val mu = energy.groupBy("win")
-      .agg(round(sum(col("energy").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("mu"))
-    energy.join(broadcast(mu), "win")
-      .groupBy("doc_id")
-      .agg(sum(when(col("energy") > col("mu"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
-        .otherwise(lit(0L))).as("ph"))
-  }
+  private[graft] def audioSigCorpus(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "audiosig") {
+      implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
+      val energy = Kernels.fanOut(
+        ingestBinary(spark, dir).select("doc_id", "payload"))
+        .mapPartitions { rows: Iterator[Row] =>
+          rows.flatMap(r =>
+            audioEnergyRows(r.getLong(0), r.getAs[Array[Byte]](1), PhashBits))
+        }
+        .toDF()
+      val mu = energy.groupBy("win")
+        .agg(round(sum(col("energy").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mu"))
+      energy.join(broadcast(mu), "win")
+        .groupBy("doc_id")
+        .agg(sum(when(col("energy") > col("mu"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(win AS INT))"))
+          .otherwise(lit(0L))).as("ph"))
+    }
 
   def audioNearDup(spark: SparkSession, dir: String): DataFrame =
     sigBandPairs(audioSigCorpus(spark, dir)).orderBy("doc_a", "doc_b")
@@ -660,7 +695,7 @@ object Multimodal {
     * [[audioNearDup]], made explicit). ≤ [[PhashBits]] values,
     * collected once and shipped in the task closure.
     */
-  private[graft] def historyAudioMu(spark: SparkSession, dir: String): Map[Long, Double] = {
+  private[graft] def historyAudioMu(spark: SparkSession, dir: String): Map[Long, Double] = memoMu(dir, "audmu") {
     implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
     Kernels.fanOut(
@@ -1139,23 +1174,24 @@ object Multimodal {
     * broadcast (decimal-summed, order-exact); the signature fold is
     * one combiner-friendly groupBy per sampled frame.
     */
-  private[graft] def corpusFrameSigs(spark: SparkSession, dir: String): DataFrame = {
-    implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
-    val fch = Kernels.fanOut(
-      ingestBinary(spark, dir).select("doc_id", "payload"))
-      .mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap(r => frameChannelRows(r.getLong(0), r.getAs[Array[Byte]](1)))
-      }
-      .toDF()
-    val mu = fch.groupBy("dim")
-      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("mu"))
-    fch.join(broadcast(mu), "dim")
-      .groupBy("doc_id", "sample_no")
-      .agg(sum(when(col("f") > col("mu"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
-        .otherwise(lit(0L))).as("ph"))
-  }
+  private[graft] def corpusFrameSigs(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "framesig") {
+      implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
+      val fch = Kernels.fanOut(
+        ingestBinary(spark, dir).select("doc_id", "payload"))
+        .mapPartitions { rows: Iterator[Row] =>
+          rows.flatMap(r => frameChannelRows(r.getLong(0), r.getAs[Array[Byte]](1)))
+        }
+        .toDF()
+      val mu = fch.groupBy("dim")
+        .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mu"))
+      fch.join(broadcast(mu), "dim")
+        .groupBy("doc_id", "sample_no")
+        .agg(sum(when(col("f") > col("mu"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
+          .otherwise(lit(0L))).as("ph"))
+    }
 
   /** `mm_video_neardup`: CLIP-level near-duplicate video pairs — the
     * video half of dedup, completing the modality row (text has
@@ -1179,11 +1215,9 @@ object Multimodal {
     * exact integer/6dp arithmetic the oracle replays bit-for-bit.
     */
   def videoNearDup(spark: SparkSession, dir: String): DataFrame =
-    // pin the SIGNATURE frame (K rows per video — aggregate-sized, the
-    // measured cache-discipline bar): the self-join would otherwise
-    // re-run the channel kernel and the threshold aggregate once per
-    // side. Released by the harness's post-action retireCaches().
-    videoClipPairs(Kernels.cacheTracked(corpusFrameSigs(spark, dir)))
+    // the signature frame is the memoized checkpoint artifact
+    // ([[corpusFrameSigs]]) — both self-join sides read its blocks
+    videoClipPairs(corpusFrameSigs(spark, dir))
       .orderBy("doc_a", "doc_b")
 
   /** The clip-lift band join over an explicit per-frame signature
@@ -1222,7 +1256,7 @@ object Multimodal {
     * [[videoNearDup]], made explicit here). [[PhashBits]] values max,
     * collected once and shipped in the task closure.
     */
-  private[graft] def historyFrameMu(spark: SparkSession, dir: String): Map[Long, Double] = {
+  private[graft] def historyFrameMu(spark: SparkSession, dir: String): Map[Long, Double] = memoMu(dir, "framemu") {
     implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
     Kernels.fanOut(
@@ -1433,7 +1467,7 @@ object Multimodal {
     * collected once and shipped in the task closure (the codebook
     * contract).
     */
-  private[graft] def historyMu(spark: SparkSession, dir: String): IndexedSeq[Double] = {
+  private[graft] def historyMu(spark: SparkSession, dir: String): IndexedSeq[Double] = memoMu(dir, "pixmu") {
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
     pixelChannels(
       ingestBinary(spark, dir)
@@ -1576,18 +1610,19 @@ object Multimodal {
     * broadcast (decimal-summed, order-exact), one combiner-friendly
     * fold per document.
     */
-  private[graft] def phashSigCorpus(spark: SparkSession, dir: String): DataFrame = {
-    val f = pixelChannels(
-      ingestBinary(spark, dir).select("doc_id", "payload"), PhashBits)
-    val mu = f.groupBy("dim")
-      .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
-        / count(lit(1)), 6).as("mu"))
-    f.join(broadcast(mu), "dim")
-      .groupBy("doc_id")
-      .agg(sum(when(col("f") > col("mu"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
-        .otherwise(lit(0L))).as("ph"))
-  }
+  private[graft] def phashSigCorpus(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "phashsig") {
+      val f = pixelChannels(
+        ingestBinary(spark, dir).select("doc_id", "payload"), PhashBits)
+      val mu = f.groupBy("dim")
+        .agg(round(sum(col("f").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mu"))
+      f.join(broadcast(mu), "dim")
+        .groupBy("doc_id")
+        .agg(sum(when(col("f") > col("mu"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(dim - 1 AS INT))"))
+          .otherwise(lit(0L))).as("ph"))
+    }
 
   /** `mm_media_keep`: the cross-modal dedup keep-list — ONE
     * signature-identical grouping over the whole media corpus, the
@@ -1699,7 +1734,7 @@ object Multimodal {
   def mediaKeepNearDup(spark: SparkSession, dir: String): DataFrame = {
     val img = sigComponentKeep(spark, phashSigCorpus(spark, dir), "image")
     val aud = sigComponentKeep(spark, audioSigCorpus(spark, dir), "audio")
-    val vidSig = Kernels.cacheTracked(corpusFrameSigs(spark, dir))
+    val vidSig = corpusFrameSigs(spark, dir)
     val vid = Dedup.clustersFromEdges(
         vidSig.select("doc_id").distinct(),
         videoClipPairs(vidSig).select("doc_a", "doc_b"))
@@ -1752,11 +1787,12 @@ object Multimodal {
   private def sigComponentKeep(spark: SparkSession, sig: DataFrame,
       modality: String): DataFrame = {
     import spark.implicits._
-    val pinned = Kernels.cacheTracked(sig)
-    val present = pinned.select("ph").distinct().collect().map(_.getLong(0))
+    // `sig` is a memoized checkpoint artifact — both reads (the
+    // distinct-sig collect and the component join) hit its blocks
+    val present = sig.select("ph").distinct().collect().map(_.getLong(0))
     val comp = sigComponents(present)
     val compDf = present.toSeq.map(s => (s, comp(s))).toDF("ph", "comp")
-    pinned.join(broadcast(compDf), "ph")
+    sig.join(broadcast(compDf), "ph")
       .groupBy("comp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
       .select(lit(modality).as("modality"), col("keep_id"), col("n_members"))
@@ -1900,7 +1936,7 @@ object Multimodal {
     * NO threshold (inner-join semantics). ≤ [[PhashBits]] values,
     * collected once and shipped in task closures.
     */
-  private[graft] def historyImageMu(spark: SparkSession, dir: String): Map[Long, Double] = {
+  private[graft] def historyImageMu(spark: SparkSession, dir: String): Map[Long, Double] = memoMu(dir, "imgmu") {
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
     pixelChannels(
       ingestBinary(spark, dir)
