@@ -640,7 +640,10 @@ object Multimodal {
     * fold per clip.
     */
   private[graft] def audioSigCorpus(spark: SparkSession, dir: String): DataFrame =
-    memoSig(spark, dir, "audiosig") {
+    memoSig(spark, dir, "audiosig")(audioSigCorpusBuild(spark, dir))
+
+  /** The un-memoized build plan (the plan audit inspects this). */
+  private[graft] def audioSigCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
       implicit val enc: Encoder[AudioEnergy] = Encoders.product[AudioEnergy]
       val energy = Kernels.fanOut(
         ingestBinary(spark, dir).select("doc_id", "payload"))
@@ -1175,7 +1178,10 @@ object Multimodal {
     * one combiner-friendly groupBy per sampled frame.
     */
   private[graft] def corpusFrameSigs(spark: SparkSession, dir: String): DataFrame =
-    memoSig(spark, dir, "framesig") {
+    memoSig(spark, dir, "framesig")(corpusFrameSigsBuild(spark, dir))
+
+  /** The un-memoized build plan (the plan audit inspects this). */
+  private[graft] def corpusFrameSigsBuild(spark: SparkSession, dir: String): DataFrame = {
       implicit val enc: Encoder[FrameChannel] = Encoders.product[FrameChannel]
       val fch = Kernels.fanOut(
         ingestBinary(spark, dir).select("doc_id", "payload"))
@@ -1611,7 +1617,10 @@ object Multimodal {
     * fold per document.
     */
   private[graft] def phashSigCorpus(spark: SparkSession, dir: String): DataFrame =
-    memoSig(spark, dir, "phashsig") {
+    memoSig(spark, dir, "phashsig")(phashSigCorpusBuild(spark, dir))
+
+  /** The un-memoized build plan (the plan audit inspects this). */
+  private[graft] def phashSigCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
       val f = pixelChannels(
         ingestBinary(spark, dir).select("doc_id", "payload"), PhashBits)
       val mu = f.groupBy("dim")
@@ -1657,7 +1666,19 @@ object Multimodal {
       length(col("payload")) >= 54) ||
     substring(col("payload"), 1, 2) === lit("P6".getBytes("US-ASCII"))
 
-  def mediaKeep(spark: SparkSession, dir: String): DataFrame = {
+  // the grouped keep table is itself a memoized artifact ("one
+  // keep-list per corpus version" — the writeKeepList story): its own
+  // gate AND pack_media read it without re-running the three signature
+  // chains
+  def mediaKeep(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "mediakeep") {
+      mediaKeepBuild(spark, dir)
+    }.orderBy("modality", "keep_id")
+
+  /** The keep-table build plan (un-memoized) — [[mediaKeep]] caches its
+    * one materialization per corpus; the plan audit inspects THIS.
+    */
+  private[graft] def mediaKeepBuild(spark: SparkSession, dir: String): DataFrame = {
     val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
     // IMAGE: pixel phash under IMAGE-corpus thresholds (the parsed
     // format is the filter — magic bytes, never the synthesis formula).
@@ -1694,7 +1715,6 @@ object Multimodal {
     imgSig.unionByName(audSig).unionByName(vidSig)
       .groupBy("modality", "fingerprint")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
-      .orderBy("modality", "keep_id")
   }
 
   /** `mm_media_keep_neardup`: the media NEAR-dup keep-list — the

@@ -963,7 +963,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // plan must show a hash join on the band keys (a cartesian or
     // nested-loop here is the all-pairs bug that kills the operator at
     // scale) and the 16-row threshold frame arriving by broadcast
-    val p = plan(Multimodal.videoNearDup(spark, sf))
+    // audit the BUILD plan — the serving entry reads the memoized
+    // signature artifact, whose plan is a checkpoint leaf
+    val p = plan(Multimodal.videoClipPairs(
+      Multimodal.corpusFrameSigsBuild(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"frame candidates must come from the banded equi-join:\n${p.take(800)}")
     assert(p.contains("BroadcastHashJoin"),
@@ -975,7 +978,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // candidate join must be a hash join on band keys (a cartesian or
     // nested-loop is the all-pairs bug) with the 16-row per-window
     // threshold frame arriving by broadcast
-    val p = plan(Multimodal.audioNearDup(spark, sf))
+    // audit the BUILD plan — the serving entry reads the memoized
+    // signature artifact, whose plan is a checkpoint leaf
+    val p = plan(Multimodal.sigBandPairs(
+      Multimodal.audioSigCorpusBuild(spark, sf)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"audio candidates must come from the banded equi-join:\n${p.take(800)}")
     assert(p.contains("BroadcastHashJoin"),
@@ -999,7 +1005,9 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("mm_media_keep: signature passes fold map-side, thresholds broadcast, no pair joins") {
-    val p = plan(Multimodal.mediaKeep(spark, sf))
+    // audit the BUILD plan — the serving entry memoizes one
+    // materialization per corpus, so its own plan is a checkpoint leaf
+    val p = plan(Multimodal.mediaKeepBuild(spark, sf))
     // the keep-list is grouping, not pairing: any nested-loop or
     // cartesian would mean an all-pairs path crept in
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
