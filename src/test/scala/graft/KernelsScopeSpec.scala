@@ -120,6 +120,36 @@ class KernelsScopeSpec extends AnyFunSuite {
       "a dead thread's orphaned checkpoint blocks must drain on the next retire")
   }
 
+  test("loopCheckpoint severs inherited plan statistics and tracks the persisted blocks") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // a self-join whose ESTIMATED stats a plain localCheckpoint would
+    // inherit onto the new leaf (the compounding that melted the
+    // 20+-round component loops — see Kernels.loopCheckpoint)
+    val df = (1 to 100).toDF("x")
+    val joined = df.as("a")
+      .join(df.withColumnRenamed("x", "y").as("b"), $"x" === $"y")
+      .select($"x")
+    val plain = Kernels.trackedCheckpoint((1 to 100).toDF("x"))
+    val (reset, id) = Kernels.loopCheckpoint(joined)
+    // severed: the re-wrapped frame's leaf carries the session DEFAULT
+    // size, not the join's product estimate
+    val resetStats = reset.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(resetStats == BigInt(spark.sessionState.conf.defaultSizeInBytes),
+      s"loopCheckpoint leaf must reset to defaultSizeInBytes, got $resetStats")
+    // values ride through the re-wrap unchanged
+    assert(reset.count() == 100)
+    // the PERSISTED checkpoint id is returned (the wrapper's own leaf
+    // is the unpersisted Row conversion) and its blocks are live...
+    assert(id.exists(i => sc.getPersistentRDDs.contains(i)),
+      "loopCheckpoint must return the persisted checkpoint RDD id")
+    // ...until released by id, the loop's per-round discipline
+    id.foreach(Kernels.releaseCheckpoint(sc, _))
+    assert(id.forall(i => !sc.getPersistentRDDs.contains(i)))
+    assert(plain.count() == 100)
+    Kernels.retireCaches()
+  }
+
   test("bloom sizing clamps to the session's runtime maxNumBits") {
     import graft.functions.BloomFunctions
     val maxBits = spark.conf
