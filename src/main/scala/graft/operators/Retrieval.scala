@@ -41,20 +41,25 @@ object Retrieval {
     * `size(tokens)` is computed map-side in the same tokenize pass and
     * carried through the tf aggregate as part of the (functionally
     * dependent) group key, so it costs zero extra exchanges. Document
-    * frequency is computed AFTER the postings are semi-joined down to
-    * the broadcast query-term set — filtering by term drops no postings
-    * of a kept term, so the per-term df over the matched frame equals
-    * the corpus df, and the window input shrinks from |postings| to
-    * |postings of matched terms|. N and the average length are a 1-row
-    * broadcast from one map-only re-scan of the text (an extra
-    * tokenize pass, but caching the corpus-sized posting frame to save
-    * it would pin corpus-scale memory — the [[Corpus.bigramPmi]]
-    * trade, decided the same way). The per-query rank window sees
-    * only each query's candidate set, never the corpus. In production
-    * the posting frame is the thing you materialize (bucketed by term)
-    * and this query is a broadcast-probe of it; scores round to 6dp
-    * before ranking so the cut never hinges on sub-1e-6 libm
-    * differences between engines.
+    * frequency never touches a window: per doc, the DISTINCT matched
+    * terms come from a map-side `array_distinct` (one row per (doc,
+    * query-vocab term) — exactly the corpus df's support set), and a
+    * partial-aggregated `groupBy(term).count()` reduces each map task
+    * to ≤ |query vocab| rows BEFORE the exchange, so a stopword query
+    * term costs pre-counted partials, never one task materializing its
+    * whole posting list (the `count(*) OVER (PARTITION BY term)`
+    * failure shape — WindowExec buffers a partition in ONE task and,
+    * unlike a skewed join, AQE cannot split it). The query-vocab-sized
+    * df table then broadcast-joins back onto the matched postings. N
+    * and the average length are a 1-row broadcast from one map-only
+    * re-scan of the text (an extra tokenize pass, but caching the
+    * corpus-sized posting frame to save it would pin corpus-scale
+    * memory — the [[Corpus.bigramPmi]] trade, decided the same way).
+    * The per-query cut rides the bounded `graft_topk` aggregate, never
+    * a rank window. In production the posting frame is the thing you
+    * materialize (bucketed by term) and this query is a broadcast-probe
+    * of it; scores round to 6dp before ranking so the cut never hinges
+    * on sub-1e-6 libm differences between engines.
     */
   def bm25Search(spark: SparkSession, dir: String): DataFrame =
     bm25Search(spark, dir, Queries)
@@ -82,15 +87,23 @@ object Retrieval {
     val qterms = queries
       .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
       .toDF("query_id", "term")
-    // df FIRST, over a TRUE semi-join: `tf` has one row per (doc, term),
-    // so after a leftsemi against the DISTINCT query vocabulary the
-    // per-term window count equals the corpus df exactly. Joining the
-    // (query_id, term) frame before counting would duplicate each
-    // posting row once per query that shares the term, inflating df by
-    // that factor — silent idf corruption whenever two queries overlap.
+    val qvocab = qterms.select("term").distinct()
+    // df over the DISTINCT query vocabulary only (the semi-join drops
+    // no postings of a kept term, so the matched per-term count equals
+    // the corpus df exactly; joining the (query_id, term) frame before
+    // counting would duplicate each posting row once per query that
+    // shares the term — silent idf corruption whenever two queries
+    // overlap). `array_distinct` map-side gives one row per (doc,
+    // term) — df's exact support set — with NO posting shuffle, and the
+    // count partial-aggregates to ≤ |query vocab| rows per map task.
+    val dfT = docs
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(lower(col("text"))))).as("term"))
+      .join(broadcast(qvocab), Seq("term"), "leftsemi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val matched = tf
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(broadcast(qvocab), Seq("term"), "leftsemi")
+      .join(broadcast(dfT), "term")
     bm25Score(matched, stats, qterms)
   }
 
@@ -156,15 +169,25 @@ object Retrieval {
     *
     * 100 TB shape vs [[bm25Search]]: cosine needs two genuine CORPUS
     * statistics — every term's df and every document's weighted norm —
-    * which no query-time semi-join can shrink. They cost one
-    * shuffle-by-term (df window over the posting frame) and one
-    * combiner-friendly groupBy(doc) (norms); in production both are
-    * materialized once per corpus build next to the posting frame and
-    * this query is, like BM25, a broadcast probe. Scoring itself
-    * touches only query-matched postings. Determinism: weights are
-    * single deterministic double expressions; every sum (norms, dots)
-    * runs over 9dp-rounded DECIMAL contributions so aggregation order
-    * can't move the 6dp-rounded score.
+    * which no query-time semi-join can shrink. df comes from a map-side
+    * `array_distinct` pass (one row per (doc, term) — df's exact
+    * support set) folded by a partial-aggregated `groupBy(term)
+    * .count()`: a stopword term arrives at its reducer as ≤ |map tasks|
+    * pre-counted partials, never as one task buffering its whole
+    * posting list (the `count(*) OVER (PARTITION BY term)` shape this
+    * replaced — WindowExec holds a partition in ONE task and AQE cannot
+    * split it the way it splits a skewed join). The vocab-sized df
+    * table joins back onto the postings — auto-broadcast when it fits,
+    * an AQE-skew-splittable equi-join when it doesn't — and the norms
+    * are one combiner-friendly groupBy(doc). In production both
+    * statistics are materialized once per corpus build next to the
+    * posting frame ([[writeSearchIndex]] stores exactly these tables;
+    * [[tfidfSearchServed]] is the read path) and this query is, like
+    * BM25, a broadcast probe. Scoring itself touches only query-matched
+    * postings. Determinism: weights are single deterministic double
+    * expressions; every sum (norms, dots) runs over 9dp-rounded DECIMAL
+    * contributions so aggregation order can't move the 6dp-rounded
+    * score.
     */
   def tfidfSearch(spark: SparkSession, dir: String): DataFrame =
     tfidfSearch(spark, dir, Queries)
@@ -180,10 +203,15 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     // df is corpus-wide by definition here (the norm needs every term's
-    // weight, not just query terms') — the window IS the materialized
-    // df table of a production deployment
+    // weight, not just query terms') — the map-only distinct-terms pass
+    // + partial-aggregated count IS the materialized df table of a
+    // production deployment ([[writeSearchIndex]]'s `df` product)
+    val dfT = docs
+      .select(explode(array_distinct(
+        TextAnalysis.tokens(lower(col("text"))))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val w = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dfT, "term")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") *
@@ -196,14 +224,11 @@ object Retrieval {
       .flatMap { case (qid, q) => q.split(" ").map(t => (qid, t)) }
       .groupBy(identity).map { case ((qid, t), g) => (qid, t, g.size.toLong) }
       .toSeq.toDF("query_id", "term", "tfq")
-    // query-term df via the bm25 trick — counting over the postings
-    // semi-joined to the query vocabulary equals corpus df exactly, so
-    // the query side never forces a corpus-wide distinct; terms absent
-    // from the corpus have no defined idf and contribute to neither
-    // dot nor norm
-    val qdf = tf
+    // query-term df is a vocab-sized slice of the corpus df table —
+    // terms absent from the corpus have no defined idf and contribute
+    // to neither dot nor norm (the inner-join convention downstream)
+    val qdf = dfT
       .join(broadcast(qtf.select("term").distinct()), Seq("term"), "leftsemi")
-      .groupBy("term").agg(count(lit(1)).as("df"))
     tfidfScore(w, dNorm, qtf, qdf, stats)
   }
 

@@ -739,9 +739,14 @@ object DocStream {
 
   /** BM25 serve over a (postings, doclen) store —
     * [[graft.operators.Retrieval.bm25SearchServed]]'s shape: broadcast
-    * query vocabulary, df over matched postings only, corpus stats
-    * from the doc-length table (NOT the postings: a token-less doc has
-    * no postings but still counts toward N).
+    * query vocabulary, df as a partial-aggregated `groupBy(term)
+    * .count()` over the matched postings (one store row per (doc,
+    * term), so the matched count equals corpus df exactly; the
+    * query-vocab-sized result broadcast-joins back — never a `count(*)
+    * OVER (PARTITION BY term)` window, whose single-task partition
+    * buffer a stopword term would blow up at scale), corpus stats from
+    * the doc-length table (NOT the postings: a token-less doc has no
+    * postings but still counts toward N).
     */
   private[graft] def serveBm25(
       spark: SparkSession, postings: String, doclen: String): DataFrame = {
@@ -752,10 +757,10 @@ object DocStream {
       .toDF("query_id", "term")
     val stats = spark.read.parquet(doclen)
       .agg(count(lit(1)).as("n_docs"), sum("dl").as("total_tokens"))
-    val matched = spark.read.parquet(postings)
+    val matchedTf = spark.read.parquet(postings)
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "leftsemi")
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    val dfT = matchedTf.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched = matchedTf.join(broadcast(dfT), "term")
     Retrieval.bm25Score(matched, stats, qterms)
   }
 

@@ -176,37 +176,32 @@ class PlanAuditSpec extends AnyFunSuite {
     Dedup.retireCaches()
   }
 
-  test("bm25: no cartesian; query terms broadcast; posting aggregate has partials") {
+  test("bm25: no window anywhere; df partial-aggregates; query terms broadcast") {
     val p = plan(Retrieval.bm25Search(spark, sf))
     assert(!p.contains("CartesianProduct"),
       "query join must be a broadcast equi-join, never a product")
     assert(p.contains("partial_count") || p.contains("partial_"),
       "posting-frame tf aggregate must map-side combine")
     assert(p.contains("BroadcastExchange"), "query-term set must broadcast")
-    // exactly ONE window: df over the query-matched postings — the
-    // per-query rank rides the bounded graft_topk aggregate (a high-df
-    // query term makes a query's candidate set O(corpus); the old rank
-    // window funneled all of it into one partition), and doc length
-    // must ride the tokenize pass + tf group key, NOT a third
-    // corpus-wide doc_id window (the round-7 plan's avoidable second
-    // corpus shuffle)
-    val windows = "Window \\(".r.findAllIn(p).length
-    assert(windows == 1, s"expected the df window only, got $windows:\n${p.take(800)}")
+    // ZERO windows (the round-15 conversion): the per-query rank rides
+    // the bounded graft_topk aggregate, and df rides a map-side
+    // array_distinct pass + partial-aggregated groupBy(term).count —
+    // the old `count(*) OVER (PARTITION BY term)` buffered a stopword
+    // term's entire posting list in ONE WindowExec task (AQE can split
+    // a skewed join, never a skewed window)
+    assert(!p.contains("Window"),
+      s"no window anywhere in the bm25 plan:\n${p.take(800)}")
     assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
       s"the per-query cut must partial-aggregate map-side:\n${p.take(1500)}")
-    // df must be counted over a TRUE semi-join (one row per (doc, term))
-    // — the (query_id, term) inner join sits ABOVE the df window, so a
-    // term shared by two queries cannot double its postings in the count
+    // the df aggregate's input is the DISTINCT query vocabulary semi-
+    // join (one row per doc-term), so a term shared by two queries
+    // cannot double its postings in the count
     assert(p.contains("BroadcastHashJoin LeftSemi"),
-      "df input must be the leftsemi-matched postings (one row per doc-term)")
-    // tree order (root-first): (query_id,term) inner join > df Window >
-    // leftsemi — df counts the semi-joined frame, the scoring join
-    // attaches query ids afterwards.
-    val dfWindow = p.indexOf("Window (")
-    val semiJoin = p.indexOf("BroadcastHashJoin LeftSemi")
-    val innerJoin = p.indexOf("BroadcastHashJoin Inner")
-    assert(innerJoin < dfWindow && dfWindow < semiJoin,
-      s"tree order must be inner join > df window > leftsemi, got $innerJoin/$dfWindow/$semiJoin")
+      "df input must be the leftsemi-matched distinct doc-terms")
+    // and df must arrive back on the postings via broadcast — the df
+    // table is query-vocab-sized by construction
+    val dfAgg = p.indexOf("partial_count(1)")
+    assert(dfAgg >= 0, s"df count must map-side combine:\n${p.take(1200)}")
   }
 
   test("ANN/retrieval serves rank via bounded graft_topk, never a per-probe rank window") {
@@ -229,16 +224,16 @@ class PlanAuditSpec extends AnyFunSuite {
         assert(!p.contains("Window"),
           s"$name: no rank window anywhere in the serve:\n${p.take(800)}")
       }
-      // tfidf keeps only the corpus-df statistic windows its norm
-      // genuinely needs (partitioned by TERM; the weighted-postings
-      // frame has two consumers and exchanges are not reused here, so
-      // the df window instantiates twice) — the per-query rank rides
-      // graft_topk, so no window is ever partitioned by query_id
+      // tfidf is window-free too (the round-15 conversion): corpus df
+      // rides a map-side distinct-terms pass + partial-aggregated
+      // groupBy(term).count joined back onto the postings, and the
+      // per-query rank rides graft_topk — no WindowExec may buffer a
+      // hot term's posting list in one task anywhere in the plan
       val pt = plan(Retrieval.tfidfSearch(spark, sf))
       assert(pt.contains("partial_graft_topk") || pt.contains("partial_topkbyscore"),
         s"tfidf_search: the per-query cut must partial-aggregate:\n${pt.take(1500)}")
-      assert(!pt.contains("windowspecdefinition(query_id"),
-        s"tfidf_search: no per-query rank window may remain:\n${pt.take(800)}")
+      assert(!pt.contains("Window"),
+        s"tfidf_search: no window may remain anywhere:\n${pt.take(800)}")
     } finally Dedup.retireCaches()
   }
 

@@ -38,8 +38,16 @@ class StoreCompactionSpec extends AnyFunSuite {
     val before = partFiles(s"$root/postings")
     assert(before > DocStream.SearchStoreBuckets,
       s"three appended batches must exceed the bucket budget (saw $before files)")
-    val served = DocStream.serveBm25(spark, s"$root/postings", s"$root/doclen")
-      .collect().map(_.toSeq).toSet
+    val serveDf = DocStream.serveBm25(spark, s"$root/postings", s"$root/doclen")
+    // the store serve shares bm25's window-free df contract: df is a
+    // partial-aggregated groupBy(term).count over the matched postings,
+    // broadcast-joined back — never a per-term count window whose
+    // single-task buffer a stopword term would blow up at scale
+    val servePlan = serveDf.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!servePlan.contains("Window"),
+      s"store serve must stay window-free:\n${servePlan.take(800)}")
+    val served = serveDf.collect().map(_.toSeq).toSet
     // row capture must precede compaction: the swap REPLACES the
     // appended originals in place
     val rowsBefore = spark.read.parquet(s"$root/postings")
