@@ -914,7 +914,12 @@ object DocStream {
     try {
       Multimodal.mediaKeepHistoryStore(spark, dir, imgMu, audMu, vidMu)
         .write.parquet(s"$tmp/keep_v0")
-      var version = 0
+      // Atomic, not a plain local var: the counter is written on the
+      // stream-execution thread (inside foreachBatch) and read on the
+      // caller thread after processAllAvailable() — a captured plain
+      // var rides an unsynchronized ObjectRef, leaving visibility to
+      // incidental locking inside the streaming engine
+      val version = new java.util.concurrent.atomic.AtomicInteger(0)
       val splitOf =
         substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
       val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
@@ -927,16 +932,19 @@ object DocStream {
         .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
         .writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = version.get()
           val sigs = Multimodal.mediaSigFrame(batch, imgMu, audMu, vidMu)
           Multimodal.mergeMediaKeep(
-              spark.read.parquet(s"$tmp/keep_v$version"), sigs)
-            .write.parquet(s"$tmp/keep_v${version + 1}")
-          version += 1
+              spark.read.parquet(s"$tmp/keep_v$v"), sigs)
+            .write.parquet(s"$tmp/keep_v${v + 1}")
+          version.incrementAndGet()
+          ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
       Kernels.trackedCheckpoint(
-        spark.read.parquet(s"$tmp/keep_v$version").orderBy("modality", "keep_id"))
+        spark.read.parquet(s"$tmp/keep_v${version.get()}")
+          .orderBy("modality", "keep_id"))
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
@@ -957,7 +965,8 @@ object DocStream {
     try {
       spark.read.parquet(hist).write.mode("overwrite")
         .parquet(s"$tmp/lists_v0")
-      var version = 0
+      // atomic for cross-thread visibility — the streamMediaKeep note
+      val version = new java.util.concurrent.atomic.AtomicInteger(0)
       val splitOf =
         substring(md5(concat(lit("inc:"), col("vec_id").cast("string"))), 1, 1)
       val q = spark.readStream
@@ -968,12 +977,14 @@ object DocStream {
         .filter(splitOf < Dedup.IncBatchThreshold)
         .writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          version = Graph.appendBatchToKnn(batch, dir, tmp.toString, version)
+          version.set(
+            Graph.appendBatchToKnn(batch, dir, tmp.toString, version.get()))
         }
         .start()
       try q.processAllAvailable() finally q.stop()
       Kernels.trackedCheckpoint(
-        Graph.mutualFromDirected(spark.read.parquet(s"$tmp/lists_v$version"))
+        Graph.mutualFromDirected(
+          spark.read.parquet(s"$tmp/lists_v${version.get()}"))
           .orderBy("vec_a", "vec_b"))
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
