@@ -144,15 +144,26 @@ object Corpus {
     * (score = tf · ln(N/df)) — the classic per-document keyword
     * extractor, useful for topic bucketing and mix diagnostics.
     *
-    * 100 TB shape: the corpus is scanned and shuffled ONCE — tf is one
-    * combiner-friendly shuffle on (doc, term); df rides a count window
-    * over the tf frame partitioned by term (a separate df aggregate
-    * branch would re-tokenize the whole corpus: the optimizer prunes
-    * the two branches differently, defeating exchange reuse — measured
-    * as a second FileScan in the physical plan); N is a 1-row
-    * broadcast; the final per-doc top-k is a window over the tf frame
-    * re-shuffled by doc. Ranking uses the ROUNDED score so the order
-    * (and the oracle's) never hinges on sub-1e-6 libm differences.
+    * 100 TB shape: tf is one combiner-friendly shuffle on (doc,
+    * term); df comes from a SECOND map-only tokenize pass — a
+    * map-side `array_distinct` (one row per (doc, term), df's exact
+    * support set, with NO posting shuffle) folded by a partial-
+    * aggregated `groupBy(term).count()`, the [[Retrieval.bm25Search]]
+    * df shape — joined back onto tf as a vocab-sized table
+    * (auto-broadcast when vocab fits, AQE-skew-splittable when not).
+    * The old formulation was a `count(*) OVER (PARTITION BY term)`
+    * window over the tf frame — WindowExec buffers each term
+    * partition in ONE task, so a stopword term funneled its entire
+    * posting list into a single task at scale, and AQE can split a
+    * skewed join but never a skewed window. The extra tokenize scan
+    * is the same trade bm25 makes (caching the corpus-sized tf frame
+    * to save it would pin corpus-scale memory), and the count reduces
+    * each map task's contribution to ≤ |vocab| rows BEFORE its
+    * exchange. N is a 1-row broadcast; the final per-doc top-k is a
+    * window over the tf frame re-shuffled by doc (per-partition input
+    * ≤ one doc's distinct terms — bounded by doc length, never
+    * corpus-shaped). Ranking uses the ROUNDED score so the order (and
+    * the oracle's) never hinges on sub-1e-6 libm differences.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -161,8 +172,11 @@ object Corpus {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfT = docs
+      .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .join(dfT, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"),
         round(col("tf").cast("double")

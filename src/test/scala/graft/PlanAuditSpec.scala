@@ -237,6 +237,33 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally Dedup.retireCaches()
   }
 
+  test("tfidf_top_terms: df partial-aggregates map-side, never a term window") {
+    val whole = plan(Corpus.tfidfTopTerms(spark, sf))
+    // df used to ride `count(*) OVER (PARTITION BY term)` over the tf
+    // frame — WindowExec buffers each term partition in ONE task, so a
+    // stopword term funneled its whole posting list into a single task
+    // (AQE splits a skewed join, never a skewed window). Now df rides
+    // the bm25 shape: a map-side array_distinct pass (no posting
+    // shuffle) + partial-aggregated groupBy(term).count joined back.
+    // The ONLY window left is the per-doc top-k cut, whose partition
+    // input is bounded by a single document's distinct terms.
+    // (WindowGroupLimit nodes are the rank-LIMIT pushdown — per-
+    // partition top-k heaps BEFORE the exchange — not window evals.)
+    val windows = "\\(\\d+\\) Window(?!GroupLimit)".r.findAllIn(whole).size
+    assert(windows == 1,
+      s"exactly one window (the per-doc top-k) may remain, found $windows:\n${whole.take(1600)}")
+    assert(!whole.contains("windowspecdefinition(term"),
+      "no window may partition by term")
+    assert(whole.contains("windowspecdefinition(doc_id"),
+      "the surviving window is the per-doc top-k cut")
+    assert(whole.contains("partial_count"),
+      "tf and df aggregates must map-side combine")
+    assert(whole.contains("array_distinct"),
+      "df's support set must come from the map-side array_distinct pass")
+    assert(!whole.contains("CartesianProduct"),
+      "only broadcast joins beyond the tf shuffle")
+  }
+
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
     val p = plan(Dedup.semanticNearDup(spark, sf))
     Dedup.retireCaches()
