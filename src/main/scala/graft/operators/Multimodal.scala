@@ -1277,14 +1277,39 @@ object Multimodal {
     * [[mediaKeepNearDup]]'s video edge stream. Unordered output.
     */
   private[graft] def videoClipPairs(ph: DataFrame): DataFrame = {
+    val bands = frameBands(ph)
+    clipLift(bands.as("x").join(bands.as("y"),
+      col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") < col("y.doc_id")))
+  }
+
+  /** Batch-touching clip pairs via an asymmetric banded PROBE — the
+    * [[videoNearDupIncremental]] join shape over explicit sig frames:
+    * the probe side's frames band-join the full frame, so extracting
+    * one ingest batch's blast-radius edges costs |batch|×collisions,
+    * never the full corpus self-join a filter-after-the-fact pays.
+    * Pair predicate identical to [[videoClipPairs]] (the frame-match
+    * count is orientation-independent); probe-internal pairs emit in
+    * BOTH orientations, which the component fold — which symmetrizes
+    * its edge stream anyway — absorbs unchanged.
+    */
+  private[graft] def videoClipPairsProbe(probe: DataFrame, all: DataFrame): DataFrame =
+    clipLift(frameBands(probe).as("x").join(frameBands(all).as("y"),
+      col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
+        col("x.doc_id") =!= col("y.doc_id")))
+
+  /** Band-explode a (doc_id, sample_no, ph) frame. */
+  private def frameBands(ph: DataFrame): DataFrame = {
     val bandBits = PhashBits / PhashBands
     val mask = (1L << bandBits) - 1
-    val bands = ph.select(col("doc_id"), col("sample_no"), col("ph"),
+    ph.select(col("doc_id"), col("sample_no"), col("ph"),
         explode(sequence(lit(0), lit(PhashBands - 1))).as("b"))
       .withColumn("bk", expr(s"shiftright(ph, CAST($bandBits * b AS INT)) & $mask"))
-    bands.as("x").join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.bk") === col("y.bk") &&
-          col("x.doc_id") < col("y.doc_id"))
+  }
+
+  /** The frame-match → clip-pair lift over a banded candidate join. */
+  private def clipLift(cand: DataFrame): DataFrame =
+    cand
       // multi-band collisions collapse STATELESSLY via the lowest-
       // matching-band filter the streaming twin uses (one surviving
       // row per frame pair, no distinct = no extra exchange of the
@@ -1298,7 +1323,6 @@ object Multimodal {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_frame_matches"), min("hamming").as("min_hamming"))
       .filter(col("n_frame_matches") >= VideoMatchMinFrames)
-  }
 
   /** Per-channel frame thresholds trained on the HISTORY side — the
     * clip analogue of [[historyMu]]: new clips must be hashed with the
@@ -1885,28 +1909,53 @@ object Multimodal {
     * ingests, so new docs hash with the thresholds the store used —
     * the incremental convention shared with [[phashIncremental]]/
     * [[audioNearDupIncremental]]/[[videoNearDupIncremental]], whose
-    * kernels this reuses verbatim). Each frame is cached for the
-    * query.
+    * kernels this reuses verbatim). Memoized per corpus fingerprint
+    * ([[memoSig]], the corpus-signature-frame contract): the
+    * history-thresholded signatures are a per-corpus PRODUCT every
+    * maintenance/stream run consumes — deriving them per query
+    * re-decoded the whole media corpus three times per run (measured
+    * as the single heaviest bench query), where production pays the
+    * decode once per ingest into a durable store.
     */
   private[graft] def mediaHistSigFrames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     implicit val enc: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
-    val payloads = ingestBinary(spark, dir).select("doc_id", "payload")
-    val imgSig = Kernels.cacheTracked(
+    def payloads = ingestBinary(spark, dir).select("doc_id", "payload")
+    val imgSig = memoSig(spark, dir, "histphashsig")(
       phashSigFrame(payloads, historyMu(spark, dir), "doc_id", "ph"))
-    val audMu = historyAudioMu(spark, dir)
-    val audSig = Kernels.cacheTracked(
+    val audSig = memoSig(spark, dir, "histaudiosig") {
+      val audMu = historyAudioMu(spark, dir)
       Kernels.fanOut(payloads).mapPartitions { rows: Iterator[Row] =>
         rows.flatMap { r =>
           audioSigOfBody(r.getAs[Array[Byte]](1), audMu).map((r.getLong(0), _))
         }
-      }.toDF("doc_id", "ph"))
-    val vidSig = Kernels.cacheTracked(
+      }.toDF("doc_id", "ph")
+    }
+    val vidSig = memoSig(spark, dir, "histframesig")(
       frameSigFrame(payloads, historyFrameMu(spark, dir),
         "doc_id", "sample_no", "ph"))
     (imgSig, audSig, vidSig)
   }
+
+  /** The video HISTORY labels (doc → cluster over the history-only
+    * clip graph) — the stored base state [[mediaKeepNearDupMaintain]]
+    * contracts against, memoized per corpus fingerprint like every
+    * other maintained store's history product (the
+    * [[graft.operators.Graph]] kNN history artifact contract): the
+    * component loop over the history clip graph runs once per corpus,
+    * not once per maintenance query.
+    */
+  private[graft] def vidHistLabels(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "vidhistlabels") {
+      val vidSig = mediaHistSigFrames(spark, dir)._3
+      Dedup.clustersFromEdges(
+        vidSig.select("doc_id").distinct()
+          .filter(!isIncBatchDoc(col("doc_id"))),
+        videoClipPairs(vidSig).select("doc_a", "doc_b")
+          .filter(!isIncBatchDoc(col("doc_a")) &&
+            !isIncBatchDoc(col("doc_b"))))
+    }
 
   /** The batch-role predicate of the shared `inc:` id-hash split. */
   private def isIncBatchDoc(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -1931,9 +1980,14 @@ object Multimodal {
     import spark.implicits._
     val pinned = Kernels.cacheTracked(
       sig.withColumn("is_batch", isIncBatchDoc(col("doc_id"))))
-    val histPresent = pinned.filter(!col("is_batch"))
-      .select("ph").distinct().collect().map(_.getLong(0))
-    val allPresent = pinned.select("ph").distinct().collect().map(_.getLong(0))
+    // ONE presence pass serves both sig views: (sig, carried by any
+    // HISTORY doc) — two separate distinct-collects were two jobs over
+    // the same frame for strictly less information
+    val presence = pinned.groupBy("ph")
+      .agg(max(when(!col("is_batch"), lit(1)).otherwise(lit(0))).as("h"))
+      .collect()
+    val allPresent = presence.map(_.getLong(0))
+    val histPresent = presence.filter(_.getInt(1) == 1).map(_.getLong(0))
     val histComp = sigComponents(histPresent)
     val allComp = sigComponents(allPresent)
     // the STORED history keep table (old-component keyed)
@@ -1978,26 +2032,20 @@ object Multimodal {
     val (imgSig, audSig, vidSig) = mediaHistSigFrames(spark, dir)
     val img = sigComponentMaintain(spark, imgSig, "image")
     val aud = sigComponentMaintain(spark, audSig, "audio")
-    // video: the clip-graph contraction merge. The base state is an
-    // INPUT to the merge, not part of its plan (production reads
-    // stored labels from parquet): checkpoint-cut, then the loop's +
-    // signature caches retire... but the image/audio results above
-    // still need their pinned sig frames, so the cut frames adopt into
-    // this query's scope and the single end-of-query retire frees
-    // everything together.
-    val vidNodes = vidSig.select("doc_id").distinct()
-    val vidEdges = videoClipPairs(vidSig).select("doc_a", "doc_b")
-    val histLabels = Dedup.clustersFromEdges(
-      vidNodes.filter(!isIncBatchDoc(col("doc_id"))),
-      vidEdges.filter(!isIncBatchDoc(col("doc_a")) &&
-        !isIncBatchDoc(col("doc_b"))))
-      .localCheckpoint()
+    // video: the clip-graph contraction merge. The base state (the
+    // history labels) is a memoized per-corpus artifact
+    // ([[vidHistLabels]] — a durable table in production), NOT part of
+    // this query's plan or cache scope; only the batch blast radius is
+    // derived per run. The batch nodes/edges checkpoint-cut so the
+    // merge loop starts from leaves, and adopt into this query's scope
+    // so the end-of-query retire frees them (never the memo's blocks).
     val batchNodes = Kernels.adoptCheckpoint(
-      vidNodes.filter(isIncBatchDoc(col("doc_id"))).localCheckpoint())
+      vidSig.select("doc_id").distinct()
+        .filter(isIncBatchDoc(col("doc_id"))).localCheckpoint())
     val batchEdges = Kernels.adoptCheckpoint(
-      vidEdges.filter(isIncBatchDoc(col("doc_a")) ||
-        isIncBatchDoc(col("doc_b"))).localCheckpoint())
-    val vid = Dedup.maintainKeep(Kernels.adoptCheckpoint(histLabels),
+      videoClipPairsProbe(vidSig.filter(isIncBatchDoc(col("doc_id"))), vidSig)
+        .select("doc_a", "doc_b").localCheckpoint())
+    val vid = Dedup.maintainKeep(vidHistLabels(spark, dir),
         batchNodes, batchEdges)
       .select(lit("video").as("modality"), col("doc_id").as("keep_id"),
         col("n_members"))
