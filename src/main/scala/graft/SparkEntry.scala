@@ -206,8 +206,11 @@ object SparkEntry {
     "mm_media_keep_maintain" -> Multimodal.mediaKeepMaintain _,
     "stream_media_keep" -> graft.streaming.DocStream.streamMediaKeep _,
     // near-dup keep maintenance: the contraction merge over the
-    // frozen-threshold media graph
+    // frozen-threshold media graph, and its true-streaming twin
+    // (completing modality × {batch, maintain, stream} for BOTH tiers)
     "mm_media_keep_neardup_maintain" -> Multimodal.mediaKeepNearDupMaintain _,
+    "stream_media_keep_neardup" ->
+      graft.streaming.DocStream.streamMediaKeepNearDup _,
     "mm_video_scene_cuts" -> Multimodal.videoSceneCuts _,
     "mm_video_keyframes" -> Multimodal.videoKeyframes _,
     "mm_video_neardup" -> Multimodal.videoNearDup _,
@@ -3024,8 +3027,11 @@ object SparkEntry {
     "mm_media_keep_maintain" -> mediaKeepMaintainSql,
     "stream_media_keep" -> mediaKeepMaintainSql,
     // maintained == the full union recompute under history thresholds
-    // (frozen signatures partition the pair set exactly)
+    // (frozen signatures partition the pair set exactly); the streaming
+    // twin's drained state folds the same commuting merges, so one
+    // oracle text gates both
     "mm_media_keep_neardup_maintain" -> mediaKeepNearDupMaintainSql,
+    "stream_media_keep_neardup" -> mediaKeepNearDupMaintainSql,
     "mm_phash_incremental" -> phashIncrementalSql,
     // the streaming twin is a stateless stream-static probe of the
     // same store — bit-identical, one oracle gates both

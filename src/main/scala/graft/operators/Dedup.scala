@@ -504,6 +504,30 @@ object Dedup {
     val baseKeep = histLabels.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"))
       .select(col("cluster").as("doc_id"), col("n_members"))
+    val merged = blastMerge(histLabels, batchDocs, batchEdges)
+    val upserts = merged
+      .join(baseKeep.select(col("doc_id"), col("n_members").as("w")),
+        Seq("doc_id"), "left")
+      .select(col("cluster"), coalesce(col("w"), lit(1L)).as("w"))
+      .groupBy("cluster")
+      .agg(sum("w").as("n_members"))
+      .select(col("cluster").as("doc_id"), col("n_members"))
+    val untouched = baseKeep.join(merged.select("doc_id"), Seq("doc_id"), "left_anti")
+    untouched.unionByName(upserts)
+  }
+
+  /** The contraction core [[maintainKeep]] and [[maintainLabels]]
+    * share: history endpoints of batch-touching edges contract to
+    * their stored representatives, and components re-solve over the
+    * ingest's blast radius only (batch docs + touched reps — never
+    * corpus-sized). Returns the blast radius' (doc_id, cluster)
+    * labels, where every node is a batch doc or an OLD representative
+    * and every label is the component's minimum node id — the global
+    * minimum of the union component, because a rep is already its old
+    * cluster's minimum.
+    */
+  private[graft] def blastMerge(
+      histLabels: DataFrame, batchDocs: DataFrame, batchEdges: DataFrame): DataFrame = {
     val contracted = batchEdges
       .join(histLabels.select(col("doc_id").as("doc_a"), col("cluster").as("ca")),
         Seq("doc_a"), "left")
@@ -516,16 +540,37 @@ object Dedup {
       .union(contracted.select(col("doc_a").as("doc_id")))
       .union(contracted.select(col("doc_b").as("doc_id")))
       .distinct()
-    val merged = clustersFromEdges(nodes, contracted)
-    val upserts = merged
-      .join(baseKeep.select(col("doc_id"), col("n_members").as("w")),
-        Seq("doc_id"), "left")
-      .select(col("cluster"), coalesce(col("w"), lit(1L)).as("w"))
-      .groupBy("cluster")
-      .agg(sum("w").as("n_members"))
-      .select(col("cluster").as("doc_id"), col("n_members"))
-    val untouched = baseKeep.join(merged.select("doc_id"), Seq("doc_id"), "left_anti")
-    untouched.unionByName(upserts)
+    clustersFromEdges(nodes, contracted)
+  }
+
+  /** [[maintainKeep]]'s LABELS twin: merge one ingest batch into a
+    * stored per-doc label table and return the maintained (doc_id,
+    * cluster) over history ∪ batch — the state a STREAM of ingest
+    * batches folds through, where the aggregated keep rows alone
+    * cannot absorb the next batch (contracting its edges needs every
+    * seen doc's current representative). Stored rows whose rep the
+    * blast radius never touched ride through unchanged; touched
+    * clusters re-key through the rep → new-label map (adding nodes or
+    * edges only MERGES components, so every old cluster maps into
+    * exactly one new one — re-keying is a function, and per-batch
+    * folds COMMUTE to the union-corpus components, the
+    * [[maintainKeep]] exactness argument applied transitively).
+    */
+  private[graft] def maintainLabels(
+      histLabels: DataFrame, batchDocs: DataFrame, batchEdges: DataFrame): DataFrame = {
+    val merged = blastMerge(histLabels, batchDocs, batchEdges)
+    val repMap = merged.select(col("doc_id").as("rep"), col("cluster").as("ncluster"))
+    val rekeyed = histLabels.as("h")
+      .join(repMap, col("h.cluster") === col("rep"), "left")
+      .select(col("h.doc_id").as("doc_id"),
+        coalesce(col("ncluster"), col("h.cluster")).as("cluster"))
+    // batch docs take their blast-radius label (singletons label
+    // themselves — clustersFromEdges' convention); old reps are
+    // already covered by the re-key above
+    val batchLabels = merged
+      .join(batchDocs.select("doc_id"), Seq("doc_id"), "leftsemi")
+      .select(col("doc_id"), col("cluster"))
+    rekeyed.unionByName(batchLabels)
   }
 
   /** Batch-role predicate of the shared `inc:` id-hash split. */

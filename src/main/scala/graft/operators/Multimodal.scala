@@ -1903,6 +1903,61 @@ object Multimodal {
       .select(lit(modality).as("modality"), col("keep_id"), col("n_members"))
   }
 
+  /** Kernel: (doc_id, payload) → (doc_id, ph) audio energy-profile
+    * signatures under the thresholds in the closure — the audio twin
+    * of [[phashSigFrame]]/[[frameSigFrame]], shared by the memoized
+    * history frame and the streaming twin's per-micro-batch hashing
+    * (stateless `mapPartitions`, streaming-legal).
+    */
+  private[graft] def audioSigFrame(payloads: DataFrame,
+      mu: Map[Long, Double]): DataFrame = {
+    implicit val enc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    Kernels.fanOut(payloads).mapPartitions { rows: Iterator[Row] =>
+      rows.flatMap { r =>
+        audioSigOfBody(r.getAs[Array[Byte]](1), mu).map((r.getLong(0), _))
+      }
+    }.toDF("doc_id", "ph")
+  }
+
+  /** Upsert one ingest batch's signature rows into a per-sig keep
+    * store (ph, keep_id, n_members) — the [[mergeMediaKeep]] monoid at
+    * SIGNATURE granularity: frozen (history-trained) thresholds make
+    * the store key stable across batches, so per-batch merges COMMUTE
+    * ((min, sum) per sig) and any micro-batching of the ingest drains
+    * to the history ∪ stream regroup exactly. The store is bounded by
+    * the present-sig count (≤ 2^[[PhashBits]] rows) — a codebook, not
+    * a data pass — so "touched groups only" is automatic.
+    */
+  private[graft] def sigKeepMerge(store: DataFrame, sigs: DataFrame): DataFrame = {
+    val batchAgg = sigs.groupBy("ph")
+      .agg(min("doc_id").as("b_keep"), count(lit(1)).as("n_batch"))
+    val untouched = store.join(batchAgg.select("ph"), Seq("ph"), "left_anti")
+    val upserts = batchAgg.join(store, Seq("ph"), "left")
+      .select(col("ph"),
+        least(col("b_keep"), coalesce(col("keep_id"), col("b_keep"))).as("keep_id"),
+        (coalesce(col("n_members"), lit(0L)) + col("n_batch")).as("n_members"))
+    untouched.unionByName(upserts)
+  }
+
+  /** Resolve a drained per-sig keep store into component keep rows:
+    * union-find over the present sigs' Hamming adjacency
+    * ([[sigComponents]] — corpus-independent, ≤ 2^[[PhashBits]]
+    * nodes), then the exact (min keep, summed count) fold per
+    * component. The collect is the store itself — codebook-sized by
+    * construction.
+    */
+  private[graft] def sigKeepComponents(spark: SparkSession, store: DataFrame,
+      modality: String): DataFrame = {
+    import spark.implicits._
+    val rows = store.select("ph", "keep_id", "n_members").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val comp = sigComponents(rows.map(_._1))
+    rows.groupBy(r => comp(r._1)).values.map { ms =>
+      (modality, ms.map(_._2).min, ms.map(_._3).sum)
+    }.toSeq.toDF("modality", "keep_id", "n_members")
+  }
+
   /** The three modality signature frames under HISTORY-trained
     * thresholds — the frozen-signature inputs the maintenance path
     * merges over (stored signatures must stay comparable across
@@ -1919,19 +1974,11 @@ object Multimodal {
     */
   private[graft] def mediaHistSigFrames(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    implicit val enc: Encoder[(Long, Long)] =
-      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     def payloads = ingestBinary(spark, dir).select("doc_id", "payload")
     val imgSig = memoSig(spark, dir, "histphashsig")(
       phashSigFrame(payloads, historyMu(spark, dir), "doc_id", "ph"))
-    val audSig = memoSig(spark, dir, "histaudiosig") {
-      val audMu = historyAudioMu(spark, dir)
-      Kernels.fanOut(payloads).mapPartitions { rows: Iterator[Row] =>
-        rows.flatMap { r =>
-          audioSigOfBody(r.getAs[Array[Byte]](1), audMu).map((r.getLong(0), _))
-        }
-      }.toDF("doc_id", "ph")
-    }
+    val audSig = memoSig(spark, dir, "histaudiosig")(
+      audioSigFrame(payloads, historyAudioMu(spark, dir)))
     val vidSig = memoSig(spark, dir, "histframesig")(
       frameSigFrame(payloads, historyFrameMu(spark, dir),
         "doc_id", "sample_no", "ph"))

@@ -948,6 +948,114 @@ object DocStream {
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 
+  /** `stream_media_keep_neardup`: the streaming twin of
+    * [[graft.operators.Multimodal.mediaKeepNearDupMaintain]] — NEAR-dup
+    * keep-list maintenance under true streaming ingest, completing the
+    * modality × {batch, maintain, stream} lattice (the exact keep-list
+    * already had all three; the near tier stopped at maintain). The
+    * history state seeds once from the memoized history products (the
+    * per-sig keep stores for image/audio, the video label table + the
+    * history frame-signature store); each micro-batch then hashes its
+    * payloads with the FROZEN history thresholds via the same kernels
+    * as the batch path and folds in:
+    *
+    *  - image/audio: a per-SIG (min keep, summed count) upsert
+    *    ([[graft.operators.Multimodal.sigKeepMerge]]) — frozen
+    *    thresholds freeze the store key, so per-batch merges COMMUTE
+    *    and components resolve once at drain via the bounded sig-space
+    *    union-find (adjacency is endpoint-local, so the final
+    *    components are a function of the final present-sig set — no
+    *    per-batch component work at all);
+    *  - video: the clip pair predicate is NOT endpoint-local, so each
+    *    batch probes the accumulated frame-signature store for its
+    *    blast-radius edges (the asymmetric banded probe — batch frames
+    *    × store, never a store self-join) and contraction-merges them
+    *    into the maintained LABEL table
+    *    ([[graft.operators.Dedup.maintainLabels]] — keep rows alone
+    *    cannot absorb the next batch; contraction needs every seen
+    *    doc's current representative). Contraction merges are
+    *    confluent, so however the source micro-batches the ingest the
+    *    drained labels equal the union-corpus components.
+    *
+    * The drained product therefore equals the one-shot maintenance
+    * row-for-row and the SAME oracle gates both (the maintain query's
+    * full-union-recompute text).
+    */
+  def streamMediaKeepNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Kernels, Multimodal}
+    val imgMu = Multimodal.historyMu(spark, dir)
+    val audMu = Multimodal.historyAudioMu(spark, dir)
+    val vidMu = Multimodal.historyFrameMu(spark, dir)
+    val (imgSig, audSig, vidSig) = Multimodal.mediaHistSigFrames(spark, dir)
+    val splitOf =
+      substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val isHist = splitOf >= Dedup.IncBatchThreshold
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nkd")
+    try {
+      // seed the history state: per-sig keep stores + video labels +
+      // the history frame-signature store the batch probes
+      imgSig.filter(isHist)
+        .groupBy("ph").agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .write.parquet(s"$tmp/keep_img_v0")
+      audSig.filter(isHist)
+        .groupBy("ph").agg(min("doc_id").as("keep_id"),
+          count(lit(1)).as("n_members"))
+        .write.parquet(s"$tmp/keep_aud_v0")
+      Multimodal.vidHistLabels(spark, dir).write.parquet(s"$tmp/labels_v0")
+      vidSig.filter(isHist).write.parquet(s"$tmp/vidsigs")
+      // atomic for cross-thread visibility — the streamMediaKeep note
+      val version = new java.util.concurrent.atomic.AtomicInteger(0)
+      val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
+      val q = spark.readStream
+        .schema(documentsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("doc_id"), col("text"), splitOf.as("split"))
+        .filter(col("split") < Dedup.IncBatchThreshold)
+        .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
+        .writeStream.outputMode(OutputMode.Append())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val v = version.get()
+          Multimodal.sigKeepMerge(spark.read.parquet(s"$tmp/keep_img_v$v"),
+              Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
+            .write.parquet(s"$tmp/keep_img_v${v + 1}")
+          Multimodal.sigKeepMerge(spark.read.parquet(s"$tmp/keep_aud_v$v"),
+              Multimodal.audioSigFrame(batch, audMu))
+            .write.parquet(s"$tmp/keep_aud_v${v + 1}")
+          // the batch's frame sigs feed four consumers (two probe
+          // sides, the label merge, the store append) — checkpoint so
+          // the decode kernel runs once per batch
+          val vidS = Multimodal.frameSigFrame(batch, vidMu,
+            "doc_id", "sample_no", "ph").localCheckpoint()
+          val oldSigs = spark.read.parquet(s"$tmp/vidsigs")
+          val edges = Multimodal.videoClipPairsProbe(vidS, oldSigs)
+            .select("doc_a", "doc_b")
+            .unionByName(Multimodal.videoClipPairs(vidS)
+              .select("doc_a", "doc_b"))
+          Dedup.maintainLabels(spark.read.parquet(s"$tmp/labels_v$v"),
+              vidS.select("doc_id").distinct(), edges)
+            .write.parquet(s"$tmp/labels_v${v + 1}")
+          vidS.write.mode("append").parquet(s"$tmp/vidsigs")
+          version.incrementAndGet()
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val vN = version.get()
+      Kernels.trackedCheckpoint(
+        Multimodal.sigKeepComponents(spark,
+            spark.read.parquet(s"$tmp/keep_img_v$vN"), "image")
+          .unionByName(Multimodal.sigKeepComponents(spark,
+            spark.read.parquet(s"$tmp/keep_aud_v$vN"), "audio"))
+          .unionByName(spark.read.parquet(s"$tmp/labels_v$vN")
+            .groupBy("cluster").agg(count(lit(1)).as("n_members"))
+            .select(lit("video").as("modality"),
+              col("cluster").as("keep_id"), col("n_members")))
+          .orderBy("modality", "keep_id"))
+    } finally graft.operators.Kernels.rmTree(tmp.toFile)
+  }
+
   /** `stream_knn_maintain`: the streaming twin of
     * [[graft.operators.Graph.knnMaintain]] — vectors stream in and
     * each micro-batch recomputes only the trained cells it touches

@@ -969,6 +969,53 @@ class OperatorsSpec extends AnyFunSuite {
     }, "no batch doc touched a history cluster at this SF — merge path untested")
   }
 
+  test("stream media near-dup keep: per-batch folds commute and drain to the one-shot maintenance") {
+    import org.apache.spark.sql.DataFrame
+    val maintained = Multimodal.mediaKeepNearDupMaintain(spark, sf).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    Dedup.retireCaches()
+    val (imgSig, audSig, vidSig) = Multimodal.mediaHistSigFrames(spark, sf)
+    val splitOf =
+      substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
+    val isHist = splitOf >= Dedup.IncBatchThreshold
+    // the batch halves come from the memoized frozen-threshold sig
+    // frames — the identical kernels the stream's per-batch hashing
+    // runs, so slicing the frame IS hashing the batch
+    def half(sig: DataFrame, p: Int): DataFrame =
+      sig.filter(!isHist && col("doc_id") % 2 === p)
+    def foldSig(sig: DataFrame, modality: String, order: Seq[Int]): Set[(String, Long, Long)] = {
+      val seed = sig.filter(isHist).groupBy("ph")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+      val drained = order.foldLeft(seed)((store, p) =>
+        Multimodal.sigKeepMerge(store, half(sig, p)))
+      Multimodal.sigKeepComponents(spark, drained, modality).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def foldVid(order: Seq[Int]): Set[(String, Long, Long)] = {
+      var labels = Multimodal.vidHistLabels(spark, sf)
+      var store = vidSig.filter(isHist).localCheckpoint(true)
+      for (p <- order) {
+        val b = half(vidSig, p).localCheckpoint(true)
+        val edges = Multimodal.videoClipPairsProbe(b, store)
+          .select("doc_a", "doc_b")
+          .unionByName(Multimodal.videoClipPairs(b).select("doc_a", "doc_b"))
+        labels = Dedup.maintainLabels(labels, b.select("doc_id").distinct(), edges)
+          .localCheckpoint(true)
+        store = store.unionByName(b).localCheckpoint(true)
+      }
+      labels.groupBy("cluster").agg(count(lit(1)).as("n_members")).collect()
+        .map(r => ("video", r.getLong(0), r.getLong(1))).toSet
+    }
+    for (order <- Seq(Seq(0, 1), Seq(1, 0))) {
+      val drained = foldSig(imgSig, "image", order) ++
+        foldSig(audSig, "audio", order) ++ foldVid(order)
+      Dedup.retireCaches()
+      assert(drained == maintained,
+        s"order $order drained ${drained.size} != maintained ${maintained.size}")
+    }
+  }
+
   test("pack_media: packs tile the keep-list exactly, permutation and prefix sums replayed") {
     val keep = Multimodal.mediaKeep(spark, sf).collect()
     Dedup.retireCaches()
