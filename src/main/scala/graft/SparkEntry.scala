@@ -244,6 +244,8 @@ object SparkEntry {
     "mix_epochs" -> Sampling.mixEpochs _,
     "pack_sequences" -> Sampling.packSequences _,
     "pack_media" -> Sampling.packMedia _,
+    // FLAGSHIP #3: near-dup keep -> hash sample -> byte packing as one plan
+    "pipeline_media_training_set" -> Sampling.mediaTrainingSet _,
     "export_shuffle" -> Sampling.exportShuffle _,
     "export_curriculum" -> Sampling.exportCurriculum _,
     // Corpus hygiene (north star)
@@ -3428,6 +3430,29 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY shard ORDER BY h, keep_id) AS BIGINT) AS pos
          |  FROM s)
          |SELECT keep_id, modality, shard, n_bytes,
+         |  run // ${Sampling.MediaPackBudget} AS pack_no, pos
+         |FROM r ORDER BY shard, pos""".stripMargin,
+    // the cross-modal flagship: the NEAR-dup keep-list (the same text
+    // that gates mm_media_keep_neardup) hash-sampled at the mpipe
+    // salt, then pack_media's shard/permute/prefix-sum/bin stages over
+    // the sampled survivors — each stage's own oracle text, chained
+    "pipeline_media_training_set" ->
+      s"""WITH mk AS (SELECT modality, keep_id, n_members
+         |    FROM ($mediaKeepNearDupSql)
+         |    WHERE substr(md5('mpipe:' || CAST(keep_id AS VARCHAR)), 1, 2)
+         |      < '${Sampling.MediaPipeSampleThreshold}'),
+         |d AS (SELECT mk.modality, mk.keep_id, mk.n_members,
+         |    CAST(octet_length(encode(t.text)) AS BIGINT) AS n_bytes,
+         |    md5('mpack:' || CAST(mk.keep_id AS VARCHAR)) AS h
+         |  FROM mk JOIN documents t ON t.doc_id = mk.keep_id),
+         |s AS (SELECT *, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |      % ${Sampling.MediaPackShards} AS BIGINT) AS shard FROM d),
+         |r AS (SELECT keep_id, modality, n_members, shard, n_bytes,
+         |    CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY shard ORDER BY h, keep_id, modality
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY h, keep_id, modality) AS BIGINT) AS pos
+         |  FROM s)
+         |SELECT keep_id, modality, n_members, shard, n_bytes,
          |  run // ${Sampling.MediaPackBudget} AS pack_no, pos
          |FROM r ORDER BY shard, pos""".stripMargin,
   )

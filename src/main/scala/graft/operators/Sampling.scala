@@ -361,6 +361,67 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** Sampled keep-fraction of the media flagship: first md5 hex BYTE of
+    * the salted keep id below 0x80 ≈ 50% — the text pipeline's
+    * [[Corpus.PipeSampleThreshold]] rate at the media salt.
+    */
+  val MediaPipeSampleThreshold = "80"
+
+  /** `pipeline_media_training_set`: the cross-modal FLAGSHIP — the
+    * media curation stages composed into ONE declarative plan, the way
+    * [[Corpus.trainingSet]] composes the text pipeline (dedup →
+    * quality → decontaminate → sample → pack): the NEAR-dup keep-list
+    * ([[Multimodal.mediaKeepNearDup]] — transitive closure over all
+    * three modalities' banded pair streams, the strongest dedup tier;
+    * [[packMedia]] packs the signature-EXACT tier) → deterministic
+    * hash sample (md5("mpipe:" + keep_id) prefix below
+    * [[MediaPipeSampleThreshold]] — a pure function of the row:
+    * reproducible across runs, engines, retries and cluster sizes, no
+    * `rand()`) → byte-budget pack layout ([[packMedia]]'s
+    * shard/permute/prefix-sum/bin stages over the sampled survivors,
+    * same salts so the layouts stay comparable). The emitted manifest
+    * — (keep_id, modality, n_members, shard, n_bytes, pack_no, pos) —
+    * is what a multimodal export job actually ships: each surviving
+    * representative's pack assignment plus the cluster mass it stands
+    * for.
+    *
+    * Scale shape: the keep-list is the (already-amortized) dedup
+    * product; the sample is a map-side predicate ON the keep frame —
+    * it never touches dropped clusters' members; sizing is one
+    * map-side `octet_length` joined by keep id; every window
+    * partitions by SHARD (|sample|/shards rows each, never a global
+    * single-partition sort), and shards are the unit of export
+    * parallelism. One declarative plan end to end — Catalyst sees
+    * all four stages at once, so the sample predicate prunes before
+    * the size join and nothing materializes between stages.
+    */
+  def mediaTrainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val keep = Multimodal.mediaKeepNearDup(spark, dir)
+      .filter(substring(saltedHash("mpipe", col("keep_id")), 1, 2)
+        < MediaPipeSampleThreshold)
+      .select("modality", "keep_id", "n_members")
+    val sized = keep.join(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("keep_id"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+      "keep_id")
+    // the near-dup keep-list can carry one doc under TWO modalities
+    // (the pixel phash probes every payload cross-format), so the
+    // permutation order needs modality as a final tie-break to stay
+    // total — (h, keep_id) alone left the two rows' relative order
+    // engine-dependent
+    val byShard = Window.partitionBy("shard").orderBy("h", "keep_id", "modality")
+    sized.withColumn("h", saltedHash("mpack", col("keep_id")))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 1), 16, 10).cast("long") % MediaPackShards)
+      .withColumn("run", coalesce(sum("n_bytes").over(
+        byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select(col("keep_id"), col("modality"), col("n_members"), col("shard"),
+        col("n_bytes"), expr(s"run div $MediaPackBudget").as("pack_no"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

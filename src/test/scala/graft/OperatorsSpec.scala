@@ -1016,6 +1016,48 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_media_training_set: sampled near-dup survivors tile into byte packs") {
+    val keep = Multimodal.mediaKeepNearDup(spark, sf).collect()
+    Dedup.retireCaches()
+    val out = Sampling.mediaTrainingSet(spark, sf).collect()
+    Dedup.retireCaches()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // stage 2 contract: the output is EXACTLY the mpipe-sampled slice
+    // of the near-dup keep-list (no dropped cluster's member sneaks in,
+    // no survivor lost), with the cluster mass carried through
+    val sampled = keep.filter(r =>
+      md5hex("mpipe:" + r.getAs[Long]("keep_id")).substring(0, 2)
+        < Sampling.MediaPipeSampleThreshold)
+    assert(sampled.nonEmpty && sampled.length < keep.length,
+      "sample must be a proper non-empty subset at this SF")
+    val outKeys = out.map(r =>
+      (r.getAs[Long]("keep_id"), r.getAs[String]("modality"))).toSet
+    assert(out.length == sampled.length && outKeys ==
+      sampled.map(r => (r.getAs[Long]("keep_id"), r.getAs[String]("modality"))).toSet,
+      "packed rows must tile the sampled keep-list exactly")
+    val nm = sampled.map(r => (r.getAs[Long]("keep_id"),
+      r.getAs[String]("modality")) -> r.getAs[Long]("n_members")).toMap
+    out.foreach(r => assert(r.getAs[Long]("n_members") ==
+      nm((r.getAs[Long]("keep_id"), r.getAs[String]("modality")))))
+    // stage 3 contract per shard: dense positions in the salted-md5
+    // permutation order (modality tie-break — a cross-format doc can
+    // survive under two modalities) and offset-binned byte packs
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("pos"))
+      assert(sorted.map(_.getAs[Long]("pos")).toSeq == (1L to sorted.length).toSeq)
+      val perm = sorted.map(r => (md5hex("mpack:" + r.getAs[Long]("keep_id")),
+        r.getAs[Long]("keep_id"), r.getAs[String]("modality"))).toSeq
+      assert(perm == perm.sorted, "pos must follow the salted permutation")
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("pack_no") == run / Sampling.MediaPackBudget,
+          "pack_no must bin the exclusive running byte total")
+        run += r.getAs[Long]("n_bytes")
+      }
+    }
+  }
+
   test("pack_media: packs tile the keep-list exactly, permutation and prefix sums replayed") {
     val keep = Multimodal.mediaKeep(spark, sf).collect()
     Dedup.retireCaches()
