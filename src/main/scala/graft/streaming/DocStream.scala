@@ -239,10 +239,12 @@ object DocStream {
     // the DURABLE band-store artifact (built once per corpus/JVM, the
     // production pre-materialized table): the drain's per-batch probes
     // read stored rows, never re-run the history shingle + signature
-    // pipeline; cached so the four band probes per batch re-read
-    // memory, not parquet
-    val store = Kernels.cacheTracked(
-      spark.read.parquet(Dedup.ensureBandStore(spark, dir)))
+    // pipeline. Deliberately NOT cached: each probe below projects a
+    // different slim slice, and parquet column pruning at the scan
+    // (the band index never reads the shingle arrays) beats caching
+    // full rows — materializing the cache cost a whole-table pass of
+    // the array payload that a one-batch drain reads back only once
+    val store = spark.read.parquet(Dedup.ensureBandStore(spark, dir))
     val toksLower = filter(
       split(lower(col("text")), TextAnalysis.TokenSplitRe), t => length(t) > 0)
     val splitOf = substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
@@ -286,14 +288,24 @@ object DocStream {
     // through the ×4 band explode instead quadrupled the join payload
     // for nothing). No broadcast hints: the store is CORPUS-sized in
     // production (a bucketed table whose shuffle the bucketing
-    // pre-pays; the batch side is the small side either way), and a
-    // store broadcast would cap the design at driver memory. Locally
-    // the hint-free shuffled joins measured equal to the broadcast
-    // form (A/B'd warm at sf0.1, ±0.3 s on ~4.4 s).
+    // pre-pays; the batch side is the small side either way), a store
+    // broadcast would cap the design at driver memory, and hinting the
+    // BATCH side broadcast measured SLOWER — building the candidate
+    // broadcast serializes the two store scans instead of pipelining
+    // them. The join strategy matters though: the micro-batch planner
+    // (no AQE in streaming) picks SortMergeJoin, which SORTS the
+    // store's band index and array payload per batch; preferring
+    // hash joins (set around the drain below) keeps the same
+    // exchanges but drops both corpus-side sorts.
     val pairs = batchBands
       .join(store.select("band", "bkey", "hist_id"), Seq("band", "bkey"))
-      .join(store.select("hist_id", "h_shh", "h_nsh").dropDuplicates("hist_id"),
-        Seq("hist_id"))
+      // one verify-payload row per history doc: every doc carries all
+      // MinHashBands band rows, so `band = 0` selects exactly one — a
+      // PUSHED-DOWN scan predicate, where a dropDuplicates(hist_id)
+      // would shuffle every stored shingle array just to throw 3 of
+      // every 4 copies away
+      .join(store.filter(col("band") === 0)
+        .select("hist_id", "h_shh", "h_nsh"), Seq("hist_id"))
       .select(col("doc_id").as("batch_id"), col("hist_id"),
         round(common / (sz - common), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.3)
@@ -303,11 +315,13 @@ object DocStream {
       .groupBy("batch_id", "hist_id")
       .agg(min("jaccard").as("jaccard"))
     val name = "stream_inc_minhash_out"
-    EventStream.withStatePartitions(spark) {
+    val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    try EventStream.withStatePartitions(spark) {
       val q = pairs.writeStream.outputMode(OutputMode.Complete())
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally { q.stop(); Dedup.retireCaches() }
-    }
+    } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
     spark.table(name).orderBy("batch_id", "hist_id")
   }
 
