@@ -107,8 +107,24 @@ class GraphSpec extends AnyFunSuite {
       col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     val probes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
     val persistedBefore = spark.sparkContext.getPersistentRDDs.size
-    val got = Dedup.clustersFromEdges(docs, chain, (r, p, c) => probes += ((r, p, c)))
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val frame = Dedup.clustersFromEdges(docs, chain, (r, p, c) => probes += ((r, p, c)))
+    val got = frame.collect().map(r => r.getLong(0) -> r.getLong(1))
+    // stats-severing pin (the loopCheckpoint contract, observable at
+    // the loop's OUTPUT): a plain localCheckpoint inherits the round
+    // plan's ESTIMATED statistics, and this loop's self-join then
+    // SQUARES sizeInBytes round over round — after the ~10 rounds this
+    // chain needs, the final frame's estimate would carry thousands of
+    // digits (and by round ~20 on real data the driver burns minutes
+    // per round just multiplying the BigInts). loopCheckpoint resets
+    // each round's leaf to defaultSizeInBytes, so the converged
+    // frame's estimate stays node-sized.
+    // threshold: a severed leaf carries defaultSizeInBytes (=
+    // Long.MaxValue, ~2^63), so a few joins over severed leaves stay
+    // well under 2^200; ten squaring rounds of an inherited estimate
+    // land around 2^64000
+    val outStats = frame.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(outStats < BigInt(2).pow(200),
+      s"loop output stats must stay flat (loopCheckpoint severs inheritance), got $outStats")
     Kernels.retireCaches()
     // block-release regression pin: Dataset.unpersist is a no-op on
     // checkpointed frames, so without the per-round RDD-id release the

@@ -150,6 +150,35 @@ class KernelsScopeSpec extends AnyFunSuite {
     Kernels.retireCaches()
   }
 
+  test("loopCheckpoint coverage audit: every data-dependent-round loop severs stats") {
+    // The stats-compounding pathology (Kernels.loopCheckpoint) was
+    // found at round ~20 of a convergence loop — nothing structural
+    // stops a NEW loop from reintroducing it with a plain
+    // trackedCheckpoint/localCheckpoint, so this audit pins the
+    // source: a data-dependent-round loop (the `while (changed …)`
+    // fixpoint shape) may exist only where the round cut goes through
+    // Kernels.loopCheckpoint. Bounded-round loops (beam search,
+    // PageRank's fixed iterations) may keep trackedCheckpoint — a
+    // handful of stat inheritances is harmless; it is the UNBOUNDED
+    // self-joining fixpoint that squares sizeInBytes to astronomical
+    // BigInts. A new convergence loop must either route through
+    // Dedup.clustersFromEdges or adopt loopCheckpoint and extend the
+    // allowlist here.
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Path.of("src/main/scala/graft"))
+      .iterator().asScala.filter(_.toString.endsWith(".scala")).toSeq
+    val loopFiles = files.filter(p =>
+      java.nio.file.Files.readString(p).contains("while (changed"))
+    assert(loopFiles.map(_.getFileName.toString).toSet == Set("Dedup.scala"),
+      s"unexpected data-dependent convergence loop in ${loopFiles.map(_.getFileName)} — " +
+        "route it through Kernels.loopCheckpoint and extend this allowlist")
+    loopFiles.foreach { p =>
+      val s = java.nio.file.Files.readString(p)
+      assert(s.contains("Kernels.loopCheckpoint"),
+        s"$p: the convergence loop must cut rounds with Kernels.loopCheckpoint")
+    }
+  }
+
   test("bloom sizing clamps to the session's runtime maxNumBits") {
     import graft.functions.BloomFunctions
     val maxBits = spark.conf
