@@ -820,19 +820,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"every scan in the graph build must read the incidence artifact:\n${p.take(1200)}")
   }
 
-  test("tfidf tokenizes the corpus once: a single text-reading scan") {
-    // tf feeds both the scores and the document frequencies; df as a
-    // window over tf (not a second aggregate branch) keeps the corpus
-    // to ONE tokenize+shuffle — a df branch re-scanned text (the
-    // optimizer prunes the branches differently, defeating exchange
-    // reuse). The only other scan is the zero-column n_docs count.
+  test("tfidf scans text exactly twice: the tf shuffle and the map-only df pass") {
+    // the round-15 trade: df moved OFF the count(*) OVER (PARTITION BY
+    // term) window (which funneled a stopword term's whole posting
+    // list into one WindowExec task) and onto a SECOND map-only
+    // tokenize pass — array_distinct + partial-aggregated count, the
+    // bm25 df shape. Two text scans is the accepted price (the same
+    // trade bm25 makes: caching the corpus-sized tf frame to save the
+    // re-scan would pin corpus-scale memory); anything MORE than tf +
+    // df + the zero-column n_docs count is a regression.
     // simple-mode plan prints each FileScan with its ReadSchema inline
     val p = operators.Corpus.tfidfTopTerms(spark, sf)
       .queryExecution.executedPlan.toString
     val textScans = p.linesIterator.count(l => l.contains("FileScan") && l.contains("text"))
     val scans = p.linesIterator.count(_.contains("FileScan"))
-    assert(textScans <= 1 && scans <= 2,
-      s"expected one text scan + one count-only scan, got $textScans/$scans:\n${p.take(1200)}")
+    assert(textScans <= 2 && scans <= 3,
+      s"expected two text scans (tf, df) + one count-only scan, got $textScans/$scans:\n${p.take(1200)}")
   }
 
   test("graft_topk partial-aggregates before the exchange (bounded per-key shuffle)") {
