@@ -1006,18 +1006,26 @@ object DocStream {
     val isHist = splitOf >= Dedup.IncBatchThreshold
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nkd")
     try {
-      // seed the history state: per-sig keep stores + video labels +
-      // the history frame-signature store the batch probes
-      imgSig.filter(isHist)
-        .groupBy("ph").agg(min("doc_id").as("keep_id"),
-          count(lit(1)).as("n_members"))
-        .write.parquet(s"$tmp/keep_img_v0")
-      audSig.filter(isHist)
-        .groupBy("ph").agg(min("doc_id").as("keep_id"),
-          count(lit(1)).as("n_members"))
-        .write.parquet(s"$tmp/keep_aud_v0")
-      Multimodal.vidHistLabels(spark, dir).write.parquet(s"$tmp/labels_v0")
-      vidSig.filter(isHist).write.parquet(s"$tmp/vidsigs")
+      // version-0 state serves DIRECTLY from the memoized per-corpus
+      // history products (sig frames are pinned checkpoint blocks; the
+      // label table its own memo) — materializing seed copies into the
+      // versioned store cost four corpus-sized write jobs per run for
+      // state the first merge only reads once. Later versions read the
+      // parquet the merges wrote.
+      def keepAt(kind: String, sig: DataFrame, v: Int): DataFrame =
+        if (v == 0)
+          sig.filter(isHist).groupBy("ph")
+            .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+        else spark.read.parquet(s"$tmp/keep_${kind}_v$v")
+      def labelsAt(v: Int): DataFrame =
+        if (v == 0) Multimodal.vidHistLabels(spark, dir)
+        else spark.read.parquet(s"$tmp/labels_v$v")
+      // accumulated frame-sig store = memoized history slice + the
+      // batches appended so far
+      def vidSigsAt(v: Int): DataFrame =
+        if (v == 0) vidSig.filter(isHist)
+        else vidSig.filter(isHist)
+          .unionByName(spark.read.parquet(s"$tmp/vidsigs_batches"))
       // atomic for cross-thread visibility — the streamMediaKeep note
       val version = new java.util.concurrent.atomic.AtomicInteger(0)
       val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
@@ -1031,26 +1039,31 @@ object DocStream {
         .writeStream.outputMode(OutputMode.Append())
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val v = version.get()
-          Multimodal.sigKeepMerge(spark.read.parquet(s"$tmp/keep_img_v$v"),
+          (Multimodal.sigKeepMerge(keepAt("img", imgSig, v),
               Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
-            .write.parquet(s"$tmp/keep_img_v${v + 1}")
-          Multimodal.sigKeepMerge(spark.read.parquet(s"$tmp/keep_aud_v$v"),
+            .write.parquet(s"$tmp/keep_img_v${v + 1}"))
+          (Multimodal.sigKeepMerge(keepAt("aud", audSig, v),
               Multimodal.audioSigFrame(batch, audMu))
-            .write.parquet(s"$tmp/keep_aud_v${v + 1}")
+            .write.parquet(s"$tmp/keep_aud_v${v + 1}"))
           // the batch's frame sigs feed four consumers (two probe
           // sides, the label merge, the store append) — checkpoint so
           // the decode kernel runs once per batch
-          val vidS = Multimodal.frameSigFrame(batch, vidMu,
-            "doc_id", "sample_no", "ph").localCheckpoint()
-          val oldSigs = spark.read.parquet(s"$tmp/vidsigs")
-          val edges = Multimodal.videoClipPairsProbe(vidS, oldSigs)
+          val vidS = (Multimodal.frameSigFrame(batch, vidMu,
+            "doc_id", "sample_no", "ph").localCheckpoint())
+          // checkpoint the blast-radius edges: the contraction merge
+          // references its edge frame several times (symmetrize union,
+          // endpoint contraction), and an unchecked plan re-ran the
+          // banded store probe per reference — the batch maintain
+          // query's own discipline
+          val edges = (Multimodal.videoClipPairsProbe(vidS, vidSigsAt(v))
             .select("doc_a", "doc_b")
             .unionByName(Multimodal.videoClipPairs(vidS)
               .select("doc_a", "doc_b"))
-          Dedup.maintainLabels(spark.read.parquet(s"$tmp/labels_v$v"),
+            .localCheckpoint())
+          (Dedup.maintainLabels(labelsAt(v),
               vidS.select("doc_id").distinct(), edges)
-            .write.parquet(s"$tmp/labels_v${v + 1}")
-          vidS.write.mode("append").parquet(s"$tmp/vidsigs")
+            .write.parquet(s"$tmp/labels_v${v + 1}"))
+          (vidS.write.mode("append").parquet(s"$tmp/vidsigs_batches"))
           version.incrementAndGet()
           ()
         }
@@ -1058,11 +1071,10 @@ object DocStream {
       try q.processAllAvailable() finally q.stop()
       val vN = version.get()
       Kernels.trackedCheckpoint(
-        Multimodal.sigKeepComponents(spark,
-            spark.read.parquet(s"$tmp/keep_img_v$vN"), "image")
-          .unionByName(Multimodal.sigKeepComponents(spark,
-            spark.read.parquet(s"$tmp/keep_aud_v$vN"), "audio"))
-          .unionByName(spark.read.parquet(s"$tmp/labels_v$vN")
+        Multimodal.sigKeepComponents(spark, keepAt("img", imgSig, vN), "image")
+          .unionByName(Multimodal.sigKeepComponents(
+            spark, keepAt("aud", audSig, vN), "audio"))
+          .unionByName(labelsAt(vN)
             .groupBy("cluster").agg(count(lit(1)).as("n_members"))
             .select(lit("video").as("modality"),
               col("cluster").as("keep_id"), col("n_members")))
