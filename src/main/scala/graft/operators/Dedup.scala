@@ -555,6 +555,14 @@ object Dedup {
     * exactly one new one — re-keying is a function, and per-batch
     * folds COMMUTE to the union-corpus components, the
     * [[maintainKeep]] exactness argument applied transitively).
+    *
+    * Write-amplification note: this RETURNS the full maintained label
+    * frame, and the streaming consumer rewrites its store per batch —
+    * fine for a drain gate. At 100 TB the label table is stored
+    * partitioned by cluster and the rekey is a MERGE driven by the
+    * broadcast-sized rep → new-label map, touching only the affected
+    * clusters' partitions (untouched rows pass through this plan
+    * VALUE-unchanged precisely so that merge is sound).
     */
   private[graft] def maintainLabels(
       histLabels: DataFrame, batchDocs: DataFrame, batchEdges: DataFrame): DataFrame = {

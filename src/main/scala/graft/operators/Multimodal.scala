@@ -1821,7 +1821,16 @@ object Multimodal {
     * video-only graph (O(log diameter) rounds, stats-severed
     * checkpoints).
     */
-  def mediaKeepNearDup(spark: SparkSession, dir: String): DataFrame = {
+  // like [[mediaKeep]], the near-tier keep table is a memoized
+  // per-corpus artifact ("one keep-list per corpus version"): its own
+  // gate AND the cross-modal flagship (pipeline_media_training_set)
+  // read it without re-running the signature chains, the driver DSUs
+  // and the video component loop
+  def mediaKeepNearDup(spark: SparkSession, dir: String): DataFrame =
+    memoSig(spark, dir, "mediakeepnear")(mediaKeepNearDupBuild(spark, dir))
+      .orderBy("modality", "keep_id")
+
+  private[graft] def mediaKeepNearDupBuild(spark: SparkSession, dir: String): DataFrame = {
     val img = sigComponentKeep(spark, phashSigCorpus(spark, dir), "image")
     val aud = sigComponentKeep(spark, audioSigCorpus(spark, dir), "audio")
     val vidSig = corpusFrameSigs(spark, dir)
@@ -1832,7 +1841,7 @@ object Multimodal {
       .agg(count(lit(1)).as("n_members"))
       .select(lit("video").as("modality"), col("cluster").as("keep_id"),
         col("n_members"))
-    img.unionByName(aud).unionByName(vid).orderBy("modality", "keep_id")
+    img.unionByName(aud).unionByName(vid)
   }
 
   /** All non-zero XOR masks within the Hamming radius of the signature

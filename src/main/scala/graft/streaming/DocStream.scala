@@ -1064,6 +1064,15 @@ object DocStream {
               vidS.select("doc_id").distinct(), edges)
             .write.parquet(s"$tmp/labels_v${v + 1}"))
           (vidS.write.mode("append").parquet(s"$tmp/vidsigs_batches"))
+          // the batch's checkpoint blocks are dead once the merges are
+          // written — free them per batch instead of leaving one
+          // node-sized block pair PER MICRO-BATCH to the
+          // ContextCleaner (which only runs on driver GC)
+          Seq(vidS, edges).foreach(df =>
+            Kernels.checkpointRddId(df).foreach { id =>
+              spark.sparkContext.getPersistentRDDs.get(id)
+                .foreach(_.unpersist(true))
+            })
           version.incrementAndGet()
           ()
         }
