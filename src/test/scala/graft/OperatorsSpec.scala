@@ -1016,6 +1016,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaKeepNearDup memo serves the un-memoized build exactly") {
+    // the near-tier keep table memoizes per corpus (the mediaKeep
+    // precedent); a stale or mis-keyed memo would silently serve wrong
+    // clusters to its gate AND the cross-modal flagship — pin that the
+    // served artifact row-matches a fresh build
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    val served = rows(Multimodal.mediaKeepNearDup(spark, sf))
+    Dedup.retireCaches()
+    val rebuilt = rows(Multimodal.mediaKeepNearDupBuild(spark, sf))
+    Dedup.retireCaches()
+    assert(served == rebuilt,
+      s"memo (${served.size}) must equal the fresh build (${rebuilt.size})")
+  }
+
   test("pipeline_media_training_set: sampled near-dup survivors tile into byte packs") {
     val keep = Multimodal.mediaKeepNearDup(spark, sf).collect()
     Dedup.retireCaches()

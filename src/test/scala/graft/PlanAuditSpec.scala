@@ -264,6 +264,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "only broadcast joins beyond the tf shuffle")
   }
 
+  test("pipeline_media_training_set: every window partitions by shard, no corpus product") {
+    val p = plan(operators.Sampling.mediaTrainingSet(spark, sf))
+    Dedup.retireCaches()
+    // the flagship composes keep -> sample -> pack in one plan; the
+    // pack stage's prefix-sum and position windows must partition by
+    // SHARD (|sample|/shards rows each) — a global window here would
+    // single-partition the whole export at 100 TB
+    assert(p.contains("windowspecdefinition(shard"),
+      s"pack windows must partition by shard:\n${p.take(1200)}")
+    assert(!p.contains("windowspecdefinition(keep_id") &&
+      !"windowspecdefinition\\(\\)".r.findFirstIn(p).isDefined,
+      "no unpartitioned or per-key window may appear")
+    assert(!p.contains("CartesianProduct"),
+      "the size join is equi on keep_id, never a product")
+  }
+
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
     val p = plan(Dedup.semanticNearDup(spark, sf))
     Dedup.retireCaches()
