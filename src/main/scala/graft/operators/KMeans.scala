@@ -240,7 +240,7 @@ object KMeansCodebook {
     * re-aggregates it, [[clusterBalancedSample]] samples it, and
     * [[Similarity.annIvfKmeans]] searches it as the IVF index.
     */
-  private[operators] def lastAssignment(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lastAssignment(spark: SparkSession, dir: String): DataFrame =
     assignmentOn(spark, memoKey(dir), embeddingBase(spark, dir))
 
   /** [[lastAssignment]] over an explicit corpus frame, memoized under
@@ -276,8 +276,20 @@ object KMeansCodebook {
     * selection is reproducible across engines/runs/cluster sizes).
     * Composes the trained codebook with quota sampling: where a plain
     * uniform sample mirrors the corpus' cluster skew, this caps every
-    * semantic cluster at the quota. The rank window partitions by
-    * cluster — K bounded partitions, each quota-truncated.
+    * semantic cluster at the quota.
+    *
+    * Scale: real k-means cells on real embeddings are SKEWED — a hot
+    * cluster can hold most of the corpus, and a plain rank window
+    * partitioned by cluster would funnel that whole membership into
+    * one task to keep [[BalancedQuota]] rows. So the exact rank window
+    * only ever sees a threshold-filtered frame: a bounded `graft_topk`
+    * pass (map-side partial, ≤ quota entries per cluster before the
+    * exchange) finds each cluster's quota-th smallest 52-bit hash
+    * prefix, broadcasts it, and the inclusive prefix filter gates the
+    * membership BEFORE the window — [[Sampling.stratifiedSample]]'s
+    * lossless construction verbatim (truncation of md5 is monotone, so
+    * `prefix ≤ threshold` keeps every row the full-hash rank would,
+    * and the exact rank drops prefix-collision stragglers).
     */
   /** Materializes the trained IVF half of the ANN index to `path` —
     * the durable twin of the session memos, completing the
@@ -349,10 +361,21 @@ object KMeansCodebook {
 
   def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
-    lastAssignment(spark, dir)
+    val assigned = lastAssignment(spark, dir)
       .select(col("vec_id"), col("cluster"),
         md5(concat(lit("cb:"), col("vec_id").cast("string"))).as("h"))
+      .withColumn("hv", conv(substring(col("h"), 1, 13), 16, 10).cast("double"))
+    val bk = graft.functions.TopKFunctions.topK(
+      spark, negate(col("hv")), col("vec_id"), lit(BalancedQuota))
+    // quota-th smallest prefix per cluster (or the cluster max when the
+    // cluster is smaller than the quota — then the filter keeps all)
+    val thresholds = assigned.groupBy("cluster").agg(bk.as("bk"))
+      .select(col("cluster"),
+        negate(element_at(col("bk"), least(size(col("bk")), lit(BalancedQuota)))
+          .getField("score")).as("hmax"))
+    val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
+    assigned.join(broadcast(thresholds), "cluster")
+      .filter(col("hv") <= col("hmax"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= BalancedQuota)
       .select(col("cluster"), col("vec_id"), col("rk"))

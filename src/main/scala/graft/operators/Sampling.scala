@@ -118,22 +118,48 @@ object Sampling {
     * REBALANCES itself as the corpus grows — the keep-set is a pure
     * function of (hash order, token counts, budget).
     *
-    * Scale: the cumulative sum needs a per-source window, but its input
-    * is the NARROW (source, doc_id, n_tokens) projection — token
-    * counting itself is map-only on the scan — and the kept prefix is
-    * bounded by budget/min-doc-tokens rows regardless of source size.
-    * For whale strata the [[stratifiedSample]] bounded-topk pre-filter
-    * composes in front (budget-many docs is a lossless upper bound on
-    * the kept prefix); at this budget the plain window is the simpler
-    * correct plan.
+    * Scale: the cumulative sum needs a per-source window, but the
+    * window NEVER sees a whale source — the [[stratifiedSample]]
+    * bounded-topk pre-filter composes in front with quota
+    * `TokenBudget + 1`: a kept row has cumulative tokens ≤ budget, so
+    * at most `TokenBudget` token-bearing documents precede or equal it
+    * in hash order (each contributes ≥ 1), hence its hash is ≤ the
+    * (budget+1)-th smallest hash among the source's token-bearing
+    * docs. Filtering on that per-source threshold (partial-aggregated
+    * map-side, broadcast back) is therefore LOSSLESS — the same
+    * truncation-monotonicity argument as [[stratifiedSample]] covers
+    * the 52-bit prefix comparison — and caps the window's input at
+    * ~budget rows per source no matter how large the source is. Two
+    * edge cases keep the bound honest: a source with ≤ budget
+    * token-bearing docs has no (budget+1)-th hash, so its threshold is
+    * +∞ (every row may legally land under the budget); zero-token docs
+    * (which consume no budget and may sit anywhere in the kept prefix)
+    * are EXCLUDED from the threshold aggregate but still gated by it,
+    * which the bound above covers since they add nothing to the
+    * cumulative sum. The exact cumsum window then decides, as before.
     */
   def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val h = saltedHash("tb", col("doc_id"))
+    // first 52 hash bits as an exactly-representable double (the
+    // stratifiedSample truncation argument)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("source")
-      .orderBy(saltedHash("tb", col("doc_id")), col("doc_id"))
-    docs
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+        conv(substring(h, 1, 13), 16, 10).cast("double").as("hv"))
+    val quota = (TokenBudget + 1).toInt
+    val bk = graft.functions.TopKFunctions.topK(
+      spark, negate(col("hv")), col("doc_id"), lit(quota))
+    val thresholds = docs.filter(col("n_tokens") >= 1L)
+      .groupBy("source").agg(bk.as("bk"))
+      .select(col("source"),
+        when(size(col("bk")) === quota,
+          negate(element_at(col("bk"), quota).getField("score")))
+          .otherwise(lit(Double.MaxValue)).as("hmax"))
+    val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+    // left join: a source whose docs are ALL zero-token has no
+    // threshold row — every doc is kept (cum stays 0)
+    docs.join(broadcast(thresholds), Seq("source"), "left")
+      .filter(col("hmax").isNull || col("hv") <= col("hmax"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= TokenBudget)
       .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))

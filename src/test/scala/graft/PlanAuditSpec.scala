@@ -902,6 +902,73 @@ class PlanAuditSpec extends AnyFunSuite {
       "pre-filter must be lossless: selection identical to the plain window")
   }
 
+  test("mix_token_budget cumsum window reads the threshold-filtered frame") {
+    // the cumulative-sum window partitions by source — a whale source
+    // (web crawl = 90% of a real corpus) would funnel into ONE task
+    // unless the bounded-topk threshold pass gates the corpus first.
+    // quota = TokenBudget+1 token-bearing docs is a lossless upper
+    // bound on the kept prefix (each contributes >= 1 token).
+    val df = operators.Sampling.mixTokenBudget(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+      s"threshold pass must partial-aggregate map-side:\n${p.take(1500)}")
+    assert("""BroadcastExchange \(""".r.findFirstIn(p).isDefined,
+      "per-source thresholds must broadcast, not shuffle the corpus")
+    // the cumsum Window's subtree must contain the threshold join —
+    // the window input IS the filtered frame, not the raw scan
+    val tree = df.queryExecution.executedPlan.toString
+    val winIdx = tree.indexOf("Window")
+    val joinIdx = tree.indexOf("Join")
+    assert(winIdx >= 0 && joinIdx > winIdx,
+      s"the cumsum window must consume the threshold-join output:\n${tree.take(1500)}")
+    // losslessness: identical selection to the plain full-source window
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val h = md5(concat(lit("tb:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
+      graft.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("source"),
+          size(operators.TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .filter(col("cum_tokens") <= operators.Sampling.TokenBudget)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+    }
+    assert(df.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet,
+      "pre-filter must be lossless: selection identical to the plain window")
+  }
+
+  test("sample_cluster_balanced rank window reads the threshold-filtered frame") {
+    // hot k-means cells are the norm on real embeddings — the exact
+    // rank window must only see the per-cluster bounded-topk prefix,
+    // never the full membership of a whale cluster
+    val df = operators.KMeansCodebook.clusterBalancedSample(spark, sf)
+    val p = plan(df)
+    assert(p.contains("partial_graft_topk") || p.contains("partial_topkbyscore"),
+      s"threshold pass must partial-aggregate map-side:\n${p.take(1500)}")
+    assert("""BroadcastExchange \(""".r.findFirstIn(p).isDefined,
+      "per-cluster thresholds must broadcast, not shuffle the assignment")
+    val tree = df.queryExecution.executedPlan.toString
+    val winIdx = tree.indexOf("Window")
+    val joinIdx = tree.indexOf("Join")
+    assert(winIdx >= 0 && joinIdx > winIdx,
+      s"the rank window must consume the threshold-join output:\n${tree.take(1500)}")
+    // losslessness vs the plain full-membership rank window
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("cluster")
+        .orderBy(md5(concat(lit("cb:"), col("vec_id").cast("string"))), col("vec_id"))
+      operators.KMeansCodebook.lastAssignment(spark, sf)
+        .select(col("vec_id"), col("cluster"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= operators.KMeansCodebook.BalancedQuota)
+        .select(col("cluster"), col("vec_id"), col("rk"))
+    }
+    assert(df.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet,
+      "pre-filter must be lossless: selection identical to the plain window")
+  }
+
   test("pack_sequences windows by shard, never a global single-partition sort") {
     val p = plan(operators.Sampling.packSequences(spark, sf))
     assert(p.contains("hashpartitioning(shard"),
