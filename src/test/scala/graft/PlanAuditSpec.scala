@@ -977,6 +977,80 @@ class PlanAuditSpec extends AnyFunSuite {
       "a global ORDER BY window would serialize the corpus through one task")
   }
 
+  test("window partition-key audit: every Window.partitionBy site is classified bounded") {
+    // `Window.partitionBy(hotKey)` is the ONE shape AQE cannot split —
+    // a whale partition funnels through a single task no matter how
+    // many executors exist. The claim "no skewed-key window remains"
+    // has been wrong twice (r14 missed tfidf_top_terms; r15's sweep
+    // missed mix_token_budget and sample_cluster_balanced), so this
+    // audit pins the SOURCE: every partitionBy site in src/main must
+    // appear here with its boundedness argument and exact occurrence
+    // count. A new window (or a new use of an existing key) fails the
+    // suite until classified — the classification IS the review.
+    val allow: Map[String, Map[String, (Int, String)]] = Map(
+      "ChangeStream.scala" -> Map(
+        """"o_orderkey"""" -> (1, "per-order change-batch versions (bounded rewrites per key)")),
+      "EventStream.scala" -> Map(
+        """"hour"""" -> (1, "input is the hour x event_type aggregate, not events")),
+      "KMeans.scala" -> Map(
+        """"cluster"""" -> (1, "threshold-prefiltered: bounded-topk broadcast gate before the rank")),
+      "Sampling.scala" -> Map(
+        """"source"""" -> (2, "threshold-prefiltered: bounded-topk broadcast gate before the window"),
+        """"shard"""" -> (5, "shard count scales with corpus; per-shard rows hash-bounded")),
+      "Similarity.scala" -> Map(
+        """"probe_id"""" -> (3, "per-probe candidates already top-k/cell-bounded")),
+      "TextAnalysis.scala" -> Map(
+        """"bkt"""" -> (1, "<=41 quantile buckets over the qi aggregate, not the corpus")),
+      "Dedup.scala" -> Map(
+        """"cluster"""" -> (1, "capCells: exact rank required for the cap/split contract; " +
+          "cell count scales with corpus (SemDeDup practice), cap fixed")),
+      "Events.scala" -> Map(
+        """"user_id"""" -> (3, "per-user event sequence (sessionization's natural key)"),
+        """"event_type"""" -> (1, "input is the day x event_type aggregate")),
+      "Sketches.scala" -> Map(
+        """"event_type"""" -> (1, "input is histogram bins, not events")),
+      "Retrieval.scala" -> Map(
+        """"query_id"""" -> (2, "per-query fusion lists already top-k-bounded")),
+      "Bpe.scala" -> Map(
+        """"word"""" -> (1, "per-word positions (words are short)"),
+        """"word", "pairh"""" -> (1, "per-(word,pair) runs within a word"),
+        """"word", "pairh", "grp"""" -> (1, "per-(word,pair,run) alternation")),
+      "Relational.scala" -> Map(
+        """"l_orderkey"""" -> (1, "per-order lineitems (<=7 per TPC-H order)"),
+        """"o_custkey"""" -> (1, "per-customer orders (bounded by data model)"),
+        """"o_orderpriority"""" -> (1, "documented skew caveat in ordersPercentileRank: " +
+          "exact percentile semantics; coarser (priority, price-band) two-level rank named as the scale fix"),
+        """"o_orderkey"""" -> (4, "per-order lineitems (<=7 per TPC-H order)"),
+        """"l_partkey"""" -> (2, "per-part lineitems (bounded by data model)")),
+      "Graph.scala" -> Map(
+        """"src"""" -> (1, "per-node neighbor candidates bounded by beam/cell caps")),
+      "Multimodal.scala" -> Map(
+        """"doc_id"""" -> (3, "per-document media windows (<=8 rows per doc)")),
+      "Corpus.scala" -> Map(
+        """"doc_id"""" -> (1, "per-document terms"),
+        """"fp"""" -> (1, "per-fingerprint duplicate group"),
+        """"shard"""" -> (1, "shard count scales with corpus; per-shard rows hash-bounded")))
+    import scala.jdk.CollectionConverters._
+    val re = """Window\.partitionBy\(([^)]*)\)""".r
+    val actual: Map[String, Map[String, Int]] =
+      java.nio.file.Files.walk(java.nio.file.Path.of("src/main/scala/graft"))
+        .iterator().asScala.filter(_.toString.endsWith(".scala"))
+        .map(p => p.getFileName.toString ->
+          re.findAllMatchIn(java.nio.file.Files.readString(p))
+            .map(_.group(1).trim).toSeq)
+        .filter(_._2.nonEmpty).toMap
+        .view.mapValues(_.groupBy(identity).view.mapValues(_.size).toMap).toMap
+    val allowCounts = allow.view.mapValues(_.view.mapValues(_._1).toMap).toMap
+    for ((f, keys) <- actual; (k, n) <- keys)
+      assert(allowCounts.get(f).flatMap(_.get(k)).contains(n),
+        s"$f: Window.partitionBy($k) x$n is not on the boundedness allowlist " +
+          "(or its count changed) — classify the new window's partition-key " +
+          "boundedness here before shipping it")
+    for ((f, keys) <- allowCounts; (k, n) <- keys)
+      assert(actual.get(f).flatMap(_.get(k)).contains(n),
+        s"stale allowlist entry: $f Window.partitionBy($k) x$n no longer matches the source")
+  }
+
   test("error context range join is an equi-join on user_id, band as residual") {
     // the time band must NOT force a nested-loop/cartesian: the join
     // keys on user_id and the µs-interval predicate rides along as a
