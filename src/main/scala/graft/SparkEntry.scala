@@ -202,6 +202,9 @@ object SparkEntry {
     "mm_media_keep" -> Multimodal.mediaKeep _,
     // the near-dup tier: banded pair streams → components → keep-list
     "mm_media_keep_neardup" -> Multimodal.mediaKeepNearDup _,
+    // the durable artifact's read path (a parquet scan of the
+    // published keep table — what every production consumer runs)
+    "mm_media_keep_neardup_served" -> Multimodal.mediaKeepNearDupServed _,
     // keep-list maintenance: batch merge + true-streaming twin
     "mm_media_keep_maintain" -> Multimodal.mediaKeepMaintain _,
     "stream_media_keep" -> graft.streaming.DocStream.streamMediaKeep _,
@@ -3023,6 +3026,9 @@ object SparkEntry {
     // pairs → components → representative: the near-dup keep-list over
     // all three media modalities (mirrors Multimodal.mediaKeepNearDup)
     "mm_media_keep_neardup" -> mediaKeepNearDupSql,
+    // the served twin reads the durable artifact — same rows, one
+    // oracle text gates both
+    "mm_media_keep_neardup_served" -> mediaKeepNearDupSql,
     // maintained == recomputed over the union corpus under history
     // thresholds (the mergeMediaKeep contract); the streaming twin's
     // drained store is bit-identical, one oracle text gates both

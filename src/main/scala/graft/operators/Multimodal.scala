@@ -1830,6 +1830,52 @@ object Multimodal {
     memoSig(spark, dir, "mediakeepnear")(mediaKeepNearDupBuild(spark, dir))
       .orderBy("modality", "keep_id")
 
+  /** DURABLE near-dup keep artifact: the keep table written ONCE per
+    * corpus fingerprint to a fingerprint-keyed parquet root (the
+    * [[graft.operators.Graph.ensureKnnDirectedHistory]] /
+    * [[graft.operators.Dedup.ensureBandStore]] store contract). The
+    * session memo above amortizes within a JVM; THIS is the
+    * cross-session shape — production ships the keep-list as a table
+    * every downstream consumer reads (any session that can read the
+    * path serves it without re-running the signature chains, the
+    * driver DSUs, or the video component loop), and the
+    * [[graft.operators.Sampling.mediaTrainingSet]] flagship + the
+    * `*_served` gate read exactly this artifact.
+    */
+  private[graft] def ensureMediaKeepNearDupStore(
+      spark: SparkSession, dir: String): String =
+    keepStoreMemo.synchronized {
+      val key = Kernels.inputKey(dir, "documents.parquet")
+      keepStoreMemo.getOrElseUpdate(key, {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"mediakeepnear|${key._1}|${key._2}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
+        val root = Kernels.registerTempStore(
+          s"${System.getProperty("java.io.tmpdir")}/graft-media-keep-$h")
+        mediaKeepNearDup(spark, dir).write.mode("overwrite").parquet(root)
+        root
+      })
+    }
+
+  private val keepStoreMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** The durable keep artifact as a frame — the flagship's input (a
+    * parquet scan, no derivation in the plan).
+    */
+  private[graft] def mediaKeepNearDupArtifact(
+      spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureMediaKeepNearDupStore(spark, dir))
+
+  /** `mm_media_keep_neardup_served`: the keep-list served from the
+    * durable artifact — same rows as [[mediaKeepNearDup]] (shared
+    * oracle), but the plan is ONLY a parquet scan of the store: the
+    * production read path for every consumer of an already-published
+    * keep table.
+    */
+  def mediaKeepNearDupServed(spark: SparkSession, dir: String): DataFrame =
+    mediaKeepNearDupArtifact(spark, dir).orderBy("modality", "keep_id")
+
   private[graft] def mediaKeepNearDupBuild(spark: SparkSession, dir: String): DataFrame = {
     val img = sigComponentKeep(spark, phashSigCorpus(spark, dir), "image")
     val aud = sigComponentKeep(spark, audioSigCorpus(spark, dir), "audio")

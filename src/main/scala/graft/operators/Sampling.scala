@@ -422,7 +422,10 @@ object Sampling {
     * the size join and nothing materializes between stages.
     */
   def mediaTrainingSet(spark: SparkSession, dir: String): DataFrame = {
-    val keep = Multimodal.mediaKeepNearDup(spark, dir)
+    // the keep-list arrives as the DURABLE published artifact (a
+    // parquet scan), not an in-plan derivation — the flagship consumes
+    // the table a production pipeline would have shipped
+    val keep = Multimodal.mediaKeepNearDupArtifact(spark, dir)
       .filter(substring(saltedHash("mpipe", col("keep_id")), 1, 2)
         < MediaPipeSampleThreshold)
       .select("modality", "keep_id", "n_members")

@@ -1032,6 +1032,29 @@ class OperatorsSpec extends AnyFunSuite {
       s"memo (${served.size}) must equal the fresh build (${rebuilt.size})")
   }
 
+  test("mediaKeepNearDupServed reads the durable artifact and matches the batch table") {
+    // the durable store is the cross-session shape: a fingerprint-keyed
+    // parquet table any session serves without re-deriving signatures,
+    // DSUs, or the video component loop — pin that the served rows
+    // equal the batch keep table and that the serve plan is ONLY a
+    // parquet scan of the store (no derivation may leak back in)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    val batch = rows(Multimodal.mediaKeepNearDup(spark, sf))
+    Dedup.retireCaches()
+    val served = rows(Multimodal.mediaKeepNearDupServed(spark, sf))
+    Dedup.retireCaches()
+    assert(served == batch,
+      s"served artifact (${served.size}) must equal the batch table (${batch.size})")
+    val p = Multimodal.mediaKeepNearDupServed(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("graft-media-keep"),
+      s"serve plan must scan the fingerprint-keyed store:\n${p.take(800)}")
+    assert(!p.contains("Join"),
+      "serve plan must be a bare store scan — no derivation")
+  }
+
   test("pipeline_media_training_set: sampled near-dup survivors tile into byte packs") {
     val keep = Multimodal.mediaKeepNearDup(spark, sf).collect()
     Dedup.retireCaches()

@@ -278,6 +278,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "no unpartitioned or per-key window may appear")
     assert(!p.contains("CartesianProduct"),
       "the size join is equi on keep_id, never a product")
+    // the keep input is the PUBLISHED durable artifact — a parquet
+    // scan of the fingerprint-keyed store, not an in-plan derivation
+    assert(p.contains("graft-media-keep"),
+      s"flagship must read the durable keep artifact:\n${p.take(1200)}")
   }
 
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
