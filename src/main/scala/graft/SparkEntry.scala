@@ -15,12 +15,16 @@ import graft.operators._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The end-to-end training-set pipeline (dedup → quality →
-    * decontaminate → sample → pack) is the library's showcase
-    * composition; every stage also stands alone under its own oracle.
+    * rows>0. The UNIFIED text+media training-set export — the text
+    * pipeline's full survivor chain (dedup → quality → decontaminate →
+    * sample) and the media near-dup keep-list's published artifact,
+    * laid out as ONE budgeted cross-modal manifest — is the library's
+    * showcase composition; every stage also stands alone under its own
+    * oracle (`pipeline_training_set` and `pipeline_media_training_set`
+    * remain the single-modality flagships).
     */
   def entry(spark: SparkSession): DataFrame =
-    Corpus.trainingSet(spark, "/root/testdata/sf0.001")
+    Sampling.fullTrainingSet(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,6 +284,8 @@ object SparkEntry {
     "corpus_stats" -> Corpus.corpusStats _,
     "stats_regression" -> Corpus.statsRegression _,
     "pipeline_training_set" -> Corpus.trainingSet _,
+    // the unified text+media export — ONE budgeted cross-modal layout
+    "pipeline_full_training_set" -> Sampling.fullTrainingSet _,
     "pipeline_ingest" -> Corpus.ingest _,
     // the STREAMING flagship: the same ingest composition drained as a
     // continuous stream, bit-identical to the batch run (same oracle)
@@ -3763,9 +3769,10 @@ object SparkEntry {
          |  round(CAST(cnt AS DOUBLE) / total, 6) AS share,
          |  round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
          |FROM r, t WHERE rk <= ${Corpus.VocabTopK} ORDER BY rk""".stripMargin
-    // the flagship composition: every CTE is a standalone operator's
-    // oracle fragment, chained exactly as the Spark plan chains them
-    val pipeline =
+    // the text pipeline's survivor chain through `base` — shared by
+    // the text flagship's packing tail and the unified text+media
+    // flagship's cross-modal layout
+    val pipelineBaseCtes =
       s"""$qualityCteSql,
          |q AS (SELECT doc_id, $qualityExprSql AS quality FROM s),
          |ntok AS (SELECT doc_id, CAST(len($toksRawSql) AS BIGINT) AS n_tokens FROM documents),
@@ -3792,7 +3799,11 @@ object SparkEntry {
          |  WHERE q.quality >= ${Corpus.TrainQualityMin}
          |    AND substr(md5('bench:' || CAST(f.doc_id AS VARCHAR)), 1, 2) >= '${Corpus.BenchSplitThreshold}'
          |    AND f.doc_id NOT IN (SELECT doc_id FROM hits)
-         |    AND substr(md5('pipe:' || CAST(f.doc_id AS VARCHAR)), 1, 2) < '${Corpus.PipeSampleThreshold}'),
+         |    AND substr(md5('pipe:' || CAST(f.doc_id AS VARCHAR)), 1, 2) < '${Corpus.PipeSampleThreshold}')""".stripMargin
+    // the flagship composition: every CTE is a standalone operator's
+    // oracle fragment, chained exactly as the Spark plan chains them
+    val pipeline =
+      s"""$pipelineBaseCtes,
          |r AS (SELECT doc_id, source, quality, n_tokens,
          |        CAST(doc_id % ${Sampling.PackShards} AS BIGINT) AS shard,
          |        CAST(coalesce(sum(n_tokens) OVER (
@@ -3802,6 +3813,34 @@ object SparkEntry {
          |SELECT doc_id, source, shard, run // ${Sampling.PackBudget} AS pack_no,
          |  n_tokens, quality
          |FROM r ORDER BY doc_id""".stripMargin
+    // the unified text+media flagship: the text survivor chain and the
+    // mpipe-sampled media keep-list union into one item stream, laid
+    // out under the media flagship's byte scheme (same mpack salt,
+    // shard count and byte budget — each fragment is its own flagship's
+    // oracle text, chained)
+    val fullPipeline =
+      s"""$pipelineBaseCtes,
+         |tb AS (SELECT doc_id AS item_id, 'text' AS modality,
+         |         CAST(1 AS BIGINT) AS n_members FROM base),
+         |mk AS (SELECT keep_id AS item_id, modality, n_members
+         |    FROM ($mediaKeepNearDupSql)
+         |    WHERE substr(md5('mpipe:' || CAST(keep_id AS VARCHAR)), 1, 2)
+         |      < '${Sampling.MediaPipeSampleThreshold}'),
+         |u AS (SELECT * FROM tb UNION ALL SELECT * FROM mk),
+         |ud AS (SELECT u.item_id, u.modality, u.n_members,
+         |    CAST(octet_length(encode(t.text)) AS BIGINT) AS n_bytes,
+         |    md5('mpack:' || CAST(u.item_id AS VARCHAR)) AS h
+         |  FROM u JOIN documents t ON t.doc_id = u.item_id),
+         |us AS (SELECT *, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1)
+         |      % ${Sampling.MediaPackShards} AS BIGINT) AS shard FROM ud),
+         |ur AS (SELECT item_id, modality, n_members, shard, n_bytes,
+         |    CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY shard ORDER BY h, item_id, modality
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS run,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY h, item_id, modality) AS BIGINT) AS pos
+         |  FROM us)
+         |SELECT item_id, modality, n_members, shard, n_bytes,
+         |  run // ${Sampling.MediaPackBudget} AS pack_no, pos
+         |FROM ur ORDER BY shard, pos""".stripMargin
     val bpe =
       s"""WITH w AS (SELECT unnest($toksRawSql) AS w FROM documents),
          |p AS (SELECT unnest(CASE WHEN length(w) >= 2
@@ -3881,7 +3920,8 @@ object SparkEntry {
         "bigram_pmi" -> pmi, "length_histogram" -> lengthHist,
         "vocab_top" -> vocab, "bpe_merge_pairs" -> bpe,
         "doc_surprisal" -> surprisal, "doc_perplexity" -> perplexity,
-        "pipeline_training_set" -> pipeline)
+        "pipeline_training_set" -> pipeline,
+        "pipeline_full_training_set" -> fullPipeline)
   }
 
   private def streamingOracles: Map[String, String] = Map(

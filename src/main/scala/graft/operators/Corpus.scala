@@ -469,6 +469,35 @@ object Corpus {
   val PipeSampleThreshold = "80"
   val TrainQualityMin = 0.5
 
+  /** The pipeline's SURVIVOR stage — everything [[trainingSet]] does
+    * before packing: exact dedup → near-dup keep → quality floor →
+    * bench split/contamination exclusion → deterministic sample.
+    * Extracted so the unified text+media flagship
+    * ([[Sampling.fullTrainingSet]]) can pack the same survivors under
+    * the shared cross-modal shard/byte scheme. Columns: (doc_id,
+    * source, n_tokens, quality).
+    */
+  private[graft] def trainingSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val isBench = docHexPrefix("bench")
+    val surv = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
+      .withColumn("rk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .join(Dedup.keepIds(spark, dir), Seq("doc_id"), "left_semi")
+    val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
+    val scored = surv
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
+    scored
+      .filter(col("quality") >= TrainQualityMin)
+      .filter(isBench >= BenchSplitThreshold) // bench split never trains
+      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(docHexPrefix("pipe") < PipeSampleThreshold)
+  }
+
   /** FLAGSHIP COMPOSITION — the whole training-set pipeline as ONE
     * declarative plan: exact dedup (keep first per fingerprint) →
     * NEAR-dup dedup (keep each ngram-Jaccard cluster's representative,
@@ -496,27 +525,9 @@ object Corpus {
     * copies.
     */
   def trainingSet(spark: SparkSession, dir: String): DataFrame = {
-    val isBench = docHexPrefix("bench")
-    val surv = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("text"),
-        md5(TextAnalysis.normalizedText(col("text"))).as("fp"))
-      .withColumn("rk", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
-      .filter(col("rk") === 1)
-      .join(Dedup.keepIds(spark, dir), Seq("doc_id"), "left_semi")
-    val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
-    val scored = surv
-      .withColumn("toks", TextAnalysis.tokens(col("text")))
-      .select(col("doc_id"), col("source"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        round((lenScore + diversity + stopScore) / lit(3.0), 4).as("quality"))
-    val base = scored
-      .filter(col("quality") >= TrainQualityMin)
-      .filter(isBench >= BenchSplitThreshold) // bench split never trains
-      .join(decontaminate(spark, dir).select("doc_id"), Seq("doc_id"), "left_anti")
-      .filter(docHexPrefix("pipe") < PipeSampleThreshold)
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    base
+    trainingSurvivors(spark, dir)
       .withColumn("shard", col("doc_id") % Sampling.PackShards)
       .withColumn("run", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("shard"),

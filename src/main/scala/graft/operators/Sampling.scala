@@ -451,6 +451,57 @@ object Sampling {
       .orderBy("shard", "pos")
   }
 
+  /** `pipeline_full_training_set`: the UNIFIED text+media flagship — a
+    * real multimodal curation run ships ONE budgeted export, not a
+    * text manifest and a media manifest side by side. Composition:
+    * [[Corpus.trainingSurvivors]] (the text pipeline's full dedup →
+    * quality → decontaminate → sample chain) and the mpipe-sampled
+    * media near-dup keep-list (read from the DURABLE published
+    * artifact, [[Multimodal.mediaKeepNearDupArtifact]]) union into one
+    * item stream — text rows as modality `"text"` with member count 1
+    * (exact dedup already collapsed their copies), media rows carrying
+    * their cluster mass — then ONE shard/byte-budget layout over the
+    * union: the `mpack` salt, [[MediaPackShards]] shards and the
+    * [[MediaPackBudget]] byte bins, i.e. the SAME scheme (same salts)
+    * as [[mediaTrainingSet]], so the unified layout stays comparable
+    * with the media-only one. Budgeting is by BYTES for every
+    * modality — the one currency text and media share (what an export
+    * actually ships); the text-only flagship keeps its token-budget
+    * packing as the text-native view.
+    *
+    * Scale shape: both inputs are already-amortized pipeline products
+    * (the text survivor chain's own shuffles, the published keep
+    * artifact's parquet scan); sizing is one map-side `octet_length`
+    * equi-join against the document scan; the permutation /
+    * prefix-sum / position windows all partition by SHARD. One
+    * declarative plan end to end.
+    */
+  def fullTrainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val text = Corpus.trainingSurvivors(spark, dir)
+      .select(col("doc_id").as("item_id"), lit("text").as("modality"),
+        lit(1L).as("n_members"))
+    val media = Multimodal.mediaKeepNearDupArtifact(spark, dir)
+      .filter(substring(saltedHash("mpipe", col("keep_id")), 1, 2)
+        < MediaPipeSampleThreshold)
+      .select(col("keep_id").as("item_id"), col("modality"), col("n_members"))
+    val sized = text.unionByName(media).join(
+      Tables.documents(spark, dir)
+        .select(col("doc_id").as("item_id"),
+          octet_length(col("text")).cast("long").as("n_bytes")),
+      "item_id")
+    // modality tie-break: one payload can survive as text AND media
+    val byShard = Window.partitionBy("shard").orderBy("h", "item_id", "modality")
+    sized.withColumn("h", saltedHash("mpack", col("item_id")))
+      .withColumn("shard",
+        conv(substring(col("h"), 1, 1), 16, 10).cast("long") % MediaPackShards)
+      .withColumn("run", coalesce(sum("n_bytes").over(
+        byShard.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .select(col("item_id"), col("modality"), col("n_members"), col("shard"),
+        col("n_bytes"), expr(s"run div $MediaPackBudget").as("pack_no"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)

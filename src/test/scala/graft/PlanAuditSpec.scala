@@ -284,6 +284,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"flagship must read the durable keep artifact:\n${p.take(1200)}")
   }
 
+  test("pipeline_full_training_set: shard-partitioned layout over artifact + survivor union") {
+    val p = plan(operators.Sampling.fullTrainingSet(spark, sf))
+    Dedup.retireCaches()
+    // the unified export's layout windows must partition by shard and
+    // the media side must arrive as the published keep artifact
+    assert(p.contains("windowspecdefinition(shard"),
+      s"pack windows must partition by shard:\n${p.take(1200)}")
+    assert(p.contains("graft-media-keep"),
+      "the media side must read the durable keep artifact")
+    assert(p.contains("Union"),
+      "text survivors and media keeps must union into one item stream")
+    assert(!p.contains("CartesianProduct"),
+      "the byte-size join is equi on item_id, never a product")
+  }
+
   test("dedup_semantic: in-cluster pairs via equi-join, never a corpus product") {
     val p = plan(Dedup.semanticNearDup(spark, sf))
     Dedup.retireCaches()
@@ -1000,7 +1015,7 @@ class PlanAuditSpec extends AnyFunSuite {
         """"cluster"""" -> (1, "threshold-prefiltered: bounded-topk broadcast gate before the rank")),
       "Sampling.scala" -> Map(
         """"source"""" -> (2, "threshold-prefiltered: bounded-topk broadcast gate before the window"),
-        """"shard"""" -> (5, "shard count scales with corpus; per-shard rows hash-bounded")),
+        """"shard"""" -> (6, "shard count scales with corpus; per-shard rows hash-bounded")),
       "Similarity.scala" -> Map(
         """"probe_id"""" -> (3, "per-probe candidates already top-k/cell-bounded")),
       "TextAnalysis.scala" -> Map(
