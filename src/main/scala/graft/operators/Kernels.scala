@@ -103,6 +103,17 @@ private[graft] object Kernels {
     * silently recomputes uncached every use — the cheap direction is
     * over-clearing. Another thread's pinned frames are never touched.
     */
+  /** Drain ONLY the calling thread's scope — the per-micro-batch free
+    * for `foreachBatch` bodies: a stream-execution thread accumulates
+    * tracked caches and checkpoint ids (e.g. the label-maintenance
+    * component loop's rounds) for the WHOLE drain otherwise, since the
+    * dead-thread backstop only reclaims them on a later retire from
+    * another thread. Unlike [[retireCaches]] this touches neither the
+    * global memo caches nor the invalidation hooks — the stream's
+    * seeded history memos must survive the batch.
+    */
+  def drainThreadScope(): Unit = drainScope(scope.get)
+
   def retireCaches(): Unit = {
     drainScope(scope.get)
     // backstop: drain scopes whose owning thread has DIED (isAlive

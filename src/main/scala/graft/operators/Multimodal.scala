@@ -2003,10 +2003,19 @@ object Multimodal {
     * construction.
     */
   private[graft] def sigKeepComponents(spark: SparkSession, store: DataFrame,
-      modality: String): DataFrame = {
+      modality: String): DataFrame =
+    sigKeepComponentRows(spark,
+      store.select("ph", "keep_id", "n_members").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), modality)
+
+  /** [[sigKeepComponents]] over already-collected store rows — the
+    * drain path for a DRIVER-held keep store (the streaming fold keeps
+    * the ≤ 2^[[PhashBits]]-row image/audio stores in memory and only
+    * materializes components once, at drain).
+    */
+  private[graft] def sigKeepComponentRows(spark: SparkSession,
+      rows: Array[(Long, Long, Long)], modality: String): DataFrame = {
     import spark.implicits._
-    val rows = store.select("ph", "keep_id", "n_members").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val comp = sigComponents(rows.map(_._1))
     rows.groupBy(r => comp(r._1)).values.map { ms =>
       (modality, ms.map(_._2).min, ms.map(_._3).sum)

@@ -973,13 +973,14 @@ object DocStream {
     * payloads with the FROZEN history thresholds via the same kernels
     * as the batch path and folds in:
     *
-    *  - image/audio: a per-SIG (min keep, summed count) upsert
-    *    ([[graft.operators.Multimodal.sigKeepMerge]]) — frozen
-    *    thresholds freeze the store key, so per-batch merges COMMUTE
-    *    and components resolve once at drain via the bounded sig-space
-    *    union-find (adjacency is endpoint-local, so the final
-    *    components are a function of the final present-sig set — no
-    *    per-batch component work at all);
+    *  - image/audio: a per-SIG (min keep, summed count) upsert —
+    *    [[graft.operators.Multimodal.sigKeepMerge]]'s monoid applied
+    *    as a DRIVER-memory fold over the ≤ 2^PhashBits-row store
+    *    (frozen thresholds freeze the store key, so per-batch merges
+    *    COMMUTE) and components resolve once at drain via the bounded
+    *    sig-space union-find (adjacency is endpoint-local, so the
+    *    final components are a function of the final present-sig set —
+    *    no per-batch component work, no per-batch store I/O at all);
     *  - video: the clip pair predicate is NOT endpoint-local, so each
     *    batch probes the accumulated frame-signature store for its
     *    blast-radius edges (the asymmetric banded probe — batch frames
@@ -1006,28 +1007,65 @@ object DocStream {
     val isHist = splitOf >= Dedup.IncBatchThreshold
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nkd")
     try {
-      // version-0 state serves DIRECTLY from the memoized per-corpus
-      // history products (sig frames are pinned checkpoint blocks; the
-      // label table its own memo) — materializing seed copies into the
-      // versioned store cost four corpus-sized write jobs per run for
-      // state the first merge only reads once. Later versions read the
-      // parquet the merges wrote.
-      def keepAt(kind: String, sig: DataFrame, v: Int): DataFrame =
-        if (v == 0)
+      // image/audio state lives in DRIVER memory for the whole drain:
+      // the per-sig keep stores are ≤ 2^PhashBits rows by construction
+      // (a codebook, not a data pass — the same bounded-driver-product
+      // contract as the drain collect), so the fold holds them as
+      // maps. The previous parquet round-trip cost two write jobs plus
+      // two store re-reads per micro-batch for state only the next
+      // merge ever read. The fold below is [[graft.operators.Multimodal.sigKeepMerge]]'s
+      // commuting (min, sum)-per-sig monoid verbatim, so the
+      // any-micro-batching-drains-equal argument carries over
+      // unchanged. Seeded ONCE from the memoized history sig frames,
+      // on the caller thread.
+      def seedKeep(sig: DataFrame): scala.collection.mutable.Map[Long, (Long, Long)] =
+        scala.collection.mutable.Map.from(
           sig.filter(isHist).groupBy("ph")
             .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
-        else spark.read.parquet(s"$tmp/keep_${kind}_v$v")
-      def labelsAt(v: Int): DataFrame =
-        if (v == 0) Multimodal.vidHistLabels(spark, dir)
-        else spark.read.parquet(s"$tmp/labels_v$v")
-      // accumulated frame-sig store = memoized history slice + the
-      // batches appended so far
-      def vidSigsAt(v: Int): DataFrame =
-        if (v == 0) vidSig.filter(isHist)
-        else vidSig.filter(isHist)
-          .unionByName(spark.read.parquet(s"$tmp/vidsigs_batches"))
-      // atomic for cross-thread visibility — the streamMediaKeep note
-      val version = new java.util.concurrent.atomic.AtomicInteger(0)
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))))
+      val imgKeep = seedKeep(imgSig)
+      val audKeep = seedKeep(audSig)
+      // pre-force the video history label memo on the CALLER thread —
+      // otherwise the first micro-batch pays the heavy history
+      // component loop (and its thread-scoped intermediates) on the
+      // stream-execution thread, unlike the sig frames and mu values
+      // seeded above
+      val histLabels = Multimodal.vidHistLabels(spark, dir)
+      // one batch's per-sig aggregate, collected (bounded by the
+      // batch's present sigs) so the driver fold is a pure in-memory
+      // step AFTER every Spark job of the batch has succeeded
+      def sigAgg(sigs: DataFrame): Array[(Long, Long, Long)] =
+        sigs.groupBy("ph")
+          .agg(min("doc_id").as("b_keep"), count(lit(1)).as("n_batch"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def fold(store: scala.collection.mutable.Map[Long, (Long, Long)],
+          rows: Array[(Long, Long, Long)]): Unit =
+        rows.foreach { case (ph, bk, nb) =>
+          store(ph) = store.get(ph) match {
+            case Some((k, n)) => (math.min(k, bk), n + nb)
+            case None         => (bk, nb)
+          }
+        }
+      // processed batch ids, newest last. Replay-idempotent by
+      // construction (Spark's micro-batch retry contract): every disk
+      // write is keyed by batch id with overwrite, and the driver
+      // state (the two keep maps + this list) mutates only AFTER all
+      // of the batch's Spark jobs succeeded — a replayed batch either
+      // fully skips (id already folded) or cleanly overwrites its own
+      // partial output and folds once. CopyOnWrite for the
+      // stream-thread-writes / caller-thread-reads visibility edge
+      // (the streamMediaKeep AtomicInteger note).
+      val processed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      def labelsAt(): DataFrame =
+        if (processed.isEmpty) histLabels
+        else spark.read.parquet(s"$tmp/labels_b${processed.get(processed.size - 1)}")
+      def vidSigsAt(): DataFrame = {
+        import scala.jdk.CollectionConverters._
+        val hist = vidSig.filter(isHist)
+        if (processed.isEmpty) hist
+        else hist.unionByName(spark.read.parquet(
+          processed.asScala.toSeq.map(b => s"$tmp/vidsigs_b$b"): _*))
+      }
       val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
       val q = spark.readStream
         .schema(documentsSchema)
@@ -1037,53 +1075,62 @@ object DocStream {
         .filter(col("split") < Dedup.IncBatchThreshold)
         .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
         .writeStream.outputMode(OutputMode.Append())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val v = version.get()
-          (Multimodal.sigKeepMerge(keepAt("img", imgSig, v),
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (!processed.isEmpty && processed.get(processed.size - 1) >= bid) {
+            // replayed, fully-committed batch — skip (idempotence)
+          } else {
+            val imgAgg = sigAgg(
               Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
-            .write.parquet(s"$tmp/keep_img_v${v + 1}"))
-          (Multimodal.sigKeepMerge(keepAt("aud", audSig, v),
-              Multimodal.audioSigFrame(batch, audMu))
-            .write.parquet(s"$tmp/keep_aud_v${v + 1}"))
-          // the batch's frame sigs feed four consumers (two probe
-          // sides, the label merge, the store append) — checkpoint so
-          // the decode kernel runs once per batch
-          val vidS = (Multimodal.frameSigFrame(batch, vidMu,
-            "doc_id", "sample_no", "ph").localCheckpoint())
-          // checkpoint the blast-radius edges: the contraction merge
-          // references its edge frame several times (symmetrize union,
-          // endpoint contraction), and an unchecked plan re-ran the
-          // banded store probe per reference — the batch maintain
-          // query's own discipline
-          val edges = (Multimodal.videoClipPairsProbe(vidS, vidSigsAt(v))
-            .select("doc_a", "doc_b")
-            .unionByName(Multimodal.videoClipPairs(vidS)
-              .select("doc_a", "doc_b"))
-            .localCheckpoint())
-          (Dedup.maintainLabels(labelsAt(v),
-              vidS.select("doc_id").distinct(), edges)
-            .write.parquet(s"$tmp/labels_v${v + 1}"))
-          (vidS.write.mode("append").parquet(s"$tmp/vidsigs_batches"))
-          // the batch's checkpoint blocks are dead once the merges are
-          // written — free them per batch instead of leaving one
-          // node-sized block pair PER MICRO-BATCH to the
-          // ContextCleaner (which only runs on driver GC)
-          Seq(vidS, edges).foreach(df =>
-            Kernels.checkpointRddId(df).foreach { id =>
-              spark.sparkContext.getPersistentRDDs.get(id)
-                .foreach(_.unpersist(true))
-            })
-          version.incrementAndGet()
+            val audAgg = sigAgg(Multimodal.audioSigFrame(batch, audMu))
+            // the batch's frame sigs feed four consumers (two probe
+            // sides, the label merge, the store write) — checkpoint so
+            // the decode kernel runs once per batch
+            val vidS = (Multimodal.frameSigFrame(batch, vidMu,
+              "doc_id", "sample_no", "ph").localCheckpoint())
+            // checkpoint the blast-radius edges: the contraction merge
+            // references its edge frame several times (symmetrize
+            // union, endpoint contraction), and an unchecked plan
+            // re-ran the banded store probe per reference — the batch
+            // maintain query's own discipline
+            val edges = (Multimodal.videoClipPairsProbe(vidS, vidSigsAt())
+              .select("doc_a", "doc_b")
+              .unionByName(Multimodal.videoClipPairs(vidS)
+                .select("doc_a", "doc_b"))
+              .localCheckpoint())
+            (Dedup.maintainLabels(labelsAt(),
+                vidS.select("doc_id").distinct(), edges)
+              .write.mode("overwrite").parquet(s"$tmp/labels_b$bid"))
+            (vidS.write.mode("overwrite").parquet(s"$tmp/vidsigs_b$bid"))
+            // the batch's checkpoint blocks are dead once the merges
+            // are written — free them per batch instead of leaving one
+            // node-sized block pair PER MICRO-BATCH to the
+            // ContextCleaner (which only runs on driver GC)
+            Seq(vidS, edges).foreach(df =>
+              Kernels.checkpointRddId(df).foreach { id =>
+                spark.sparkContext.getPersistentRDDs.get(id)
+                  .foreach(_.unpersist(true))
+              })
+            // driver state LAST — pure in-memory, cannot fail midway
+            fold(imgKeep, imgAgg)
+            fold(audKeep, audAgg)
+            processed.add(bid)
+          }
+          // the label maintenance's component loop registers tracked
+          // caches/checkpoints in THIS (stream-execution) thread's
+          // scope; drain them per batch — the dead-thread backstop
+          // would otherwise hold them for the whole drain
+          Kernels.drainThreadScope()
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      val vN = version.get()
+      def keepRows(m: scala.collection.mutable.Map[Long, (Long, Long)]) =
+        m.iterator.map { case (ph, (k, n)) => (ph, k, n) }.toArray
       Kernels.trackedCheckpoint(
-        Multimodal.sigKeepComponents(spark, keepAt("img", imgSig, vN), "image")
-          .unionByName(Multimodal.sigKeepComponents(
-            spark, keepAt("aud", audSig, vN), "audio"))
-          .unionByName(labelsAt(vN)
+        Multimodal.sigKeepComponentRows(spark, keepRows(imgKeep), "image")
+          .unionByName(
+            Multimodal.sigKeepComponentRows(spark, keepRows(audKeep), "audio"))
+          .unionByName(labelsAt()
             .groupBy("cluster").agg(count(lit(1)).as("n_members"))
             .select(lit("video").as("modality"),
               col("cluster").as("keep_id"), col("n_members")))

@@ -1016,6 +1016,23 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("streamMediaKeepNearDup itself drains to the one-shot maintenance") {
+    // the commute test above replays the FOLD on memoized slices; this
+    // exercises the actual stream wiring end to end — source split,
+    // per-batch driver fold + replay-guarded versioned writes, the
+    // v==0 history seeding, per-batch scope drains, and the drain-time
+    // component resolution — against the batch maintenance product
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+        r.getAs[Long]("n_members"))).toSet
+    val maintained = rows(Multimodal.mediaKeepNearDupMaintain(spark, sf))
+    Dedup.retireCaches()
+    val drained = rows(graft.streaming.DocStream.streamMediaKeepNearDup(spark, sf))
+    Dedup.retireCaches()
+    assert(drained == maintained,
+      s"stream drain (${drained.size}) must equal the batch maintenance (${maintained.size})")
+  }
+
   test("mediaKeepNearDup memo serves the un-memoized build exactly") {
     // the near-tier keep table memoizes per corpus (the mediaKeep
     // precedent); a stale or mis-keyed memo would silently serve wrong
