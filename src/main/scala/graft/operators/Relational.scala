@@ -624,26 +624,67 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** Price-band width of [[ordersPercentileRank]]'s two-level rank —
+    * coarse enough that the (priority, band) offset table stays tiny,
+    * narrow enough that no band holds a data-sized run of distinct
+    * prices.
+    */
+  val PercentileBandWidth = 25000
+
   /** Distribution ranking: the top percentile of orders per priority by
-    * `percent_rank`/`cume_dist`. One shuffle on the partition key; each
-    * priority's orders sort within their partitions. Both ranks are
-    * pure integer-ratio doubles (`(rank−1)/(n−1)`, `peers≤/n`), so the
-    * ≥ 0.99 cut and the rounded outputs are engine-exact; ties in
-    * o_totalprice share ranks by definition. Note the partition count
-    * is |priorities| — at extreme scale a low-cardinality partition key
-    * makes window skew, and the fix is a coarser pre-bucket (e.g.
-    * (priority, totalprice-band)) feeding a two-level rank; declared
-    * here as the simple form since priorities bound the data evenly.
+    * `percent_rank`/`cume_dist` semantics — WITHOUT the naive
+    * per-priority window. A window partitioned by a 5-value key buffers
+    * a fifth of the orders table in ONE task; this is the two-level
+    * banded formulation that keeps the semantics exact at any scale:
+    *
+    *  1. collapse ties: one combiner-friendly count per (priority,
+    *     totalprice) — the only corpus-wide shuffle;
+    *  2. band the distinct prices ([[PercentileBandWidth]]); per-band
+    *     totals give each band's exclusive BEFORE-count via a window
+    *     over the tiny (priority, band) aggregate;
+    *  3. the in-band exclusive prefix sum runs per (priority, band) —
+    *     bounded rows per partition — so `cum_lt = pre + in_lt` is the
+    *     exact strictly-less count, and `percent_rank = cum_lt/(n−1)`,
+    *     `cume_dist = (cum_lt+c)/n` fall out as the same integer-ratio
+    *     doubles the window functions compute (ties share ranks because
+    *     they collapsed in step 1; a tie never splits across bands
+    *     since the band is a function of the price);
+    *  4. the ≥ 0.99 cut keeps the top 1% of DISTINCT prices, which
+    *     joins back to orders on (priority, price) — AQE broadcasts
+    *     the cut at these SFs; at extreme scale it is one equi-join
+    *     against a 1%-of-distinct build side.
     */
   def ordersPercentileRank(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
-    Tables.orders(spark, dir)
+    val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("pr", percent_rank().over(w))
-      .withColumn("cd", cume_dist().over(w))
+    val cnt = o.groupBy("o_orderpriority", "o_totalprice")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("band",
+        floor(col("o_totalprice") / PercentileBandWidth).cast("long"))
+    val bandTot = cnt.groupBy("o_orderpriority", "band").agg(sum("c").as("bc"))
+    val wBand = Window.partitionBy("o_orderpriority").orderBy("band")
+    val offs = bandTot.withColumn("pre",
+        coalesce(sum("bc").over(
+          wBand.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("o_orderpriority"), col("band"), col("pre"))
+    val tot = cnt.groupBy("o_orderpriority").agg(sum("c").as("n"))
+    val wIn = Window.partitionBy("o_orderpriority", "band").orderBy("o_totalprice")
+    val ranked = cnt.join(offs, Seq("o_orderpriority", "band"))
+      .withColumn("in_lt", coalesce(sum("c").over(
+        wIn.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(tot), "o_orderpriority")
+      .withColumn("cum_lt", col("pre") + col("in_lt"))
+      .withColumn("pr", when(col("n") > 1,
+        col("cum_lt").cast("double") / (col("n") - 1).cast("double"))
+        .otherwise(lit(0.0)))
+      .withColumn("cd",
+        (col("cum_lt") + col("c")).cast("double") / col("n").cast("double"))
       .filter(col("pr") >= 0.99)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      .select(col("o_orderpriority"), col("o_totalprice"),
         round(col("pr"), 6).as("pr"), round(col("cd"), 6).as("cd"))
+    o.join(ranked, Seq("o_orderpriority", "o_totalprice"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("pr"), col("cd"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
 

@@ -1037,8 +1037,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "Relational.scala" -> Map(
         """"l_orderkey"""" -> (1, "per-order lineitems (<=7 per TPC-H order)"),
         """"o_custkey"""" -> (1, "per-customer orders (bounded by data model)"),
-        """"o_orderpriority"""" -> (1, "documented skew caveat in ordersPercentileRank: " +
-          "exact percentile semantics; coarser (priority, price-band) two-level rank named as the scale fix"),
+        """"o_orderpriority"""" -> (1, "input is the tiny (priority, band) offset aggregate, not orders"),
+        """"o_orderpriority", "band"""" -> (1, "in-band prefix over band-width-bounded distinct prices"),
         """"o_orderkey"""" -> (4, "per-order lineitems (<=7 per TPC-H order)"),
         """"l_partkey"""" -> (2, "per-part lineitems (bounded by data model)")),
       "Graph.scala" -> Map(
