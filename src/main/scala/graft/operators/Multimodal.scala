@@ -1975,43 +1975,42 @@ object Multimodal {
     }.toDF("doc_id", "ph")
   }
 
-  /** Upsert one ingest batch's signature rows into a per-sig keep
-    * store (ph, keep_id, n_members) — the [[mergeMediaKeep]] monoid at
+  /** One ingest batch's per-sig aggregate, collected — bounded by the
+    * batch's present-sig count (≤ 2^[[PhashBits]] rows), the input to
+    * [[sigKeepFold]].
+    */
+  private[graft] def sigBatchAgg(sigs: DataFrame): Array[(Long, Long, Long)] =
+    sigs.groupBy("ph")
+      .agg(min("doc_id").as("b_keep"), count(lit(1)).as("n_batch"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  /** Fold one batch's per-sig aggregate into a driver-held keep store
+    * (ph → (keep_id, n_members)) — the [[mergeMediaKeep]] monoid at
     * SIGNATURE granularity: frozen (history-trained) thresholds make
-    * the store key stable across batches, so per-batch merges COMMUTE
+    * the store key stable across batches, so per-batch folds COMMUTE
     * ((min, sum) per sig) and any micro-batching of the ingest drains
     * to the history ∪ stream regroup exactly. The store is bounded by
-    * the present-sig count (≤ 2^[[PhashBits]] rows) — a codebook, not
-    * a data pass — so "touched groups only" is automatic.
+    * the present-sig count (≤ 2^[[PhashBits]] entries) — a codebook,
+    * not a data pass — which is exactly why it lives in driver memory:
+    * the streaming fold pays zero per-batch store I/O.
     */
-  private[graft] def sigKeepMerge(store: DataFrame, sigs: DataFrame): DataFrame = {
-    val batchAgg = sigs.groupBy("ph")
-      .agg(min("doc_id").as("b_keep"), count(lit(1)).as("n_batch"))
-    val untouched = store.join(batchAgg.select("ph"), Seq("ph"), "left_anti")
-    val upserts = batchAgg.join(store, Seq("ph"), "left")
-      .select(col("ph"),
-        least(col("b_keep"), coalesce(col("keep_id"), col("b_keep"))).as("keep_id"),
-        (coalesce(col("n_members"), lit(0L)) + col("n_batch")).as("n_members"))
-    untouched.unionByName(upserts)
-  }
+  private[graft] def sigKeepFold(
+      store: scala.collection.mutable.Map[Long, (Long, Long)],
+      rows: Array[(Long, Long, Long)]): Unit =
+    rows.foreach { case (ph, bk, nb) =>
+      store(ph) = store.get(ph) match {
+        case Some((k, n)) => (math.min(k, bk), n + nb)
+        case None         => (bk, nb)
+      }
+    }
 
   /** Resolve a drained per-sig keep store into component keep rows:
     * union-find over the present sigs' Hamming adjacency
     * ([[sigComponents]] — corpus-independent, ≤ 2^[[PhashBits]]
     * nodes), then the exact (min keep, summed count) fold per
-    * component. The collect is the store itself — codebook-sized by
-    * construction.
-    */
-  private[graft] def sigKeepComponents(spark: SparkSession, store: DataFrame,
-      modality: String): DataFrame =
-    sigKeepComponentRows(spark,
-      store.select("ph", "keep_id", "n_members").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))), modality)
-
-  /** [[sigKeepComponents]] over already-collected store rows — the
-    * drain path for a DRIVER-held keep store (the streaming fold keeps
-    * the ≤ 2^[[PhashBits]]-row image/audio stores in memory and only
-    * materializes components once, at drain).
+    * component. The store rows arrive already in driver memory (the
+    * streaming fold holds the ≤ 2^[[PhashBits]]-entry image/audio
+    * stores as maps and only materializes components once, at drain).
     */
   private[graft] def sigKeepComponentRows(spark: SparkSession,
       rows: Array[(Long, Long, Long)], modality: String): DataFrame = {

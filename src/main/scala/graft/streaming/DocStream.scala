@@ -974,7 +974,7 @@ object DocStream {
     * as the batch path and folds in:
     *
     *  - image/audio: a per-SIG (min keep, summed count) upsert —
-    *    [[graft.operators.Multimodal.sigKeepMerge]]'s monoid applied
+    *    [[graft.operators.Multimodal.sigKeepFold]]'s monoid applied
     *    as a DRIVER-memory fold over the ≤ 2^PhashBits-row store
     *    (frozen thresholds freeze the store key, so per-batch merges
     *    COMMUTE) and components resolve once at drain via the bounded
@@ -1013,8 +1013,8 @@ object DocStream {
       // contract as the drain collect), so the fold holds them as
       // maps. The previous parquet round-trip cost two write jobs plus
       // two store re-reads per micro-batch for state only the next
-      // merge ever read. The fold below is [[graft.operators.Multimodal.sigKeepMerge]]'s
-      // commuting (min, sum)-per-sig monoid verbatim, so the
+      // merge ever read. The fold ([[graft.operators.Multimodal.sigKeepFold]])
+      // is the commuting (min, sum)-per-sig monoid, so the
       // any-micro-batching-drains-equal argument carries over
       // unchanged. Seeded ONCE from the memoized history sig frames,
       // on the caller thread.
@@ -1031,21 +1031,6 @@ object DocStream {
       // stream-execution thread, unlike the sig frames and mu values
       // seeded above
       val histLabels = Multimodal.vidHistLabels(spark, dir)
-      // one batch's per-sig aggregate, collected (bounded by the
-      // batch's present sigs) so the driver fold is a pure in-memory
-      // step AFTER every Spark job of the batch has succeeded
-      def sigAgg(sigs: DataFrame): Array[(Long, Long, Long)] =
-        sigs.groupBy("ph")
-          .agg(min("doc_id").as("b_keep"), count(lit(1)).as("n_batch"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      def fold(store: scala.collection.mutable.Map[Long, (Long, Long)],
-          rows: Array[(Long, Long, Long)]): Unit =
-        rows.foreach { case (ph, bk, nb) =>
-          store(ph) = store.get(ph) match {
-            case Some((k, n)) => (math.min(k, bk), n + nb)
-            case None         => (bk, nb)
-          }
-        }
       // processed batch ids, newest last. Replay-idempotent by
       // construction (Spark's micro-batch retry contract): every disk
       // write is keyed by batch id with overwrite, and the driver
@@ -1079,9 +1064,13 @@ object DocStream {
           if (!processed.isEmpty && processed.get(processed.size - 1) >= bid) {
             // replayed, fully-committed batch — skip (idempotence)
           } else {
-            val imgAgg = sigAgg(
+            // per-sig aggregates collected first (bounded by the
+            // batch's present sigs) so the driver fold is a pure
+            // in-memory step AFTER every Spark job has succeeded
+            val imgAgg = Multimodal.sigBatchAgg(
               Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
-            val audAgg = sigAgg(Multimodal.audioSigFrame(batch, audMu))
+            val audAgg = Multimodal.sigBatchAgg(
+              Multimodal.audioSigFrame(batch, audMu))
             // the batch's frame sigs feed four consumers (two probe
             // sides, the label merge, the store write) — checkpoint so
             // the decode kernel runs once per batch
@@ -1111,8 +1100,8 @@ object DocStream {
                   .foreach(_.unpersist(true))
               })
             // driver state LAST — pure in-memory, cannot fail midway
-            fold(imgKeep, imgAgg)
-            fold(audKeep, audAgg)
+            Multimodal.sigKeepFold(imgKeep, imgAgg)
+            Multimodal.sigKeepFold(audKeep, audAgg)
             processed.add(bid)
           }
           // the label maintenance's component loop registers tracked

@@ -985,12 +985,17 @@ class OperatorsSpec extends AnyFunSuite {
     def half(sig: DataFrame, p: Int): DataFrame =
       sig.filter(!isHist && col("doc_id") % 2 === p)
     def foldSig(sig: DataFrame, modality: String, order: Seq[Int]): Set[(String, Long, Long)] = {
-      val seed = sig.filter(isHist).groupBy("ph")
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
-      val drained = order.foldLeft(seed)((store, p) =>
-        Multimodal.sigKeepMerge(store, half(sig, p)))
-      Multimodal.sigKeepComponents(spark, drained, modality).collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // the stream's own fold kernels: seed store, per-batch aggregate
+      // + driver (min, sum) fold, drain-time component resolution
+      val store = scala.collection.mutable.Map.from(
+        sig.filter(isHist).groupBy("ph")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))))
+      order.foreach(p =>
+        Multimodal.sigKeepFold(store, Multimodal.sigBatchAgg(half(sig, p))))
+      Multimodal.sigKeepComponentRows(spark,
+        store.iterator.map { case (ph, (k, n)) => (ph, k, n) }.toArray, modality)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     }
     def foldVid(order: Seq[Int]): Set[(String, Long, Long)] = {
       var labels = Multimodal.vidHistLabels(spark, sf)
