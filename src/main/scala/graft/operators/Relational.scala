@@ -657,17 +657,25 @@ object Relational {
   def ordersPercentileRank(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-    val cnt = o.groupBy("o_orderpriority", "o_totalprice")
-      .agg(count(lit(1)).as("c"))
-      .withColumn("band",
-        floor(col("o_totalprice") / PercentileBandWidth).cast("long"))
+    // cnt feeds two consumers (the band totals and the rank join) and
+    // Catalyst does not reuse exchanges across subtrees here — without
+    // the checkpoint the orders scan + aggregation re-executes per
+    // reference (plan-audited: the final plan scans orders exactly
+    // once, for the join-back)
+    val cnt = Kernels.trackedCheckpoint(
+      o.groupBy("o_orderpriority", "o_totalprice")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("band",
+          floor(col("o_totalprice") / PercentileBandWidth).cast("long")))
     val bandTot = cnt.groupBy("o_orderpriority", "band").agg(sum("c").as("bc"))
     val wBand = Window.partitionBy("o_orderpriority").orderBy("band")
     val offs = bandTot.withColumn("pre",
         coalesce(sum("bc").over(
           wBand.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("o_orderpriority"), col("band"), col("pre"))
-    val tot = cnt.groupBy("o_orderpriority").agg(sum("c").as("n"))
+    // per-priority totals fold the band totals, not cnt — one fewer
+    // pass over the distinct-price aggregate
+    val tot = bandTot.groupBy("o_orderpriority").agg(sum("bc").as("n"))
     val wIn = Window.partitionBy("o_orderpriority", "band").orderBy("o_totalprice")
     val ranked = cnt.join(offs, Seq("o_orderpriority", "band"))
       .withColumn("in_lt", coalesce(sum("c").over(

@@ -1070,6 +1070,26 @@ class PlanAuditSpec extends AnyFunSuite {
         s"stale allowlist entry: $f Window.partitionBy($k) x$n no longer matches the source")
   }
 
+  test("orders_percentile_rank: two-level rank, no per-priority corpus window, one orders scan") {
+    val df = Relational.ordersPercentileRank(spark, sf)
+    val p = plan(df)
+    Dedup.retireCaches()
+    // the naive form windows over the 5-value priority key — a fifth
+    // of orders in ONE task; the banded form's windows partition by
+    // (priority, band) and by priority only over the band aggregate
+    assert(p.contains("windowspecdefinition(o_orderpriority"),
+      s"band windows expected:\n${p.take(1000)}")
+    assert(!p.contains("percent_rank()") && !p.contains("cume_dist()"),
+      "ranks must derive from banded prefix sums, not corpus-window functions")
+    // the distinct-price aggregate is checkpointed: the final plan
+    // scans orders exactly once (the join-back), everything else reads
+    // the materialized aggregate (count on the simple tree — formatted
+    // mode prints every node twice, once in the tree, once in details)
+    val tree = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllMatchIn(tree).size
+    assert(scans == 1, s"expected exactly one orders scan, got $scans:\n${tree.take(1500)}")
+  }
+
   test("error context range join is an equi-join on user_id, band as residual") {
     // the time band must NOT force a nested-loop/cartesian: the join
     // keys on user_id and the µs-interval predicate rides along as a
