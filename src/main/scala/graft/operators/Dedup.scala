@@ -1018,16 +1018,9 @@ object Dedup {
   private[graft] def ensureBandStore(spark: SparkSession, dir: String): String =
     bandStoreMemo.synchronized {
       val key = Kernels.inputKey(dir, "documents.parquet")
-      bandStoreMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"bands|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-band-store-$h")
-        historyBandStore(spark, dir)
-          .write.mode("overwrite").parquet(root)
-        root
-      })
+      bandStoreMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-band-store", s"bands|${key._1}|${key._2}")(
+          historyBandStore(spark, dir).write.mode("overwrite").parquet(_)))
     }
 
   private val bandStoreMemo =

@@ -210,15 +210,9 @@ object Graph {
   private[graft] def ensureKnnEdges(spark: SparkSession, dir: String): String =
     knnEdgeMemo.synchronized {
       val key = Kernels.inputKey(dir, "embeddings.parquet")
-      knnEdgeMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"knn|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-knn-edges-$h")
-        mutualKnnEdges(spark, dir).write.mode("overwrite").parquet(root)
-        root
-      })
+      knnEdgeMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-knn-edges", s"knn|${key._1}|${key._2}")(
+          mutualKnnEdges(spark, dir).write.mode("overwrite").parquet(_)))
     }
 
   private val knnEdgeMemo =
@@ -318,19 +312,13 @@ object Graph {
       spark: SparkSession, dir: String, thresh: String): String =
     knnHistMemo.synchronized {
       val key = Kernels.inputKey(dir, "embeddings.parquet")
-      knnHistMemo.getOrElseUpdate((key, thresh), {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"knnhist|$thresh|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-knn-hist-$h")
-        directedTopK(spark,
-          Dedup.cappedCelledIndex(spark, dir)
-            .filter(incSplit >= thresh)
-            .select("vec_id", "cluster", "sub", "v", "norm"))
-          .write.mode("overwrite").parquet(root)
-        root
-      })
+      knnHistMemo.getOrElseUpdate((key, thresh),
+        Kernels.buildStore("graft-knn-hist", s"knnhist|$thresh|${key._1}|${key._2}")(
+          directedTopK(spark,
+            Dedup.cappedCelledIndex(spark, dir)
+              .filter(incSplit >= thresh)
+              .select("vec_id", "cluster", "sub", "v", "norm"))
+            .write.mode("overwrite").parquet(_)))
     }
 
   private val knnHistMemo =
@@ -422,16 +410,10 @@ object Graph {
       thresh: String = Dedup.IncBatchThreshold): String =
     knnMaintEdgeMemo.synchronized {
       val key = Kernels.inputKey(dir, "embeddings.parquet")
-      knnMaintEdgeMemo.getOrElseUpdate((key, thresh), {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"knnmaint|$thresh|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-knn-maint-$h")
-        maintainedKnnEdges(spark, dir, thresh)
-          .write.mode("overwrite").parquet(root)
-        root
-      })
+      knnMaintEdgeMemo.getOrElseUpdate((key, thresh),
+        Kernels.buildStore("graft-knn-maint", s"knnmaint|$thresh|${key._1}|${key._2}")(
+          maintainedKnnEdges(spark, dir, thresh)
+            .write.mode("overwrite").parquet(_)))
     }
 
   private val knnMaintEdgeMemo =
@@ -575,19 +557,13 @@ object Graph {
   private[graft] def ensureIncidence(spark: SparkSession, dir: String): String =
     incidenceMemo.synchronized {
       val key = Kernels.inputKey(dir, "documents.parquet")
-      incidenceMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"trinc|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-tr-inc-$h")
-        graft.Tables.documents(spark, dir)
-          .select(col("doc_id"),
-            explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
-          .distinct()
-          .write.mode("overwrite").parquet(root)
-        root
-      })
+      incidenceMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-tr-inc", s"trinc|${key._1}|${key._2}")(
+          graft.Tables.documents(spark, dir)
+            .select(col("doc_id"),
+              explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+            .distinct()
+            .write.mode("overwrite").parquet(_)))
     }
 
   private val incidenceMemo =

@@ -364,15 +364,10 @@ object KMeansCodebook {
     val assigned = lastAssignment(spark, dir)
       .select(col("vec_id"), col("cluster"),
         md5(concat(lit("cb:"), col("vec_id").cast("string"))).as("h"))
-      .withColumn("hv", conv(substring(col("h"), 1, 13), 16, 10).cast("double"))
-    val bk = graft.functions.TopKFunctions.topK(
-      spark, negate(col("hv")), col("vec_id"), lit(BalancedQuota))
-    // quota-th smallest prefix per cluster (or the cluster max when the
-    // cluster is smaller than the quota — then the filter keeps all)
-    val thresholds = assigned.groupBy("cluster").agg(bk.as("bk"))
-      .select(col("cluster"),
-        negate(element_at(col("bk"), least(size(col("bk")), lit(BalancedQuota)))
-          .getField("score")).as("hmax"))
+      .withColumn("hv", Sampling.hashPrefix52(col("h")))
+    val thresholds = Sampling.prefixQuotaThresholds(
+      spark, assigned, "cluster", col("vec_id"), BalancedQuota,
+      exhaustive = false)
     val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
     assigned.join(broadcast(thresholds), "cluster")
       .filter(col("hv") <= col("hmax"))

@@ -96,13 +96,6 @@ private[graft] object Kernels {
     df.cache()
   }
 
-  /** Drain the CALLING THREAD's scope: blocking-unpersist its tracked
-    * caches and checkpoint blocks, then fire the (global) memo
-    * invalidation hooks. Hooks stay global because a memo cleared
-    * spuriously just rebuilds, while a memo OUTLIVING its cache
-    * silently recomputes uncached every use — the cheap direction is
-    * over-clearing. Another thread's pinned frames are never touched.
-    */
   /** Drain ONLY the calling thread's scope — the per-micro-batch free
     * for `foreachBatch` bodies: a stream-execution thread accumulates
     * tracked caches and checkpoint ids (e.g. the label-maintenance
@@ -114,6 +107,13 @@ private[graft] object Kernels {
     */
   def drainThreadScope(): Unit = drainScope(scope.get)
 
+  /** Drain the CALLING THREAD's scope: blocking-unpersist its tracked
+    * caches and checkpoint blocks, then fire the (global) memo
+    * invalidation hooks. Hooks stay global because a memo cleared
+    * spuriously just rebuilds, while a memo OUTLIVING its cache
+    * silently recomputes uncached every use — the cheap direction is
+    * over-clearing. Another thread's pinned frames are never touched.
+    */
   def retireCaches(): Unit = {
     drainScope(scope.get)
     // backstop: drain scopes whose owning thread has DIED (isAlive
@@ -262,6 +262,24 @@ private[graft] object Kernels {
   private val tempStores = scala.collection.mutable.Set.empty[String]
   private lazy val storeCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTempStores()))
+
+  /** Derive, register and build ONE fingerprinted store root — the
+    * shared inner step of every `ensure*Store`: the root name is
+    * `prefix-md5(tag)[0,12)` under java.io.tmpdir, registered through
+    * [[registerTempStore]] (pid suffix, process-exit cleanup,
+    * dead-sibling sweep), and `write` runs against it exactly once.
+    * Callers memoize the returned root under their own key; keeping
+    * the derivation here means a store-lifecycle change is one edit,
+    * not one per ensure site.
+    */
+  def buildStore(prefix: String, tag: String)(write: String => Unit): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = registerTempStore(
+      s"${System.getProperty("java.io.tmpdir")}/$prefix-$h")
+    write(root)
+    root
+  }
 
   def registerTempStore(path: String): String = tempStores.synchronized {
     storeCleanupHook

@@ -1830,31 +1830,30 @@ object Multimodal {
     memoSig(spark, dir, "mediakeepnear")(mediaKeepNearDupBuild(spark, dir))
       .orderBy("modality", "keep_id")
 
-  /** DURABLE near-dup keep artifact: the keep table written ONCE per
+  /** PUBLISHED near-dup keep artifact: the keep table written ONCE per
     * corpus fingerprint to a fingerprint-keyed parquet root (the
     * [[graft.operators.Graph.ensureKnnDirectedHistory]] /
     * [[graft.operators.Dedup.ensureBandStore]] store contract). The
-    * session memo above amortizes within a JVM; THIS is the
-    * cross-session shape — production ships the keep-list as a table
-    * every downstream consumer reads (any session that can read the
-    * path serves it without re-running the signature chains, the
-    * driver DSUs, or the video component loop), and the
+    * localCheckpoint memo above amortizes recomputation; THIS is the
+    * published-TABLE shape — production ships the keep-list as a table
+    * every downstream consumer reads, and the serve path is a bare
+    * parquet scan with no derivation in the plan (no signature chains,
+    * no driver DSUs, no video component loop). The
     * [[graft.operators.Sampling.mediaTrainingSet]] flagship + the
-    * `*_served` gate read exactly this artifact.
+    * `*_served` gate read exactly this artifact. Lifetime follows the
+    * repo-wide store contract ([[Kernels.registerTempStore]]):
+    * SESSION-independent — any session in the JVM serves it — with the
+    * pid-suffixed root reclaimed at process exit as the sandbox's
+    * disk-hygiene boundary; a deployment would point the same
+    * fingerprint-keyed layout at a warehouse path instead.
     */
   private[graft] def ensureMediaKeepNearDupStore(
       spark: SparkSession, dir: String): String =
     keepStoreMemo.synchronized {
       val key = Kernels.inputKey(dir, "documents.parquet")
-      keepStoreMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"mediakeepnear|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-media-keep-$h")
-        mediaKeepNearDup(spark, dir).write.mode("overwrite").parquet(root)
-        root
-      })
+      keepStoreMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-media-keep", s"mediakeepnear|${key._1}|${key._2}")(
+          mediaKeepNearDup(spark, dir).write.mode("overwrite").parquet(_)))
     }
 
   private val keepStoreMemo =

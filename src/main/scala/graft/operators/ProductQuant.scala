@@ -503,16 +503,11 @@ object ProductQuant {
   def ensureIndexArtifact(spark: SparkSession, dir: String): String =
     artifactMemo.synchronized {
       val key = Kernels.inputKey(dir, "embeddings.parquet")
-      artifactMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-ann-index-$h")
-        KMeansCodebook.writeIndex(spark, dir, root)
-        writeCodebooks(spark, dir, root)
-        root
-      })
+      artifactMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-ann-index", s"${key._1}|${key._2}") { root =>
+          KMeansCodebook.writeIndex(spark, dir, root)
+          writeCodebooks(spark, dir, root)
+        })
     }
 
   private val artifactMemo =
@@ -628,15 +623,9 @@ object ProductQuant {
   private[graft] def ensureHistoryArtifact(spark: SparkSession, dir: String): String =
     histMemo.synchronized {
       val key = maintKey(dir)
-      histMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"hist|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-ann-hist-$h")
-        writeHistoryTrainedIndex(spark, dir, root)
-        root
-      })
+      histMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-ann-hist", s"hist|${key._1}|${key._2}")(
+          writeHistoryTrainedIndex(spark, dir, _)))
     }
 
   private val histMemo =
@@ -669,19 +658,14 @@ object ProductQuant {
   private[graft] def ensureMaintainedArtifact(spark: SparkSession, dir: String): String =
     maintMemo.synchronized {
       val key = maintKey(dir)
-      maintMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-ann-maint-$h")
-        writeHistoryTrainedIndex(spark, dir, root)
-        // --- the maintenance step: frozen-codebook ingest of the batch
-        appendBatchToIndex(
-          Tables.embeddings(spark, dir)
-            .filter(isIncBatchVec(col("vec_id"))), root)
-        root
-      })
+      maintMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-ann-maint", s"${key._1}|${key._2}") { root =>
+          writeHistoryTrainedIndex(spark, dir, root)
+          // --- the maintenance step: frozen-codebook ingest of the batch
+          appendBatchToIndex(
+            Tables.embeddings(spark, dir)
+              .filter(isIncBatchVec(col("vec_id"))), root)
+        })
     }
 
   private val maintMemo =
@@ -812,18 +796,13 @@ object ProductQuant {
   private[graft] def ensurePipelineArtifact(spark: SparkSession, dir: String): String =
     pipeArtifactMemo.synchronized {
       val key = pipeKey(dir)
-      pipeArtifactMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-pipe-index-$h")
-        val base = pipeBase(spark, dir)
-        KMeansCodebook.writeIndexOn(spark, key, base, root)
-        writeCodebooksOn(spark, key, subBaseOf(base),
-          KMeansCodebook.assignmentOn(spark, key, base), root)
-        root
-      })
+      pipeArtifactMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-pipe-index", s"${key._1}|${key._2}") { root =>
+          val base = pipeBase(spark, dir)
+          KMeansCodebook.writeIndexOn(spark, key, base, root)
+          writeCodebooksOn(spark, key, subBaseOf(base),
+            KMeansCodebook.assignmentOn(spark, key, base), root)
+        })
     }
 
   private val pipeArtifactMemo =

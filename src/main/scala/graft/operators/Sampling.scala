@@ -67,25 +67,65 @@ object Sampling {
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val h = saltedHash("str", col("doc_id"))
-    // first 52 hash bits as an exactly-representable double
-    val hv = conv(substring(h, 1, 13), 16, 10).cast("double")
-    val base = Tables.documents(spark, dir).select(col("source"), col("doc_id"))
-    // graft_topk orders score DESC, so the NEGATED prefix yields
-    // bottom-k; entry `least(size, quota)` is the quota-th smallest
-    // (or the stratum max when the stratum is smaller than the quota)
-    val bk = graft.functions.TopKFunctions.topK(
-      base.sparkSession, negate(hv), col("doc_id"), lit(StratifiedQuota))
-    val thresholds = base.groupBy("source").agg(bk.as("bk"))
-      .select(col("source"),
-        negate(element_at(col("bk"), least(size(col("bk")), lit(StratifiedQuota)))
-          .getField("score")).as("hmax"))
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), hashPrefix52(h).as("hv"))
+    val thresholds = prefixQuotaThresholds(
+      spark, base, "source", col("doc_id"), StratifiedQuota, exhaustive = false)
     val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
     base.join(broadcast(thresholds), "source")
-      .filter(hv <= col("hmax"))
+      .filter(col("hv") <= col("hmax"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= StratifiedQuota)
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy("source", "doc_id")
+  }
+
+  /** The hash's first 52 bits (13 hex chars) as an exactly-representable
+    * double — the prefix every bounded-topk gate compares on.
+    */
+  private[graft] def hashPrefix52(h: Column): Column =
+    conv(substring(h, 1, 13), 16, 10).cast("double")
+
+  /** The shared threshold pass of every lossless bounded-topk prefix
+    * gate ([[stratifiedSample]]'s construction, reused by
+    * [[mixTokenBudget]] and
+    * [[graft.operators.KMeansCodebook.clusterBalancedSample]]): a
+    * map-side-partial `graft_topk` collects each key's `quota` smallest
+    * 52-bit prefixes from `rows` (which must carry `keyCol` and an
+    * `hv` = [[hashPrefix52]] column; map tasks reduce to ≤ quota
+    * entries per key BEFORE the exchange), and the returned
+    * (key, hmax) frame broadcasts back so an INCLUSIVE `hv <= hmax`
+    * filter gates the corpus in front of the exact window — lossless
+    * because md5 truncation is monotone (the q-th truncated order
+    * statistic IS the truncation of the q-th full hash) and
+    * prefix-collision stragglers fall to the exact window.
+    *
+    * `exhaustive = false` — rank-quota selections, where the window
+    * itself cuts at `quota`: hmax is the quota-th smallest prefix, or
+    * the key's max when the key is smaller (the gate then keeps the
+    * whole key, which the rank truncates anyway).
+    * `exhaustive = true` — budget selections, where gated rows beyond
+    * the quota-th CONTRIBUTOR may legitimately still be kept: hmax is
+    * the quota-th smallest only when the key has a full `quota`
+    * contributing rows, else +∞ (a key without enough contributors can
+    * never be cut by the bound at all).
+    */
+  private[graft] def prefixQuotaThresholds(spark: SparkSession,
+      rows: DataFrame, keyCol: String, id: Column, quota: Int,
+      exhaustive: Boolean): DataFrame = {
+    // graft_topk orders score DESC, so the NEGATED prefix yields bottom-k
+    val bk = graft.functions.TopKFunctions.topK(
+      spark, negate(col("hv")), id, lit(quota))
+    val hmax =
+      if (exhaustive)
+        when(size(col("bk")) === quota,
+          negate(element_at(col("bk"), quota).getField("score")))
+          .otherwise(lit(Double.MaxValue))
+      else
+        negate(element_at(col("bk"), least(size(col("bk")), lit(quota)))
+          .getField("score"))
+    rows.groupBy(keyCol).agg(bk.as("bk"))
+      .select(col(keyCol), hmax.as("hmax"))
   }
 
   /** Weighted source mixing: each source gets its own keep-rate, and a
@@ -140,21 +180,15 @@ object Sampling {
     */
   def mixTokenBudget(spark: SparkSession, dir: String): DataFrame = {
     val h = saltedHash("tb", col("doc_id"))
-    // first 52 hash bits as an exactly-representable double (the
-    // stratifiedSample truncation argument)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
-        conv(substring(h, 1, 13), 16, 10).cast("double").as("hv"))
-    val quota = (TokenBudget + 1).toInt
-    val bk = graft.functions.TopKFunctions.topK(
-      spark, negate(col("hv")), col("doc_id"), lit(quota))
-    val thresholds = docs.filter(col("n_tokens") >= 1L)
-      .groupBy("source").agg(bk.as("bk"))
-      .select(col("source"),
-        when(size(col("bk")) === quota,
-          negate(element_at(col("bk"), quota).getField("score")))
-          .otherwise(lit(Double.MaxValue)).as("hmax"))
+        hashPrefix52(h).as("hv"))
+    // exhaustive thresholds over the CONTRIBUTING (token-bearing) rows
+    // only — see prefixQuotaThresholds for the two edge cases
+    val thresholds = prefixQuotaThresholds(
+      spark, docs.filter(col("n_tokens") >= 1L), "source", col("doc_id"),
+      (TokenBudget + 1).toInt, exhaustive = true)
     val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
     // left join: a source whose docs are ALL zero-token has no
     // threshold row — every doc is kept (cum stays 0)

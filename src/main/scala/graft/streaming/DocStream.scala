@@ -1037,9 +1037,13 @@ object DocStream {
       // state (the two keep maps + this list) mutates only AFTER all
       // of the batch's Spark jobs succeeded — a replayed batch either
       // fully skips (id already folded) or cleanly overwrites its own
-      // partial output and folds once. CopyOnWrite for the
-      // stream-thread-writes / caller-thread-reads visibility edge
-      // (the streamMediaKeep AtomicInteger note).
+      // partial output and folds once. Visibility: the CopyOnWrite
+      // list covers labelsAt()'s cross-thread reads of `processed`;
+      // the caller-thread reads of the plain keep MAPS at drain rest
+      // on q.processAllAvailable()'s own lock (its await establishes
+      // the happens-before with the stream thread's batch bodies) —
+      // replacing processAllAvailable with status polling would need
+      // an explicit fence for the maps.
       val processed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
       def labelsAt(): DataFrame =
         if (processed.isEmpty) histLabels

@@ -1055,11 +1055,12 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("mediaKeepNearDupServed reads the durable artifact and matches the batch table") {
-    // the durable store is the cross-session shape: a fingerprint-keyed
-    // parquet table any session serves without re-deriving signatures,
-    // DSUs, or the video component loop — pin that the served rows
-    // equal the batch keep table and that the serve plan is ONLY a
-    // parquet scan of the store (no derivation may leak back in)
+    // the published store is the table shape: a fingerprint-keyed
+    // parquet root any session in the JVM serves without re-deriving
+    // signatures, DSUs, or the video component loop — pin that the
+    // served rows equal the batch keep table and that the serve plan
+    // is ONLY a parquet scan of the store (no derivation may leak
+    // back in)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
         r.getAs[Long]("n_members"))).toSet
