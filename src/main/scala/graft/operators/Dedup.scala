@@ -1149,6 +1149,16 @@ object Dedup {
     */
   val SemCellCap = 200
 
+  /** Number of hash-prefix bands [[capCells]] splits each cell into
+    * before ranking — 2^16 via the first 4 hex chars of the member
+    * hash. Uniform by md5, so a cell of n members puts ~n/65536 rows
+    * in each in-band rank partition; the per-cell band-offset window
+    * runs over at most 65536 aggregate rows per cell, a fixed
+    * constant. Both levels stay bounded no matter how large one cell
+    * grows.
+    */
+  private[graft] val CapCellBandHexChars = 4
+
   /** Deterministic cap/split for [[semanticNearDup]]: members of each
     * cell are ranked by a salted md5 of their id (ties to the id —
     * the [[KMeansCodebook.clusterBalancedSample]] ordering contract,
@@ -1157,16 +1167,47 @@ object Dedup {
     * a hash split, the rank split makes the bound EXACT — no sub-cell
     * ever exceeds `cap`, so candidate pairs per (cell, sub) are ≤
     * C(cap, 2) by construction (spec-asserted on a synthetic hot
-    * cluster). The rank window partitions by cell: bounded work per
-    * cell at production cell counts (SemDeDup runs ~11k cells over
-    * LAION; cells scale out with the corpus, cap stays fixed).
+    * cluster).
+    *
+    * The rank is computed WITHOUT a per-cell corpus window — real
+    * embedding corpora are heavy-tailed (a boilerplate cell can hold a
+    * double-digit share of the corpus), and `row_number() OVER
+    * (PARTITION BY cluster)` would funnel that whole cell through one
+    * task just to split it. This is the two-level banded formulation
+    * ([[Relational.ordersPercentileRank]]'s construction, specialized
+    * to a uniform hash key): band each member by the first
+    * [[CapCellBandHexChars]] hex chars of its hash — a PREFIX of the
+    * rank key, so band order refines (h, vec_id) order exactly;
+    * per-(cell, band) counts give each band's exclusive before-count
+    * via a window over the tiny band aggregate; the in-band
+    * `row_number` runs per (cell, band) — ~n/2^16 rows per partition —
+    * and `rank = pre + in_rank` is the identical global rank, so
+    * `sub = (rank - 1) div cap` reproduces the single-window split
+    * bit-for-bit (the oracle replays the plain-window form; the
+    * differential is plan-audited AND collect-proved in
+    * `PlanAuditSpec`). The band aggregate is checkpointed: it feeds
+    * the offsets join and would otherwise re-run its corpus pass per
+    * downstream reference (the self-join consumes capCells twice).
     */
   private[graft] def capCells(assignment: DataFrame, cap: Int): DataFrame = {
-    val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
-    assignment
+    val withH = assignment
       .withColumn("h", md5(concat(lit("sd:"), col("vec_id").cast("string"))))
-      .withColumn("sub", floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
-      .drop("h")
+      .withColumn("band",
+        conv(substring(col("h"), 1, CapCellBandHexChars), 16, 10).cast("long"))
+    val offs = Kernels.trackedCheckpoint(
+      withH.groupBy("cluster", "band").agg(count(lit(1)).as("bc"))
+        .withColumn("pre", coalesce(
+          sum("bc").over(Window.partitionBy("cluster").orderBy("band")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("cluster"), col("band"), col("pre")))
+    val wIn = Window.partitionBy("cluster", "band").orderBy(col("h"), col("vec_id"))
+    withH.join(offs, Seq("cluster", "band"))
+      .withColumn("rnk", col("pre") + row_number().over(wIn))
+      // integer div, not floor(double /): exact at any rank magnitude
+      .withColumn("sub", expr(s"(rnk - 1) div $cap"))
+      // the join reordered columns (join keys lead) — restore the
+      // caller's layout with sub appended, the plain-window contract
+      .select(assignment.columns.map(col) :+ col("sub"): _*)
   }
 
   /** `dedup_semantic`: SemDeDup-style near-dup — all-pairs cosine

@@ -988,6 +988,38 @@ class PlanAuditSpec extends AnyFunSuite {
       "pre-filter must be lossless: selection identical to the plain window")
   }
 
+  test("capCells splits via the two-level banded rank, identical to the plain window") {
+    // the cap/split itself must not be the whale funnel it exists to
+    // prevent: a row_number over the bare cell ranks a boilerplate
+    // cell's FULL membership in one task. The banded form's only
+    // window partitions by (cluster, band) — the per-cell offsets
+    // window runs inside an eager checkpoint over the tiny band
+    // aggregate, so the consumer plan carries no bare-cell window.
+    import spark.implicits._
+    val assignment = ((0L until 1000L).map(i => (i, 0L)) ++
+      (1000L until 1040L).map(i => (i, 1L))).toDF("vec_id", "cluster")
+    val df = operators.Dedup.capCells(assignment, 100)
+    val tree = df.queryExecution.executedPlan.toString
+    val partKeys = """windowspecdefinition\(cluster#\d+L?, (\w+)"""
+      .r.findAllMatchIn(tree).map(_.group(1)).toSeq
+    assert(partKeys.nonEmpty && partKeys.forall(_ == "band"),
+      s"every window over members must partition by (cluster, band), " +
+        s"got second keys $partKeys:\n${tree.take(1500)}")
+    // pre + in-band rank is the IDENTICAL split, bit-for-bit
+    val plain = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("cluster").orderBy(col("h"), col("vec_id"))
+      assignment
+        .withColumn("h", md5(concat(lit("sd:"), col("vec_id").cast("string"))))
+        .withColumn("sub",
+          floor((row_number().over(w) - lit(1)) / lit(100)).cast("long"))
+        .drop("h")
+    }
+    assert(df.collect().map(_.toSeq).toSet == plain.collect().map(_.toSeq).toSet,
+      "banded rank must reproduce the plain-window split exactly")
+  }
+
   test("pack_sequences windows by shard, never a global single-partition sort") {
     val p = plan(operators.Sampling.packSequences(spark, sf))
     assert(p.contains("hashpartitioning(shard"),
@@ -1006,49 +1038,74 @@ class PlanAuditSpec extends AnyFunSuite {
     // appear here with its boundedness argument and exact occurrence
     // count. A new window (or a new use of an existing key) fails the
     // suite until classified — the classification IS the review.
-    val allow: Map[String, Map[String, (Int, String)]] = Map(
-      "ChangeStream.scala" -> Map(
-        """"o_orderkey"""" -> (1, "per-order change-batch versions (bounded rewrites per key)")),
-      "EventStream.scala" -> Map(
-        """"hour"""" -> (1, "input is the hour x event_type aggregate, not events")),
-      "KMeans.scala" -> Map(
-        """"cluster"""" -> (1, "threshold-prefiltered: bounded-topk broadcast gate before the rank")),
-      "Sampling.scala" -> Map(
-        """"source"""" -> (2, "threshold-prefiltered: bounded-topk broadcast gate before the window"),
-        """"shard"""" -> (6, "shard count scales with corpus; per-shard rows hash-bounded")),
-      "Similarity.scala" -> Map(
-        """"probe_id"""" -> (3, "per-probe candidates already top-k/cell-bounded")),
-      "TextAnalysis.scala" -> Map(
-        """"bkt"""" -> (1, "<=41 quantile buckets over the qi aggregate, not the corpus")),
-      "Dedup.scala" -> Map(
-        """"cluster"""" -> (1, "capCells: exact rank required for the cap/split contract; " +
-          "cell count scales with corpus (SemDeDup practice), cap fixed")),
-      "Events.scala" -> Map(
-        """"user_id"""" -> (3, "per-user event sequence (sessionization's natural key)"),
-        """"event_type"""" -> (1, "input is the day x event_type aggregate")),
-      "Sketches.scala" -> Map(
-        """"event_type"""" -> (1, "input is histogram bins, not events")),
-      "Retrieval.scala" -> Map(
-        """"query_id"""" -> (2, "per-query fusion lists already top-k-bounded")),
-      "Bpe.scala" -> Map(
-        """"word"""" -> (1, "per-word positions (words are short)"),
-        """"word", "pairh"""" -> (1, "per-(word,pair) runs within a word"),
-        """"word", "pairh", "grp"""" -> (1, "per-(word,pair,run) alternation")),
-      "Relational.scala" -> Map(
-        """"l_orderkey"""" -> (1, "per-order lineitems (<=7 per TPC-H order)"),
-        """"o_custkey"""" -> (1, "per-customer orders (bounded by data model)"),
-        """"o_orderpriority"""" -> (1, "input is the tiny (priority, band) offset aggregate, not orders"),
-        """"o_orderpriority", "band"""" -> (1, "in-band prefix over band-width-bounded distinct prices"),
-        """"o_orderkey"""" -> (4, "per-order lineitems (<=7 per TPC-H order)"),
-        """"l_partkey"""" -> (2, "per-part lineitems (bounded by data model)")),
-      "Graph.scala" -> Map(
-        """"src"""" -> (1, "per-node neighbor candidates bounded by beam/cell caps")),
-      "Multimodal.scala" -> Map(
-        """"doc_id"""" -> (3, "per-document media windows (<=8 rows per doc)")),
-      "Corpus.scala" -> Map(
-        """"doc_id"""" -> (1, "per-document terms"),
-        """"fp"""" -> (1, "per-fingerprint duplicate group"),
-        """"shard"""" -> (1, "shard count scales with corpus; per-shard rows hash-bounded")))
+    // A Seq of (file, key, count, reason), NOT nested Map literals: a
+    // Scala Map literal silently keeps only the LAST entry for a
+    // duplicated key, so a duplicate classification (two different
+    // counts for the same partition key) would shadow one entry with
+    // no test failure — the uniqueness assertion below makes a
+    // duplicate itself a failure (r16 verdict finding #2).
+    val allowSeq: Seq[(String, String, Int, String)] = Seq(
+      ("ChangeStream.scala", """"o_orderkey"""", 1,
+        "per-order change-batch versions (bounded rewrites per key)"),
+      ("EventStream.scala", """"hour"""", 1,
+        "input is the hour x event_type aggregate, not events"),
+      ("KMeans.scala", """"cluster"""", 1,
+        "threshold-prefiltered: bounded-topk broadcast gate before the rank"),
+      ("Sampling.scala", """"source"""", 2,
+        "threshold-prefiltered: bounded-topk broadcast gate before the window"),
+      ("Sampling.scala", """"shard"""", 6,
+        "shard count scales with corpus; per-shard rows hash-bounded"),
+      ("Similarity.scala", """"probe_id"""", 3,
+        "per-probe candidates already top-k/cell-bounded"),
+      ("TextAnalysis.scala", """"bkt"""", 1,
+        "<=41 quantile buckets over the qi aggregate, not the corpus"),
+      ("Dedup.scala", """"cluster"""", 1,
+        "capCells band offsets: input is the tiny (cluster, band) aggregate, not members"),
+      ("Dedup.scala", """"cluster", "band"""", 1,
+        "capCells in-band rank: ~cell/2^16 members per band partition"),
+      ("Events.scala", """"user_id"""", 3,
+        "per-user event sequence (sessionization's natural key); a bot user " +
+        "funnels one task — accepted trade: sessionize admits a time-chunk + " +
+        "boundary-stitch split (chunks wider than the gap only stitch at " +
+        "adjacent boundaries) and the carry-forwards admit a two-level band " +
+        "carrying each chunk's last non-null; recorded, not yet needed at " +
+        "the human-event rates this models"),
+      ("Events.scala", """"event_type"""", 1,
+        "input is the day x event_type aggregate"),
+      ("Sketches.scala", """"event_type"""", 1,
+        "input is histogram bins, not events"),
+      ("Retrieval.scala", """"query_id"""", 2,
+        "per-query fusion lists already top-k-bounded"),
+      ("Bpe.scala", """"word"""", 1, "per-word positions (words are short)"),
+      ("Bpe.scala", """"word", "pairh"""", 1, "per-(word,pair) runs within a word"),
+      ("Bpe.scala", """"word", "pairh", "grp"""", 1, "per-(word,pair,run) alternation"),
+      ("Relational.scala", """"l_orderkey"""", 1,
+        "per-order lineitems (<=7 per TPC-H order)"),
+      ("Relational.scala", """"o_custkey"""", 1,
+        "per-customer orders (bounded by data model)"),
+      ("Relational.scala", """"o_orderpriority"""", 1,
+        "input is the tiny (priority, band) offset aggregate, not orders"),
+      ("Relational.scala", """"o_orderpriority", "band"""", 1,
+        "in-band prefix over band-width-bounded distinct prices"),
+      ("Relational.scala", """"o_orderkey"""", 4,
+        "per-order lineitems (<=7 per TPC-H order)"),
+      ("Relational.scala", """"l_partkey"""", 2,
+        "per-part lineitems (bounded by data model)"),
+      ("Graph.scala", """"src"""", 1,
+        "per-node neighbor candidates bounded by beam/cell caps"),
+      ("Multimodal.scala", """"doc_id"""", 3,
+        "per-document media windows (<=8 rows per doc)"),
+      ("Corpus.scala", """"doc_id"""", 1, "per-document terms"),
+      ("Corpus.scala", """"fp"""", 1, "per-fingerprint duplicate group"),
+      ("Corpus.scala", """"shard"""", 1,
+        "shard count scales with corpus; per-shard rows hash-bounded"))
+    val dups = allowSeq.groupBy(e => (e._1, e._2)).filter(_._2.size > 1).keys
+    assert(dups.isEmpty,
+      s"duplicate allowlist classification(s): ${dups.mkString(", ")} — one " +
+        "entry per (file, partition key), with its single true count")
+    val allow: Map[String, Map[String, (Int, String)]] =
+      allowSeq.groupBy(_._1).view.mapValues(
+        _.map(e => e._2 -> (e._3, e._4)).toMap).toMap
     import scala.jdk.CollectionConverters._
     val re = """Window\.partitionBy\(([^)]*)\)""".r
     val actual: Map[String, Map[String, Int]] =
