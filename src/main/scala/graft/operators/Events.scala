@@ -34,23 +34,82 @@ object Events {
       .filter(col("k") >= 50)
       .orderBy("event_id")
 
-  /** Sessionization: a session breaks after a 30-minute silence per
-    * user. Classic gaps-and-islands with `lag` + running sum — one
-    * shuffle on user_id, everything else inside the window. The
-    * streaming analogue with `flatMapGroupsWithState` is in
-    * [[graft.streaming.EventStream]].
+  /** Width of [[sessionize]]'s time chunks (1 day in µs). Any width
+    * ≥ the session gap works — with W ≥ gap, a user chunk can only
+    * stitch to the IMMEDIATELY preceding chunk (an empty chunk between
+    * two events forces a silence > W ≥ gap, i.e. a session break), so
+    * the boundary correction is a lag-1 over the chunk aggregate,
+    * never a search.
     */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+  private[graft] val SessionChunkUs = 24L * 3600 * 1000000
+
+  /** Sessionization: a session breaks after a 30-minute silence per
+    * user. Classic gaps-and-islands (`lag` + running sum), but NOT as
+    * the classic single per-user window — a bot user would funnel its
+    * entire history through one task. Time-chunked with boundary
+    * stitching instead, semantics unchanged:
+    *
+    *  1. within each (user, day-chunk): the usual lag/flag/running-sum,
+    *     a window whose partition holds one user-DAY of events;
+    *  2. per-(user, chunk) aggregate: first/last ts + session-start
+    *     count — calendar-bounded rows per user;
+    *  3. the stitch: chunk c continues chunk c−1's last session iff
+    *     they are adjacent and the boundary silence ≤ gap (chunks are
+    *     wider than the gap, so non-adjacent chunks can never stitch —
+    *     see [[SessionChunkUs]]); a lag-1 + prefix sum over the chunk
+    *     aggregate turns corrected start-counts into each chunk's
+    *     session-id offset;
+    *  4. global session_seq = chunk offset + within-chunk running sum
+    *     with the chunk-first flag flipped off when stitched — exactly
+    *     the running sum the single window computes, reassembled from
+    *     per-chunk pieces (chunk is a monotone function of ts, so
+    *     chunk order refines (ts, event_id) order; the boundary
+    *     predecessor's ts is the previous chunk's max ts).
+    *
+    * The oracle keeps the plain single-window SQL; the differential is
+    * the equivalence proof. The streaming analogue with
+    * `flatMapGroupsWithState` is in [[graft.streaming.EventStream]].
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionizeOf(Tables.events(spark, dir))
+
+  /** Core of [[sessionize]] over any events-shaped frame (event_id,
+    * user_id, ts, value) — split out so the chunk-boundary stitch is
+    * unit-testable on synthetic rows (stitch within gap, break beyond
+    * it, break across an empty chunk, multi-chunk session chains).
+    */
+  private[graft] def sessionizeOf(events: DataFrame): DataFrame = {
     val gapMicros = 30L * 60 * 1000000 // compare in µs: exact in both engines
-    Tables.events(spark, dir)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
-      .withColumn("new_session",
+    val wChunk = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    val flagged = events
+      .withColumn("chunk", expr(s"unix_micros(ts) div $SessionChunkUs"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wChunk))
+      .withColumn("new_in",
         (col("prev_ts").isNull ||
          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros)
           .cast("long"))
-      .withColumn("session_seq", sum("new_session").over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // the chunk aggregate is tiny (user x active-day); eager-checkpoint
+    // it so the stitch branch does not re-run the corpus window per
+    // downstream reference (the ordersPercentileRank discipline)
+    val wUser = Window.partitionBy("user_id").orderBy("chunk")
+    val adj = Kernels.trackedCheckpoint(
+      flagged.groupBy("user_id", "chunk")
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
+             sum("new_in").as("starts"))
+        .withColumn("cont",
+          when(lag("chunk", 1).over(wUser) === col("chunk") - 1 &&
+               unix_micros(col("first_ts")) -
+                 unix_micros(lag("last_ts", 1).over(wUser)) <= gapMicros,
+            lit(1L)).otherwise(lit(0L)))
+        .withColumn("offset", coalesce(
+          sum(col("starts") - col("cont")).over(
+            wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("user_id"), col("chunk"), col("cont"), col("offset")))
+    flagged.join(adj, Seq("user_id", "chunk"))
+      .withColumn("new_corr",
+        when(col("prev_ts").isNull, lit(1L) - col("cont")).otherwise(col("new_in")))
+      .withColumn("session_seq", col("offset") + sum("new_corr").over(
+        wChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_seq")
       .agg(count(lit(1)).as("n_events"),
            min("ts").as("session_start"),

@@ -83,6 +83,66 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionize chunk stitch equals the plain single-window form on boundary cases") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // engineered around the midnight chunk boundary: stitch within gap,
+    // break beyond it, break across an empty chunk, and a session chain
+    // spanning three chunks
+    val events = Seq(
+      // user 7: stitch at boundary (20 min), then in-chunk break (45 min),
+      // then a boundary break (46 min)
+      (1L, 7L, ts("2024-01-01 23:45:00"), 1.0),
+      (2L, 7L, ts("2024-01-02 00:05:00"), 1.0),
+      (3L, 7L, ts("2024-01-02 00:50:00"), 1.0),
+      (4L, 7L, ts("2024-01-02 23:59:00"), 1.0),
+      (5L, 7L, ts("2024-01-03 00:45:00"), 1.0),
+      // user 8: an entire empty chunk between events — never stitches
+      // even though both events sit near their chunk edges
+      (6L, 8L, ts("2024-01-01 23:00:00"), 1.0),
+      (7L, 8L, ts("2024-01-03 01:00:00"), 1.0),
+      // user 9: one session chained across three chunks — an event
+      // every 25 minutes (< the 30-min gap) for 30 hours straight
+      (8L, 9L, ts("2024-01-01 23:50:00"), 1.0)
+    ).map { case (id, u, t, v) => (id, u, t, v) } ++
+      (1 until 73).map(i => (100L + i, 9L,
+        new java.sql.Timestamp(ts("2024-01-01 23:50:00").getTime +
+          i * 25L * 60 * 1000), 1.0))
+    val eventsDf = events.toDF("event_id", "user_id", "ts", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq"),
+       r.getAs[Long]("n_events"), r.getAs[java.sql.Timestamp]("session_start"),
+       r.getAs[java.sql.Timestamp]("session_end"))
+    val stitched = Events.sessionizeOf(eventsDf).collect().map(key).toSet
+    // the oracle form: one window over the whole per-user history
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val plain = eventsDf
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull ||
+         unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000)
+          .cast("long"))
+      .withColumn("session_seq", sum("new_session").over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"), min("ts").as("session_start"),
+           max("ts").as("session_end"))
+      .collect().map(key).toSet
+    assert(stitched == plain, s"stitched $stitched != plain $plain")
+    // and the engineered shape is what we think it is
+    val perUser = stitched.groupBy(_._1).view.mapValues(_.size).toMap
+    // user 7: {23:45+00:05 stitched}, {00:50}, {23:59}, {00:45} — the
+    // boundary stitch fires once, the in-chunk and boundary breaks hold;
+    // user 8: the empty chunk forces a break; user 9: ONE session
+    // spanning three calendar chunks (every boundary stitched)
+    assert(perUser == Map(7L -> 4, 8L -> 2, 9L -> 1), s"got $perUser")
+    val chunks = eventsDf.filter(col("user_id") === 9L)
+      .select((unix_micros(col("ts")).cast("long") / lit(Events.SessionChunkUs))
+        .cast("long")).distinct().count()
+    assert(chunks == 3, s"user 9 must span three chunks, spans $chunks")
+  }
+
   test("shingles: short and empty docs") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "", "one").toDF("text")

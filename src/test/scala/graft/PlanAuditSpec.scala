@@ -1064,12 +1064,15 @@ class PlanAuditSpec extends AnyFunSuite {
       ("Dedup.scala", """"cluster", "band"""", 1,
         "capCells in-band rank: ~cell/2^16 members per band partition"),
       ("Events.scala", """"user_id"""", 3,
-        "per-user event sequence (sessionization's natural key); a bot user " +
-        "funnels one task — accepted trade: sessionize admits a time-chunk + " +
-        "boundary-stitch split (chunks wider than the gap only stitch at " +
-        "adjacent boundaries) and the carry-forwards admit a two-level band " +
-        "carrying each chunk's last non-null; recorded, not yet needed at " +
-        "the human-event rates this models"),
+        "one site (sessionize's stitch) runs over the tiny (user, chunk) " +
+        "aggregate — calendar-bounded rows per user; the two carry-forward " +
+        "sites (asof, resample) keep the per-user event window — a bot user " +
+        "funnels one task there. Accepted trade, recorded: both admit the " +
+        "same chunk + carry-each-chunk's-last-non-null split sessionize now " +
+        "uses; not yet needed at the human-event rates these model"),
+      ("Events.scala", """"user_id", "chunk"""", 1,
+        "sessionize gaps-and-islands per user-DAY (time-chunked; boundary " +
+        "stitch over the chunk aggregate reassembles exact global sessions)"),
       ("Events.scala", """"event_type"""", 1,
         "input is the day x event_type aggregate"),
       ("Sketches.scala", """"event_type"""", 1,
