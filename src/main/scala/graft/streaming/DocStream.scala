@@ -984,19 +984,47 @@ object DocStream {
     *  - video: the clip pair predicate is NOT endpoint-local, so each
     *    batch probes the accumulated frame-signature store for its
     *    blast-radius edges (the asymmetric banded probe — batch frames
-    *    × store, never a store self-join) and contraction-merges them
-    *    into the maintained LABEL table
+    *    × store, never a store self-join). The edges ACCUMULATE: the
+    *    contraction-merge into the maintained LABEL table
     *    ([[graft.operators.Dedup.maintainLabels]] — keep rows alone
     *    cannot absorb the next batch; contraction needs every seen
-    *    doc's current representative). Contraction merges are
-    *    confluent, so however the source micro-batches the ingest the
-    *    drained labels equal the union-corpus components.
+    *    doc's current representative) is deferred to every
+    *    [[VideoContractEvery]]-th batch plus once at drain, legally:
+    *    contraction merges are confluent, so however the source
+    *    micro-batches the ingest — and wherever the contraction
+    *    points land — the drained labels equal the union-corpus
+    *    components.
     *
     * The drained product therefore equals the one-shot maintenance
     * row-for-row and the SAME oracle gates both (the maintain query's
     * full-union-recompute text).
     */
-  def streamMediaKeepNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def streamMediaKeepNearDup(spark: SparkSession, dir: String): DataFrame =
+    streamMediaKeepNearDupFrom(spark, dir, dir, "documents.parquet",
+      filesPerTrigger = None, contractEvery = VideoContractEvery)
+
+  /** How many micro-batches of video blast-radius edges accumulate
+    * before a contraction folds them into the label table. Contraction
+    * merges are confluent (the both-orders commutativity spec), so
+    * deferral changes nothing in the drained product — it only
+    * amortizes the component loop: per batch the stream does map-only
+    * sig extraction plus the banded store probe (work proportional to
+    * the batch), and the label merge runs once per
+    * [[VideoContractEvery]] batches plus once at drain — on the
+    * CALLER thread, where AQE plans it (micro-batch bodies get the
+    * static no-AQE planner).
+    */
+  private[graft] val VideoContractEvery = 8
+
+  /** [[streamMediaKeepNearDup]] with the source directory, glob, and
+    * batching knobs exposed — the spec drives a 3-file copy of the
+    * corpus one file per trigger to exercise the multi-batch edge
+    * accumulation and the deferred contraction, which the single-file
+    * production source cannot reach.
+    */
+  private[graft] def streamMediaKeepNearDupFrom(
+      spark: SparkSession, dir: String, srcDir: String, glob: String,
+      filesPerTrigger: Option[Int], contractEvery: Int): DataFrame = {
     import graft.operators.{Dedup, Kernels, Multimodal}
     val imgMu = Multimodal.historyMu(spark, dir)
     val audMu = Multimodal.historyAudioMu(spark, dir)
@@ -1045,9 +1073,13 @@ object DocStream {
       // replacing processAllAvailable with status polling would need
       // an explicit fence for the maps.
       val processed = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      // bids whose deferred contraction has been folded into a labels
+      // file, newest last — per-batch edge/sig writes accumulate
+      // between contractions (see [[VideoContractEvery]])
+      val contracted = new java.util.concurrent.CopyOnWriteArrayList[Long]()
       def labelsAt(): DataFrame =
-        if (processed.isEmpty) histLabels
-        else spark.read.parquet(s"$tmp/labels_b${processed.get(processed.size - 1)}")
+        if (contracted.isEmpty) histLabels
+        else spark.read.parquet(s"$tmp/labels_b${contracted.get(contracted.size - 1)}")
       def vidSigsAt(): DataFrame = {
         import scala.jdk.CollectionConverters._
         val hist = vidSig.filter(isHist)
@@ -1055,11 +1087,36 @@ object DocStream {
         else hist.unionByName(spark.read.parquet(
           processed.asScala.toSeq.map(b => s"$tmp/vidsigs_b$b"): _*))
       }
+      // batches processed since the last contraction. Confluence makes
+      // the contraction point free to move; the writes are all keyed
+      // by bid with overwrite, and `contracted` mutates only after the
+      // labels write succeeded — the same replay discipline as the
+      // keep-map folds.
+      def pendingBids(): Seq[Long] = {
+        import scala.jdk.CollectionConverters._
+        val last =
+          if (contracted.isEmpty) Long.MinValue
+          else contracted.get(contracted.size - 1)
+        processed.asScala.toSeq.filter(_ > last)
+      }
+      def contract(atBid: Long): Unit = {
+        val pend = pendingBids()
+        if (pend.nonEmpty) {
+          val newDocs = spark.read.parquet(pend.map(b => s"$tmp/vidsigs_b$b"): _*)
+            .select("doc_id").distinct()
+          val edges = spark.read.parquet(pend.map(b => s"$tmp/edges_b$b"): _*)
+          (Dedup.maintainLabels(labelsAt(), newDocs, edges)
+            .write.mode("overwrite").parquet(s"$tmp/labels_b$atBid"))
+          contracted.add(atBid)
+        }
+      }
       val synth = udf((body: Array[Byte]) => Multimodal.synthPayload(body))
-      val q = spark.readStream
+      val reader = spark.readStream
         .schema(documentsSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
+        .option("pathGlobFilter", glob)
+      filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+      val q = reader
+        .parquet(srcDir)
         .select(col("doc_id"), col("text"), splitOf.as("split"))
         .filter(col("split") < Dedup.IncBatchThreshold)
         .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
@@ -1075,38 +1132,40 @@ object DocStream {
               Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
             val audAgg = Multimodal.sigBatchAgg(
               Multimodal.audioSigFrame(batch, audMu))
-            // the batch's frame sigs feed four consumers (two probe
-            // sides, the label merge, the store write) — checkpoint so
-            // the decode kernel runs once per batch
+            // the batch's frame sigs feed three consumers (two probe
+            // sides, the store write) — checkpoint so the decode
+            // kernel runs once per batch
             val vidS = (Multimodal.frameSigFrame(batch, vidMu,
               "doc_id", "sample_no", "ph").localCheckpoint())
-            // checkpoint the blast-radius edges: the contraction merge
-            // references its edge frame several times (symmetrize
-            // union, endpoint contraction), and an unchecked plan
-            // re-ran the banded store probe per reference — the batch
-            // maintain query's own discipline
-            val edges = (Multimodal.videoClipPairsProbe(vidS, vidSigsAt())
+            // per-batch work stops at EDGES: the blast-radius probe
+            // (batch frames x accumulated store, banded — work
+            // proportional to the batch) plus within-batch pairs,
+            // written keyed by bid. The label contraction defers —
+            // see [[VideoContractEvery]].
+            (Multimodal.videoClipPairsProbe(vidS, vidSigsAt())
               .select("doc_a", "doc_b")
               .unionByName(Multimodal.videoClipPairs(vidS)
                 .select("doc_a", "doc_b"))
-              .localCheckpoint())
-            (Dedup.maintainLabels(labelsAt(),
-                vidS.select("doc_id").distinct(), edges)
-              .write.mode("overwrite").parquet(s"$tmp/labels_b$bid"))
+              .write.mode("overwrite").parquet(s"$tmp/edges_b$bid"))
             (vidS.write.mode("overwrite").parquet(s"$tmp/vidsigs_b$bid"))
-            // the batch's checkpoint blocks are dead once the merges
-            // are written — free them per batch instead of leaving one
-            // node-sized block pair PER MICRO-BATCH to the
-            // ContextCleaner (which only runs on driver GC)
-            Seq(vidS, edges).foreach(df =>
-              Kernels.checkpointRddId(df).foreach { id =>
-                spark.sparkContext.getPersistentRDDs.get(id)
-                  .foreach(_.unpersist(true))
-              })
+            // the batch's checkpoint blocks are dead once the writes
+            // are done — free them per batch instead of leaving one
+            // node-sized block PER MICRO-BATCH to the ContextCleaner
+            // (which only runs on driver GC)
+            Kernels.checkpointRddId(vidS).foreach { id =>
+              spark.sparkContext.getPersistentRDDs.get(id)
+                .foreach(_.unpersist(true))
+            }
             // driver state LAST — pure in-memory, cannot fail midway
             Multimodal.sigKeepFold(imgKeep, imgAgg)
             Multimodal.sigKeepFold(audKeep, audAgg)
             processed.add(bid)
+            // deferred contraction: fold accumulated edges into the
+            // label table once enough batches are pending (a replayed
+            // batch that died between the labels write and the
+            // `contracted` append simply re-contracts at the next
+            // point — confluent, and the write is keyed + overwrite)
+            if (pendingBids().size >= contractEvery) contract(bid)
           }
           // the label maintenance's component loop registers tracked
           // caches/checkpoints in THIS (stream-execution) thread's
@@ -1117,6 +1176,12 @@ object DocStream {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
+      // drain-time contraction of whatever is still pending — on the
+      // CALLER thread, so the component loop plans with AQE instead of
+      // the micro-batch static planner (processAllAvailable's await
+      // establishes the happens-before with the stream thread's writes)
+      import scala.jdk.CollectionConverters._
+      processed.asScala.lastOption.foreach(contract)
       def keepRows(m: scala.collection.mutable.Map[Long, (Long, Long)]) =
         m.iterator.map { case (ph, (k, n)) => (ph, k, n) }.toArray
       Kernels.trackedCheckpoint(

@@ -1098,6 +1098,39 @@ class OperatorsSpec extends AnyFunSuite {
       s"stream drain (${drained.size}) must equal the batch maintenance (${maintained.size})")
   }
 
+  test("streamMediaKeepNearDup multi-batch: deferred contraction drains to the maintenance") {
+    // the production single-file source drains in ONE micro-batch, so
+    // it cannot reach the edge-accumulation path: drive a 3-file copy
+    // of the corpus one file per trigger with contractEvery = 2 — one
+    // mid-drain contraction (after batch 2) plus the drain-time one —
+    // and require the same product as the one-shot maintenance
+    import scala.jdk.CollectionConverters._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val in = java.nio.file.Files.createTempDirectory("graft-nkd-multibatch")
+    try {
+      for (i <- 0 until 3) {
+        val stage = java.nio.file.Files.createTempDirectory(s"graft-nkd-stage$i")
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("overwrite").parquet(stage.toString)
+        val part = java.nio.file.Files.list(stage).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        java.nio.file.Files.move(part, in.resolve(s"part$i.parquet"))
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
+          r.getAs[Long]("n_members"))).toSet
+      val maintained = rows(Multimodal.mediaKeepNearDupMaintain(spark, sf))
+      Dedup.retireCaches()
+      val drained = rows(graft.streaming.DocStream.streamMediaKeepNearDupFrom(
+        spark, sf, in.toString, "*.parquet",
+        filesPerTrigger = Some(1), contractEvery = 2))
+      Dedup.retireCaches()
+      assert(drained == maintained,
+        s"3-batch deferred drain (${drained.size}) must equal the one-shot " +
+          s"maintenance (${maintained.size})")
+    } finally graft.operators.Kernels.rmTree(in.toFile)
+  }
+
   test("mediaKeepNearDup memo serves the un-memoized build exactly") {
     // the near-tier keep table memoizes per corpus (the mediaKeep
     // precedent); a stale or mis-keyed memo would silently serve wrong
