@@ -24,6 +24,27 @@ object Bench {
     // (unset → the full driver-contract run)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // The previous committed full-run artifact, read BEFORE this run
+    // overwrites it: the per-query ratios against it separate host-VM
+    // drift from structural regressions mechanically (this host has
+    // drifted ±16% between rounds on untouched queries — r16 had to
+    // establish that by hand from per-query diffs). The median over
+    // common >=0.3s queries is robust to the handful of queries a
+    // round actually changes.
+    val prev: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_full.json")
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val qStart = s.indexOf("\"queries\":{")
+        val qEnd = if (qStart < 0) -1 else s.indexOf("}", qStart)
+        if (qStart >= 0 && qEnd > qStart)
+          """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+            .findAllMatchIn(s.substring(qStart + 11, qEnd))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "0") == "1") {
@@ -101,7 +122,19 @@ object Bench {
     def fmt(n: String) = "\"" + n + "\":" + f"${times(n)}%.3f"
     val bySlowest = names.filter(times.contains).sortBy(n => (-times(n), n))
     val fullQs = names.filter(times.contains).map(fmt).mkString("{", ",", "}")
-    val meta = s""","queries_n":${bySlowest.size},"errors":$errs,"sf":"$sfDir"}"""
+    // host-drift normalizer vs the previous committed artifact (see
+    // `prev` above): median new/old ratio over the common slow queries
+    val ratios = names.filter(times.contains)
+      .flatMap(n => prev.get(n).filter(_ >= 0.3).map(times(n) / _)).sorted
+    val drift =
+      if (ratios.isEmpty) ""
+      else {
+        val med =
+          if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+          else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2
+        f""","drift_vs_prev":{"median_ratio":$med%.3f,"n":${ratios.length}}"""
+      }
+    val meta = s""","queries_n":${bySlowest.size},"errors":$errs$drift,"sf":"$sfDir"}"""
     val head = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":"""
     val budget = 1500 - head.length - meta.length - 2
     val inline = new StringBuilder
@@ -113,7 +146,7 @@ object Bench {
     }
     // a FILTERED run must not clobber the full-run artifact
     if (only.isEmpty) try {
-      val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"errors":$errs$drift,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }

@@ -111,18 +111,25 @@ object Sampling {
     * never be cut by the bound at all).
     */
   private[graft] def prefixQuotaThresholds(spark: SparkSession,
-      rows: DataFrame, keyCol: String, id: Column, quota: Int,
+      rows: DataFrame, keyCol: String, id: Column, quota: Long,
       exhaustive: Boolean): DataFrame = {
+    // the bounded-topk partial aggregate holds `quota` entries per key
+    // map-side — an Int by the aggregator's contract. Budgets arrive
+    // as Long (e.g. TokenBudget + 1); make the narrowing a checked
+    // precondition instead of a silent wrap.
+    require(quota > 0 && quota <= Int.MaxValue,
+      s"bounded-topk quota must fit an Int, got $quota")
+    val q = quota.toInt
     // graft_topk orders score DESC, so the NEGATED prefix yields bottom-k
     val bk = graft.functions.TopKFunctions.topK(
-      spark, negate(col("hv")), id, lit(quota))
+      spark, negate(col("hv")), id, lit(q))
     val hmax =
       if (exhaustive)
-        when(size(col("bk")) === quota,
-          negate(element_at(col("bk"), quota).getField("score")))
+        when(size(col("bk")) === q,
+          negate(element_at(col("bk"), q).getField("score")))
           .otherwise(lit(Double.MaxValue))
       else
-        negate(element_at(col("bk"), least(size(col("bk")), lit(quota)))
+        negate(element_at(col("bk"), least(size(col("bk")), lit(q)))
           .getField("score"))
     rows.groupBy(keyCol).agg(bk.as("bk"))
       .select(col(keyCol), hmax.as("hmax"))
@@ -188,7 +195,7 @@ object Sampling {
     // only — see prefixQuotaThresholds for the two edge cases
     val thresholds = prefixQuotaThresholds(
       spark, docs.filter(col("n_tokens") >= 1L), "source", col("doc_id"),
-      (TokenBudget + 1).toInt, exhaustive = true)
+      TokenBudget + 1, exhaustive = true)
     val w = Window.partitionBy("source").orderBy(h, col("doc_id"))
     // left join: a source whose docs are ALL zero-token has no
     // threshold row — every doc is kept (cum stays 0)

@@ -433,8 +433,12 @@ object Sketches {
 
   /** Builds the daily store at `path` incrementally: one history
     * build, then one day-sized append per ingest-tail day. The day
-    * list is a bounded driver-side collect (|days| values — the same
-    * bound the store's serve path reads).
+    * list is a driver-side collect, and its bound is the CALENDAR,
+    * not the data: one row per distinct event day, so a decade of
+    * history is < 4,000 values no matter how many events each day
+    * holds — and the list exists to drive control flow (one ingest
+    * WRITE JOB per tail day), which is inherently driver-side; a join
+    * cannot sequence jobs. The serve path reads the same bound.
     */
   private[graft] def writeMaintainedSketchStore(
       spark: SparkSession, dir: String, path: String): Unit = {
