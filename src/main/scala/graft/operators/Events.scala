@@ -122,40 +122,72 @@ object Events {
     * custom-operator ladder): for each error event, the most recent
     * preceding purchase by the same user. Implemented as the
     * sort-merge-friendly carry-forward formulation — tag the purchase
-    * columns, `last(_, ignoreNulls)` over a running window per user —
-    * one shuffle on user_id, no range/cross join, linear in events.
+    * row, `last(_, ignoreNulls)` over a running window — with the same
+    * time-chunk split as [[sessionize]] so no bot user can funnel its
+    * whole history through one window task:
+    *
+    *  1. within each (user, day-chunk): carry the last purchase ROW
+    *     (one struct-valued `last ignoreNulls`, so id/ts/value always
+    *     travel together — the oracle's ASOF contract is row-wise);
+    *  2. per-(user, chunk) aggregate: the chunk's last purchase via
+    *     `max_by` (null ordering for non-purchases, so purchase-free
+    *     chunks aggregate to null) — calendar-bounded rows per user;
+    *  3. carry-in: a strictly-preceding `last ignoreNulls` over the
+    *     chunk aggregate hands each chunk the latest purchase from any
+    *     EARLIER chunk (unlike the sessionize stitch this legally
+    *     reaches across empty chunks — carry-forward has no gap);
+    *  4. an event's as-of purchase = within-chunk carry, else the
+    *     chunk's carry-in. Chunk is a monotone function of ts, so the
+    *     composition equals the single-window form exactly.
     *
     * Tie handling: the oracle's ASOF contract is `e.ts >= p.ts`, so a
     * purchase sharing an error's exact timestamp must be visible to
-    * that error regardless of event_id order. The window therefore
-    * sorts purchases BEFORE non-purchases at equal ts (then event_id),
-    * making the equivalence hold by construction instead of relying on
-    * the data's per-user ts uniqueness (which OperatorsSpec asserts
-    * separately as a canary).
+    * that error regardless of event_id order. The within-chunk window
+    * therefore sorts purchases BEFORE non-purchases at equal ts (then
+    * event_id) — equal timestamps share a chunk, so the boundary never
+    * sees a tie — making the equivalence hold by construction instead
+    * of relying on the data's per-user ts uniqueness (which
+    * OperatorsSpec asserts separately as a canary). The oracle keeps
+    * the plain ASOF SQL; a synthetic spec proves the chunked
+    * differential across boundaries and empty chunks.
     */
   def asofLastPurchase(spark: SparkSession, dir: String): DataFrame =
     asofLastPurchaseOf(Tables.events(spark, dir))
 
   /** Core of [[asofLastPurchase]] over any events-shaped frame
     * (event_id, user_id, ts, event_type, value) — split out so the tie
-    * semantics are unit-testable on synthetic rows.
+    * and chunk-boundary semantics are unit-testable on synthetic rows.
     */
   def asofLastPurchaseOf(events: DataFrame): DataFrame = {
     val isPurchase = col("event_type") === "purchase"
-    val w = Window.partitionBy("user_id")
+    val pRow = when(isPurchase, struct(col("ts").as("p_ts"),
+      col("event_id").as("p_id"), col("value").as("p_value")))
+    val e = events.withColumn("chunk",
+      expr(s"unix_micros(ts) div $SessionChunkUs"))
+    // per-chunk last purchase; purchase-free chunks aggregate to null
+    // (max_by skips rows whose ordering is null). Eager-checkpointed:
+    // the tiny (user, chunk) frame would otherwise re-run the corpus
+    // aggregate per downstream reference.
+    val wUser = Window.partitionBy("user_id").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = Kernels.trackedCheckpoint(
+      e.groupBy("user_id", "chunk")
+        .agg(max_by(pRow, when(isPurchase,
+          struct(col("ts"), col("event_id")))).as("lp"))
+        .withColumn("cin", last("lp", ignoreNulls = true).over(wUser))
+        .select(col("user_id"), col("chunk"), col("cin")))
+    val wChunk = Window.partitionBy("user_id", "chunk")
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .withColumn("p_ts", when(isPurchase, col("ts")))
-      .withColumn("p_id", when(isPurchase, col("event_id")))
-      .withColumn("p_value", when(isPurchase, col("value")))
-      .withColumn("last_purchase_ts", last("p_ts", ignoreNulls = true).over(w))
-      .withColumn("last_purchase_id", last("p_id", ignoreNulls = true).over(w))
-      .withColumn("last_purchase_value", last("p_value", ignoreNulls = true).over(w))
+    e.join(carryIn, Seq("user_id", "chunk"))
+      .withColumn("lastp",
+        coalesce(last(pRow, ignoreNulls = true).over(wChunk), col("cin")))
       .filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"),
-              col("ts").as("error_ts"), col("last_purchase_id"),
-              col("last_purchase_ts"), col("last_purchase_value"))
+              col("ts").as("error_ts"),
+              col("lastp.p_id").as("last_purchase_id"),
+              col("lastp.p_ts").as("last_purchase_ts"),
+              col("lastp.p_value").as("last_purchase_value"))
       .orderBy("error_id")
   }
 

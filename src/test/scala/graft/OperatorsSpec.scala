@@ -63,6 +63,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byError(3L).isEmpty, "no preceding purchase -> null")
   }
 
+  test("asof chunk carry equals the plain single-window form across boundaries") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 7: carry across an EMPTY day (carry-forward, unlike the
+      // session stitch, legally reaches over empty chunks), then a
+      // same-day purchase shadowing the carried one
+      (1L, 7L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      (2L, 7L, ts("2024-01-03 09:00:00"), "error", 0.0),
+      (3L, 7L, ts("2024-01-03 10:00:00"), "purchase", 99.0),
+      (4L, 7L, ts("2024-01-03 11:00:00"), "error", 0.0),
+      // user 8: error precedes every purchase -> null
+      (5L, 8L, ts("2024-01-01 08:00:00"), "error", 0.0),
+      (6L, 8L, ts("2024-01-01 09:00:00"), "purchase", 5.0),
+      // user 9: adjacent midnight boundary carry
+      (7L, 9L, ts("2024-01-01 23:59:00"), "purchase", 7.0),
+      (8L, 9L, ts("2024-01-02 00:01:00"), "error", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("error_id"),
+       Option(r.getAs[java.lang.Long]("last_purchase_id")).map(_.toLong),
+       Option(r.getAs[java.lang.Double]("last_purchase_value")).map(_.toDouble))
+    val chunked = Events.asofLastPurchaseOf(events).collect().map(key).toSet
+    // the oracle form: one carry window over the whole per-user history
+    val plain = {
+      val isP = col("event_type") === "purchase"
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("ts"), when(isP, 0).otherwise(1), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      events
+        .withColumn("lastp", last(when(isP, struct(col("event_id").as("p_id"),
+          col("value").as("p_value"))), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"),
+          col("lastp.p_id").as("last_purchase_id"),
+          col("lastp.p_value").as("last_purchase_value"))
+        .collect().map(key).toSet
+    }
+    assert(chunked == plain, s"chunked $chunked != plain $plain")
+    assert(chunked == Set(
+      (2L, Some(1L), Some(10.0)),  // across the empty day 2
+      (4L, Some(3L), Some(99.0)),  // same-day purchase shadows the carry
+      (5L, None, None),            // nothing precedes
+      (8L, Some(7L), Some(7.0))))  // adjacent boundary
+  }
+
   test("sessionize: gaps within a session never exceed 30 minutes at boundaries") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.nonEmpty)

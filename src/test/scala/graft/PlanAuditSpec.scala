@@ -1064,15 +1064,15 @@ class PlanAuditSpec extends AnyFunSuite {
       ("Dedup.scala", """"cluster", "band"""", 1,
         "capCells in-band rank: ~cell/2^16 members per band partition"),
       ("Events.scala", """"user_id"""", 3,
-        "one site (sessionize's stitch) runs over the tiny (user, chunk) " +
-        "aggregate — calendar-bounded rows per user; the two carry-forward " +
-        "sites (asof, resample) keep the per-user event window — a bot user " +
-        "funnels one task there. Accepted trade, recorded: both admit the " +
-        "same chunk + carry-each-chunk's-last-non-null split sessionize now " +
-        "uses; not yet needed at the human-event rates these model"),
-      ("Events.scala", """"user_id", "chunk"""", 1,
-        "sessionize gaps-and-islands per user-DAY (time-chunked; boundary " +
-        "stitch over the chunk aggregate reassembles exact global sessions)"),
+        "all three run over CALENDAR-bounded inputs, never per-user events: " +
+        "sessionize's stitch and asof's carry-in window the tiny (user, " +
+        "chunk) aggregate (one row per user-day), and resample's carry runs " +
+        "over the bucket GRID (one row per user-bucket — bucket count is " +
+        "time-range/width, a function of the calendar, not of event volume)"),
+      ("Events.scala", """"user_id", "chunk"""", 2,
+        "sessionize gaps-and-islands + asof purchase-carry per user-DAY " +
+        "(time-chunked; the chunk-aggregate pass reassembles exact global " +
+        "results — stitch for sessions, carry-in for as-of)"),
       ("Events.scala", """"event_type"""", 1,
         "input is the day x event_type aggregate"),
       ("Sketches.scala", """"event_type"""", 1,
