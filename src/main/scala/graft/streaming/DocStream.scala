@@ -1034,6 +1034,10 @@ object DocStream {
       substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
     val isHist = splitOf >= Dedup.IncBatchThreshold
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nkd")
+    val nkdT0 = System.nanoTime()
+    def nkdMark(tag: String): Unit =
+      if (sys.env.contains("GRAFT_NKD_TIME"))
+        System.err.println(f"[nkd] $tag at ${(System.nanoTime() - nkdT0) / 1e9}%.2fs")
     try {
       // image/audio state lives in DRIVER memory for the whole drain:
       // the per-sig keep stores are ≤ 2^PhashBits rows by construction
@@ -1051,14 +1055,17 @@ object DocStream {
           sig.filter(isHist).groupBy("ph")
             .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_members"))
             .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))))
+      nkdMark("preamble(mus+sigframes)")
       val imgKeep = seedKeep(imgSig)
       val audKeep = seedKeep(audSig)
+      nkdMark("seeds")
       // pre-force the video history label memo on the CALLER thread —
       // otherwise the first micro-batch pays the heavy history
       // component loop (and its thread-scoped intermediates) on the
       // stream-execution thread, unlike the sig frames and mu values
       // seeded above
       val histLabels = Multimodal.vidHistLabels(spark, dir)
+      nkdMark("histLabels")
       // processed batch ids, newest last. Replay-idempotent by
       // construction (Spark's micro-batch retry contract): every disk
       // write is keyed by batch id with overwrite, and the driver
@@ -1115,6 +1122,14 @@ object DocStream {
         .schema(documentsSchema)
         .option("pathGlobFilter", glob)
       filesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+      // micro-batch bodies plan without AQE, where the static planner
+      // picks SortMergeJoin for the batch-x-store banded probes —
+      // sorting the store per batch; hash joins keep the exchanges but
+      // drop the sorts (the streamIncrementalMinhash drain's measured
+      // trick). Set BEFORE start(): batch 0 plans as soon as the
+      // query launches.
+      val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val q = reader
         .parquet(srcDir)
         .select(col("doc_id"), col("text"), splitOf.as("split"))
@@ -1175,13 +1190,18 @@ object DocStream {
           ()
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
+      }
+      nkdMark("drain")
       // drain-time contraction of whatever is still pending — on the
       // CALLER thread, so the component loop plans with AQE instead of
       // the micro-batch static planner (processAllAvailable's await
       // establishes the happens-before with the stream thread's writes)
       import scala.jdk.CollectionConverters._
       processed.asScala.lastOption.foreach(contract)
+      nkdMark("contract")
       def keepRows(m: scala.collection.mutable.Map[Long, (Long, Long)]) =
         m.iterator.map { case (ph, (k, n)) => (ph, k, n) }.toArray
       Kernels.trackedCheckpoint(
