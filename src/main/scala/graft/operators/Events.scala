@@ -105,7 +105,13 @@ object Events {
           sum(col("starts") - col("cont")).over(
             wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("user_id"), col("chunk"), col("cont"), col("offset")))
-    flagged.join(adj, Seq("user_id", "chunk"))
+    // null-SAFE keys: the single-window form keeps null-user/null-ts
+    // rows in its null partition; a plain equi-join would silently
+    // drop them (groupBy retains null groups, so adj has the row)
+    flagged.join(adj.withColumnsRenamed(
+        Map("user_id" -> "a_uid", "chunk" -> "a_chunk")),
+        col("user_id") <=> col("a_uid") && col("chunk") <=> col("a_chunk"))
+      .drop("a_uid", "a_chunk")
       .withColumn("new_corr",
         when(col("prev_ts").isNull, lit(1L) - col("cont")).otherwise(col("new_in")))
       .withColumn("session_seq", col("offset") + sum("new_corr").over(
@@ -179,7 +185,11 @@ object Events {
     val wChunk = Window.partitionBy("user_id", "chunk")
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.join(carryIn, Seq("user_id", "chunk"))
+    // null-SAFE keys — same row-retention contract as sessionize's join
+    e.join(carryIn.withColumnsRenamed(
+        Map("user_id" -> "a_uid", "chunk" -> "a_chunk")),
+        col("user_id") <=> col("a_uid") && col("chunk") <=> col("a_chunk"))
+      .drop("a_uid", "a_chunk")
       .withColumn("lastp",
         coalesce(last(pRow, ignoreNulls = true).over(wChunk), col("cin")))
       .filter(col("event_type") === "error")

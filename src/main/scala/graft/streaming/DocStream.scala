@@ -1010,7 +1010,8 @@ object DocStream {
     * amortizes the component loop: per batch the stream does map-only
     * sig extraction plus the banded store probe (work proportional to
     * the batch), and the label merge runs once per
-    * [[VideoContractEvery]] batches plus once at drain — on the
+    * [[VideoContractEvery]] batches (on the stream thread, like any
+    * foreachBatch work) plus once at drain — that final one on the
     * CALLER thread, where AQE plans it (micro-batch bodies get the
     * static no-AQE planner).
     */
@@ -1126,74 +1127,75 @@ object DocStream {
       // picks SortMergeJoin for the batch-x-store banded probes —
       // sorting the store per batch; hash joins keep the exchanges but
       // drop the sorts (the streamIncrementalMinhash drain's measured
-      // trick). Set BEFORE start(): batch 0 plans as soon as the
-      // query launches.
+      // trick). Set BEFORE start() — batch 0 plans as soon as the
+      // query launches — and restored on EVERY exit path below (the
+      // restore's try covers stream construction and start() too, so
+      // a bad source cannot leak the conf session-wide).
       val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
       spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      val q = reader
-        .parquet(srcDir)
-        .select(col("doc_id"), col("text"), splitOf.as("split"))
-        .filter(col("split") < Dedup.IncBatchThreshold)
-        .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
-        .writeStream.outputMode(OutputMode.Append())
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          if (!processed.isEmpty && processed.get(processed.size - 1) >= bid) {
-            // replayed, fully-committed batch — skip (idempotence)
-          } else {
-            // per-sig aggregates collected first (bounded by the
-            // batch's present sigs) so the driver fold is a pure
-            // in-memory step AFTER every Spark job has succeeded
-            val imgAgg = Multimodal.sigBatchAgg(
-              Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
-            val audAgg = Multimodal.sigBatchAgg(
-              Multimodal.audioSigFrame(batch, audMu))
-            // the batch's frame sigs feed three consumers (two probe
-            // sides, the store write) — checkpoint so the decode
-            // kernel runs once per batch
-            val vidS = (Multimodal.frameSigFrame(batch, vidMu,
-              "doc_id", "sample_no", "ph").localCheckpoint())
-            // per-batch work stops at EDGES: the blast-radius probe
-            // (batch frames x accumulated store, banded — work
-            // proportional to the batch) plus within-batch pairs,
-            // written keyed by bid. The label contraction defers —
-            // see [[VideoContractEvery]].
-            (Multimodal.videoClipPairsProbe(vidS, vidSigsAt())
-              .select("doc_a", "doc_b")
-              .unionByName(Multimodal.videoClipPairs(vidS)
-                .select("doc_a", "doc_b"))
-              .write.mode("overwrite").parquet(s"$tmp/edges_b$bid"))
-            (vidS.write.mode("overwrite").parquet(s"$tmp/vidsigs_b$bid"))
-            // the batch's checkpoint blocks are dead once the writes
-            // are done — free them per batch instead of leaving one
-            // node-sized block PER MICRO-BATCH to the ContextCleaner
-            // (which only runs on driver GC)
-            Kernels.checkpointRddId(vidS).foreach { id =>
-              spark.sparkContext.getPersistentRDDs.get(id)
-                .foreach(_.unpersist(true))
+      try {
+        val q = reader
+          .parquet(srcDir)
+          .select(col("doc_id"), col("text"), splitOf.as("split"))
+          .filter(col("split") < Dedup.IncBatchThreshold)
+          .select(col("doc_id"), synth(encode(col("text"), "UTF-8")).as("payload"))
+          .writeStream.outputMode(OutputMode.Append())
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            if (!processed.isEmpty && processed.get(processed.size - 1) >= bid) {
+              // replayed, fully-committed batch — skip (idempotence)
+            } else {
+              // per-sig aggregates collected first (bounded by the
+              // batch's present sigs) so the driver fold is a pure
+              // in-memory step AFTER every Spark job has succeeded
+              val imgAgg = Multimodal.sigBatchAgg(
+                Multimodal.phashSigFrame(batch, imgMu, "doc_id", "ph"))
+              val audAgg = Multimodal.sigBatchAgg(
+                Multimodal.audioSigFrame(batch, audMu))
+              // the batch's frame sigs feed three consumers (two probe
+              // sides, the store write) — checkpoint so the decode
+              // kernel runs once per batch
+              val vidS = (Multimodal.frameSigFrame(batch, vidMu,
+                "doc_id", "sample_no", "ph").localCheckpoint())
+              // per-batch work stops at EDGES: the blast-radius probe
+              // (batch frames x accumulated store, banded — work
+              // proportional to the batch) plus within-batch pairs,
+              // written keyed by bid. The label contraction defers —
+              // see [[VideoContractEvery]].
+              (Multimodal.videoClipPairsProbe(vidS, vidSigsAt())
+                .select("doc_a", "doc_b")
+                .unionByName(Multimodal.videoClipPairs(vidS)
+                  .select("doc_a", "doc_b"))
+                .write.mode("overwrite").parquet(s"$tmp/edges_b$bid"))
+              (vidS.write.mode("overwrite").parquet(s"$tmp/vidsigs_b$bid"))
+              // the batch's checkpoint blocks are dead once the writes
+              // are done — free them per batch instead of leaving one
+              // node-sized block PER MICRO-BATCH to the ContextCleaner
+              // (which only runs on driver GC)
+              Kernels.checkpointRddId(vidS).foreach { id =>
+                spark.sparkContext.getPersistentRDDs.get(id)
+                  .foreach(_.unpersist(true))
+              }
+              // driver state LAST — pure in-memory, cannot fail midway
+              Multimodal.sigKeepFold(imgKeep, imgAgg)
+              Multimodal.sigKeepFold(audKeep, audAgg)
+              processed.add(bid)
+              // deferred contraction: fold accumulated edges into the
+              // label table once enough batches are pending (a replayed
+              // batch that died between the labels write and the
+              // `contracted` append simply re-contracts at the next
+              // point — confluent, and the write is keyed + overwrite)
+              if (pendingBids().size >= contractEvery) contract(bid)
             }
-            // driver state LAST — pure in-memory, cannot fail midway
-            Multimodal.sigKeepFold(imgKeep, imgAgg)
-            Multimodal.sigKeepFold(audKeep, audAgg)
-            processed.add(bid)
-            // deferred contraction: fold accumulated edges into the
-            // label table once enough batches are pending (a replayed
-            // batch that died between the labels write and the
-            // `contracted` append simply re-contracts at the next
-            // point — confluent, and the write is keyed + overwrite)
-            if (pendingBids().size >= contractEvery) contract(bid)
+            // the label maintenance's component loop registers tracked
+            // caches/checkpoints in THIS (stream-execution) thread's
+            // scope; drain them per batch — the dead-thread backstop
+            // would otherwise hold them for the whole drain
+            Kernels.drainThreadScope()
+            ()
           }
-          // the label maintenance's component loop registers tracked
-          // caches/checkpoints in THIS (stream-execution) thread's
-          // scope; drain them per batch — the dead-thread backstop
-          // would otherwise hold them for the whole drain
-          Kernels.drainThreadScope()
-          ()
-        }
-        .start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
-      }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.join.preferSortMergeJoin", prevSmj)
       nkdMark("drain")
       // drain-time contraction of whatever is still pending — on the
       // CALLER thread, so the component loop plans with AQE instead of

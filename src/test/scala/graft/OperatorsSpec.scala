@@ -131,7 +131,11 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("sessionize chunk stitch equals the plain single-window form on boundary cases") {
     import spark.implicits._
-    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // UTC-explicit: chunks are UTC days (unix_micros div 24h), and
+    // Timestamp.valueOf would shift with the JVM default zone, moving
+    // events across the engineered chunk boundaries
+    def ts(s: String) = java.sql.Timestamp.from(
+      java.time.Instant.parse(s.replace(" ", "T") + "Z"))
     // engineered around the midnight chunk boundary: stitch within gap,
     // break beyond it, break across an empty chunk, and a session chain
     // spanning three chunks
@@ -150,7 +154,7 @@ class OperatorsSpec extends AnyFunSuite {
       // user 9: one session chained across three chunks — an event
       // every 25 minutes (< the 30-min gap) for 30 hours straight
       (8L, 9L, ts("2024-01-01 23:50:00"), 1.0)
-    ).map { case (id, u, t, v) => (id, u, t, v) } ++
+    ) ++
       (1 until 73).map(i => (100L + i, 9L,
         new java.sql.Timestamp(ts("2024-01-01 23:50:00").getTime +
           i * 25L * 60 * 1000), 1.0))
@@ -1156,11 +1160,13 @@ class OperatorsSpec extends AnyFunSuite {
     try {
       for (i <- 0 until 3) {
         val stage = java.nio.file.Files.createTempDirectory(s"graft-nkd-stage$i")
-        docs.filter(col("doc_id") % 3 === i).coalesce(1)
-          .write.mode("overwrite").parquet(stage.toString)
-        val part = java.nio.file.Files.list(stage).iterator().asScala
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        java.nio.file.Files.move(part, in.resolve(s"part$i.parquet"))
+        try {
+          docs.filter(col("doc_id") % 3 === i).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          val part = java.nio.file.Files.list(stage).iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          java.nio.file.Files.move(part, in.resolve(s"part$i.parquet"))
+        } finally graft.operators.Kernels.rmTree(stage.toFile)
       }
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
         .map(r => (r.getAs[String]("modality"), r.getAs[Long]("keep_id"),
