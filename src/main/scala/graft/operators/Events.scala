@@ -88,11 +88,14 @@ object Events {
         (col("prev_ts").isNull ||
          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMicros)
           .cast("long"))
-    // the chunk aggregate is tiny (user x active-day); eager-checkpoint
-    // it so the stitch branch does not re-run the corpus window per
-    // downstream reference (the ordersPercentileRank discipline)
+    // the chunk aggregate feeds ONE consumer (the join back), so it
+    // stays lazy — unlike ordersPercentileRank's twice-referenced
+    // count frame there is nothing to checkpoint against, and the
+    // measured A/B put the eager-materialized form behind the plain
+    // plan (the corpus runs through the (user, chunk) window twice
+    // either way; Catalyst does not reuse the exchange here)
     val wUser = Window.partitionBy("user_id").orderBy("chunk")
-    val adj = Kernels.trackedCheckpoint(
+    val adj =
       flagged.groupBy("user_id", "chunk")
         .agg(min("ts").as("first_ts"), max("ts").as("last_ts"),
              sum("new_in").as("starts"))
@@ -104,7 +107,7 @@ object Events {
         .withColumn("offset", coalesce(
           sum(col("starts") - col("cont")).over(
             wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col("user_id"), col("chunk"), col("cont"), col("offset")))
+        .select(col("user_id"), col("chunk"), col("cont"), col("offset"))
     // null-SAFE keys: the single-window form keeps null-user/null-ts
     // rows in its null partition; a plain equi-join would silently
     // drop them (groupBy retains null groups, so adj has the row)
@@ -171,17 +174,17 @@ object Events {
     val e = events.withColumn("chunk",
       expr(s"unix_micros(ts) div $SessionChunkUs"))
     // per-chunk last purchase; purchase-free chunks aggregate to null
-    // (max_by skips rows whose ordering is null). Eager-checkpointed:
-    // the tiny (user, chunk) frame would otherwise re-run the corpus
-    // aggregate per downstream reference.
+    // (max_by skips rows whose ordering is null). Lazy like
+    // sessionize's chunk aggregate — one consumer, measured ~35%
+    // faster than the eager-checkpointed form at sf0.1.
     val wUser = Window.partitionBy("user_id").orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIn = Kernels.trackedCheckpoint(
+    val carryIn =
       e.groupBy("user_id", "chunk")
         .agg(max_by(pRow, when(isPurchase,
           struct(col("ts"), col("event_id")))).as("lp"))
         .withColumn("cin", last("lp", ignoreNulls = true).over(wUser))
-        .select(col("user_id"), col("chunk"), col("cin")))
+        .select(col("user_id"), col("chunk"), col("cin"))
     val wChunk = Window.partitionBy("user_id", "chunk")
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
