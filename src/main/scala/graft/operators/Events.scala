@@ -108,13 +108,16 @@ object Events {
           sum(col("starts") - col("cont")).over(
             wUser.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("user_id"), col("chunk"), col("cont"), col("offset"))
-    // null-SAFE keys: the single-window form keeps null-user/null-ts
-    // rows in its null partition; a plain equi-join would silently
-    // drop them (groupBy retains null groups, so adj has the row)
-    flagged.join(adj.withColumnsRenamed(
-        Map("user_id" -> "a_uid", "chunk" -> "a_chunk")),
-        col("user_id") <=> col("a_uid") && col("chunk") <=> col("a_chunk"))
-      .drop("a_uid", "a_chunk")
+    // plain equi-join, deliberately: it co-partitions with the chunk
+    // windows on the raw (user_id, chunk) keys, so at scale the SMJ
+    // rides the window exchange with no extra corpus shuffle. The
+    // price is an INPUT CONTRACT — null user_id/ts rows would drop
+    // here where the single-window form kept them in its null
+    // partition (a null-safe <=> join keeps them but plans on
+    // coalesce-wrapped keys, mispartitioning the downstream window
+    // once the aggregate side outgrows a broadcast). Events keys are
+    // non-null by the table's nature; the canary spec pins it.
+    flagged.join(adj, Seq("user_id", "chunk"))
       .withColumn("new_corr",
         when(col("prev_ts").isNull, lit(1L) - col("cont")).otherwise(col("new_in")))
       .withColumn("session_seq", col("offset") + sum("new_corr").over(
@@ -188,11 +191,9 @@ object Events {
     val wChunk = Window.partitionBy("user_id", "chunk")
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // null-SAFE keys — same row-retention contract as sessionize's join
-    e.join(carryIn.withColumnsRenamed(
-        Map("user_id" -> "a_uid", "chunk" -> "a_chunk")),
-        col("user_id") <=> col("a_uid") && col("chunk") <=> col("a_chunk"))
-      .drop("a_uid", "a_chunk")
+    // plain equi-join — same co-partitioning argument and non-null
+    // input contract as sessionize's join above
+    e.join(carryIn, Seq("user_id", "chunk"))
       .withColumn("lastp",
         coalesce(last(pRow, ignoreNulls = true).over(wChunk), col("cin")))
       .filter(col("event_type") === "error")

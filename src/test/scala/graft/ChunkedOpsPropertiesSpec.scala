@@ -28,9 +28,8 @@ class ChunkedOpsPropertiesSpec extends AnyFunSuite {
       val sizes = Seq(400 + rnd.nextInt(200), 1 + rnd.nextInt(5),
         60 + rnd.nextInt(80), 1, 17 + rnd.nextInt(40))
       val rows = rnd.shuffle(
-        sizes.zipWithIndex.flatMap { case (n, c) =>
-          Seq.fill(n)((rnd.nextLong(1L << 40), c.toLong))
-        }.zipWithIndex.map { case ((_, c), i) => (i.toLong * 7 + 3, c) })
+        sizes.zipWithIndex.flatMap { case (n, c) => Seq.fill(n)(c.toLong) }
+          .zipWithIndex.map { case (c, i) => (i.toLong * 7 + 3, c) })
       val cap = 1 + rnd.nextInt(120)
       val assignment = rows.toDF("vec_id", "cluster")
       val banded = Dedup.capCells(assignment, cap).collect()

@@ -38,10 +38,15 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
-  test("events: (user_id, ts) is unique — canary for the asof/sessionize oracles") {
+  test("events: (user_id, ts) is unique and non-null — canary for the asof/sessionize oracles") {
     val dup = Tables.events(spark, sf)
       .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
     assert(dup == 0, "per-user timestamps must be unique in testdata")
+    // the chunked sessionize/asof equi-joins assume non-null keys (the
+    // co-partitioning contract documented at the join sites)
+    val nulls = Tables.events(spark, sf)
+      .filter(col("user_id").isNull || col("ts").isNull).count()
+    assert(nulls == 0, "events keys must be non-null (chunk-join contract)")
   }
 
   test("asof join counts a purchase sharing the error's exact timestamp") {
@@ -1163,8 +1168,11 @@ class OperatorsSpec extends AnyFunSuite {
         try {
           docs.filter(col("doc_id") % 3 === i).coalesce(1)
             .write.mode("overwrite").parquet(stage.toString)
-          val part = java.nio.file.Files.list(stage).iterator().asScala
-            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val ls = java.nio.file.Files.list(stage)
+          val part =
+            try ls.iterator().asScala
+              .find(_.getFileName.toString.endsWith(".parquet")).get
+            finally ls.close()
           java.nio.file.Files.move(part, in.resolve(s"part$i.parquet"))
         } finally graft.operators.Kernels.rmTree(stage.toFile)
       }
