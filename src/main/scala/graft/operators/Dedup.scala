@@ -1042,14 +1042,50 @@ object Dedup {
   }
 
   /** The capped celled embedding index (vec_id, cluster, sub, v, norm)
-    * — the static store the STREAMING semantic-dedup twin probes
-    * ([[graft.streaming.DocStream.streamIncrementalSemantic]]): the
-    * trained cells + [[capCells]] sub-split + precomputed norms, i.e.
-    * exactly the per-vector state a production celled index table
-    * holds (the [[graft.operators.ProductQuant.writeCodebooks]] layout plus the
-    * float payload).
+    * — the trained cells + [[capCells]] sub-split + precomputed norms,
+    * i.e. exactly the per-vector state a production celled index table
+    * holds (the [[graft.operators.ProductQuant.writeCodebooks]] layout
+    * plus the float payload). Served from the fingerprinted durable
+    * artifact ([[ensureCelledIndexStore]]): every consumer — the
+    * semantic dedup pair joins, the whole kNN-graph family, the
+    * streaming probes — reads a BARE SCAN; the Lloyd training + banded
+    * cap/split runs once per (corpus, JVM), the production "write
+    * once, every consumer reads" contract (the keep-list / band-store
+    * precedent; the reference's own intermediate-file design).
     */
-  private[graft] def cappedCelledIndex(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def cappedCelledIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(ensureCelledIndexStore(spark, dir))
+
+  /** The celled index materialized to a fingerprinted durable
+    * artifact, one build per (corpus, JVM). Keyed to the FULL
+    * `embeddings.parquet` fingerprint — NOT a pre-batch slice — which
+    * is load-bearing for the maintainers: [[graft.operators.Graph]]'s
+    * history artifacts filter to history rows AFTER celling (the
+    * snapshot-projection contract at [[graft.operators.Graph.knnMaintain]]),
+    * so `sub` boundaries must reflect the batch-inclusive snapshot for
+    * the untouched-cell carry-over to stay valid. Session memos cannot
+    * amortize this across gate queries ([[retireCaches]] kills them
+    * per query); only the disk store does.
+    */
+  private[graft] def ensureCelledIndexStore(spark: SparkSession, dir: String): String =
+    celledIndexMemo.synchronized {
+      val key = Kernels.inputKey(dir, "embeddings.parquet")
+      celledIndexMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-celled-idx",
+            s"celled|$SemCellCap|${key._1}|${key._2}")(
+          celledIndexFrame(spark, dir).write.mode("overwrite").parquet(_)))
+    }
+
+  private val celledIndexMemo =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** The inline derivation behind [[ensureCelledIndexStore]] — the
+    * memoized Lloyd assignment through [[capCells]] at [[SemCellCap]]
+    * plus precomputed norms. Specs gate this construction directly
+    * (the capped-vs-uncapped differential, the banded-rank
+    * collect-proof); production queries read the store.
+    */
+  private[graft] def celledIndexFrame(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
     capCells(KMeansCodebook.lastAssignment(spark, dir), SemCellCap)
       .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
@@ -1201,6 +1237,13 @@ object Dedup {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("cluster"), col("band"), col("pre")))
     val wIn = Window.partitionBy("cluster", "band").orderBy(col("h"), col("vec_id"))
+    // plain equi-join on (cluster, band) — same INPUT CONTRACT as the
+    // Events chunk joins: a null vec_id (→ null md5 → null band) or
+    // null cluster would silently drop here where the single-window
+    // form kept a null partition. Non-null by construction for every
+    // caller (the k-means assignment mints cluster for every row and
+    // vec_id is the table key) — spec-pinned by the assignment
+    // non-null canary in PlanAuditSpec next to the banded-rank proof.
     withH.join(offs, Seq("cluster", "band"))
       .withColumn("rnk", col("pre") + row_number().over(wIn))
       // integer div, not floor(double /): exact at any rank magnitude
@@ -1218,10 +1261,10 @@ object Dedup {
     * [[embeddingNearDupLsh]]'s data-independent hyperplane buckets:
     * the same candidate-bounding idea, but cells adapt to the corpus
     * (SemDeDup runs ~11k clusters over LAION; here [[KMeansCodebook.K]]
-    * cells over the test corpus). Reuses the memoized Lloyd assignment
-    * — training is shared with `kmeans_centroids` / `ann_ivf_kmeans` /
-    * `sample_cluster_balanced`, so the marginal cost is one
-    * cluster-equi-join. Recall vs the exact all-pairs verifier is the
+    * cells over the test corpus). Reads the durable celled store
+    * ([[ensureCelledIndexStore]]) — training and the banded cap/split
+    * are shared with the whole kNN family, so the marginal cost is
+    * one in-cell pair join over a bare parquet scan. Recall vs the exact all-pairs verifier is the
     * co-clustering rate of true near-dups (spec-pinned); the oracle
     * replays the cells bit-for-bit, so the gate checks the bucketing
     * contract, recall being [[embeddingNearDup]]'s job. Oversized
@@ -1230,7 +1273,10 @@ object Dedup {
     * the within-cell search quadratic in the cell.
     */
   def semanticNearDup(spark: SparkSession, dir: String): DataFrame =
-    semanticNearDupCapped(spark, dir, SemCellCap)
+    // production cap = SemCellCap: read the celled store (built once
+    // per corpus, shared with the kNN family) instead of re-deriving
+    // the Lloyd assignment + banded split inline per query
+    semanticPairs(spark, cappedCelledIndex(spark, dir))
 
   /** Cap-parameterized body of [[semanticNearDup]] — the production
     * query fixes cap = [[SemCellCap]]; `SemDedupCapSpec` runs this with
@@ -1247,8 +1293,19 @@ object Dedup {
   private[graft] def semanticNearDupCapped(
       spark: SparkSession, dir: String, cap: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val a = capCells(KMeansCodebook.lastAssignment(spark, dir), cap)
-      .withColumn("norm", sqrt(dot(spark, col("v"), col("v"))))
+    semanticPairs(spark,
+      capCells(KMeansCodebook.lastAssignment(spark, dir), cap)
+        .withColumn("norm", sqrt(dot(spark, col("v"), col("v")))))
+  }
+
+  /** The within-(cell, sub) pair join + exact-cosine verify both
+    * semantic entry points share: `a` is a celled index frame
+    * (vec_id, cluster, v, sub, norm) — the durable store for the
+    * production query, the inline derivation for the cap-differential
+    * spec.
+    */
+  private def semanticPairs(spark: SparkSession, a: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.dot
     a.as("a")
       .join(a.as("b"),
         col("a.cluster") === col("b.cluster") && col("a.sub") === col("b.sub") &&

@@ -304,6 +304,39 @@ class PlanAuditSpec extends AnyFunSuite {
     Dedup.retireCaches()
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cluster bucketing must make the pair join an equi-join:\n${p.take(600)}")
+    // the production query reads the durable celled artifact — the
+    // Lloyd training + banded cap/split must NOT re-run inline per
+    // consumer (r17's graph-family regression); the spec-only
+    // cap-differential twin keeps gating the derivation itself
+    assert(p.contains("graft-celled-idx"),
+      "dedup_semantic must scan the celled-index store, not re-derive the split")
+    assert(!p.contains("windowspecdefinition"),
+      "a store-served pair join carries no window at all")
+  }
+
+  test("graph_knn: neighbor search reads the celled-index store") {
+    // same contract for the kNN family's inline builder: candidates
+    // come from a bare scan of the celled artifact; the only window is
+    // the per-vector rank over its in-cell candidates
+    val p = plan(Graph.mutualKnn(spark, sf))
+    Dedup.retireCaches()
+    assert(p.contains("graft-celled-idx"),
+      "graph_knn must scan the celled-index store, not re-derive the split")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("celled-index store input contract: assignment keys are non-null by construction") {
+    // capCells' (cluster, band) equi-join would silently DROP a null
+    // vec_id (null md5 -> null band) or null cluster where the plain
+    // single-window form kept a null partition. The k-means assignment
+    // mints cluster for every row and vec_id is the table key, so the
+    // contract holds by construction — this canary pins the DATA-side
+    // claim the join-site comment in Dedup.capCells relies on.
+    val nulls = operators.KMeansCodebook.lastAssignment(spark, sf)
+      .filter(col("vec_id").isNull || col("cluster").isNull).count()
+    Dedup.retireCaches()
+    assert(nulls == 0L,
+      s"$nulls null-keyed assignment rows would silently drop in capCells' band join")
   }
 
   test("mix_token_budget: token counting is map-only; the only wide ops are the source window") {
