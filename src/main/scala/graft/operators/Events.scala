@@ -43,6 +43,44 @@ object Events {
     */
   private[graft] val SessionChunkUs = 24L * 3600 * 1000000
 
+  /** The (user, day)-chunk id with the chunked paths' NON-NULL input
+    * contract enforced at the operator: [[sessionizeOf]] and
+    * [[asofLastPurchaseOf]] join their chunk aggregates back on plain
+    * (user_id, chunk) equi-keys — deliberately, so the join
+    * co-partitions with the chunk windows (a null-safe `<=>` join
+    * plans on coalesce-wrapped keys and mispartitions the downstream
+    * window) — at the price that a null `user_id` or `ts` row would
+    * SILENTLY VANISH where the single-window form kept it in its null
+    * partition. Raising beats routing nulls through a
+    * single-window side path: null-ts rows interleave with a user's
+    * non-null rows in the window form's ordering (nulls sort first),
+    * so a split-and-union is NOT bit-identical for a user with mixed
+    * null/non-null timestamps — a loud per-row error is honest where
+    * that union would be silently different. The branch is two
+    * codegen'd null checks per row; `raise_error` is unreachable on
+    * the (spec-pinned non-null) events table.
+    *
+    * The `rand(42) * 0` term is an OPTIMIZER BARRIER, not noise: the
+    * chunk equi-join makes Catalyst infer `isNotNull(user_id)` /
+    * `isNotNull(chunk)` constraints and push them to the SCAN — below
+    * this projection — so a deterministic guard never sees the null
+    * row it exists to catch (the filter prunes it first and the drop
+    * is silent again; the guard spec caught exactly this). A
+    * nondeterministic expression in the project list legally blocks
+    * predicate pushdown through it, so the inferred filters stay
+    * above and every input row reaches the guard. Value-wise the term
+    * is exactly 0 (and per-partition-seeded, so task retries agree);
+    * cost is one xorshift per row; no other predicate wants to cross
+    * this projection in either caller (asof's event_type filter sits
+    * above a window it cannot cross anyway).
+    */
+  private def guardedChunk: org.apache.spark.sql.Column =
+    when(col("user_id").isNotNull && col("ts").isNotNull,
+      expr(s"unix_micros(ts) div $SessionChunkUs") + (rand(42) * 0).cast("long"))
+      .otherwise(raise_error(lit(
+        "graft.Events: null user_id/ts event reached the time-chunked path; " +
+        "the chunk equi-join would silently drop it - filter or repair nulls upstream")))
+
   /** Sessionization: a session breaks after a 30-minute silence per
     * user. Classic gaps-and-islands (`lag` + running sum), but NOT as
     * the classic single per-user window — a bot user would funnel its
@@ -82,7 +120,7 @@ object Events {
     val gapMicros = 30L * 60 * 1000000 // compare in µs: exact in both engines
     val wChunk = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     val flagged = events
-      .withColumn("chunk", expr(s"unix_micros(ts) div $SessionChunkUs"))
+      .withColumn("chunk", guardedChunk)
       .withColumn("prev_ts", lag(col("ts"), 1).over(wChunk))
       .withColumn("new_in",
         (col("prev_ts").isNull ||
@@ -110,13 +148,13 @@ object Events {
         .select(col("user_id"), col("chunk"), col("cont"), col("offset"))
     // plain equi-join, deliberately: it co-partitions with the chunk
     // windows on the raw (user_id, chunk) keys, so at scale the SMJ
-    // rides the window exchange with no extra corpus shuffle. The
-    // price is an INPUT CONTRACT — null user_id/ts rows would drop
-    // here where the single-window form kept them in its null
-    // partition (a null-safe <=> join keeps them but plans on
-    // coalesce-wrapped keys, mispartitioning the downstream window
-    // once the aggregate side outgrows a broadcast). Events keys are
-    // non-null by the table's nature; the canary spec pins it.
+    // rides the window exchange with no extra corpus shuffle (a
+    // null-safe <=> join plans on coalesce-wrapped keys,
+    // mispartitioning the downstream window once the aggregate side
+    // outgrows a broadcast). The non-null input contract this rests
+    // on is ENFORCED by [[guardedChunk]] above — a null-keyed row
+    // raises on first touch instead of silently dropping here — and
+    // additionally canary-pinned on the events table.
     flagged.join(adj, Seq("user_id", "chunk"))
       .withColumn("new_corr",
         when(col("prev_ts").isNull, lit(1L) - col("cont")).otherwise(col("new_in")))
@@ -174,8 +212,7 @@ object Events {
     val isPurchase = col("event_type") === "purchase"
     val pRow = when(isPurchase, struct(col("ts").as("p_ts"),
       col("event_id").as("p_id"), col("value").as("p_value")))
-    val e = events.withColumn("chunk",
-      expr(s"unix_micros(ts) div $SessionChunkUs"))
+    val e = events.withColumn("chunk", guardedChunk)
     // per-chunk last purchase; purchase-free chunks aggregate to null
     // (max_by skips rows whose ordering is null). Lazy like
     // sessionize's chunk aggregate — one consumer, measured ~35%
@@ -191,8 +228,9 @@ object Events {
     val wChunk = Window.partitionBy("user_id", "chunk")
       .orderBy(col("ts"), when(isPurchase, 0).otherwise(1), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // plain equi-join — same co-partitioning argument and non-null
-    // input contract as sessionize's join above
+    // plain equi-join — same co-partitioning argument as sessionize's
+    // join above; the non-null input contract is ENFORCED by
+    // [[guardedChunk]] (null-keyed rows raise, never silently drop)
     e.join(carryIn, Seq("user_id", "chunk"))
       .withColumn("lastp",
         coalesce(last(pRow, ignoreNulls = true).over(wChunk), col("cin")))

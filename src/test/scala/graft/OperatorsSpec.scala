@@ -49,6 +49,45 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nulls == 0, "events keys must be non-null (chunk-join contract)")
   }
 
+  test("chunked sessionize/asof raise loudly on null keys instead of dropping rows") {
+    // the chunk equi-joins deliberately use plain (not null-safe) keys
+    // for co-partitioning; the operator must therefore REFUSE a
+    // nullable feed rather than silently lose its null-keyed rows —
+    // silent row loss vs the single-window form is the worst failure
+    // class here. guardedChunk enforces it per row.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: Row*) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val good = df(
+      Row(1L, 7L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      Row(2L, 7L, ts("2024-01-01 10:10:00"), "error", 0.0))
+    // sanity: the guard is inert on a clean feed
+    assert(Events.sessionizeOf(good).collect().nonEmpty)
+    assert(Events.asofLastPurchaseOf(good).collect().nonEmpty)
+    def chainMsg(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + chainMsg(t.getCause)
+    val nullUser = df(
+      Row(1L, 7L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      Row(2L, null, ts("2024-01-01 10:10:00"), "error", 0.0))
+    val nullTs = df(
+      Row(1L, 7L, ts("2024-01-01 10:00:00"), "purchase", 10.0),
+      Row(2L, 7L, null, "error", 0.0))
+    for (bad <- Seq(nullUser, nullTs)) {
+      val e1 = intercept[Exception] { Events.sessionizeOf(bad).collect() }
+      assert(chainMsg(e1).contains("time-chunked path"),
+        s"sessionize must raise the guard error, got: ${chainMsg(e1).take(300)}")
+      val e2 = intercept[Exception] { Events.asofLastPurchaseOf(bad).collect() }
+      assert(chainMsg(e2).contains("time-chunked path"),
+        s"asof must raise the guard error, got: ${chainMsg(e2).take(300)}")
+    }
+  }
+
   test("asof join counts a purchase sharing the error's exact timestamp") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
