@@ -812,13 +812,20 @@ object Dedup {
       // driver spends MINUTES per round multiplying statistics
       // (measured: media near-dup components at sf0.1 — see
       // Kernels.loopCheckpoint)
+      // eager = false: the convergence count below is the round's
+      // first action and scans EVERY partition, so it both counts and
+      // materializes the checkpoint — one job per round instead of a
+      // checkpoint job followed by a count job (measured ~25% off the
+      // drain-time blast-radius contraction, where per-round job
+      // overhead dominates the tiny frames)
       val (next, ckptId) = Kernels.loopCheckpoint(stepped.as("a")
         .join(stepped.select(col("doc_id").as("jid"), col("label").as("jlabel")).as("j"),
           col("a.label") === col("j.jid"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.label"), coalesce(col("jlabel"), col("a.label"))).as("label"),
           (col("a.chg") ||
-            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg")))
+            (col("jlabel").isNotNull && col("jlabel") < col("a.label"))).as("chg")),
+        eager = false)
       changed = next.filter(col("chg")).count()
       stepped.unpersist(true)
       labelsCache.unpersist(true) // effective for the round-0 cache only

@@ -206,10 +206,20 @@ private[graft] object Kernels {
     * re-wrap's own plan leaf is the unpersisted Row conversion, so
     * [[checkpointRddId]] on the returned frame would misattribute —
     * callers release rounds by this id).
+    *
+    * `eager = false` marks the checkpoint LAZILY: the blocks persist
+    * when the caller's next action computes the frame, fusing the
+    * round's materialization into that action — one Spark job per
+    * round instead of two (the component loop's convergence count is
+    * exactly such an action and scans every partition, so the
+    * materialization is still complete and the lineage still
+    * truncates). Callers whose next touch might be PARTIAL (a
+    * take/limit) must keep `eager = true` or the unscanned partitions
+    * stay unmaterialized.
     */
-  def loopCheckpoint(df: org.apache.spark.sql.DataFrame)
+  def loopCheckpoint(df: org.apache.spark.sql.DataFrame, eager: Boolean = true)
       : (org.apache.spark.sql.DataFrame, Option[Int]) = {
-    val ck = df.localCheckpoint()
+    val ck = df.localCheckpoint(eager)
     val id = checkpointRddId(ck)
     id.foreach { i =>
       val s = scope.get
