@@ -126,6 +126,9 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScore _,
     "quality_winsorize" -> TextAnalysis.qualityWinsorize _,
     "quality_bins" -> TextAnalysis.qualityBins _,
+    "quality_classifier" -> QualityClassifier.classifier _,
+    "quality_classifier_scored" -> QualityClassifier.scored _,
+    "quality_classifier_served" -> QualityClassifier.served _,
     "lang_id" -> TextAnalysis.languageId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "doc_sentences" -> TextAnalysis.sentences _,
@@ -1284,7 +1287,8 @@ object SparkEntry {
          |WHERE (npos >= ${TextAnalysis.WinnowW} AND i >= ${TextAnalysis.WinnowW})
          |   OR (npos < ${TextAnalysis.WinnowW} AND i = npos)
          |ORDER BY doc_id, fp""".stripMargin,
-  ) ++ qualityLangOracles ++ dedupOracles ++ similarityOracles ++ pqOracles ++
+  ) ++ qualityLangOracles ++ qualityClassifierOracles ++ dedupOracles ++
+    similarityOracles ++ pqOracles ++
     bpeOracles ++ multimodalOracles ++ samplingOracles ++ corpusOracles ++
     graphOracles ++ streamingOracles
 
@@ -1710,6 +1714,102 @@ object SparkEntry {
          |FROM q JOIN b USING (lang) ORDER BY doc_id""".stripMargin
     Map("quality_score" -> quality, "lang_id" -> langId, "quality_bins" -> bins,
         "quality_winsorize" -> winsorize)
+  }
+
+  /** Trained-quality-head oracles: the [[graft.operators.QualityClassifier]]
+    * batch-gradient training replayed as chained CTEs — one (gradient,
+    * weights) CTE pair per step, the kmeansCtes pattern applied to SGD.
+    * Every arithmetic step mirrors the Scala trainer exactly: IEEE
+    * double ops in fixed association order, 6dp rounds at the defined
+    * points, DECIMAL(18,6) for the order-free gradient sums. The
+    * served twin reads the same weights from the artifact, so one
+    * oracle gates all three queries.
+    */
+  private def qualityClassifierOracles: Map[String, String] = {
+    import graft.operators.QualityClassifier.{Steps, Eta, SigLo, SigHi, Center}
+    val stopList = TextAnalysis.StopwordsEn.map(w => s"'$w'").mkString("[", ", ", "]")
+    val fCtes =
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksRawSql AS toks, n_chars FROM documents),
+         |s AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len(toks) AS DOUBLE) AS n_tok,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_dist,
+         |    CAST(len(list_filter(toks, w -> list_contains($stopList, w))) AS DOUBLE) AS n_stop
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id,
+         |    round(least(n_tok / 50.0, 1.0) - $Center, 6) AS x1,
+         |    round(n_dist / greatest(n_tok, 1.0) - $Center, 6) AS x2,
+         |    round(least(n_stop / greatest(n_tok, 1.0) * 5.0, 1.0) - $Center, 6) AS x3,
+         |    round(least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0) - $Center, 6) AS x4,
+         |    CAST(CASE WHEN $qualityExprSql >= 0.5 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+         |  FROM s),
+         |cw AS (
+         |  SELECT count(*) AS n,
+         |    round(count(*) / (2.0 * sum(y)), 6) AS cwp,
+         |    round(count(*) / (2.0 * (count(*) - sum(y))), 6) AS cwn
+         |  FROM f),
+         |w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4, 0.0 AS wb)"""
+        .stripMargin
+    def gsum(xExpr: String, alias: String): String =
+      s"coalesce(sum(CAST(CASE WHEN active THEN round(r * $xExpr, 6) ELSE 0.0 END" +
+        s" AS DECIMAL(18,6))), CAST(0 AS DECIMAL(18,6))) AS $alias"
+    def stepCtes(t: Int): String = {
+      val pw = s"w${t - 1}"
+      s"""g$t AS (
+         |  SELECT
+         |    ${(1 to 4).map(j => gsum(s"x$j", s"s$j")).mkString(",\n    ")},
+         |    ${gsum("1.0", "sb")}
+         |  FROM (
+         |    SELECT x1, x2, x3, x4,
+         |      (CASE WHEN z <= $SigLo THEN 0.0 WHEN z >= $SigHi THEN 1.0
+         |            ELSE z * 0.25 + 0.5 END - y)
+         |        * (CASE WHEN y = 1.0 THEN cwp ELSE cwn END) AS r,
+         |      (z > $SigLo AND z < $SigHi) AS active
+         |    FROM (
+         |      SELECT f.*, cw.cwp, cw.cwn,
+         |        round(x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4 + wb, 6) AS z
+         |      FROM f, $pw, cw))),
+         |w$t AS (
+         |  SELECT round(w1 - $Eta * CAST(s1 AS DOUBLE) / n, 6) AS w1,
+         |         round(w2 - $Eta * CAST(s2 AS DOUBLE) / n, 6) AS w2,
+         |         round(w3 - $Eta * CAST(s3 AS DOUBLE) / n, 6) AS w3,
+         |         round(w4 - $Eta * CAST(s4 AS DOUBLE) / n, 6) AS w4,
+         |         round(wb - $Eta * CAST(sb AS DOUBLE) / n, 6) AS wb
+         |  FROM $pw, g$t, cw)""".stripMargin
+    }
+    val chain = (1 to Steps).map(stepCtes).mkString(",\n")
+    val wf = s"w$Steps"
+    val classifier =
+      s"""$fCtes,
+         |$chain
+         |SELECT feature, weight FROM (
+         |  SELECT 'bias' AS feature, wb AS weight FROM $wf
+         |  UNION ALL SELECT 'x1_len', w1 FROM $wf
+         |  UNION ALL SELECT 'x2_diversity', w2 FROM $wf
+         |  UNION ALL SELECT 'x3_stop', w3 FROM $wf
+         |  UNION ALL SELECT 'x4_chars', w4 FROM $wf)
+         |ORDER BY feature""".stripMargin
+    val scored =
+      s"""$fCtes,
+         |$chain,
+         |sc AS (
+         |  SELECT doc_id, y,
+         |    CASE WHEN z <= $SigLo THEN 0.0 WHEN z >= $SigHi THEN 1.0
+         |         ELSE z * 0.25 + 0.5 END AS score
+         |  FROM (
+         |    SELECT f.doc_id, f.y,
+         |      round(x1 * w1 + x2 * w2 + x3 * w3 + x4 * w4 + wb, 6) AS z
+         |    FROM f, $wf))
+         |SELECT doc_id, CAST(y AS BIGINT) AS label, score,
+         |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    Map("quality_classifier" -> classifier,
+        "quality_classifier_scored" -> scored,
+        // the served twin reads the SAME stored head — value-equal by
+        // construction, one oracle gates both
+        "quality_classifier_served" -> scored)
   }
 
   // Shared dedup fragments (mirror Dedup.scala exactly).
