@@ -31,10 +31,10 @@ object Bench {
     // establish that by hand from per-query diffs). The median over
     // common >=0.3s queries is robust to the handful of queries a
     // round actually changes.
+    val prevFile = java.nio.file.Paths.get("bench_full.json")
     val prev: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("bench_full.json")
-      if (java.nio.file.Files.exists(p)) {
-        val s = new String(java.nio.file.Files.readAllBytes(p),
+      if (java.nio.file.Files.exists(prevFile)) {
+        val s = new String(java.nio.file.Files.readAllBytes(prevFile),
           java.nio.charset.StandardCharsets.UTF_8)
         val qStart = s.indexOf("\"queries\":{")
         val qEnd = if (qStart < 0) -1 else s.indexOf("}", qStart)
@@ -45,6 +45,13 @@ object Bench {
         else Map.empty
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
+    // a format drift (nested value, reordered keys) must not SILENTLY
+    // disable the drift normalizer — an artifact that parses to
+    // nothing is a bug in this scraper, not a first run
+    if (java.nio.file.Files.exists(prevFile) && prev.isEmpty)
+      System.err.println("[bench] bench_full.json exists but the prev-run " +
+        "scraper parsed no queries — drift_vs_prev will be absent; " +
+        "check the artifact format against the scraper")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "0") == "1") {
@@ -64,15 +71,24 @@ object Bench {
     // and the per-query min measures the engine, not the hypervisor.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val times = scala.collection.mutable.Map.empty[String, Double]
+    // per-query phase marks of the BEST rep (only operators that call
+    // Kernels.phaseMark emit any) — published under "phases" in
+    // bench_full.json so stage-level drift is mechanical
+    val phases = scala.collection.mutable.Map.empty[String, Seq[(String, Double)]]
     val failed = scala.collection.mutable.SortedSet.empty[String]
     def timedRun(name: String): Unit = {
+      graft.operators.Kernels.phaseReset()
       val t0 = System.nanoTime()
       // A failed rep does NOT update the per-query min: a crashing query
       // must not masquerade as a fast one. It lands in "errors" instead.
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
-        times(name) = math.min(times.getOrElse(name, Double.MaxValue), dt)
+        val marks = graft.operators.Kernels.phaseDrain()
+        if (dt < times.getOrElse(name, Double.MaxValue)) {
+          times(name) = dt
+          if (marks.nonEmpty) phases(name) = marks
+        }
       } catch {
         case e: Throwable =>
           failed += name
@@ -144,9 +160,16 @@ object Bench {
       val cost = piece.length + (if (used == 0) 0 else 1)
       if (used + cost <= budget) { if (used > 0) inline += ','; inline ++= piece; used += cost }
     }
+    val phasesJson =
+      if (phases.isEmpty) ""
+      else phases.toSeq.sortBy(_._1).map { case (q, ms) =>
+        "\"" + q + "\":" + ms.map { case (tag, at) =>
+          "\"" + tag + "\":" + f"$at%.3f"
+        }.mkString("{", ",", "}")
+      }.mkString(""","phases":{""", ",", "}")
     // a FILTERED run must not clobber the full-run artifact
     if (only.isEmpty) try {
-      val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs,"errors":$errs$drift,"sf":"$sfDir"}"""
+      val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$fullQs$phasesJson,"errors":$errs$drift,"sf":"$sfDir"}"""
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable => System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}") }

@@ -347,6 +347,25 @@ private[graft] object Kernels {
     tempStores.clear()
   }
 
+  // Lightweight phase-timing log: long-running operators mark named
+  // phases (seconds since the operator's own t0) on whatever thread
+  // runs them; Bench resets before each timed rep and drains after,
+  // publishing the marks of each query's BEST rep into
+  // bench_full.json's "phases" map — so stage-level drift across
+  // rounds is as mechanical as drift_vs_prev (the env-gated stderr
+  // twin of these marks was r17's best diagnostic; this makes it an
+  // artifact instead of a live-session-only probe).
+  private val phaseMarks =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
+  def phaseReset(): Unit = phaseMarks.synchronized { phaseMarks.clear() }
+
+  def phaseMark(tag: String, sec: Double): Unit =
+    phaseMarks.synchronized { phaseMarks += ((tag, sec)); () }
+
+  def phaseDrain(): Seq[(String, Double)] =
+    phaseMarks.synchronized { val s = phaseMarks.toList; phaseMarks.clear(); s }
+
   /** Memo key for session-lifetime per-corpus products (trained
     * codebooks, materialized keep-lists): the input dir PLUS a cheap
     * recursive (name, length, mtime) listing of the backing table, so

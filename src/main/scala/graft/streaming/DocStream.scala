@@ -1036,9 +1036,12 @@ object DocStream {
     val isHist = splitOf >= Dedup.IncBatchThreshold
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nkd")
     val nkdT0 = System.nanoTime()
-    def nkdMark(tag: String): Unit =
+    def nkdMark(tag: String): Unit = {
+      val t = (System.nanoTime() - nkdT0) / 1e9
+      Kernels.phaseMark(tag, t)
       if (sys.env.contains("GRAFT_NKD_TIME"))
-        System.err.println(f"[nkd] $tag at ${(System.nanoTime() - nkdT0) / 1e9}%.2fs")
+        System.err.println(f"[nkd] $tag at $t%.2fs")
+    }
     try {
       // image/audio state lives in DRIVER memory for the whole drain:
       // the per-sig keep stores are ≤ 2^PhashBits rows by construction
@@ -1131,6 +1134,13 @@ object DocStream {
       // query launches — and restored on EVERY exit path below (the
       // restore's try covers stream construction and start() too, so
       // a bad source cannot leak the conf session-wide).
+      // SCOPE CAVEAT: the override is session-global for the drain's
+      // duration, so a CONCURRENT query on this SparkSession would
+      // plan under it (and the restore re-pins the pre-read value even
+      // if it was default-inherited). Acceptable under the repo's
+      // single-threaded gate contract; if concurrent use ever
+      // appears, scope the stream to a cloned session
+      // (spark.newSession) instead.
       val prevSmj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
       spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       try {
@@ -1230,11 +1240,16 @@ object DocStream {
     */
   def streamKnnMaintain(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Graph, Kernels}
+    val t0 = System.nanoTime()
+    def mark(tag: String): Unit =
+      Kernels.phaseMark(tag, (System.nanoTime() - t0) / 1e9)
     val hist = Graph.ensureKnnDirectedHistory(spark, dir, Dedup.IncBatchThreshold)
+    mark("hist_artifact")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-knn")
     try {
       spark.read.parquet(hist).write.mode("overwrite")
         .parquet(s"$tmp/lists_v0")
+      mark("seed_store")
       // atomic for cross-thread visibility — the streamMediaKeep note
       val version = new java.util.concurrent.atomic.AtomicInteger(0)
       val splitOf =
@@ -1252,10 +1267,13 @@ object DocStream {
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      Kernels.trackedCheckpoint(
+      mark("drain")
+      val served = Kernels.trackedCheckpoint(
         Graph.mutualFromDirected(
           spark.read.parquet(s"$tmp/lists_v${version.get()}"))
           .orderBy("vec_a", "vec_b"))
+      mark("mutual_serve")
+      served
     } finally graft.operators.Kernels.rmTree(tmp.toFile)
   }
 }
