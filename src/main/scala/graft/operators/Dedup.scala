@@ -742,8 +742,15 @@ object Dedup {
   private[graft] def clustersFromEdges(
       docs: DataFrame, edges: DataFrame,
       probe: (Int, Int, Long) => Unit = (_, _, _) => ()): DataFrame = {
+    // pre-partitioned BY THE JOIN KEY before caching: the propagate
+    // join hashes sym on doc_b every round, and a cached frame
+    // PRESERVES its outputPartitioning — so the edge shuffle runs
+    // once here instead of once per round (at corpus scale the edge
+    // exchange is the loop's dominant repeated cost; exchange reuse
+    // across rounds' separate jobs does not exist)
     val sym = cacheTracked(edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .repartition(col("doc_b")))
     // propagate only over edge-incident nodes — singletons can never
     // change label, so they skip the loop entirely and rejoin at the
     // end (near-dup graphs are a tiny fraction of the corpus; looping

@@ -339,6 +339,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"$nulls null-keyed assignment rows would silently drop in capCells' band join")
   }
 
+  test("component-loop edge cache: pre-partitioned sym side joins with no per-round exchange") {
+    // clustersFromEdges caches sym AFTER repartition(doc_b) so the
+    // propagate join's edge side satisfies its required distribution
+    // from the cache — the corpus-edge shuffle runs once per query,
+    // not once per round (cross-job exchange reuse does not exist).
+    // This pins the mechanism: a cached frame PRESERVES its
+    // outputPartitioning, so only the (per-round) labels side plans
+    // an exchange.
+    import spark.implicits._
+    // force the shuffle-join shape (the corpus-scale case — a
+    // broadcastable labels side needs no partitioning from sym at all)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val edges = spark.range(0, 1000).select(col("id").as("doc_a"),
+        ((col("id") + 7) % 1000).as("doc_b"))
+      val sym = edges.union(edges.select(col("doc_b").as("doc_a"),
+          col("doc_a").as("doc_b")))
+        .repartition(col("doc_b")).cache()
+      sym.count()
+      val labels = spark.range(0, 1000)
+        .select(col("id").as("doc_id"), col("id").as("label")).localCheckpoint()
+      val joined = sym.as("e")
+        .join(labels.as("l"), col("e.doc_b") === col("l.doc_id"))
+        .groupBy(col("e.doc_a"))
+        .agg(org.apache.spark.sql.functions.min(col("l.label")))
+      val p = joined.queryExecution.executedPlan.toString
+      sym.unpersist(true)
+      // ENSURE_REQUIREMENTS exchanges only — the cache's own one-time
+      // REPARTITION_BY_COL build shuffle prints inside the
+      // InMemoryRelation and must not count. Expected: labels side
+      // into the join + the aggregate split = 2; a sym-side
+      // re-shuffle would be the 3rd.
+      val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(p).length
+      assert(p.contains("InMemoryTableScan"), s"sym must come from cache:\n${p.take(600)}")
+      assert(exchanges <= 2,
+        s"sym side must not re-shuffle per round (want <=2 exchanges, got $exchanges):\n${p.take(1600)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+  }
+
   test("mix_token_budget: token counting is map-only; the only wide ops are the source window") {
     val p = plan(Sampling.mixTokenBudget(spark, sf))
     // narrow projection reaches the scan: text is consumed by the
