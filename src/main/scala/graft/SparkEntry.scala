@@ -314,6 +314,7 @@ object SparkEntry {
     "stream_error_purchase_outer" -> graft.streaming.EventStream.errorPurchaseLeftOuter _,
     "stream_error_purchase_full" -> graft.streaming.EventStream.errorPurchaseFullOuter _,
     "stream_quality" -> graft.streaming.DocStream.streamQuality _,
+    "stream_quality_classifier" -> graft.streaming.DocStream.streamQualityClassifier _,
     "stream_bm25_index" -> graft.streaming.DocStream.streamSearchIndex _,
     "stream_bm25_compact" -> graft.streaming.DocStream.streamSearchIndexCompacted _,
     // SQL-facing API
@@ -1807,9 +1808,11 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin
     Map("quality_classifier" -> classifier,
         "quality_classifier_scored" -> scored,
-        // the served twin reads the SAME stored head — value-equal by
-        // construction, one oracle gates both
-        "quality_classifier_served" -> scored)
+        // the served and streaming twins score with the SAME stored
+        // head and the same feature expressions — value-equal by
+        // construction, one oracle gates all three
+        "quality_classifier_served" -> scored,
+        "stream_quality_classifier" -> scored)
   }
 
   // Shared dedup fragments (mirror Dedup.scala exactly).

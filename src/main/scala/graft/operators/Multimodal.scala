@@ -2138,9 +2138,18 @@ object Multimodal {
     * ride an anti-join.
     */
   def mediaKeepNearDupMaintain(spark: SparkSession, dir: String): DataFrame = {
+    // phase marks for the bench artifact: this query is typically the
+    // bench's first toucher of the media sig/label memos, so its
+    // headline number is mostly memo builds — the marks make that
+    // split mechanical instead of folklore
+    val t0 = System.nanoTime()
+    def mark(tag: String): Unit =
+      Kernels.phaseMark(tag, (System.nanoTime() - t0) / 1e9)
     val (imgSig, audSig, vidSig) = mediaHistSigFrames(spark, dir)
+    mark("sig_memos")
     val img = sigComponentMaintain(spark, imgSig, "image")
     val aud = sigComponentMaintain(spark, audSig, "audio")
+    mark("img_aud_maintain")
     // video: the clip-graph contraction merge. The base state (the
     // history labels) is a memoized per-corpus artifact
     // ([[vidHistLabels]] — a durable table in production), NOT part of
@@ -2154,8 +2163,9 @@ object Multimodal {
     val batchEdges = Kernels.adoptCheckpoint(
       videoClipPairsProbe(vidSig.filter(isIncBatchDoc(col("doc_id"))), vidSig)
         .select("doc_a", "doc_b").localCheckpoint())
-    val vid = Dedup.maintainKeep(vidHistLabels(spark, dir),
-        batchNodes, batchEdges)
+    val hist = vidHistLabels(spark, dir)
+    mark("vid_hist_labels")
+    val vid = Dedup.maintainKeep(hist, batchNodes, batchEdges)
       .select(lit("video").as("modality"), col("doc_id").as("keep_id"),
         col("n_members"))
     img.unionByName(aud).unionByName(vid).orderBy("modality", "keep_id")

@@ -101,8 +101,15 @@ object QualityClassifier {
     * does NOT use — its trained weight staying small is part of the
     * convergence spec), y = 1 iff the composite 4dp quality ≥ 0.5.
     */
-  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private[graft] def featureFrame(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(Tables.documents(spark, dir))
+
+  /** [[featureFrame]] over an arbitrary documents-shaped frame
+    * (doc_id, text, n_chars) — shared with the STREAMING scorer,
+    * whose micro-batches must compute bit-identical features.
+    */
+  private[graft] def featuresOf(documents: DataFrame): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"),
         col("n_chars"))
     val (lenScore, diversity, stopScore) = TextAnalysis.qualityParts(col("toks"))
@@ -200,7 +207,6 @@ object QualityClassifier {
     */
   private def scoreWith(spark: SparkSession, dir: String,
       w: Array[Double]): DataFrame = {
-    val z = marginOf(w)
     // the score is emitted RAW, not re-rounded: p = 0.25·z + 0.5 over
     // the 6dp margin is IEEE-exact and bit-identical in both engines,
     // while round(p, 6) would land on true 7th-digit ties (0.25 × a
@@ -209,11 +215,19 @@ object QualityClassifier {
     // one tie per ~few hundred docs flips the last digit. Rounds are
     // only safe where the value cannot sit on the tie (arbitrary
     // doubles) or the tie is decided in decimal on BOTH sides.
-    featureFrame(spark, dir)
+    scoreFrame(featureFrame(spark, dir), w).orderBy("doc_id")
+  }
+
+  /** The unordered scoring projection over a feature frame — shared
+    * with the streaming twin (a streaming frame cannot sort; its
+    * memory-sink drain orders at the end).
+    */
+  private[graft] def scoreFrame(features: DataFrame, w: Array[Double]): DataFrame = {
+    val z = marginOf(w)
+    features
       .select(col("doc_id"), col("y").cast("long").as("label"),
         linkOf(z).as("score"))
       .withColumn("pred", (col("score") >= 0.5).cast("long"))
-      .orderBy("doc_id")
   }
 
   /** `quality_classifier_scored`: the whole corpus through the trained
@@ -250,11 +264,17 @@ object QualityClassifier {
     * session that can read the artifact scores without retraining.
     * Value-equal to [[scored]] (the same oracle gates both).
     */
-  def served(spark: SparkSession, dir: String): DataFrame = {
+  def served(spark: SparkSession, dir: String): DataFrame =
+    scoreWith(spark, dir, storedHead(spark, dir))
+
+  /** The stored head loaded back as the trainer's weight layout —
+    * shared by [[served]] and the streaming scorer (which freezes the
+    * head once, before the stream starts).
+    */
+  private[graft] def storedHead(spark: SparkSession, dir: String): Array[Double] = {
     val stored = spark.read.parquet(ensureWeightStore(spark, dir))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val w = Array(stored("x1_len"), stored("x2_diversity"), stored("x3_stop"),
+    Array(stored("x1_len"), stored("x2_diversity"), stored("x3_stop"),
       stored("x4_chars"), stored("bias"))
-    scoreWith(spark, dir, w)
   }
 }

@@ -690,6 +690,35 @@ object DocStream {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** `stream_quality_classifier`: the TRAINED quality head applied on
+    * continuous ingest — the production shape of every learned
+    * pre-filter: the head is FROZEN before the stream starts (read
+    * once from the durable `graft-quality-head` artifact — a model
+    * deploy, not per-batch retraining) and scoring is a stateless
+    * per-batch projection with the weights riding the task closure.
+    * No aggregation, no watermark, no state store; throughput equals
+    * the source's. The drained result equals the batch scorer
+    * row-for-row (same features, same frozen weights), so
+    * `quality_classifier_scored`'s oracle gates this query too —
+    * completing the trained-head lattice: train / score / serve /
+    * stream.
+    */
+  def streamQualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val head = QualityClassifier.storedHead(spark, dir)
+    val stream = spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val scored = QualityClassifier.scoreFrame(
+      QualityClassifier.featuresOf(stream), head)
+    val name = "stream_quality_classifier_out"
+    val q = scored.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("doc_id")
+  }
+
   /** `stream_bm25_index`: the search index MAINTAINED under
     * continuous ingest — each micro-batch tokenizes its documents and
     * APPENDS their postings (and doc lengths) to the store; serving

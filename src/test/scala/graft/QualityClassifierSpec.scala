@@ -60,6 +60,18 @@ class QualityClassifierSpec extends AnyFunSuite {
       "artifact-served scores must equal in-session scores exactly")
   }
 
+  test("streaming scorer drains to the batch scorer bit-for-bit") {
+    // frozen head + shared feature/score expressions: however the
+    // source micro-batches the corpus, the drained scores must equal
+    // the batch pass exactly (stateless map — nothing to commute)
+    val batch = QualityClassifier.scored(spark, sf).collect().map(_.toSeq)
+    val streamed = graft.streaming.DocStream.streamQualityClassifier(spark, sf)
+      .collect().map(_.toSeq)
+    Dedup.retireCaches()
+    assert(streamed.nonEmpty && batch.toSeq == streamed.toSeq,
+      "drained stream scores must equal the batch scorer exactly")
+  }
+
   test("scored predictions are consistent with the emitted score") {
     val bad = QualityClassifier.scored(spark, sf)
       .filter((col("score") >= 0.5) =!= (col("pred") === 1L)).count()
