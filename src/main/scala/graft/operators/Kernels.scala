@@ -366,6 +366,20 @@ private[graft] object Kernels {
   def phaseDrain(): Seq[(String, Double)] =
     phaseMarks.synchronized { val s = phaseMarks.toList; phaseMarks.clear(); s }
 
+  /** A t0-bound marker: records seconds-since-creation under `tag` and
+    * returns the value (so env-gated stderr probes can print the same
+    * number). One helper instead of a hand-rolled closure per marked
+    * operator.
+    */
+  def phaseMarker(): String => Double = {
+    val t0 = System.nanoTime()
+    tag => {
+      val t = (System.nanoTime() - t0) / 1e9
+      phaseMark(tag, t)
+      t
+    }
+  }
+
   /** Memo key for session-lifetime per-corpus products (trained
     * codebooks, materialized keep-lists): the input dir PLUS a cheap
     * recursive (name, length, mtime) listing of the backing table, so

@@ -2142,9 +2142,7 @@ object Multimodal {
     // bench's first toucher of the media sig/label memos, so its
     // headline number is mostly memo builds — the marks make that
     // split mechanical instead of folklore
-    val t0 = System.nanoTime()
-    def mark(tag: String): Unit =
-      Kernels.phaseMark(tag, (System.nanoTime() - t0) / 1e9)
+    val mark = Kernels.phaseMarker()
     val (imgSig, audSig, vidSig) = mediaHistSigFrames(spark, dir)
     mark("sig_memos")
     val img = sigComponentMaintain(spark, imgSig, "image")

@@ -155,11 +155,14 @@ object QualityClassifier {
         val f = Kernels.cacheTracked(featureFrame(spark, dir))
         val head = f.agg(count(lit(1)).as("n"), sum(col("y")).as("npos")).collect()(0)
         val n = head.getLong(0)
-        val npos = head.getDouble(1)
-        // a single-class corpus has no decision boundary to learn —
-        // loud beats a silently degenerate all-one head
+        // sum(y) is NULL on an empty corpus — read it defensively so
+        // the require below stays the failure path (getDouble on the
+        // null would throw an opaque NPE before it)
+        val npos = if (head.isNullAt(1)) 0.0 else head.getDouble(1)
+        // a single-class (or empty) corpus has no decision boundary to
+        // learn — loud beats a silently degenerate all-one head
         require(npos > 0 && npos < n,
-          s"quality_classifier: single-class labels (n=$n, npos=$npos)")
+          s"quality_classifier: empty or single-class labels (n=$n, npos=$npos)")
         val cwp = r6(n / (2.0 * npos))
         val cwn = r6(n / (2.0 * (n - npos)))
         var w = Array.fill(5)(0.0)

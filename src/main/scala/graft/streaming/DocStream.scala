@@ -1064,10 +1064,9 @@ object DocStream {
       substring(md5(concat(lit("inc:"), col("doc_id").cast("string"))), 1, 1)
     val isHist = splitOf >= Dedup.IncBatchThreshold
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-nkd")
-    val nkdT0 = System.nanoTime()
+    val marker = Kernels.phaseMarker()
     def nkdMark(tag: String): Unit = {
-      val t = (System.nanoTime() - nkdT0) / 1e9
-      Kernels.phaseMark(tag, t)
+      val t = marker(tag)
       if (sys.env.contains("GRAFT_NKD_TIME"))
         System.err.println(f"[nkd] $tag at $t%.2fs")
     }
@@ -1269,9 +1268,7 @@ object DocStream {
     */
   def streamKnnMaintain(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Dedup, Graph, Kernels}
-    val t0 = System.nanoTime()
-    def mark(tag: String): Unit =
-      Kernels.phaseMark(tag, (System.nanoTime() - t0) / 1e9)
+    val mark = Kernels.phaseMarker()
     val hist = Graph.ensureKnnDirectedHistory(spark, dir, Dedup.IncBatchThreshold)
     mark("hist_artifact")
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream-knn")
