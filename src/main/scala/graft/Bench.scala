@@ -4,7 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus)
+    val builder = GraftSession.builder(s"local[$cpus]", cpus)
       // Size-BASED broadcast decision, sized for this deployment: 128 GiB
       // executors comfortably hold a 64 MB build side. Fact tables at the
       // target scale still exceed any threshold and shuffle — unlike the
@@ -14,7 +14,16 @@ object Bench {
       // above 10 MB — a 2.7 MB parquet file was shuffling both facts.)
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
-      .getOrCreate()
+    // experiment hook for local A/B of session confs (perf iteration
+    // only — the driver runs Bench with this unset, so committed
+    // defaults above are what it measures): "k=v;k=v"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach {
+      _.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Optional untimed warmup pass. Default OFF: a full second pass
     // over 34 queries (streaming state stores, cached datasets, memory
