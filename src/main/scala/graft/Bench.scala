@@ -96,8 +96,18 @@ object Bench {
         val marks = graft.operators.Kernels.phaseDrain()
         if (dt < times.getOrElse(name, Double.MaxValue)) {
           times(name) = dt
+          // always replace on a new best rep: keeping a slower rep's
+          // marks when the best rep emitted none would publish phases
+          // that do not belong to the published time (r18 advisory)
           if (marks.nonEmpty) phases(name) = marks
+          else phases.remove(name)
         }
+        // env-gated per-rep phase echo for local perf iteration
+        // (filtered runs never write bench_full.json, so the marks are
+        // otherwise invisible there)
+        if (sys.env.contains("SPARK_GRAFT_PHASES") && marks.nonEmpty)
+          System.err.println(f"[bench] $name $dt%.2fs phases: " +
+            marks.map { case (t, s) => f"$t=$s%.2f" }.mkString(" "))
       } catch {
         case e: Throwable =>
           failed += name

@@ -748,9 +748,35 @@ object Dedup {
     // once here instead of once per round (at corpus scale the edge
     // exchange is the loop's dominant repeated cost; exchange reuse
     // across rounds' separate jobs does not exist)
-    val sym = cacheTracked(edges.union(
+    val sym32 = cacheTracked(edges.union(
       edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .repartition(col("doc_b")))
+    // SIZE-ADAPTIVE edge layout: the cached frame's partition count is
+    // what every round's join stages inherit — a cached side's
+    // outputPartitioning is taken as-is, so AQE never coalesces it and
+    // a tiny blast-radius graph (a few hundred edges in the stream
+    // contractions) runs `spark.sql.shuffle.partitions` near-empty
+    // tasks per stage per round. Derive the partition count from the
+    // edge count instead (~2M symmetric edge rows ≈ 32 MB per
+    // partition), clamped to at least 1: sized by DATA, not by the
+    // local core count — at corpus scale the count exceeds the default
+    // parallelism and this re-layout is a no-op (guide §2: derive
+    // partitioning from input size rather than a constant tuned for
+    // either deployment). The count runs on the already-cached frame
+    // (one cheap cached pass) and the re-layout is one edge-sized
+    // shuffle paid once, only when it HALVES (or better) the stage
+    // width of every subsequent round.
+    val defaultP = docs.sparkSession.sparkContext.defaultParallelism
+    val symN = sym32.count()
+    val targetP = math.max(1L, (symN + 2000000L - 1) / 2000000L)
+      .min(Int.MaxValue).toInt
+    val sym =
+      if (targetP * 2 <= sym32.rdd.getNumPartitions && targetP < defaultP) {
+        val slim = cacheTracked(sym32.repartition(targetP, col("doc_b")))
+        slim.count() // materialize before dropping the wide layout
+        sym32.unpersist(true)
+        slim
+      } else sym32
     // propagate only over edge-incident nodes — singletons can never
     // change label, so they skip the loop entirely and rejoin at the
     // end (near-dup graphs are a tiny fraction of the corpus; looping

@@ -230,7 +230,12 @@ object QualityClassifier {
     features
       .select(col("doc_id"), col("y").cast("long").as("label"),
         linkOf(z).as("score"))
-      .withColumn("pred", (col("score") >= 0.5).cast("long"))
+      // coalesce to 0: a NULL score (null-text document outside the
+      // gated corpora) must predict 0 like the oracle's CASE WHEN
+      // score >= 0.5 THEN 1 ELSE 0, not propagate NULL (r18 advisory
+      // — latent oracle divergence on nullable feeds)
+      .withColumn("pred",
+        coalesce((col("score") >= 0.5).cast("long"), lit(0L)))
   }
 
   /** `quality_classifier_scored`: the whole corpus through the trained

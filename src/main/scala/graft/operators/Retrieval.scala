@@ -408,15 +408,9 @@ object Retrieval {
   def ensureMaxSimIndex(spark: SparkSession, dir: String): String =
     maxSimIndexMemo.synchronized {
       val key = Kernels.inputKey(dir, "documents.parquet")
-      maxSimIndexMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"maxsim|${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-maxsim-$h")
-        writeMaxSimIndex(spark, dir, root)
-        root
-      })
+      maxSimIndexMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-maxsim", s"maxsim|${key._1}|${key._2}")(
+          writeMaxSimIndex(spark, dir, _)))
     }
 
   private val maxSimIndexMemo =
@@ -515,15 +509,9 @@ object Retrieval {
   def ensureSearchIndex(spark: SparkSession, dir: String): String =
     indexMemo.synchronized {
       val key = Kernels.inputKey(dir, "documents.parquet")
-      indexMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-search-index-$h")
-        writeSearchIndex(spark, dir, root)
-        root
-      })
+      indexMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-search-index", s"${key._1}|${key._2}")(
+          writeSearchIndex(spark, dir, _)))
     }
 
   private val indexMemo =

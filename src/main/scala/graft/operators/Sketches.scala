@@ -344,15 +344,9 @@ object Sketches {
   def ensureSketchStore(spark: SparkSession, dir: String): String =
     storeMemo.synchronized {
       val key = Kernels.inputKey(dir, "events.parquet")
-      storeMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-sketch-store-$h")
-        writeSketchStore(spark, dir, root)
-        root
-      })
+      storeMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-sketch-store", s"${key._1}|${key._2}")(
+          writeSketchStore(spark, dir, _)))
     }
 
   private val storeMemo =
@@ -467,15 +461,9 @@ object Sketches {
     maintStoreMemo.synchronized {
       val k = Kernels.inputKey(dir, "events.parquet")
       val key = (s"sketch-maintain:${k._1}", k._2)
-      maintStoreMemo.getOrElseUpdate(key, {
-        val h = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"${key._1}|${key._2}".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(12)
-        val root = Kernels.registerTempStore(
-          s"${System.getProperty("java.io.tmpdir")}/graft-sketch-maint-$h")
-        writeMaintainedSketchStore(spark, dir, root)
-        root
-      })
+      maintStoreMemo.getOrElseUpdate(key,
+        Kernels.buildStore("graft-sketch-maint", s"${key._1}|${key._2}")(
+          writeMaintainedSketchStore(spark, dir, _)))
     }
 
   private val maintStoreMemo =
