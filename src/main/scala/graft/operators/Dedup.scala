@@ -742,46 +742,24 @@ object Dedup {
   private[graft] def clustersFromEdges(
       docs: DataFrame, edges: DataFrame,
       probe: (Int, Int, Long) => Unit = (_, _, _) => ()): DataFrame = {
-    // pre-partitioned BY THE JOIN KEY before caching: the propagate
-    // join hashes sym on doc_b every round, and a cached frame
-    // PRESERVES its outputPartitioning — so the edge shuffle runs
-    // once here instead of once per round (at corpus scale the edge
-    // exchange is the loop's dominant repeated cost; exchange reuse
-    // across rounds' separate jobs does not exist)
-    val sym32 = cacheTracked(edges.union(
-      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .repartition(col("doc_b")))
-    // SIZE-ADAPTIVE edge layout: the cached frame's partition count is
-    // what every round's join stages inherit — a cached side's
-    // outputPartitioning is taken as-is, so AQE never coalesces it and
-    // a tiny blast-radius graph (a few hundred edges in the stream
-    // contractions) runs `spark.sql.shuffle.partitions` near-empty
-    // tasks per stage per round. Derive the partition count from the
-    // edge count instead (~2M symmetric edge rows ≈ 32 MB per
-    // partition), clamped to at least 1: sized by DATA, not by the
-    // local core count — at corpus scale the count exceeds the default
-    // parallelism and this re-layout is a no-op (guide §2: derive
-    // partitioning from input size rather than a constant tuned for
-    // either deployment). The count runs on the already-cached frame
-    // (one cheap cached pass) and the re-layout is one edge-sized
-    // shuffle paid once, only when it HALVES (or better) the stage
-    // width of every subsequent round.
-    val defaultP = docs.sparkSession.sparkContext.defaultParallelism
-    val symN = sym32.count()
-    val targetP = math.max(1L, (symN + 2000000L - 1) / 2000000L)
-      .min(Int.MaxValue).toInt
-    val sym =
-      if (targetP * 2 <= sym32.rdd.getNumPartitions && targetP < defaultP) {
-        val slim = cacheTracked(sym32.repartition(targetP, col("doc_b")))
-        slim.count() // materialize before dropping the wide layout
-        sym32.unpersist(true)
-        slim
-      } else sym32
+    // pre-partitioned BY THE JOIN KEY (doc_b, the propagate join's
+    // hash side) at a size-adaptive partition count — see
+    // [[Kernels.sizedKeyedCache]]: the edge shuffle runs once instead
+    // of once per round, and a tiny blast-radius graph does not run
+    // default-parallelism near-empty tasks per stage per round.
+    val sym = Kernels.sizedKeyedCache(edges.union(
+      edges.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))),
+      col("doc_b"))
     // propagate only over edge-incident nodes — singletons can never
     // change label, so they skip the loop entirely and rejoin at the
     // end (near-dup graphs are a tiny fraction of the corpus; looping
-    // over every document made each round ~100x bigger for nothing)
-    val nodes = cacheTracked(sym.select(col("doc_a").as("doc_id")).distinct())
+    // over every document made each round ~100x bigger for nothing).
+    // Laid out at the slimmed edge cache's width: cache
+    // materialization bypasses AQE coalescing, so the distinct would
+    // otherwise pin `spark.sql.shuffle.partitions` near-empty
+    // partitions that every round-0 stage inherits.
+    val nodes = cacheTracked(sym.select(col("doc_a").as("doc_id")).distinct()
+      .repartition(sym.rdd.getNumPartitions, col("doc_id")))
     // labelsCache is the round's MATERIALIZED frame (cached for round
     // 0, localCheckpoint'ed — i.e. also lineage-cut — for every round
     // after); labels is the 2-column view of it the next round consumes

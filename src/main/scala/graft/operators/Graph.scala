@@ -59,9 +59,16 @@ object Graph {
     */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.ngramJaccard(spark, dir).select("doc_a", "doc_b")
-    val sym = Kernels.cacheTracked(
+    // pinned by the per-round join key at a size-adaptive partition
+    // count ([[Kernels.sizedKeyedCache]]): the near-dup graph is a tiny
+    // fraction of the corpus, and the plain cache ran every round's
+    // join stage at the union's full width (2x default parallelism of
+    // near-empty tasks, x10 rounds) — the loop's dominant cost at
+    // local SF, a no-op re-layout at corpus scale
+    val sym = Kernels.sizedKeyedCache(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      col("src"))
     val deg = Kernels.trackedCheckpoint(
       sym.groupBy("src").agg(count(lit(1)).as("deg"))
         .select(col("src").as("doc_id"), col("deg")))
@@ -581,9 +588,13 @@ object Graph {
   private[graft] def textRankOn(
       spark: SparkSession, dt: DataFrame, vocabCap: Int): DataFrame = {
     val edges = cooccurrenceEdges(dt, vocabCap)
-    val sym = Kernels.cacheTracked(
+    // size-adaptive keyed pin — the [[pageRank]] loop contract: the
+    // vocab-capped graph is C(cap, 2)-bounded, so the plain cache's
+    // full-width layout made every round scheduling-bound
+    val sym = Kernels.sizedKeyedCache(
       edges.select(col("ta").as("src"), col("tb").as("dst"), col("w"))
-        .union(edges.select(col("tb").as("src"), col("ta").as("dst"), col("w"))))
+        .union(edges.select(col("tb").as("src"), col("ta").as("dst"), col("w"))),
+      col("src"))
     val wdeg = Kernels.trackedCheckpoint(
       sym.groupBy("src").agg(sum("w").as("wd"))
         .select(col("src").as("term"), col("wd")))

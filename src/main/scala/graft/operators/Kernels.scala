@@ -96,6 +96,47 @@ private[graft] object Kernels {
     df.cache()
   }
 
+  /** Cache an iterative loop's STATIC side (edge lists, rank-loop
+    * inputs) pre-partitioned by its per-round join key at a
+    * SIZE-ADAPTIVE partition count. Two properties every loop needs
+    * from its pinned frame, both consequences of a cached side's
+    * outputPartitioning being taken as-is (never AQE-coalesced, never
+    * re-planned):
+    *
+    *  1. partitioned BY THE JOIN KEY, so the per-round equi-join never
+    *     re-exchanges the static side — the shuffle runs once here
+    *     instead of once per round (exchange reuse across rounds'
+    *     separate jobs does not exist);
+    *  2. partition count derived from the ROW COUNT (~`rowsPer` rows
+    *     per partition), so a tiny blast-radius graph does not run
+    *     `defaultParallelism` near-empty tasks per stage per round —
+    *     measured as the dominant cost of every loop-bound query at
+    *     local SF (guide §2: derive partitioning from input size, not
+    *     a constant tuned for either deployment). At corpus scale the
+    *     count exceeds the default parallelism and the re-layout
+    *     branch is a no-op.
+    *
+    * The count runs on the already-cached wide frame (one cheap cached
+    * pass); the re-layout is one edge-sized shuffle paid once, taken
+    * only when it HALVES (or better) the stage width of every
+    * subsequent round.
+    */
+  def sizedKeyedCache(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      rowsPer: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    val wide = cacheTracked(df.repartition(key))
+    val n = wide.count()
+    val defaultP = df.sparkSession.sparkContext.defaultParallelism
+    val targetP = math.max(1L, (n + rowsPer - 1) / rowsPer)
+      .min(Int.MaxValue.toLong).toInt
+    if (targetP * 2 <= wide.rdd.getNumPartitions && targetP < defaultP) {
+      val slim = cacheTracked(wide.repartition(targetP, key))
+      slim.count() // materialize before dropping the wide layout
+      wide.unpersist(true)
+      slim
+    } else wide
+  }
+
   /** Drain ONLY the calling thread's scope — the per-micro-batch free
     * for `foreachBatch` bodies: a stream-execution thread accumulates
     * tracked caches and checkpoint ids (e.g. the label-maintenance

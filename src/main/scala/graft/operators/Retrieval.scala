@@ -487,9 +487,13 @@ object Retrieval {
     postingsC.write.mode("overwrite").parquet(s"$path/postings")
     val dfT = postingsC.groupBy("term").agg(count(lit(1)).as("df"))
     dfT.write.mode("overwrite").parquet(s"$path/df")
-    val stats = docs
-      .select(size(TextAnalysis.tokens(lower(col("text")))).cast("long").as("n"))
-      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"))
+    // stats derive from the CACHED postings (Σ tf over postings ≡ Σ dl
+    // over docs; token-less docs hold no posting rows but count toward
+    // N via the column-pruned doc count) — the old shape paid a second
+    // full tokenize pass of the corpus for the same two numbers
+    val stats = postingsC.agg(sum("tf").as("total_tokens"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("total_tokens"))
     stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     postingsC
       .join(dfT, "term").crossJoin(broadcast(stats))
