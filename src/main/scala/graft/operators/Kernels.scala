@@ -137,6 +137,31 @@ private[graft] object Kernels {
     } else wide
   }
 
+  /** [[sizedKeyedCache]] for loop-static sides that are CHEAP TO COUNT
+    * uncached (a parquet leaf or a column-pruned projection of one):
+    * the row count runs on the source frame directly — column-pruned
+    * to nothing by the optimizer — so only ONE layout is ever cached
+    * and materialized, where [[sizedKeyedCache]] must first pin the
+    * full-width layout to count it. The pinned layout is additionally
+    * SORTED within partitions by the key: a cached frame's
+    * outputOrdering is taken as-is like its partitioning, so every
+    * round's sort-merge join against it skips BOTH the exchange and
+    * the sort — without this, a 1-partition keyed cache re-sorts the
+    * whole static side inside every round's join (measured: the beam
+    * family regressed +15-30% on the unsorted keyed pin before this).
+    */
+  def sizedKeyedCacheSorted(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      rowsPer: Long = 2000000L): org.apache.spark.sql.DataFrame = {
+    val n = df.count()
+    val targetP = math.max(1L, (n + rowsPer - 1) / rowsPer)
+      .min(Int.MaxValue.toLong).toInt
+    val pinned = cacheTracked(
+      df.repartition(targetP, key).sortWithinPartitions(key))
+    pinned.count() // materialize once; rounds read the pinned layout
+    pinned
+  }
+
   /** Drain ONLY the calling thread's scope — the per-micro-batch free
     * for `foreachBatch` bodies: a stream-execution thread accumulates
     * tracked caches and checkpoint ids (e.g. the label-maintenance

@@ -477,10 +477,20 @@ object Similarity {
     */
   private[graft] def annGraphOver(spark: SparkSession, dir: String,
       edges: DataFrame, beamWidth: Int = BeamWidth): DataFrame = {
-    val emb = Kernels.cacheTracked(withNorm(spark, Tables.embeddings(spark, dir)))
-    val sym = Kernels.cacheTracked(
+    // Both loop-static sides are pinned PRE-PARTITIONED BY THEIR
+    // PER-ROUND JOIN KEY at a size-derived width (Kernels.sizedKeyedCache):
+    // a cached side's outputPartitioning is taken as-is by every round's
+    // join, so the corpus-sized emb/sym frames are exchanged ZERO times
+    // across the walk — each round exchanges only the query-bounded beam
+    // frontier (≤ probes·beam·k rows by construction). The previous
+    // unkeyed caches re-shuffled both corpus frames in EVERY round's job
+    // (exchange reuse does not span the checkpoint-separated round jobs).
+    val emb = Kernels.sizedKeyedCacheSorted(
+      withNorm(spark, Tables.embeddings(spark, dir)), col("vec_id"))
+    val sym = Kernels.sizedKeyedCacheSorted(
       edges.select(col("vec_a").as("a"), col("vec_b").as("b"))
-        .union(edges.select(col("vec_b").as("a"), col("vec_a").as("b"))))
+        .union(edges.select(col("vec_b").as("a"), col("vec_a").as("b"))),
+      col("a"))
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("norm").as("pnorm"))
@@ -525,11 +535,15 @@ object Similarity {
     * instead of log n, with no per-layer graph to maintain.
     */
   def annGraphLayered(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Kernels.cacheTracked(withNorm(spark, Tables.embeddings(spark, dir)))
+    // same keyed-pin rationale as [[annGraphOver]]: zero per-round
+    // exchanges of the corpus-sized sides
+    val emb = Kernels.sizedKeyedCacheSorted(
+      withNorm(spark, Tables.embeddings(spark, dir)), col("vec_id"))
     val edges = spark.read.parquet(Graph.ensureKnnEdges(spark, dir))
-    val sym = Kernels.cacheTracked(
+    val sym = Kernels.sizedKeyedCacheSorted(
       edges.select(col("vec_a").as("a"), col("vec_b").as("b"))
-        .union(edges.select(col("vec_b").as("a"), col("vec_a").as("b"))))
+        .union(edges.select(col("vec_b").as("a"), col("vec_a").as("b"))),
+      col("a"))
     val probes = emb.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("norm").as("pnorm"))
