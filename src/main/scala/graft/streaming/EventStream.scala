@@ -69,8 +69,18 @@ object EventStream {
     * I/O, so the partition count should follow state CARDINALITY, not
     * the batch shuffle default — the knob production turns is this
     * per-store key budget, with partitions = |keys| / budget.
+    *
+    * 256 (was 64): the per-store PER-BATCH fixed cost dominates until a
+    * store holds far more keys than this suite's state ever reaches —
+    * dissected at sf0.1 (windowed counts, 3600 state rows): the
+    * zero-row watermark-finalization batch alone spent ~1.4 s summed
+    * state commit across 8 stores vs ~0.1 s across 2, and the in-memory
+    * per-key work is nanoseconds-scale. A store only needs splitting
+    * when its resident keys stop fitting a task's memory/latency budget
+    * (orders of magnitude above 256) — so the budget errs high and the
+    * clamp below still caps partitions at the session's parallelism.
     */
-  val TargetKeysPerStore = 64L
+  val TargetKeysPerStore = 256L
 
   /** Expected state keys for this suite's queries (event types ×
     * hours, user ids, session keys — a few hundred at every SF the
