@@ -421,12 +421,22 @@ object Relational {
       .groupBy("l_orderkey", "l_suppkey")
       .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL '60' DAY"),
         1L).otherwise(0L)).as("was_late"))
-    val w = Window.partitionBy("l_orderkey")
+    // The per-order supplier/late counts FOLD INTO an aggregation
+    // instead of a window: the filter keeps exactly the rows where the
+    // order has one late supplier among >= 2, and that single supplier
+    // is identified inside the same per-order aggregate
+    // (max(when(late, suppkey)) — unique because n_late = 1), so the
+    // exchange-sort-window chain over every (order, supplier) row
+    // becomes a hash aggregate on the already-shuffled grain. Same
+    // rows out, one sort less (guide: fold windows into the
+    // aggregation that shares their partitioning).
     perSupp
-      .withColumn("n_supp", count(lit(1)).over(w))
-      .withColumn("n_late", sum(col("was_late")).over(w))
-      .filter(col("was_late") === 1L && col("n_supp") >= 2 && col("n_late") === 1L)
-      .groupBy("l_suppkey")
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("was_late")).as("n_late"),
+        max(when(col("was_late") === 1L, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1L)
+      .groupBy(col("late_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))
