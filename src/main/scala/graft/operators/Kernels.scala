@@ -124,7 +124,16 @@ private[graft] object Kernels {
   def sizedKeyedCache(df: org.apache.spark.sql.DataFrame,
       key: org.apache.spark.sql.Column,
       rowsPer: Long = 2000000L): org.apache.spark.sql.DataFrame = {
-    val wide = cacheTracked(df.repartition(key))
+    // EXPLICIT partition count on the wide layout: a count-less
+    // repartition(key) is AQE-rewritable, and with cached-plan AQE
+    // enabled (GraftSession) the materialized layout could silently
+    // stop being hash(key, n) — every round's join would then
+    // re-exchange the side this pin exists to keep still (the CC-loop
+    // plan audit caught exactly that). An explicit count is never
+    // AQE-modified; the value matches what repartition(key) resolved
+    // to before the flag.
+    val wideP = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val wide = cacheTracked(df.repartition(wideP, key))
     val n = wide.count()
     val defaultP = df.sparkSession.sparkContext.defaultParallelism
     val targetP = math.max(1L, (n + rowsPer - 1) / rowsPer)

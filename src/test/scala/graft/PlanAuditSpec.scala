@@ -355,9 +355,15 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val edges = spark.range(0, 1000).select(col("id").as("doc_a"),
         ((col("id") + 7) % 1000).as("doc_b"))
+      // EXPLICIT partition count, like Kernels.sizedKeyedCache (r19):
+      // with cached-plan AQE enabled a count-less repartition(key) is
+      // AQE-coalescible at materialization and the cached layout stops
+      // guaranteeing hash(key, n) — this spec then (correctly) fails.
+      // The explicit count is the committed idiom.
       val sym = edges.union(edges.select(col("doc_b").as("doc_a"),
           col("doc_a").as("doc_b")))
-        .repartition(col("doc_b")).cache()
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_b")).cache()
       sym.count()
       val labels = spark.range(0, 1000)
         .select(col("id").as("doc_id"), col("id").as("label")).localCheckpoint()
@@ -1155,8 +1161,8 @@ class PlanAuditSpec extends AnyFunSuite {
       ("Bpe.scala", """"word"""", 1, "per-word positions (words are short)"),
       ("Bpe.scala", """"word", "pairh"""", 1, "per-(word,pair) runs within a word"),
       ("Bpe.scala", """"word", "pairh", "grp"""", 1, "per-(word,pair,run) alternation"),
-      ("Relational.scala", """"l_orderkey"""", 1,
-        "per-order lineitems (<=7 per TPC-H order)"),
+      // (r19: q21's per-order window folded into an aggregation — the
+      // Relational.scala "l_orderkey" entry retired with it)
       ("Relational.scala", """"o_custkey"""", 1,
         "per-customer orders (bounded by data model)"),
       ("Relational.scala", """"o_orderpriority"""", 1,
